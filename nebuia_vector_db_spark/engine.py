@@ -1,0 +1,225 @@
+"""VectorEngine — the reference's four-route API as a Spark library.
+
+Route → method mapping (main.go:162-167):
+
+- ``POST /store``             → :meth:`VectorEngine.store`
+- ``POST /search``            → :meth:`VectorEngine.search`
+- ``POST /multi_search``      → :meth:`VectorEngine.multi_search`
+- ``POST /delete_collection`` → :meth:`VectorEngine.delete_collection`
+
+Storage: one ``collection``-partitioned Parquet table (SURVEY §1.4)
+instead of per-document JSON blobs in MinIO (main.go:334-342). A
+collection ≙ a partition value; prefix listing ≙ partition pruning;
+the whole-document GET+decode (main.go:277-292) becomes a columnar
+scan that reads only ``chunks.embedding`` + the projected fields.
+
+Documented deviations (SURVEY §1.5): D-1 always-sorted results, D-2
+deterministic tie-break, D-3 ``collection_name`` carries the real
+collection, D-4 dimension validated at ingest, D-5 synchronous
+snapshot-isolated writes (strictly stronger than the reference's
+fire-and-forget goroutines, main.go:302-321).
+
+Scale: at 100 TB this table is the same layout you'd use on a real
+cluster — partition pruning keeps single-collection queries reading
+only their partition; TakeOrderedAndProject keeps top-k shuffle-free;
+for massive collections add a bucketed/Z-ordered layout or the IVF
+index (operators/ann.py) for candidate pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions.vector import dot, normalize_query
+from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
+
+
+class DimensionMismatchError(ValueError):
+    """D-4: the reference index-panics on shorter stored vectors and
+    silently truncates longer ones (main.go:263-275); we validate."""
+
+
+class VectorEngine:
+    def __init__(self, spark: SparkSession, warehouse_path: str, dim: int | None = None):
+        self.spark = spark
+        self.warehouse_path = warehouse_path
+        self.dim = dim
+
+    # ---------------------------------------------------------------- store
+    def store(self, collection_name: str, documents: Sequence[dict]) -> dict:
+        """≙ POST /store (main.go:294-349): mint a UUID per document,
+        append under the collection. Synchronous (D-5); returns the
+        same ``{message, operation_id}`` payload shape.
+
+        Python dicts follow the reference wire shape:
+        ``{text, metadata: {source, name}, chunks: [{text, embedding,
+        metadata, semantic_score}]}`` — ``embedding`` is a plain list
+        (the reference wraps it as ``{vector: [...]}``; both accepted).
+        """
+        operation_id = str(uuid.uuid4())
+        rows = []
+        for doc in documents:
+            chunks = []
+            for ch in doc.get("chunks") or []:
+                emb = ch.get("embedding")
+                if isinstance(emb, dict):  # reference wire shape {vector: []}
+                    emb = emb.get("vector")
+                emb = [float(x) for x in (emb or [])]
+                if self.dim is not None and len(emb) != self.dim:
+                    raise DimensionMismatchError(
+                        f"chunk embedding dim {len(emb)} != engine dim {self.dim}"
+                    )
+                md = ch.get("metadata") or {}
+                chunks.append(
+                    {
+                        "text": ch.get("text"),
+                        "embedding": emb,
+                        "metadata": {"source": _as_json_str(md.get("source")), "name": md.get("name")},
+                        "semantic_score": float(ch.get("semantic_score") or 0.0),
+                    }
+                )
+            md = doc.get("metadata") or {}
+            rows.append(
+                {
+                    "collection": collection_name,
+                    "doc_id": str(uuid.uuid4()),  # ≙ main.go:330
+                    "text": doc.get("text"),
+                    "metadata": {"source": _as_json_str(md.get("source")), "name": md.get("name")},
+                    "chunks": chunks,
+                }
+            )
+        df = self.spark.createDataFrame(rows, schema=DOCUMENT_SCHEMA)
+        self.store_dataframe(df)
+        return {
+            "message": "Batch store operation started",  # main.go:324
+            "operation_id": operation_id,
+        }
+
+    def store_dataframe(self, df: DataFrame) -> None:
+        """Bulk ingest path (no per-row Python): DataFrame in
+        DOCUMENT_SCHEMA shape; missing doc_ids minted JVM-side."""
+        if "doc_id" not in df.columns:
+            df = df.withColumn("doc_id", F.expr("uuid()"))
+        (
+            df.write.mode("append")
+            .partitionBy("collection")
+            .parquet(self.warehouse_path)
+        )
+
+    # --------------------------------------------------------------- search
+    def documents(self, collections: Sequence[str] | None = None) -> DataFrame:
+        df = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self.warehouse_path)
+        if collections is not None:
+            # partition pruning ≙ MinIO prefix listing (main.go:186-189)
+            df = df.where(F.col("collection").isin(list(collections)))
+        return df
+
+    def chunks(self, collections: Sequence[str] | None = None) -> DataFrame:
+        """The exploded search relation (SURVEY §1.4): one row per
+        chunk, 1-based ``position`` (main.go:252)."""
+        docs = self.documents(collections)
+        return docs.select(
+            "collection",
+            "doc_id",
+            F.col("metadata.name").alias("doc_name"),
+            F.col("metadata").alias("doc_metadata"),
+            F.posexplode("chunks").alias("pos0", "chunk"),
+        ).select(
+            "collection",
+            "doc_id",
+            "doc_name",
+            "doc_metadata",
+            (F.col("pos0") + 1).cast("int").alias("position"),
+            F.col("chunk.text").alias("text"),
+            F.col("chunk.embedding").alias("embedding"),
+            F.col("chunk.metadata").alias("chunk_metadata"),
+            F.col("chunk.semantic_score").alias("semantic_score"),
+        )
+
+    def search(
+        self, collection_name: str, query_vector: Sequence[float], top_k: int
+    ) -> DataFrame:
+        """≙ POST /search (main.go:351-367): brute-force scan of one
+        collection, sim = dot(q/‖q‖, v), top-k desc (D-1/D-2)."""
+        return self._search_impl([collection_name], query_vector, top_k)
+
+    def multi_search(
+        self, collections: Sequence[str], query_vector: Sequence[float], top_k: int
+    ) -> DataFrame:
+        """≙ POST /multi_search (main.go:369-405). The reference's
+        per-collection-top-k-then-global-top-k is semantically a global
+        top-k (SURVEY §1.5-6); one plan over the unified table — the
+        per-collection goroutine fan-out becomes partition parallelism."""
+        return self._search_impl(list(collections), query_vector, top_k)
+
+    def _search_impl(
+        self, collections: Sequence[str], query_vector: Sequence[float], top_k: int
+    ) -> DataFrame:
+        if self.dim is not None and len(query_vector) != self.dim:
+            raise DimensionMismatchError(
+                f"query dim {len(query_vector)} != engine dim {self.dim}"
+            )
+        qn = normalize_query(query_vector)  # once per query, main.go:179-183
+        ch = self.chunks(collections)
+        scored = ch.withColumn("similarity", dot(F.col("embedding"), qn))
+        return (
+            scored.select(
+                # EmbeddingID = doc metadata name (main.go:248)
+                F.col("doc_name").alias("embedding_id"),
+                "similarity",
+                "position",
+                F.col("chunk_metadata").alias("metadata"),  # main.go:251
+                "text",
+                # D-3: real collection (reference bug aliases doc name,
+                # main.go:253)
+                F.col("collection").alias("collection_name"),
+                "doc_id",
+            )
+            # D-1/D-2: always sorted, deterministic ties
+            .orderBy(F.desc("similarity"), "doc_id", "position")
+            .limit(top_k)
+        )
+
+    # --------------------------------------------------------------- delete
+    def delete_collection(self, collection_name: str) -> dict:
+        """≙ POST /delete_collection (main.go:407-458): drop the
+        partition (prefix delete). Synchronous (D-5). On a cluster
+        with Delta this is ``DELETE WHERE collection = ?`` with ACID
+        semantics; for plain Parquet we remove the partition dir."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.warehouse_path, f"collection={collection_name}")
+        )
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        existed = fs.exists(path)
+        if existed:
+            fs.delete(path, True)
+        return {"status": "Collection deletion started", "deleted": bool(existed)}
+
+    # -------------------------------------------------------------- catalog
+    def list_collections(self) -> list[str]:
+        """≙ the implicit catalog = storage listing (SURVEY §1.3)."""
+        try:
+            return sorted(
+                r[0]
+                for r in self.documents().select("collection").distinct().collect()
+            )
+        except Exception:
+            return []
+
+
+def _as_json_str(value) -> str | None:
+    """Metadata.source is schema-free JSON in the reference
+    (main.go:42, interface{}); we store it JSON-encoded."""
+    import json
+
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return value
+    return json.dumps(value, sort_keys=True)

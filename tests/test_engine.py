@@ -1,0 +1,143 @@
+"""VectorEngine parity tests — one per reference route plus the §1.5
+semantic-quirk regressions (deviations D-1..D-5)."""
+
+import numpy as np
+import pytest
+
+from nebuia_vector_db_spark.engine import DimensionMismatchError, VectorEngine
+
+
+def _mkdocs(n_docs: int, chunks_per_doc: int, dim: int, seed: int, name_prefix="doc"):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        docs.append(
+            {
+                "text": f"document {i}",
+                "metadata": {"source": {"origin": "test"}, "name": f"{name_prefix}{i}"},
+                "chunks": [
+                    {
+                        "text": f"chunk {i}.{j}",
+                        "embedding": rng.normal(size=dim).tolist(),
+                        "metadata": {"source": None, "name": f"{name_prefix}{i}c{j}"},
+                        "semantic_score": 0.5,
+                    }
+                    for j in range(chunks_per_doc)
+                ],
+            }
+        )
+    return docs
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    eng = VectorEngine(spark, wh, dim=8)
+    resp = eng.store("alpha", _mkdocs(6, 3, 8, seed=1, name_prefix="a"))
+    assert set(resp) == {"message", "operation_id"}
+    eng.store("beta", _mkdocs(4, 2, 8, seed=2, name_prefix="b"))
+    eng.store("gamma", _mkdocs(2, 1, 8, seed=3, name_prefix="g"))
+    return eng
+
+
+def test_store_and_catalog(engine):
+    assert engine.list_collections() == ["alpha", "beta", "gamma"]
+    assert engine.documents(["alpha"]).count() == 6
+
+
+def test_search_topk_sorted_desc(engine):
+    q = np.random.default_rng(9).normal(size=8).tolist()
+    rows = engine.search("alpha", q, 5).collect()
+    assert len(rows) == 5
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)  # D-1: always sorted
+
+
+def test_search_matches_numpy_bruteforce(engine, spark):
+    q = np.array(np.random.default_rng(11).normal(size=8))
+    qn = q / np.linalg.norm(q)
+    rows = engine.chunks(["alpha"]).collect()
+    expected = sorted(
+        (float(np.dot(qn, np.array(r["embedding"]))) for r in rows), reverse=True
+    )[:4]
+    got = [r["similarity"] for r in engine.search("alpha", q.tolist(), 4).collect()]
+    assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_search_result_fields(engine):
+    q = [1.0] * 8
+    r = engine.search("beta", q, 1).head()
+    # embedding_id = DOC metadata name (main.go:248)
+    assert r["embedding_id"].startswith("b") and "c" not in r["embedding_id"]
+    # metadata = CHUNK metadata (main.go:251)
+    assert "c" in r["metadata"]["name"]
+    # D-3: collection_name is the real collection (not doc name)
+    assert r["collection_name"] == "beta"
+    assert 1 <= r["position"] <= 2  # 1-based (main.go:252)
+
+
+def test_search_fewer_chunks_than_k_still_sorted(engine):
+    # D-1 regression: reference returns UNSORTED when n <= k
+    # (main.go:232-237); we always sort.
+    q = [0.5] * 8
+    rows = engine.search("gamma", q, 50).collect()
+    assert len(rows) == 2
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multi_search_equals_global_topk(engine):
+    # SURVEY §1.5-6: per-collection-cut-then-global-cut == global cut
+    q = np.random.default_rng(13).normal(size=8).tolist()
+    multi = engine.multi_search(["alpha", "beta"], q, 6).collect()
+    unified = engine._search_impl(["alpha", "beta"], q, 6).collect()
+    assert [r["similarity"] for r in multi] == [r["similarity"] for r in unified]
+    assert len(multi) == 6
+    colls = {r["collection_name"] for r in multi}
+    assert colls <= {"alpha", "beta"}
+
+
+def test_dimension_validation(engine):
+    # D-4: reference would panic/truncate (main.go:263-275); we raise.
+    with pytest.raises(DimensionMismatchError):
+        engine.search("alpha", [1.0, 2.0], 3)
+    with pytest.raises(DimensionMismatchError):
+        engine.store("alpha", [{"text": "x", "chunks": [{"embedding": [1.0]}]}])
+
+
+def test_delete_collection(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_del"))
+    eng = VectorEngine(spark, wh, dim=4)
+    eng.store("tmp", _mkdocs(3, 1, 4, seed=5))
+    eng.store("keep", _mkdocs(2, 1, 4, seed=6))
+    resp = eng.delete_collection("tmp")
+    assert resp["deleted"] is True
+    assert eng.list_collections() == ["keep"]
+    # idempotent on missing collection (reference lists zero keys)
+    assert eng.delete_collection("tmp")["deleted"] is False
+
+
+def test_store_reference_wire_shape_embedding(spark, tmp_path_factory):
+    # reference wraps vectors as {vector: [...]} (main.go:37-39)
+    wh = str(tmp_path_factory.mktemp("wh_wire"))
+    eng = VectorEngine(spark, wh, dim=2)
+    eng.store(
+        "w",
+        [
+            {
+                "text": "t",
+                "metadata": {"source": "s", "name": "n"},
+                "chunks": [
+                    {
+                        "text": "c",
+                        "embedding": {"vector": [1.0, 2.0]},
+                        "metadata": {"name": "cn"},
+                        "semantic_score": 0.1,
+                    }
+                ],
+            }
+        ],
+    )
+    row = eng.chunks(["w"]).head()
+    assert row["embedding"] == [1.0, 2.0]
+    assert row["semantic_score"] == pytest.approx(0.1)  # O-13 round-trip
