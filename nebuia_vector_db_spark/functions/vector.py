@@ -33,10 +33,16 @@ def normalize_query(q: Sequence[float]) -> list[float]:
     folds it (SURVEY.md §4 P-3).
     """
     arr = np.asarray(q, dtype=np.float64)
-    n = float(np.sqrt(np.sum(arr * arr)))  # sequential-equivalent, exact
+    # sequential left-to-right sum — bit-identical to the SQL
+    # aggregate() path and DuckDB's list_dot_product (numpy's pairwise
+    # summation would differ in the last ulp)
+    acc = 0.0
+    for x in arr.tolist():
+        acc += x * x
+    n = float(np.sqrt(acc))
     if n == 0.0:
         return arr.tolist()
-    return (arr / n).tolist()
+    return [x / n for x in arr.tolist()]
 
 
 def _lit_vec(q: Sequence[float]) -> Column:
