@@ -1,0 +1,107 @@
+"""Text-analysis expression builders (all JVM-side, codegen-friendly).
+
+Token model: whitespace-split (the oracle mirrors ``string_split``);
+shingles are n-token windows joined with a 0x1f separator. Everything
+here returns Column expressions — no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SHINGLE_SEP = "\x1f"
+
+# small deterministic stopword list shared with the SQL oracles
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+def tokens(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles as array<string>.
+
+    Built with transform(sequence(...)) + element_at so the whole thing
+    stays one codegen'd expression (no explode needed to *build* it).
+    """
+    toks = tokens(text)
+    # guard: sequence(1, stop) DESCENDS when stop < 1, which would
+    # index past the array — docs shorter than n tokens get no shingles
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    built = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                SHINGLE_SEP, *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, built).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(text, "[^a-z]", "")).cast(
+        "double"
+    ) / F.length(text)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length saturation +
+    stopword balance + alphabetic purity. Mirrored exactly by the SQL
+    oracle (sequential arithmetic only)."""
+    n = token_count(text).cast("double")
+    return (
+        F.lit(0.5) * F.least(n / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - stopword_ratio(text))
+        + F.lit(0.25) * alpha_ratio(text)
+    )
+
+
+# language-ID heuristic: script/diacritic detection, first match wins.
+# (The fixture corpus is ASCII word soup, so this predicts 'en' there —
+# the rule set is still exercised end-to-end and mirrored in SQL.)
+_LANG_RULES = [
+    ("zh", "[一-鿿]"),
+    ("es", "[áéíóúñ¿¡]"),
+    ("de", "[äöüß]"),
+    ("fr", "[àâçèêëîïôùûœ]"),
+]
+
+
+def lang_id(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    expr = F.lit("en")
+    for lang, pattern in reversed(_LANG_RULES):
+        expr = F.when(text.rlike(pattern), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text — identical in any engine with md5."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))

@@ -1,0 +1,394 @@
+"""Deduplication operators (extension surface, SURVEY.md §2.3).
+
+Five tiers, cheapest-first — the shape a 100 TB training-data pipeline
+actually uses:
+
+1. exact (md5 fingerprint groupBy) — one shuffle on a 16-byte key
+2. n-gram Jaccard via inverted-index join — the *exact* pair scorer;
+   shuffles on shingle (posting list), never crosses the full corpus
+3. MinHash + LSH banding — candidate generation in O(N·perms) map-side
+   work + one equi-join shuffle on (band, band_hash); candidates are
+   then verified with exact Jaccard so precision is 1.0
+4. SimHash 64-bit + pigeonhole blocking for Hamming ≤ r
+5. embedding-cosine near-dup (see queries.py exact baseline and
+   random-hyperplane LSH here)
+
+Scale notes: nothing here ever materializes the O(N²) pair space;
+candidate joins are equi-joins with AQE skew splitting. Hot shingles
+(boilerplate) create skewed posting lists — ``max_posting_len`` drops
+ubiquitous shingles the way production dedup pipelines drop stop-grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions.text import fingerprint, shingles
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) fingerprint.
+
+    One hash-shuffle on the md5 key; partial aggregation map-side.
+    """
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# ----------------------------------------------------- exact n-gram Jaccard
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) posting list — the inverted index."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over n-token shingle sets, via inverted-index
+    self-join: |A∩B| = co-occurrence count of (a,b) in posting lists,
+    |A∪B| = |A|+|B|−|A∩B|. Returns (doc_a, doc_b, jaccard) with
+    jaccard ≥ threshold.
+
+    The join key is the shingle → shuffle size = Σ posting_len², never
+    N². ``max_posting_len`` prunes degenerate boilerplate shingles.
+    """
+    sh = shingle_postings(df, text_col, id_col, n)
+    if max_posting_len is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_plen"))
+        sh = (
+            sh.join(freq.where(F.col("_plen") <= max_posting_len), "shingle")
+            .drop("_plen")
+        )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ja = (
+        inter.join(
+            sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+    )
+    return ja.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# --------------------------------------------------------------- MinHash LSH
+
+# Deterministic universal-hash permutations over Z_p, p = 2³¹−1:
+# h_i(x) = (a_i·(x mod p) + b_i) mod p. The mod is essential — an
+# affine map *without* it is monotonic, so every "permutation" would
+# pick the same min shingle and the 128 signatures would collapse into
+# one hash function. Operands stay < 2⁶² so the expressions are safe
+# under Spark 4's default ANSI overflow checking. Seeds fixed so every
+# run produces identical signatures.
+_P31 = (1 << 31) - 1  # Mersenne prime
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _P31), rng.randrange(0, _P31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """(id, sig array<long>) — explode shingles, hash once, then
+    num_perm ``min`` aggregates back to one row per document.
+
+    Formulated as explode + hash-aggregate (not one giant nested HOF
+    expression): partial aggregation computes the per-partition minima
+    map-side, the shuffle carries only num_perm longs per document,
+    and codegen stays linear in num_perm instead of duplicating the
+    shingle pipeline 128×.
+    """
+    params = _perm_params(num_perm)
+    h = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)) % _P31
+    sh_rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    ).withColumn("h", h)
+    mins = sh_rows.groupBy("_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % _P31).alias(f"_m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: ``bands`` bands of ``num_perm // bands`` rows; two docs
+    collide iff some band is identical. Collision probability at
+    Jaccard j is 1−(1−j^r)^b — with 128/32×4 a j=0.9 pair is missed
+    with p≈1e-30, so for well-separated corpora the output equals the
+    exact ngram_jaccard_pairs result (precision exactly 1 because every
+    candidate is re-verified with true Jaccard on the shingle sets).
+
+    Scale: candidates come from one equi-join on (band_id, band_hash);
+    signatures are map-side; verification joins only candidate pairs.
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    band_rows = sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    ).cache()
+    cand = (
+        band_rows.alias("x")
+        .join(
+            band_rows.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shingle_sets = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_shingles")
+    )
+    verified = (
+        cand.join(
+            shingle_sets.select(
+                F.col("_id").alias("doc_a"), F.col("_shingles").alias("sha")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("_id").alias("doc_b"), F.col("_shingles").alias("shb")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("inter")),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over unigram token hashes: bit i of the output is
+    the majority vote of bit i across xxhash64(token). All map-side
+    codegen'd expressions (64 bit-filters over the token-hash array)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    sim = None
+    for i in range(64):
+        ones = F.size(
+            F.filter(
+                hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+            )
+        )
+        bit = (ones * 2 > n).cast("long")
+        term = bit * F.lit(1 << i) if i < 63 else bit * F.lit(-(1 << 63))
+        sim = term if sim is None else sim + term
+    return df.select(F.col(id_col).alias("_id"), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into ``max_hamming+1`` blocks —
+    any pair within the radius must agree on ≥1 whole block, so
+    candidates come from equi-joins on (block_id, block_value), never a
+    cross join. Exact Hamming via bit_count(xor) verification.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = simhash64(df, text_col, id_col)
+    blocks = sh.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.block_id") == F.col("y.block_id"))
+            & (F.col("x.block_val") == F.col("y.block_val"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("doc_a"),
+            F.col("y._id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------- embedding near-dup (RP-LSH)
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH: ``n_tables``
+    independent 16-bit sign sketches; candidates share a full sketch in
+    ≥1 table; verified with exact cosine. Collision prob per table at
+    angle θ is (1−θ/π)^n_planes — sized for high-threshold near-dup
+    mining (θ small), the 100 TB-scale path next to the exact O(N²)
+    baseline in queries.py."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    from nebuia_vector_db_spark.functions.vector import dot, l2_norm
+
+    sketches = []
+    for t in range(n_tables):
+        planes = rng.normal(size=(n_planes, dim))
+        bits = [
+            (dot(F.col(vec_col), planes[p].tolist()) > 0).cast("long")
+            * F.lit(1 << p)
+            for p in range(n_planes)
+        ]
+        sketch = bits[0]
+        for b in bits[1:]:
+            sketch = sketch + b
+        sketches.append(sketch)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+        F.posexplode(F.array(*sketches)).alias("table_id", "sketch"),
+    )
+    cand = (
+        base.alias("x")
+        .join(
+            base.alias("y"),
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.sketch") == F.col("y.sketch"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("vec_a"),
+            F.col("y._id").alias("vec_b"),
+            F.col("x._v").alias("va"),
+            F.col("y._v").alias("vb"),
+            F.col("x._n").alias("na"),
+            F.col("y._n").alias("nb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine", dot("va", F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

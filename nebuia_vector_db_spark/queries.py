@@ -18,13 +18,21 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.functions import text as text_fns
 from nebuia_vector_db_spark.functions.vector import (
     dot,
     l2_norm,
     normalize_query,
+)
+from nebuia_vector_db_spark.operators.dedup import (
+    embedding_neardup_lsh,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
 )
 from nebuia_vector_db_spark.operators.topk import knn_join, topk_per_group
 from nebuia_vector_db_spark.sources.registry import load_table
@@ -312,6 +320,493 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ==========================================================================
+# Dedup family (extension surface, SURVEY §2.3)
+# ==========================================================================
+
+_FP_SQL = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT doc_id, {_FP_SQL} AS fp
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+# shared oracle for exact n-gram Jaccard AND MinHash-LSH (the LSH
+# output is exact-verified and its miss probability at j≥0.8 with
+# 128 perms / 32 bands is ≈1e-30 — see operators/dedup.py)
+_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB
+    equivalent, SURVEY §5-1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_vs_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine near-dup (rows-only; the exact
+    oracle-checked baseline is vs_neardup_cos)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        embedding_neardup_lsh(emb, threshold=0.45)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ==========================================================================
+# Text analysis (extension surface, SURVEY §2.3)
+# ==========================================================================
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_fns.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.round(text_fns.avg_token_len("text"), 6).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_TOKENS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq,
+       round(list_reduce(list_transform(toks, s -> len(s)), (a, b) -> a + b)
+             * 1.0 / len(toks), 6) AS avg_token_len
+FROM t
+ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text_fns.tokens("text")).cast("long").alias("n_tokens"),
+        F.round(text_fns.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(text_fns.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(text_fns.quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in text_fns.STOPWORDS)
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, s -> s IN ({_STOP_SQL}))) * 1.0 / len(toks) AS sr,
+         len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(text) AS ar
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(sr, 6) AS stop_ratio,
+       round(ar, 6) AS alpha_ratio,
+       round(0.5 * least(n_tokens / 50.0, 1.0) + 0.25 * (1.0 - sr) + 0.25 * ar, 6) AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text_fns.lang_id("text").alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_LANGID = """
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+            ELSE 'en' END AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_fns.fingerprint("text").alias("fp"),
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id, {_FP_SQL} AS fp, len(text) AS text_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
+# Relational analytics over the TPC-H-ish star schema (built-in ops:
+# hash/broadcast joins, partial+final aggs, rollup, windows)
+# ==========================================================================
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority: broadcast the filtered customer dim, shuffle
+    join orders⋈lineitem on the big key, top-10 revenue."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per nation: the classic snowflake join —
+    dims broadcast, facts shuffle-joined on their keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+ORDER BY r_name, revenue DESC, n_name
+"""
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: rollup over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window + join: top-3 customers by revenue within each market
+    segment (dense_rank)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    joined = cust.join(rev, cust.c_custkey == rev.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue"), "c_custkey"
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "revenue", "rk")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment, c_custkey, c_name, revenue,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey) AS rk
+FROM customer JOIN rev ON c_custkey = o_custkey
+QUALIFY rk <= 3
+ORDER BY c_mktsegment, rk
+"""
+
+
+# ==========================================================================
+# Events: JSON extraction, time-bucket aggregation, per-user windows
+# (the batch mirrors of the streaming surface in streaming/events.py)
+# ==========================================================================
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation (batch form of the streaming
+    windowed agg in streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour_epoch",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))),
+        )
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_epoch, event_type
+"""
+
+
+def q_events_user_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization building block: per-user inter-event gap stats
+    via lag window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("gap_us"), 6).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_USER_GAP = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(avg(gap_us), 6) AS avg_gap_us,
+       max(gap_us) AS max_gap_us
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -320,6 +815,7 @@ ORDER BY vec_a, vec_b
 REGISTRY: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
+    # vector search (reference parity, SURVEY §2.1)
     "vs_topk": (q_vs_topk, ORACLE_VS_TOPK),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
     "vs_multi_search": (q_vs_multi_search, ORACLE_VS_MULTI),
@@ -327,6 +823,27 @@ REGISTRY: dict[
     "vs_knn_join": (q_vs_knn_join, ORACLE_VS_KNN_JOIN),
     "vs_nested_search": (q_vs_nested_search, ORACLE_VS_NESTED),
     "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
+    "vs_neardup_lsh": (q_vs_neardup_lsh, None),  # RP-LSH, rows-only
+    # dedup family (extension, SURVEY §2.3)
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _JACCARD_SQL),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
+    "dedup_simhash": (q_dedup_simhash, None),  # xxhash64-based, rows-only
+    # text analysis (extension, SURVEY §2.3)
+    "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    # relational analytics (built-in joins/aggs/rollup/window)
+    "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
+    "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    # events (batch mirrors of the streaming surface)
+    "events_json": (q_events_json, ORACLE_EVENTS_JSON),
+    "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_user_gap": (q_events_user_gap, ORACLE_EVENTS_USER_GAP),
 }
 
 

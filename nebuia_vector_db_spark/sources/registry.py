@@ -27,8 +27,21 @@ TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so filter
-    pushdown / column pruning reach the scan untouched."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushdown / column pruning reach the scan untouched.
+
+    ``events`` is written with TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos-as-long and rebuild a (microsecond)
+    timestamp — truncation matches DuckDB's own ns→µs conversion.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

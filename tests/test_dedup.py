@@ -1,0 +1,88 @@
+"""Dedup-family tests on constructed corpora with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.dedup import (
+    embedding_neardup_lsh,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words about spark shuffles and parquet footers"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "  ".join(base.split())),  # whitespace-variant dup of 0
+        (3, near),  # near dup of 0
+        (4, far),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(corpus):
+    kept = exact_dedup(corpus).select("doc_id").collect()
+    ids = sorted(r[0] for r in kept)
+    # 1 and 2 collapse into 0 (2 via whitespace normalization)
+    assert ids == [0, 3, 4, 5]
+
+
+def test_ngram_jaccard_finds_planted_pairs(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 3) in pairs and pairs[(0, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_equals_exact_jaccard(corpus):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert lsh == exact  # verification ⇒ precision 1; banding ⇒ recall ~1
+
+
+def test_minhash_deterministic(corpus):
+    a = sorted(map(tuple, minhash_lsh_pairs(corpus, threshold=0.5).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(corpus, threshold=0.5).collect()))
+    assert a == b
+
+
+def test_simhash_exact_dup_zero_hamming(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical token sets
+    assert pairs[(0, 2)] == 0  # whitespace variant: same tokens after split? no —
+    # double-space split yields empty tokens; still hamming small
+    assert (0, 3) in pairs  # one-word swap
+
+
+def test_embedding_neardup_lsh_finds_planted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 64))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # plant: 100 = tiny perturbation of 0 (cosine ≈ 1)
+    rows.append((100, (base[0] + rng.normal(scale=0.01, size=64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_neardup_lsh(df, threshold=0.9).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 100)}
+    assert got[0]["cosine"] > 0.99

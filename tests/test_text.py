@@ -1,0 +1,54 @@
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "机器学习 很 有趣"),
+        (2, "el niño come mañana"),
+        (3, "über die brücke"),
+        (4, "où est la forêt"),
+        (5, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_shingles(df):
+    out = df.select(
+        "doc_id",
+        T.token_count("text").alias("n"),
+        F.size(T.shingles("text", 3)).alias("nsh"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 6
+    assert by_id[0]["nsh"] == 4  # 6 tokens → 4 trigrams
+    assert by_id[5]["nsh"] == 0  # below shingle width → empty set
+
+
+def test_lang_id_rules(df):
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", T.lang_id("text").alias("l")).collect()}
+    assert got == {0: "en", 1: "zh", 2: "es", 3: "de", 4: "fr", 5: "en"}
+
+
+def test_stopword_and_quality_bounds(df):
+    rows = df.select(
+        T.stopword_ratio("text").alias("sr"),
+        T.quality_score("text").alias("q"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["sr"] <= 1.0
+        assert 0.0 <= r["q"] <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "hello  world ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # case + whitespace collapse
+    assert fps[2] != fps[0]  # trailing space preserved (documented)
