@@ -1,0 +1,259 @@
+"""Bench harness (BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Also measures the BASELINE.md comparisons:
+- B1: top-10 over sf embeddings vs the single-process NumPy brute force
+- B2: top-10 over a synthetic 600k x 64 corpus (seed 42, cached as
+  parquet in /tmp) — Spark numpy-pandas_udf path vs NumPy, plus the
+  amortized batched-query variant (64 queries in one job)
+
+Protocol: one warmup run, then median of N timed runs per query
+(N=3, B-series N=5), time.perf_counter wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SYNTH_N, SYNTH_D = 600_000, 64
+SYNTH_PATH = "/tmp/nebuia_bench_synth600k.parquet"
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _median_time(fn, runs: int = 3, warmup: int = 1) -> float:
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def _synth_matrix() -> np.ndarray:
+    rng = np.random.default_rng(42)
+    return rng.normal(size=(SYNTH_N, SYNTH_D)).astype(np.float32)
+
+
+def _ensure_synth(spark) -> np.ndarray:
+    mat = _synth_matrix()
+    if not os.path.exists(SYNTH_PATH):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(SYNTH_N, dtype=np.int64), "embedding": list(mat)}
+        )
+        spark.createDataFrame(pdf).repartition(int(CPUS)).write.mode(
+            "overwrite"
+        ).parquet(SYNTH_PATH)
+    return mat
+
+
+def numpy_topk(mat: np.ndarray, q: np.ndarray, k: int = 10):
+    """BASELINE.md §3: single-process NumPy brute force, identical
+    semantics (sim = dot(q/||q||, v), exact top-k)."""
+    qn = q.astype(np.float64)
+    qn = qn / np.sqrt(np.sum(qn * qn))
+    sims = mat.astype(np.float64, copy=False) @ qn
+    idx = np.argpartition(-sims, k)[:k]
+    return idx[np.argsort(-sims[idx])]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_MASTER", f"local[{CPUS}]")
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark import queries as Q
+    from nebuia_vector_db_spark.functions.vector import numpy_dot_udf
+    from nebuia_vector_db_spark.operators.topk import knn_join, topk_search
+    from nebuia_vector_db_spark.session import get_spark
+
+    spark = get_spark("nebuia-bench", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- headline registry queries (same code paths the driver checks)
+    headline = [
+        "vs_topk",
+        "vs_multi_search",
+        "vs_topk_per_label",
+        "vs_knn_join",
+        "vs_nested_search",
+        "vs_neardup_cos",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "text_fingerprint",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "events_hourly",
+        "events_user_gap",
+    ]
+    reg = Q.queries()
+    for name in headline:
+        fn = reg[name]
+        timings[name] = round(
+            _median_time(lambda: fn(spark, SF_DIR).collect()), 4
+        )
+
+    # ---- B1: sf embeddings top-10, Spark numpy-UDF path vs NumPy
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+    rows = emb.select("vec_id", "embedding").collect()
+    mat_small = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    q_small = np.asarray(mat_small[0], dtype=np.float64)
+
+    timings["b1_spark_topk"] = round(
+        _median_time(
+            lambda: topk_search(
+                emb, q_small.tolist(), 10, tie_cols=["vec_id"], method="numpy"
+            ).collect(),
+            runs=5,
+        ),
+        4,
+    )
+    timings["b1_numpy_topk"] = round(
+        _median_time(lambda: numpy_topk(mat_small, q_small), runs=5), 4
+    )
+
+    # ---- B2: synthetic 600k x 64
+    mat = _ensure_synth(spark)
+    big = spark.read.parquet(SYNTH_PATH).cache()
+    big.count()  # materialize cache (warm path, BASELINE.md protocol)
+    q_big = mat[7].astype(np.float64)
+
+    timings["b2_spark_topk_600k"] = round(
+        _median_time(
+            lambda: topk_search(
+                big, q_big.tolist(), 10, tie_cols=["vec_id"], method="numpy"
+            ).collect(),
+            runs=5,
+        ),
+        4,
+    )
+    timings["b2_numpy_topk_600k"] = round(
+        _median_time(lambda: numpy_topk(mat, q_big), runs=5), 4
+    )
+
+    # ---- B2 batched: 64 queries amortized in ONE Spark job
+    n_q = 64
+    qids = np.arange(0, SYNTH_N, SYNTH_N // n_q, dtype=np.int64)[:n_q]
+    queries_df = spark.createDataFrame(
+        [(int(i), mat[i].astype(np.float64).tolist()) for i in qids],
+        "query_id long, query_vec array<double>",
+    ).cache()
+    queries_df.count()
+
+    def _batched():
+        knn_join(queries_df, big, k=10, tie_cols=["vec_id"]).collect()
+
+    t_batch = _median_time(_batched, runs=3)
+    timings["b2_spark_batched_per_query"] = round(t_batch / n_q, 4)
+
+    def _numpy_loop():
+        for i in qids:
+            numpy_topk(mat, mat[i].astype(np.float64))
+
+    timings["b2_numpy_loop_per_query"] = round(
+        _median_time(_numpy_loop, runs=3) / n_q, 4
+    )
+
+    # ---- B3: multi-collection over 10 label-shards (multi_search)
+    def _b3():
+        qn = Q.normalize_query(q_big.tolist())
+        (
+            big.withColumn("label", (F.col("vec_id") % 10))
+            .withColumn("sim", numpy_dot_udf(q_big.tolist())(F.col("embedding")))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(10)
+            .collect()
+        )
+
+    timings["b3_spark_multi_600k"] = round(_median_time(_b3, runs=3), 4)
+
+    # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
+    from nebuia_vector_db_spark.engine import VectorEngine
+    import shutil, tempfile
+
+    docs_df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(5000)
+        .select(
+            F.lit("bench").alias("collection"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            F.struct(
+                F.col("source").alias("source"), F.col("lang").alias("name")
+            ).alias("metadata"),
+            F.array(
+                F.struct(
+                    F.col("text").alias("text"),
+                    F.array_repeat(F.lit(0.0), 8).alias("embedding"),
+                    F.struct(
+                        F.col("source").alias("source"),
+                        F.col("lang").alias("name"),
+                    ).alias("metadata"),
+                    F.lit(0.0).alias("semantic_score"),
+                )
+            ).alias("chunks"),
+        )
+        .cache()
+    )
+    n_docs = docs_df.count()
+    wh = tempfile.mkdtemp(prefix="nvdb_bench_wh_")
+    eng = VectorEngine(spark, wh)
+    t0 = time.perf_counter()
+    eng.store_dataframe(docs_df)
+    t_ingest = time.perf_counter() - t0
+    timings["b4_ingest_docs_per_sec"] = round(n_docs / t_ingest, 1)
+    shutil.rmtree(wh, ignore_errors=True)
+
+    total = round(
+        sum(v for k, v in timings.items() if not k.startswith("b4")), 4
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_value(SF_DIR),
+                "cpus": int(CPUS),
+                "notes": {
+                    "b1/b2": "sec/query warm, median of 5 (BASELINE.md §3)",
+                    "b2_batched": "64 queries in one job, sec/query amortized",
+                    "b4": "docs/sec (recorded, no gate)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Approximate nearest neighbor: IVF (inverted-file) index on Spark.
+
+The reference has NO index — every query is a full brute-force scan of
+the collection (main.go:197-237, O(N·d) per query). That is the right
+baseline but cannot be the only path at 100 TB. Per BASELINE.json
+(``spark_approach: "MLlib for batch index building"``) we build the
+index as a *batch* job and keep serving batch-style too:
+
+- **Build**: MLlib KMeans over (a sample of) the corpus → ``n_cells``
+  centroids; every vector is assigned its nearest centroid id as an
+  ``ivf_cell`` column. On a cluster you then ``partitionBy("ivf_cell")``
+  (or bucket) the table so a cell is a partition — candidate pruning
+  becomes *partition* pruning, the same mechanism that makes
+  collection-scoped search cheap (SURVEY.md §2.1 O-2).
+- **Query**: rank centroids by similarity to the query driver-side
+  (n_cells is small — this is a NumPy matvec over the centroid matrix),
+  take the ``nprobe`` best cells, and brute-force only those cells'
+  vectors with the exact kernel. ``nprobe = n_cells`` degrades to the
+  exact scan, which is how the oracle checks this operator end-to-end;
+  small ``nprobe`` is the scale path (recall measured in tests).
+
+Scale notes: the scored candidate set is ``nprobe/n_cells`` of the
+corpus; top-k is still TakeOrderedAndProject (per-partition heap, no
+shuffle). The centroid matrix lives on the driver (n_cells × d floats —
+4 MB at 16k cells × 64 d), never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions.vector import normalize_query
+from nebuia_vector_db_spark.operators.topk import topk_search
+
+
+class IVFIndex:
+    """A built IVF index: the corpus with an ``ivf_cell`` column plus
+    the centroid matrix (driver-side NumPy)."""
+
+    def __init__(self, assigned: DataFrame, centroids: np.ndarray, vec_col: str):
+        self.assigned = assigned
+        self.centroids = centroids  # (n_cells, d) float64
+        self.vec_col = vec_col
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.centroids.shape[0])
+
+    def probe_cells(self, qvec: Sequence[float], nprobe: int) -> list[int]:
+        """Rank cells by dot(q/‖q‖, centroid) — driver-side matvec.
+
+        Uses the same raw-stored-vector similarity as the search kernel
+        (SURVEY.md §1.5-1) so cell ranking is consistent with scoring.
+        """
+        qn = np.asarray(normalize_query(qvec), dtype=np.float64)
+        sims = self.centroids @ qn
+        order = np.argsort(-sims, kind="stable")
+        return [int(c) for c in order[: max(1, nprobe)]]
+
+    def search(
+        self,
+        qvec: Sequence[float],
+        k: int,
+        nprobe: int,
+        tie_cols: Sequence[str] = (),
+        method: str = "sql",
+    ) -> DataFrame:
+        """Candidate-pruned exact-kernel top-k. ``nprobe == n_cells``
+        is exactly the brute-force scan (modulo the extra isin filter,
+        which Catalyst folds into the scan as a pushed predicate)."""
+        cells = self.probe_cells(qvec, nprobe)
+        cand = self.assigned.where(F.col("ivf_cell").isin(cells))
+        return topk_search(
+            cand, qvec, k, vec_col=self.vec_col, tie_cols=tie_cols, method=method
+        ).drop("ivf_cell")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """Fit KMeans (MLlib, distributed) and assign every row a cell.
+
+    The fitted model's transform is a broadcast of the centroid matrix
+    + per-row nearest-centroid argmin — no shuffle; the only shuffles
+    are inside KMeans training itself (one agg per iteration).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "_ivf_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_ivf_feat",
+        predictionCol="ivf_cell",
+    )
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_ivf_feat")
+    centroids = np.vstack(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+    return IVFIndex(assigned, centroids, vec_col)
+
+
+def recall_at_k(
+    index: IVFIndex,
+    exact_corpus: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+) -> float:
+    """Fraction of the exact top-k the pruned search recovers —
+    the quality metric the nprobe knob trades against scan fraction."""
+    exact_ids = {
+        r[0]
+        for r in topk_search(
+            exact_corpus, qvec, k, vec_col=index.vec_col, tie_cols=[id_col]
+        )
+        .select(id_col)
+        .collect()
+    }
+    approx_ids = {
+        r[0]
+        for r in index.search(qvec, k, nprobe, tie_cols=[id_col])
+        .select(id_col)
+        .collect()
+    }
+    return len(exact_ids & approx_ids) / max(1, len(exact_ids))

@@ -34,6 +34,7 @@ from nebuia_vector_db_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from nebuia_vector_db_spark.operators.ann import build_ivf_index
 from nebuia_vector_db_spark.operators.topk import knn_join, topk_per_group
 from nebuia_vector_db_spark.sources.registry import load_table
 
@@ -270,6 +271,34 @@ SELECT e.vec_id // 4 AS doc_id,
        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v), 6) AS similarity
 FROM embeddings e, qn
 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v) DESC, doc_id, position
+LIMIT 10
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# vs_ivf_topk — IVF (KMeans) index search, full probe (operators/ann.py).
+# nprobe == n_cells makes the pruned search exactly the brute-force
+# scan whatever the clustering — so the oracle is the plain exact
+# top-k. Partial-probe recall is covered in tests/test_ann.py.
+def q_vs_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    index = build_ivf_index(emb, n_cells=8)
+    q = _qvec(spark, sf_dir, 3)
+    return index.search(q, 10, nprobe=index.n_cells, tie_cols=["vec_id"]).select(
+        "vec_id",
+        "label",
+        F.round("similarity", 6).alias(SIM6),
+    )
+
+
+ORACLE_VS_IVF_TOPK = (
+    _ORACLE_QN.format(vid=3)
+    + """
+SELECT e.vec_id, e.label,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v), 6) AS similarity
+FROM embeddings e, qn
+ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v) DESC, e.vec_id
 LIMIT 10
 """
 )
@@ -822,6 +851,7 @@ REGISTRY: dict[
     "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
     "vs_knn_join": (q_vs_knn_join, ORACLE_VS_KNN_JOIN),
     "vs_nested_search": (q_vs_nested_search, ORACLE_VS_NESTED),
+    "vs_ivf_topk": (q_vs_ivf_topk, ORACLE_VS_IVF_TOPK),
     "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
     "vs_neardup_lsh": (q_vs_neardup_lsh, None),  # RP-LSH, rows-only
     # dedup family (extension, SURVEY §2.3)

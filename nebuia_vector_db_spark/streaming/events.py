@@ -1,0 +1,119 @@
+"""Structured Streaming surface over the ``events`` fixture.
+
+The reference has NO streaming (SURVEY.md §2.2 — synchronous
+request/response plus fire-and-forget goroutines only); this is the
+mandated extension surface (SURVEY.md §7.1 P4). Design:
+
+- **Source**: file stream over the same parquet the batch path reads —
+  on a cluster this is the drop-in for a Kafka/Kinesis source; the
+  transformations below are source-agnostic.
+- **Watermark**: bounds state. Without it a windowed agg's state grows
+  forever; with ``withWatermark("ts", delay)`` Spark drops state for
+  windows older than max(event time) − delay and late rows beyond it.
+- **Tumbling window agg**: the streaming twin of the batch
+  ``q_events_hourly`` query (queries.py) — same output schema, so a
+  user can backfill with batch and tail with the stream.
+- **Session windows**: ``F.session_window`` — gap-based sessionization
+  as a built-in stateful op (no applyInPandasWithState needed for the
+  common case).
+
+Tests drive these with ``Trigger.AvailableNow`` into a memory sink —
+the documented pattern for deterministic streaming unit tests (process
+all available input, then stop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts stored as TIMESTAMP(NANOS) which
+# the vectorized reader only accepts as long (sources/registry.py) —
+# the stream reads the same way and rebuilds a µs timestamp.
+_EVENTS_PHYS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (one file = one
+    micro-batch's worth with AvailableNow; maxFilesPerTrigger tunes
+    batch size for a live run)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the fixture is a single file and the file source watches a
+    # directory — stream the parent dir, glob-filtered to events
+    return (
+        spark.readStream.schema(_EVENTS_PHYS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour counts — streaming twin of the batch
+    ``events_hourly`` query (same columns, so batch backfill + stream
+    tail compose)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user via the built-in session_window
+    stateful operator (state bounded by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("s.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("s.end")).alias("session_end_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Process ALL currently-available input (Trigger.AvailableNow),
+    block until done, return the sink table. Deterministic — the
+    streaming-unit-test harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

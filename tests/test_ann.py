@@ -1,0 +1,56 @@
+"""IVF index (operators/ann.py): exactness at full probe, recall and
+scan-fraction at partial probe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.ann import build_ivf_index, recall_at_k
+from nebuia_vector_db_spark.operators.topk import topk_search
+from nebuia_vector_db_spark.sources.registry import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_full_probe_equals_exact(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    index = build_ivf_index(emb, n_cells=4)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 5).head()["embedding"]]
+    exact = [
+        (r["vec_id"], round(r["similarity"], 9))
+        for r in topk_search(emb, q, 10, tie_cols=["vec_id"]).collect()
+    ]
+    approx = [
+        (r["vec_id"], round(r["similarity"], 9))
+        for r in index.search(q, 10, nprobe=index.n_cells, tie_cols=["vec_id"]).collect()
+    ]
+    assert exact == approx
+
+
+def test_partial_probe_recall_and_pruning(spark, sf_oracle):
+    emb = _emb(spark, sf_oracle).cache()
+    index = build_ivf_index(emb, n_cells=8)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 11).head()["embedding"]]
+
+    # pruning actually prunes: candidate set < corpus
+    cells = index.probe_cells(q, nprobe=2)
+    n_total = emb.count()
+    n_cand = index.assigned.where(F.col("ivf_cell").isin(cells)).count()
+    assert 0 < n_cand < n_total
+
+    # probing more cells can only improve recall; full probe is 1.0
+    r2 = recall_at_k(index, emb, q, k=10, nprobe=2)
+    r_full = recall_at_k(index, emb, q, k=10, nprobe=index.n_cells)
+    assert 0.0 <= r2 <= r_full == 1.0
+    # the query's own cell is probed first → its exact NN (itself) found
+    assert r2 >= 0.1
+
+
+def test_cell_assignment_covers_corpus(spark, sf_smoke):
+    emb = _emb(spark, sf_smoke)
+    index = build_ivf_index(emb, n_cells=4)
+    assert index.assigned.where(F.col("ivf_cell").isNull()).count() == 0
+    cells = {r[0] for r in index.assigned.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(index.n_cells))

@@ -1,0 +1,86 @@
+"""Structured Streaming (streaming/events.py) — AvailableNow trigger
+into a memory sink, compared against the equivalent batch queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.sources.registry import load_table
+from nebuia_vector_db_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_to_memory,
+    sessionize_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_hourly_stream_matches_batch(spark, sf_smoke):
+    stream = hourly_counts_stream(read_events_stream(spark, sf_smoke))
+    got = run_to_memory(stream, "t_hourly", output_mode="complete")
+
+    ev = load_table(spark, sf_smoke, "events")
+    want = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    cols = ["hour_epoch", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_hourly_stream_append_watermark_subset(spark, sf_smoke):
+    """Append mode emits only windows closed by the watermark — every
+    emitted row must agree with the batch result; late/open windows are
+    simply withheld, never wrong."""
+    stream = hourly_counts_stream(
+        read_events_stream(spark, sf_smoke), watermark="1 hour"
+    )
+    got = run_to_memory(stream, "t_hourly_append", output_mode="append")
+
+    ev = load_table(spark, sf_smoke, "events")
+    want = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    cols = ["hour_epoch", "event_type", "n", "sum_value"]
+    got_rows = set(_rows(got, cols))
+    want_rows = set(_rows(want, cols))
+    assert got_rows <= want_rows
+
+
+def test_sessionize_stream_matches_batch_session_window(spark, sf_smoke):
+    stream = sessionize_stream(read_events_stream(spark, sf_smoke), gap="30 minutes")
+    got = run_to_memory(stream, "t_sessions", output_mode="complete")
+
+    ev = load_table(spark, sf_smoke, "events")
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("s.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("s.end")).alias("session_end_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = [
+        "user_id",
+        "session_start_epoch",
+        "session_end_epoch",
+        "n_events",
+        "sum_value",
+    ]
+    assert _rows(got, cols) == _rows(want, cols)
