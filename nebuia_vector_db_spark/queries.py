@@ -536,6 +536,102 @@ ORDER BY doc_id
 
 
 # ==========================================================================
+# Multimodal (extension surface): binary payload columns + typed
+# metadata; decode/feature-extract via Arrow-batched mapInPandas with a
+# deterministic fake codec (multimodal/assets.py — real codecs are the
+# stubbed integration point). The fake decode is pure byte math, so the
+# oracle reproduces it in SQL and the whole Arrow plumbing is
+# hash-verified end-to-end.
+# ==========================================================================
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_fake_assets,
+        decode_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(attach_fake_assets(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "max_byte",
+    ).orderBy("doc_id")
+
+
+# hex-digit arithmetic instead of a hex-parse builtin: DuckDB's md5()
+# is lowercase, hex() of a blob uppercase
+_HEXVAL_LO = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+_HEXVAL_HI = (
+    "((strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1))"
+)
+
+
+def _md5_dim_sql(off: int) -> str:
+    digits = " + ".join(
+        _HEXVAL_LO.format(i=off + j) + f" * {16 ** (3 - j)}" for j in range(4)
+    )
+    return f"(({digits}) % 64 + 1)"
+
+
+ORACLE_MM_FEATURES = f"""
+WITH a AS (
+  SELECT doc_id, md5(text) AS h, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+b AS (
+  SELECT doc_id, nb,
+         {_md5_dim_sql(1)} AS w,
+         {_md5_dim_sql(5)} AS hgt,
+         list_transform(range(nb), i -> {_HEXVAL_HI}) AS bytes
+  FROM a
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(hgt AS INT) AS height,
+       nb AS n_bytes,
+       round(list_reduce(bytes, (x, y) -> x + y) * 1.0 / nb, 6) AS mean_byte,
+       CAST(list_aggregate(bytes, 'max') AS INT) AS max_byte
+FROM b
+ORDER BY doc_id
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_fake_assets,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_assets(docs), frame_bytes=16, stride=4).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_MM_FRAMES = """
+WITH a AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) // 16 AS n_frames
+  FROM documents
+  WHERE octet_length(encode(text)) // 16 > 0
+)
+SELECT doc_id, n_bytes, n_frames,
+       range(0, n_frames, 4) AS sampled_frame_ids,
+       len(range(0, n_frames, 4)) AS n_sampled
+FROM a
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
 # Relational analytics over the TPC-H-ish star schema (built-in ops:
 # hash/broadcast joins, partial+final aggs, rollup, windows)
 # ==========================================================================
@@ -864,6 +960,9 @@ REGISTRY: dict[
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    # multimodal (extension, binary columns + mapInPandas decode)
+    "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
+    "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),

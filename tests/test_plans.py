@@ -1,0 +1,77 @@
+"""Physical-plan regression tests (plans/inspect.py): pin the scale
+properties — pushdown, pruning, broadcast, shuffle budget, top-k
+without global sort — that sf0.01 timings can't see but 100 TB can."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark import queries as Q
+from nebuia_vector_db_spark.plans.inspect import (
+    has_broadcast_join,
+    plan_asserts,
+    scan_read_schema,
+    shuffle_count,
+    wholestage_codegen_count,
+)
+from nebuia_vector_db_spark.sources.registry import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings").where(
+        F.col("label").isin(1, 2, 3)
+    )
+    plan_asserts(emb, pushed=("label",))
+
+
+def test_column_pruning_two_col_projection(spark, sf_oracle):
+    li = load_table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(li)
+    assert schemas, "no scan found"
+    assert "l_orderkey" in schemas[0] and "l_quantity" in schemas[0]
+    assert "l_extendedprice" not in schemas[0]  # unprojected → pruned
+
+
+def test_topk_is_take_ordered_no_shuffle(spark, sf_oracle):
+    df = Q.q_vs_topk(spark, sf_oracle)
+    # TakeOrderedAndProject = per-partition bounded heap + driver merge:
+    # no global sort, no shuffle exchange anywhere in the plan
+    plan_asserts(df, max_shuffles=0, contains=("TakeOrderedAndProject",))
+
+
+def test_tpch_q3_broadcasts_customer(spark, sf_oracle):
+    df = Q.q_tpch_q3(spark, sf_oracle)
+    assert has_broadcast_join(df)
+
+
+def test_tpch_q5_dims_broadcast(spark, sf_oracle):
+    df = Q.q_tpch_q5(spark, sf_oracle)
+    assert has_broadcast_join(df)
+
+
+def test_knn_join_broadcasts_queries_not_corpus(spark, sf_oracle):
+    df = Q.q_vs_knn_join(spark, sf_oracle)
+    assert has_broadcast_join(df)
+    # the only shuffle is the per-query row_number window cut
+    assert shuffle_count(df) <= 1
+
+
+def test_codegen_covers_similarity_pipeline(spark, sf_oracle):
+    df = Q.q_vs_topk(spark, sf_oracle)
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_events_hourly_shuffle_budget(spark, sf_oracle):
+    # partial (map-side) agg + ONE hash exchange + final agg; the
+    # second (range) exchange is only the presentation orderBy
+    df = Q.q_events_hourly(spark, sf_oracle)
+    assert shuffle_count(df) <= 2
+
+
+def test_knn_join_partial_topk_before_shuffle(spark, sf_oracle):
+    """Spark 4 plans a Partial WindowGroupLimit below the exchange —
+    each task ships at most k rows per query, so the window shuffle is
+    bounded by partitions × queries × k, not B×N (SURVEY §7.3-2)."""
+    df = Q.q_vs_knn_join(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
