@@ -108,11 +108,16 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_quality",
         "text_fingerprint",
+        "mm_image_features",
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q6",
+        "part_promo_share",
         "events_hourly",
         "events_user_gap",
+        "events_asof_signup",
+        "events_sessions",
     ]
     reg = Q.queries()
     for name in headline:

@@ -933,6 +933,219 @@ ORDER BY user_id
 
 
 # --------------------------------------------------------------------------
+# As-of join: for every purchase, the user's latest signup at-or-before
+# it (operators/asof.py — union+window, one shuffle). Oracle: DuckDB's
+# native ASOF LEFT JOIN, so the custom operator is hash-verified
+# against a reference implementation of the same semantics.
+def q_events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    signups = ev.where(F.col("event_type") == "signup")
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_matched").alias("signup_event_id"),
+        F.unix_micros("ts_matched").alias("signup_ts_us"),
+        F.round("value_matched", 6).alias("signup_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_EVENTS_ASOF = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       s.event_id AS signup_event_id,
+       epoch_us(s.ts) AS signup_ts_us,
+       round(s.value, 6) AS signup_value
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization via the built-in session_window stateful op —
+# same gap semantics as the classic lag/cumsum SQL, which is the oracle.
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+ORACLE_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+# --------------------------------------------------------------------------
+# tpch_q6 — pure scan-side revenue: every predicate pushable to parquet
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 25
+"""
+
+
+# --------------------------------------------------------------------------
+# part_promo_share — q14-style: lineitem ⋈ broadcast(part), conditional
+# aggregation, monthly buckets (covers the `part` table)
+def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+        )
+        .select(F.unix_timestamp("m").alias("month_epoch"), "promo_revenue",
+                "total_revenue", "promo_pct")
+        .orderBy("month_epoch")
+    )
+
+
+ORACLE_PART_PROMO = """
+SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY month_epoch
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi/anti join coverage: customers with no orders (anti), suppliers
+# that shipped a returned item (semi)
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order since mid-1998 (churn query shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+ORDER BY c_custkey
+"""
+
+
+def q_supp_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_SUPP_WITH_RETURNS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 # name -> (spark_fn, oracle_sql | None). None ⇒ non-SQL-expressible;
@@ -967,12 +1180,18 @@ REGISTRY: dict[
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
+    "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "cust_no_orders": (q_cust_no_orders, ORACLE_CUST_NO_ORDERS),
+    "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
     # events (batch mirrors of the streaming surface)
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_user_gap": (q_events_user_gap, ORACLE_EVENTS_USER_GAP),
+    "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
+    "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
 }
 
 

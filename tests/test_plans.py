@@ -4,6 +4,7 @@ without global sort — that sf0.01 timings can't see but 100 TB can."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nebuia_vector_db_spark import queries as Q
@@ -15,6 +16,14 @@ from nebuia_vector_db_spark.plans.inspect import (
     wholestage_codegen_count,
 )
 from nebuia_vector_db_spark.sources.registry import load_table
+
+
+@pytest.fixture(autouse=True)
+def _no_cached_scans(spark):
+    """A cached table turns file scans into InMemoryTableScan (no
+    PushedFilters) — plan assertions need the real scans."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_oracle):
