@@ -105,3 +105,17 @@ def fingerprint(text: Column | str) -> Column:
     whitespace-collapsed text — identical in any engine with md5."""
     text = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+# BPE-ish subword model: greedy pieces of up to 4 letters, digits as
+# single tokens, any other non-space char as one token. A stand-in with
+# the same *shape* as a real BPE count (subword-regex over the text) —
+# deterministic and mirrored by the oracle's regexp_extract_all.
+BPE_PIECE_RE = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Estimated LLM-token count: number of BPE-ish piece matches
+    (≈ chars/4 for prose — the usual back-of-envelope)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0))

@@ -535,6 +535,67 @@ ORDER BY doc_id
 """
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token budgeting: whitespace tokens vs BPE-ish subword count
+    (functions/text.py::bpe_token_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text_fns.tokens("text")).cast("long").alias("n_ws_tokens"),
+        text_fns.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            text_fns.bpe_token_count("text")
+            / F.size(text_fns.tokens("text")).cast("double"),
+            6,
+        ).alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_BPE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{text_fns.BPE_PIECE_RE}')) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       round(n_bpe_tokens * 1.0 / n_ws_tokens, 6) AS bpe_per_word
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# emb_label_centroids — vector aggregation: per-label centroid
+# components. posexplode → one (label, pos) group per dimension; the
+# shuffle carries (labels × dim) partial aggregates, not vectors.
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("pos") < 8)  # first 8 dims keep the result compact
+        .select("label", F.col("pos").cast("long").alias("pos"), "mean_x", "n")
+        .orderBy("label", "pos")
+    )
+
+
+ORACLE_EMB_CENTROIDS = """
+SELECT label, i AS pos,
+       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean_x,
+       count(*) AS n
+FROM embeddings, range(8) t(i)
+GROUP BY label, i
+ORDER BY label, pos
+"""
+
+
 # ==========================================================================
 # Multimodal (extension surface): binary payload columns + typed
 # metadata; decode/feature-extract via Arrow-batched mapInPandas with a
@@ -771,6 +832,75 @@ WHERE c_nationkey = s_nationkey
   AND r_name IN ('ASIA', 'EUROPE')
 GROUP BY r_name, n_name
 ORDER BY r_name, revenue DESC, n_name
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage beyond rollup: full cube over
+    (status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ORACLE_CUBE_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_fn_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface in one query: date parts, string ops,
+    math — all codegen'd builtins (SURVEY §2.2 'scalar functions')."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.round(F.log("o_totalprice"), 6).alias("ln_price"),
+        F.round(
+            F.greatest(F.col("o_totalprice") - 1000.0, F.lit(0.0)), 2
+        ).alias("over_1k"),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_FN_SHOWCASE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       upper(substr(o_orderpriority, 1, 3)) AS prio3,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       round(ln(o_totalprice), 6) AS ln_price,
+       round(greatest(o_totalprice - 1000.0, 0.0), 2) AS over_1k
+FROM orders
+ORDER BY o_orderkey
 """
 
 
@@ -1173,6 +1303,8 @@ REGISTRY: dict[
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "text_bpe_tokens": (q_text_bpe_tokens, ORACLE_TEXT_BPE),
+    "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
     # multimodal (extension, binary columns + mapInPandas decode)
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES),
@@ -1183,6 +1315,8 @@ REGISTRY: dict[
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
+    "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
+    "fn_showcase": (q_fn_showcase, ORACLE_FN_SHOWCASE),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "cust_no_orders": (q_cust_no_orders, ORACLE_CUST_NO_ORDERS),
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
