@@ -136,7 +136,7 @@ def main() -> None:
     timings["b1_spark_topk"] = round(
         _median_time(
             lambda: topk_search(
-                emb, q_small.tolist(), 10, tie_cols=["vec_id"], method="numpy"
+                emb, q_small.tolist(), 10, tie_cols=["vec_id"], method="arrow"
             ).collect(),
             runs=5,
         ),
@@ -155,7 +155,7 @@ def main() -> None:
     timings["b2_spark_topk_600k"] = round(
         _median_time(
             lambda: topk_search(
-                big, q_big.tolist(), 10, tie_cols=["vec_id"], method="numpy"
+                big, q_big.tolist(), 10, tie_cols=["vec_id"], method="arrow"
             ).collect(),
             runs=5,
         ),
@@ -175,7 +175,9 @@ def main() -> None:
     queries_df.count()
 
     def _batched():
-        knn_join(queries_df, big, k=10, tie_cols=["vec_id"]).collect()
+        knn_join(
+            queries_df, big, k=10, tie_cols=["vec_id"], method="arrow"
+        ).collect()
 
     t_batch = _median_time(_batched, runs=3)
     timings["b2_spark_batched_per_query"] = round(t_batch / n_q, 4)

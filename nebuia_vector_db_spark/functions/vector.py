@@ -101,6 +101,34 @@ def similarity_to_query(vec: Column | str, q: Sequence[float]) -> Column:
     return dot(vec, normalize_query(q))
 
 
+def arrow_list_to_matrix(col) -> np.ndarray:
+    """pyarrow List/FixedSizeList array of floats → (n, d) ndarray with
+    zero copies where the layout allows (contiguous values buffer).
+
+    This is THE difference between the pandas_udf path (per-row object
+    arrays, ``np.vstack`` copies every row) and the mapInArrow path:
+    the list array's values buffer is already the row-major matrix.
+    """
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        values = col.values
+        d = col.type.list_size
+    else:
+        # guard against a sliced/offset list array where offsets don't
+        # start at 0 (flatten() handles it, still no per-row copy)
+        values = col.flatten()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        d = int(widths[0]) if len(widths) else 0
+        if len(widths) and not (widths == d).all():
+            raise ValueError("ragged embedding column; expected fixed dim")
+    mat = values.to_numpy(zero_copy_only=False)
+    return mat.reshape(-1, d) if d else mat.reshape(0, 0)
+
+
 def numpy_dot_udf(q: Sequence[float], normalize: bool = True):
     """Arrow-batched pandas_udf: sim(q, v) for a whole batch at once.
 

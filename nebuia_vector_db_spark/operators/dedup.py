@@ -325,6 +325,73 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------ embedding near-dup (exact GEMM)
+
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, GEMM-style.
+
+    One side is broadcast as a dense (N, d) matrix (driver-collected
+    once, ``sc.broadcast``); each Arrow batch of the scanned side does
+    a single (b, d)·(d, N) BLAS product and emits only the surviving
+    (id_a < id_b) pairs. Versus a pair-join with per-pair expression
+    scoring this avoids materializing O(N²) join rows entirely — the
+    quadratic work happens inside BLAS, the output is just the matches.
+
+    Scale envelope: broadcast side must fit executor memory (600k × 64
+    float32 ≈ 150 MB — fine; 100M vectors — not). Past that, use
+    :func:`embedding_neardup_lsh` to prune candidates first, or tile
+    both sides into block pairs (same kernel per block).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    all_norms = np.sqrt(np.einsum("ij,ij->i", all_mat, all_mat))
+    bc = df.sparkSession.sparkContext.broadcast((all_ids, all_mat, all_norms))
+
+    def _pairs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from nebuia_vector_db_spark.functions.vector import arrow_list_to_matrix
+
+        ids_all, mat_all, norms_all = bc.value
+        for rb in batches:
+            bids = rb.column(id_col).to_numpy(zero_copy_only=False)
+            bmat = arrow_list_to_matrix(rb.column(vec_col)).astype(
+                np.float64, copy=False
+            )
+            if bmat.shape[0] == 0:
+                continue
+            bnorms = np.sqrt(np.einsum("ij,ij->i", bmat, bmat))
+            # same formula as the SQL/oracle path: dot(raw) / (na * nb)
+            cos = (bmat @ mat_all.T) / np.outer(bnorms, norms_all)
+            ii, jj = np.nonzero(
+                (cos >= threshold) & (bids[:, None] < ids_all[None, :])
+            )
+            if len(ii) == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(bids[ii]),
+                    pa.array(ids_all[jj]),
+                    pa.array(cos[ii, jj]),
+                ],
+                names=["vec_a", "vec_b", "cosine"],
+            )
+
+    return df.mapInArrow(
+        _pairs, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
 # --------------------------------------------- embedding near-dup (RP-LSH)
 
 

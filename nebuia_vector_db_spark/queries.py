@@ -24,11 +24,11 @@ from pyspark.sql import functions as F
 from nebuia_vector_db_spark.functions import text as text_fns
 from nebuia_vector_db_spark.functions.vector import (
     dot,
-    l2_norm,
     normalize_query,
 )
 from nebuia_vector_db_spark.operators.dedup import (
     embedding_neardup_lsh,
+    exact_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -309,28 +309,15 @@ LIMIT 10
 # O(N²) exact baseline kept oracle-checkable; the LSH-pruned scale
 # path is operators/dedup.py::embedding_neardup_lsh (rows-only).
 def q_vs_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact O(N²) pairs via the broadcast-GEMM mapInArrow kernel
+    (operators/dedup.py::exact_cosine_pairs) — the quadratic work runs
+    inside BLAS per Arrow batch; only matches materialize as rows.
+    (A pair-join with per-pair HOF scoring computes the same thing
+    ~50× slower: it allocates a zip_with array per pair.)"""
     emb = _emb(spark, sf_dir)
-    # hoist per-row norms out of the O(N²) pair loop: each side carries
-    # its norm once instead of recomputing per pair
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        l2_norm("embedding").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        l2_norm("embedding").alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.withColumn(
-        "cos_raw", dot("ea", F.col("eb")) / (F.col("na") * F.col("nb"))
-    )
     return (
-        scored.where(F.col("cos_raw") >= 0.4)
-        .select(
-            "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine")
-        )
+        exact_cosine_pairs(emb, threshold=0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 
