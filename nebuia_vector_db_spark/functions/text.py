@@ -21,13 +21,24 @@ def tokens(text: Column | str) -> Column:
     return F.split(text, " ")
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles as array<string>.
+def with_tokens(df, text_col: str = "text", tokens_col: str = "_toks"):
+    """Materialize the token array ONCE behind a projection barrier.
 
-    Built with transform(sequence(...)) + element_at so the whole thing
-    stays one codegen'd expression (no explode needed to *build* it).
+    Without the barrier, Catalyst's CollapseProject inlines the
+    ``split()`` into every ``element_at`` of a downstream shingle
+    lambda — re-tokenizing the document O(n_shingles) times (measured
+    8× slower at sf0.1). The nondeterministic ``rand()`` column blocks
+    the collapse; callers drop it implicitly by selecting past it.
     """
-    toks = tokens(text)
+    return df.withColumn(tokens_col, tokens(text_col)).withColumn(
+        "_prj_barrier", F.rand(seed=0)
+    )
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles from a *materialized* token-array
+    column (see with_tokens). One codegen'd expression, no explode."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     # guard: sequence(1, stop) DESCENDS when stop < 1, which would
     # index past the array — docs shorter than n tokens get no shingles
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -42,6 +53,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, built).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles as array<string> (expression form —
+    for hot paths over many rows prefer with_tokens +
+    shingles_from_tokens, which tokenizes once per document)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def token_count(text: Column | str) -> Column:

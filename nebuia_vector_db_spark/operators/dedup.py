@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nebuia_vector_db_spark.functions.text import fingerprint, shingles
+from nebuia_vector_db_spark.functions.text import (
+    fingerprint,
+    shingles_from_tokens,
+    with_tokens,
+)
 
 # --------------------------------------------------------------------- exact
 
@@ -54,10 +58,11 @@ def shingle_postings(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """(id, shingle) posting list — the inverted index."""
-    return df.select(
+    """(id, shingle) posting list — the inverted index. Tokenizes once
+    per document behind a projection barrier (see with_tokens)."""
+    return with_tokens(df, text_col).select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
+        F.explode(shingles_from_tokens("_toks", n)).alias("shingle"),
     )
 
 
@@ -85,11 +90,25 @@ def ngram_jaccard_pairs(
             .drop("_plen")
         )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("_id").alias("doc_b"), "shingle")
+    # carry each doc's set size on its postings (broadcast: one long per
+    # doc) so the size-compatibility filter can run BEFORE the count
+    # shuffle: J(A,B) ≥ t ⇒ |A| ≥ t·|B| and |B| ≥ t·|A| — size-skewed
+    # pairs are provably below threshold and never get counted.
+    # Exactness is untouched; only guaranteed-negative pairs drop early.
+    sh_sz = sh.join(F.broadcast(sizes), "_id")
+    a = sh_sz.select(
+        F.col("_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    b = sh_sz.select(
+        F.col("_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+    )
     inter = (
         a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -153,10 +172,7 @@ def minhash_signatures(
     """
     params = _perm_params(num_perm)
     h = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)) % _P31
-    sh_rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
-    ).withColumn("h", h)
+    sh_rows = shingle_postings(df, text_col, id_col, n).withColumn("h", h)
     mins = sh_rows.groupBy("_id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % _P31).alias(f"_m{i}")
@@ -215,8 +231,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingle_sets = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, n).alias("_shingles")
+    shingle_sets = with_tokens(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_from_tokens("_toks", n).alias("_shingles"),
     )
     verified = (
         cand.join(
@@ -250,24 +267,32 @@ def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash over unigram token hashes: bit i of the output is
-    the majority vote of bit i across xxhash64(token). All map-side
-    codegen'd expressions (64 bit-filters over the token-hash array)."""
+    the majority vote of bit i across xxhash64(token).
+
+    Formulated as explode → 64 conditional SUMs in one hash aggregate:
+    every per-bit counter is a codegen'd partial aggregate (map-side
+    combine), so the shuffle carries 65 longs per document. (The
+    expression-only alternative — 64 higher-order filter() lambdas over
+    a token-hash array — runs interpreted, measured ~20× slower.)"""
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+    hrows = df.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("h"))
+    g = hrows.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+            for i in range(64)
+        ],
+    )
     sim = None
     for i in range(64):
-        ones = F.size(
-            F.filter(
-                hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-            )
-        )
-        bit = (ones * 2 > n).cast("long")
+        bit = (F.col(f"_b{i}") * 2 > F.col("_n")).cast("long")
         term = bit * F.lit(1 << i) if i < 63 else bit * F.lit(-(1 << 63))
         sim = term if sim is None else sim + term
-    return df.select(F.col(id_col).alias("_id"), sim.alias("simhash"))
+    return g.select("_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
