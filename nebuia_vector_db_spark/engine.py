@@ -142,30 +142,66 @@ class VectorEngine:
         )
 
     def search(
-        self, collection_name: str, query_vector: Sequence[float], top_k: int
+        self,
+        collection_name: str,
+        query_vector: Sequence[float],
+        top_k: int,
+        method: str = "sql",
     ) -> DataFrame:
         """≙ POST /search (main.go:351-367): brute-force scan of one
-        collection, sim = dot(q/‖q‖, v), top-k desc (D-1/D-2)."""
-        return self._search_impl([collection_name], query_vector, top_k)
+        collection, sim = dot(q/‖q‖, v), top-k desc (D-1/D-2).
+        ``method='arrow'`` switches scoring to the GEMM-per-Arrow-batch
+        kernel (same results, BLAS throughput — see operators/topk.py)."""
+        return self._search_impl([collection_name], query_vector, top_k, method)
 
     def multi_search(
-        self, collections: Sequence[str], query_vector: Sequence[float], top_k: int
+        self,
+        collections: Sequence[str],
+        query_vector: Sequence[float],
+        top_k: int,
+        method: str = "sql",
     ) -> DataFrame:
         """≙ POST /multi_search (main.go:369-405). The reference's
         per-collection-top-k-then-global-top-k is semantically a global
         top-k (SURVEY §1.5-6); one plan over the unified table — the
         per-collection goroutine fan-out becomes partition parallelism."""
-        return self._search_impl(list(collections), query_vector, top_k)
+        return self._search_impl(list(collections), query_vector, top_k, method)
 
     def _search_impl(
-        self, collections: Sequence[str], query_vector: Sequence[float], top_k: int
+        self,
+        collections: Sequence[str],
+        query_vector: Sequence[float],
+        top_k: int,
+        method: str = "sql",
     ) -> DataFrame:
         if self.dim is not None and len(query_vector) != self.dim:
             raise DimensionMismatchError(
                 f"query dim {len(query_vector)} != engine dim {self.dim}"
             )
-        qn = normalize_query(query_vector)  # once per query, main.go:179-183
         ch = self.chunks(collections)
+        if method == "arrow":
+            from nebuia_vector_db_spark.operators.topk import topk_search
+
+            scored = topk_search(
+                ch,
+                query_vector,
+                top_k,
+                vec_col="embedding",
+                sim_col="similarity",
+                tie_cols=["doc_id", "position"],
+                method="arrow",
+            )
+            # arrow path drops the vector column; restore result shape
+            return scored.select(
+                F.col("doc_name").alias("embedding_id"),
+                "similarity",
+                "position",
+                F.col("chunk_metadata").alias("metadata"),
+                "text",
+                F.col("collection").alias("collection_name"),
+                "doc_id",
+            )
+        qn = normalize_query(query_vector)  # once per query, main.go:179-183
         scored = ch.withColumn("similarity", dot(F.col("embedding"), qn))
         return (
             scored.select(
@@ -183,6 +219,26 @@ class VectorEngine:
             # D-1/D-2: always sorted, deterministic ties
             .orderBy(F.desc("similarity"), "doc_id", "position")
             .limit(top_k)
+        )
+
+    # ---------------------------------------------------------- stream ingest
+    def store_stream(self, docs_stream: DataFrame, checkpoint: str):
+        """Continuous ingest: a streaming DataFrame in DOCUMENT_SCHEMA
+        shape appended to the warehouse — the streaming twin of
+        store_dataframe (the reference's async fire-and-forget store,
+        main.go:302-321, becomes an at-least-once micro-batch append
+        with checkpointed progress — strictly stronger delivery).
+        Returns the StreamingQuery; caller stops it."""
+        if "doc_id" not in docs_stream.columns:
+            docs_stream = docs_stream.withColumn("doc_id", F.expr("uuid()"))
+        return (
+            docs_stream.writeStream.format("parquet")
+            .option("path", self.warehouse_path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy("collection")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
 
     # --------------------------------------------------------------- delete

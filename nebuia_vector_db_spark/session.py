@@ -28,6 +28,16 @@ def get_spark(
     On a cluster the caller's spark-submit config wins; locally we
     default to ``local[*]``.
     """
+    # Python workers (pandas_udf / mapInArrow) unpickle kernel closures
+    # by reference to this package — make it importable on workers even
+    # when the driver script runs from elsewhere (on a real cluster,
+    # ship it with --py-files; this covers local mode).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config(

@@ -3,6 +3,7 @@ semantic-quirk regressions (deviations D-1..D-5)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from nebuia_vector_db_spark.engine import DimensionMismatchError, VectorEngine
 
@@ -115,6 +116,46 @@ def test_delete_collection(spark, tmp_path_factory):
     assert eng.list_collections() == ["keep"]
     # idempotent on missing collection (reference lists zero keys)
     assert eng.delete_collection("tmp")["deleted"] is False
+
+
+def test_search_arrow_method_equals_sql(engine):
+    q = np.random.default_rng(17).normal(size=8).tolist()
+    sql_rows = [
+        (r["doc_id"], r["position"], round(r["similarity"], 9))
+        for r in engine.search("alpha", q, 5, method="sql").collect()
+    ]
+    arrow_rows = [
+        (r["doc_id"], r["position"], round(r["similarity"], 9))
+        for r in engine.search("alpha", q, 5, method="arrow").collect()
+    ]
+    assert sql_rows == arrow_rows
+
+
+def test_store_stream_ingest(spark, tmp_path_factory):
+    """Streaming append lands the same rows batch search sees."""
+    import os
+
+    from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
+
+    wh = str(tmp_path_factory.mktemp("wh_stream"))
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    eng = VectorEngine(spark, wh, dim=4)
+    batch_eng = VectorEngine(spark, src, dim=4)  # reuse writer for fixtures
+    batch_eng.store("s", _mkdocs(5, 2, 4, seed=21, name_prefix="s"))
+
+    stream = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .parquet(os.path.join(src, "collection=s"))
+        .withColumn("collection", F.lit("s"))
+    )
+    q = eng.store_stream(stream, checkpoint=ckpt)
+    q.awaitTermination()
+
+    assert eng.list_collections() == ["s"]
+    assert eng.documents(["s"]).count() == 5
+    assert eng.search("s", [1.0, 0.0, 0.0, 0.0], 3).count() == 3
 
 
 def test_store_reference_wire_shape_embedding(spark, tmp_path_factory):

@@ -1,0 +1,82 @@
+"""Property-based invariants (SURVEY.md §5-4, hypothesis): for random
+vectors/dims/k the engine must return sorted exact top-k that matches a
+NumPy recomputation, and the multi-collection path must equal the
+filtered unified table."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nebuia_vector_db_spark.operators.topk import topk_search
+
+
+def _corpus_df(spark, mat):
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    dim=st.integers(min_value=1, max_value=16),
+    k=st.integers(min_value=1, max_value=50),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_topk_invariants(spark, n, dim, k, seed):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    q = rng.normal(size=dim)
+    rows = topk_search(
+        _corpus_df(spark, mat), q.tolist(), k, tie_cols=["vec_id"]
+    ).collect()
+
+    # |results| == min(k, n)
+    assert len(rows) == min(k, n)
+    # sorted desc (D-1) with deterministic ties (D-2)
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # every similarity equals the NumPy recomputation within 1e-9
+    qn = q / (np.linalg.norm(q) or 1.0)
+    expect = mat @ qn
+    for r in rows:
+        assert abs(r["similarity"] - expect[r["vec_id"]]) < 1e-9
+    # the k-th result dominates everything not returned
+    returned = {r["vec_id"] for r in rows}
+    if len(rows) == k and n > k:
+        kth = min(sims)
+        rest_max = max(expect[i] for i in range(n) if i not in returned)
+        assert kth >= rest_max - 1e-9
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_union_of_collections_equals_filtered_table(spark, seed):
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(30, 8))
+    df = spark.createDataFrame(
+        [(i, row.tolist(), int(i % 3)) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>, coll int",
+    )
+    q = rng.normal(size=8).tolist()
+    unified = topk_search(
+        df.where(F.col("coll").isin(0, 1)), q, 7, tie_cols=["vec_id"]
+    ).collect()
+    parts = df.where(F.col("coll") == 0).unionAll(df.where(F.col("coll") == 1))
+    unioned = topk_search(parts, q, 7, tie_cols=["vec_id"]).collect()
+    assert [(r["vec_id"], round(r["similarity"], 9)) for r in unified] == [
+        (r["vec_id"], round(r["similarity"], 9)) for r in unioned
+    ]
