@@ -522,6 +522,36 @@ ORDER BY doc_id
 """
 
 
+def q_text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib path (rows-only: HashingTF/IDF have no DuckDB twin):
+    TF-IDF → unit-normalize → BucketedRandomProjectionLSH join;
+    exactness of reported cosines is pinned by tests/test_textvec.py."""
+    from nebuia_vector_db_spark.operators.textvec import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # word-soup fixtures overlap heavily in unigram space — 0.9 keeps
+    # the result a true near-dup set (0.5 matches ~70% of all pairs)
+    return (
+        tfidf_cosine_pairs(docs, threshold=0.9)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH twin of dedup_minhash_lsh (rows-only)."""
+    from nebuia_vector_db_spark.operators.textvec import (
+        minhash_jaccard_pairs_mllib,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_jaccard_pairs_mllib(docs, threshold=0.9)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-token budgeting: whitespace tokens vs BPE-ish subword count
     (functions/text.py::bpe_token_count)."""
@@ -1291,6 +1321,8 @@ REGISTRY: dict[
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "text_bpe_tokens": (q_text_bpe_tokens, ORACLE_TEXT_BPE),
+    "text_tfidf_neardup": (q_text_tfidf_neardup, None),  # MLlib, rows-only
+    "text_minhash_mllib": (q_text_minhash_mllib, None),  # MLlib, rows-only
     "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
     # multimodal (extension, binary columns + mapInPandas decode)
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),

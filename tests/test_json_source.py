@@ -1,0 +1,96 @@
+"""JSON wire-format interop (sources/json_docs.py): a MinIO-shaped
+directory of {collection}/{uuid}_doc.json objects reads into the
+canonical schema, suffix-filtered, ready for store_dataframe."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nebuia_vector_db_spark.engine import VectorEngine
+from nebuia_vector_db_spark.sources.json_docs import read_json_documents
+
+
+@pytest.fixture(scope="module")
+def bucket(tmp_path_factory):
+    root = tmp_path_factory.mktemp("minio_bucket")
+    docs = {
+        ("alpha", "id-1"): {
+            "text": "first",
+            "metadata": {"source": None, "name": "d1"},
+            "chunks": [
+                {
+                    "text": "c11",
+                    "embedding": {"vector": [1.0, 0.0]},
+                    "metadata": {"source": None, "name": "d1c1"},
+                    "semantic_score": 0.5,
+                },
+                {
+                    "text": "c12",
+                    "embedding": {"vector": [0.0, 1.0]},
+                    "metadata": {"source": None, "name": "d1c2"},
+                    "semantic_score": 0.0,
+                },
+            ],
+        },
+        ("alpha", "id-2"): {
+            "text": "second",
+            "metadata": {"source": "s2", "name": "d2"},
+            "chunks": [
+                {
+                    "text": "c21",
+                    "embedding": {"vector": [0.6, 0.8]},
+                    "metadata": {"source": None, "name": "d2c1"},
+                    "semantic_score": 0.0,
+                }
+            ],
+        },
+        ("beta", "id-3"): {
+            "text": "third",
+            "metadata": {"source": None, "name": "d3"},
+            "chunks": [
+                {
+                    "text": "c31",
+                    "embedding": {"vector": [1.0, 1.0]},
+                    "metadata": {"source": None, "name": "d3c1"},
+                    "semantic_score": 0.0,
+                }
+            ],
+        },
+    }
+    for (coll, did), doc in docs.items():
+        d = root / coll
+        d.mkdir(exist_ok=True)
+        (d / f"{did}_doc.json").write_text(json.dumps(doc))
+    # non-document keys must be skipped (≙ main.go:203)
+    (root / "alpha" / "manifest.json").write_text("{}")
+    (root / "alpha" / "noise.txt").write_text("junk")
+    return str(root)
+
+
+def test_reads_layout_and_identity(spark, bucket):
+    df = read_json_documents(spark, bucket)
+    rows = {(r["collection"], r["doc_id"]): r for r in df.collect()}
+    assert set(rows) == {("alpha", "id-1"), ("alpha", "id-2"), ("beta", "id-3")}
+    r = rows[("alpha", "id-1")]
+    assert r["metadata"]["name"] == "d1"
+    assert [c["text"] for c in r["chunks"]] == ["c11", "c12"]
+    assert r["chunks"][0]["embedding"] == [1.0, 0.0]  # {vector:[..]} unwrapped
+    assert r["chunks"][0]["semantic_score"] == 0.5
+
+
+def test_single_collection_prefix(spark, bucket):
+    df = read_json_documents(spark, bucket, collection="beta")
+    assert [r["doc_id"] for r in df.collect()] == ["id-3"]
+
+
+def test_migration_into_engine(spark, bucket, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_migrated"))
+    eng = VectorEngine(spark, wh, dim=2)
+    eng.store_dataframe(read_json_documents(spark, bucket))
+    assert eng.list_collections() == ["alpha", "beta"]
+    top = eng.search("alpha", [0.6, 0.8], 1).head()
+    assert top["embedding_id"] == "d2"  # cos-nearest chunk's doc name
+    assert top["collection_name"] == "alpha"

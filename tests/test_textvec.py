@@ -1,0 +1,75 @@
+"""MLlib text vectorization (operators/textvec.py): TF-IDF features,
+LSH cosine pairs vs exact recomputation, MinHash Jaccard pairs vs
+exact token-set Jaccard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.textvec import (
+    minhash_jaccard_pairs_mllib,
+    tfidf_cosine_pairs,
+    tfidf_features,
+)
+from nebuia_vector_db_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "documents").limit(120).cache()
+
+
+def test_tfidf_shapes_and_idf_weighting(docs):
+    feats = tfidf_features(docs)
+    rows = feats.collect()
+    assert len(rows) == 120
+    v = rows[0]["tfidf"]
+    assert v.size == 1 << 14
+    assert all(x >= 0 for x in v.values)
+
+
+def test_lsh_cosine_pairs_subset_of_exact_and_values_match(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    }
+    # exact recomputation driver-side from the same tfidf vectors
+    feats = {r["doc_id"]: r["tfidf"].toArray() for r in tfidf_features(docs).collect()}
+    ids = sorted(feats)
+    exact = {}
+    mat = np.vstack([feats[i] for i in ids])
+    norm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norm, norm)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cos[a, b] >= 0.5:
+                exact[(ids[a], ids[b])] = cos[a, b]
+    # LSH may miss pairs (approximate) but must not invent them, and
+    # every reported cosine must equal the exact value
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-6
+    if exact:  # fixture has near-dups → recall shouldn't be zero
+        assert len(got) > 0
+
+
+def test_minhash_mllib_pairs_no_false_positives_vs_exact_token_jaccard(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_jaccard_pairs_mllib(docs, threshold=0.4).collect()
+    }
+    toks = {
+        r["doc_id"]: set(r["t"])
+        for r in docs.select(
+            "doc_id", F.split(F.lower("text"), "\\s+").alias("t")
+        ).collect()
+    }
+    for (a, b), j in got.items():
+        sa, sb = toks[a], toks[b]
+        exact_j = len(sa & sb) / len(sa | sb)
+        # MLlib computes jaccard over hashed token sets: equal up to
+        # rare hash collisions at 16k features
+        assert abs(j - exact_j) < 0.05
+        assert exact_j >= 0.3  # no wildly-wrong pair survives
