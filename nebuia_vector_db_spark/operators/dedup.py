@@ -425,18 +425,32 @@ def embedding_neardup_lsh(
     threshold: float = 0.85,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 16,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH: ``n_tables``
-    independent 16-bit sign sketches; candidates share a full sketch in
-    ≥1 table; verified with exact cosine. Collision prob per table at
-    angle θ is (1−θ/π)^n_planes — sized for high-threshold near-dup
-    mining (θ small), the 100 TB-scale path next to the exact O(N²)
-    baseline in queries.py."""
+    independent sign sketches of ``n_planes`` bits; candidates share a
+    full sketch in ≥1 table; verified with exact cosine (precision 1).
+
+    Collision prob per table at angle θ is p^n_planes, p = 1−θ/π — so
+    the sketch length trades recall against candidate volume and must
+    shrink as the threshold drops. Default sizes n_planes so a true
+    pair AT the threshold collides with ≥~50% probability across the
+    tables: high thresholds (0.85+) get 14-16 bits (tiny candidate
+    sets), moderate ones (0.4-0.6) get 6-8 bits (more candidates —
+    the price of low-threshold LSH; the exact GEMM baseline
+    exact_cosine_pairs is the alternative when N allows)."""
+    import math
     import numpy as np
+
+    if n_planes is None:
+        p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+        # per-table collision ≈ 1/(2·n_tables) at the threshold angle →
+        # overall recall ≈ 1 − (1−1/(2T))^T ≈ 0.4-0.5 at the boundary,
+        # rapidly → 1 above it
+        n_planes = max(4, int(math.log(1.0 / (2 * n_tables)) / math.log(p)))
 
     rng = np.random.default_rng(seed)
     from nebuia_vector_db_spark.functions.vector import dot, l2_norm

@@ -86,3 +86,23 @@ def test_embedding_neardup_lsh_finds_planted(spark):
     got = embedding_neardup_lsh(df, threshold=0.9).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in got} == {(0, 100)}
     assert got[0]["cosine"] > 0.99
+
+
+def test_embedding_neardup_lsh_moderate_threshold_recall(spark, sf_oracle):
+    """Auto-sized sketches must keep recall meaningful at moderate
+    thresholds (with fixed 16-bit sketches recall here is ~0), and
+    precision must stay exactly 1 (every emitted pair re-verified)."""
+    from nebuia_vector_db_spark.operators.dedup import exact_cosine_pairs
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in exact_cosine_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_lsh(emb, threshold=0.45).collect()
+    }
+    assert got <= truth  # precision 1
+    assert len(got) >= len(truth) * 0.3  # boundary-pair recall ≈ 0.5
