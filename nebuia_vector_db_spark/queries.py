@@ -985,6 +985,174 @@ ORDER BY c_mktsegment, rk
 """
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per returnflag (sort-based percentile_cont —
+    the distributed exact formulation; approx_percentile is the sketch
+    alternative when a pass over sorted groups is too dear)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+                6,
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+                6,
+            ).alias("p90"),
+            F.round(
+                F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"),
+                6,
+            ).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: per-segment monthly revenue with a running
+    cumulative sum (ROWS UNBOUNDED PRECEDING)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+                "month_epoch"
+            ),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("month_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("running_revenue", F.round(F.sum("revenue").over(w), 2))
+        .orderBy("c_mktsegment", "month_epoch")
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+WITH monthly AS (
+  SELECT c_mktsegment,
+         CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, month_epoch, revenue,
+       round(sum(revenue) OVER (PARTITION BY c_mktsegment ORDER BY month_epoch
+                                ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+FROM monthly
+ORDER BY c_mktsegment, month_epoch
+"""
+
+
+def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (expand-based partial dedup) + exact
+    count-distinct per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.round(F.sumDistinct("l_quantity"), 2).alias("sum_distinct_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_DISTINCT_STATS = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (decorrelated as a window): orders
+    more than 2x their customer's average order value."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    out = (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+    return out
+
+
+ORACLE_ABOVE_CUST_AVG = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+FROM w
+WHERE o_totalprice > 2 * cust_avg
+ORDER BY o_orderkey
+"""
+
+
+def q_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers seen in BUILDING-segment minus those
+    with an open ('O') order, intersected with ACTIVE accounts —
+    exercises EXCEPT and INTERSECT (both distinct-based)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_orders = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    positive = cust.where(F.col("c_acctbal") > 0).select("c_custkey")
+    return (
+        building.exceptAll(open_orders)
+        .distinct()
+        .intersect(positive)
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEGMENT_SET_OPS = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ EXCEPT
+ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+ORDER BY c_custkey
+"""
+
+
 # ==========================================================================
 # Events: JSON extraction, time-bucket aggregation, per-user windows
 # (the batch mirrors of the streaming surface in streaming/events.py)
@@ -1339,6 +1507,11 @@ REGISTRY: dict[
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "cust_no_orders": (q_cust_no_orders, ORACLE_CUST_NO_ORDERS),
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
+    "price_quantiles": (q_price_quantiles, ORACLE_PRICE_QUANTILES),
+    "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
+    "distinct_stats": (q_distinct_stats, ORACLE_DISTINCT_STATS),
+    "orders_above_cust_avg": (q_orders_above_cust_avg, ORACLE_ABOVE_CUST_AVG),
+    "segment_set_ops": (q_segment_set_ops, ORACLE_SEGMENT_SET_OPS),
     # events (batch mirrors of the streaming surface)
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),

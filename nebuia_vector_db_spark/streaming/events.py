@@ -24,6 +24,8 @@ all available input, then stop).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -99,6 +101,21 @@ def sessionize_stream(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; state for
+    a key is dropped once the watermark passes it (the unbounded
+    dropDuplicates would grow state forever on an infinite stream) —
+    the streaming twin of dedup.exact_dedup for at-least-once sources
+    that can replay events."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 

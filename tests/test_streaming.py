@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from nebuia_vector_db_spark.sources.registry import load_table
 from nebuia_vector_db_spark.streaming.events import (
+    dedup_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
@@ -55,6 +56,27 @@ def test_hourly_stream_append_watermark_subset(spark, sf_smoke):
     got_rows = set(_rows(got, cols))
     want_rows = set(_rows(want, cols))
     assert got_rows <= want_rows
+
+
+def test_dedup_stream_drops_replayed_events(spark, sf_smoke, tmp_path):
+    """A source that replays every event twice (at-least-once delivery)
+    must come out exactly-once after dedup_stream."""
+    import os
+
+    src = load_table(spark, sf_smoke, "events")
+    d = str(tmp_path / "replayed")
+    src.write.parquet(d, mode="overwrite")
+    src.write.parquet(d, mode="append")  # the replay
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    got = run_to_memory(
+        dedup_stream(stream, keys=["event_id"]), "t_dedup", output_mode="append"
+    )
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+    # sanity: the doubled input really was doubled
+    assert spark.read.parquet(d).count() == 2 * src.count()
 
 
 def test_sessionize_stream_matches_batch_session_window(spark, sf_smoke):
