@@ -40,6 +40,34 @@ from nebuia_vector_db_spark.sources.registry import load_table
 
 SIM6 = "similarity"
 
+# Order-insensitive aggregation: double addition is not associative, so
+# a sum's last ulp depends on partition order — and a result sitting on
+# a rounding boundary (x.xx5) then hash-mismatches the oracle (observed
+# at sf0.001: 289145.575 summed to .57 on Spark, .58 on DuckDB). Both
+# engines sum EXACTLY when the addend is a decimal, so every
+# rounded-sum/avg below goes through DECIMAL(38,10): the double→decimal
+# cast is per-value deterministic, the sum is associative, and the
+# final cast back to double is exact for these magnitudes.
+_DEC = "decimal(38,10)"
+
+
+def _dsum(col) -> "F.Column":
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def _davg(col) -> "F.Column":
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+def _sql_davg(expr: str) -> str:
+    return f"{_sql_dsum(expr)} / count({expr})"
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
@@ -594,7 +622,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", "pos")
         .agg(
-            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(_davg("x"), 6).alias("mean_x"),
             F.count("*").alias("n"),
         )
         .where(F.col("pos") < 8)  # first 8 dims keep the result compact
@@ -603,9 +631,9 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EMB_CENTROIDS = """
+ORACLE_EMB_CENTROIDS = f"""
 SELECT label, i AS pos,
-       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS mean_x,
+       round({_sql_davg("CAST(embedding[i + 1] AS DOUBLE)")}, 6) AS mean_x,
        count(*) AS n
 FROM embeddings, range(8) t(i)
 GROUP BY label, i
@@ -722,28 +750,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+            F.round(_dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(_dsum(disc), 2).alias("sum_disc_price"),
+            F.round(_dsum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(_davg("l_quantity"), 6).alias("avg_qty"),
+            F.round(_davg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(_davg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-ORACLE_TPCH_Q1 = """
+ORACLE_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round({_sql_dsum("l_quantity")}, 2) AS sum_qty,
+       round({_sql_dsum("l_extendedprice")}, 2) AS sum_base_price,
+       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
+       round({_sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 2) AS sum_charge,
+       round({_sql_davg("l_quantity")}, 6) AS avg_qty,
+       round({_sql_davg("l_extendedprice")}, 6) AS avg_price,
+       round({_sql_davg("l_discount")}, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -770,7 +798,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -784,11 +812,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TPCH_Q3 = """
+ORACLE_TPCH_Q3 = f"""
 SELECT l_orderkey,
        CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -825,7 +853,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -833,9 +861,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TPCH_Q5 = """
+ORACLE_TPCH_Q5 = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -860,7 +888,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(_dsum("o_totalprice"), 2).alias("sum_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -872,11 +900,11 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CUBE_ORDERS = """
+ORACLE_CUBE_ORDERS = f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price
+       round({_sql_dsum("o_totalprice")}, 2) AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -927,7 +955,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
             F.count("*").alias("n_rows"),
         )
         .select(
@@ -940,10 +968,10 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ROLLUP = """
+ORACLE_ROLLUP = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
+       round({_sql_dsum("l_quantity")}, 2) AS sum_qty,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -958,7 +986,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     rev = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(_dsum("o_totalprice"), 2).alias("revenue"))
     )
     joined = cust.join(rev, cust.c_custkey == rev.o_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -972,9 +1000,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_CUSTOMERS = """
+ORACLE_TOP_CUSTOMERS = f"""
 WITH rev AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  SELECT o_custkey, round({_sql_dsum("o_totalprice")}, 2) AS revenue
   FROM orders GROUP BY o_custkey
 )
 SELECT c_mktsegment, c_custkey, c_name, revenue,
@@ -1034,24 +1062,26 @@ def q_orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month_epoch"
             ),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(_dsum("o_totalprice"), 2).alias("revenue"))
     )
     w = (
         Window.partitionBy("c_mktsegment")
         .orderBy("month_epoch")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the running sum is an ORDERED fold — both engines add in the same
+    # sequence, so plain double summation is already deterministic here
     return (
         monthly.withColumn("running_revenue", F.round(F.sum("revenue").over(w), 2))
         .orderBy("c_mktsegment", "month_epoch")
     )
 
 
-ORACLE_RUNNING_REVENUE = """
+ORACLE_RUNNING_REVENUE = f"""
 WITH monthly AS (
   SELECT c_mktsegment,
          CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
-         round(sum(o_totalprice), 2) AS revenue
+         round({_sql_dsum("o_totalprice")}, 2) AS revenue
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )
@@ -1072,7 +1102,9 @@ def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
-            F.round(F.sumDistinct("l_quantity"), 2).alias("sum_distinct_qty"),
+            F.round(
+                F.sum_distinct(F.col("l_quantity").cast(_DEC)).cast("double"), 2
+            ).alias("sum_distinct_qty"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("l_returnflag")
@@ -1083,7 +1115,8 @@ ORACLE_DISTINCT_STATS = """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
-       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+       round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2)
+         AS sum_distinct_qty,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
@@ -1096,8 +1129,14 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than 2x their customer's average order value."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    # unordered window avg has the same sum-order hazard as group avg:
+    # exact-decimal sum / count keeps it engine-independent
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+        / F.count("o_totalprice").over(w)
+    )
     out = (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        orders.withColumn("cust_avg", cust_avg)
         .where(F.col("o_totalprice") > 2 * F.col("cust_avg"))
         .select(
             "o_orderkey",
@@ -1113,7 +1152,9 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ABOVE_CUST_AVG = """
 WITH w AS (
   SELECT o_orderkey, o_custkey, o_totalprice,
-         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+              OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / count(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
   FROM orders
 )
 SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
@@ -1166,18 +1207,20 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.avg(k), 6).alias("avg_k"),
+            F.round(_davg("value"), 6).alias("avg_value"),
+            F.round(_davg(k), 6).alias("avg_k"),
         )
         .orderBy("event_type")
     )
 
 
-ORACLE_EVENTS_JSON = """
+_K_EXPR = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+ORACLE_EVENTS_JSON = f"""
 SELECT event_type,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+       round({_sql_davg("value")}, 6) AS avg_value,
+       round({_sql_davg(_K_EXPR)}, 6) AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1196,17 +1239,17 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_epoch", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_dsum("value"), 2).alias("sum_value"),
         )
         .orderBy("hour_epoch", "event_type")
     )
 
 
-ORACLE_EVENTS_HOURLY = """
+ORACLE_EVENTS_HOURLY = f"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       round({_sql_dsum("value")}, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_epoch, event_type
@@ -1224,14 +1267,14 @@ def q_events_user_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("gap_us"), 6).alias("avg_gap_us"),
+            F.round(_davg("gap_us"), 6).alias("avg_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
         )
         .orderBy("user_id")
     )
 
 
-ORACLE_EVENTS_USER_GAP = """
+ORACLE_EVENTS_USER_GAP = f"""
 WITH g AS (
   SELECT user_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -1239,7 +1282,7 @@ WITH g AS (
 )
 SELECT user_id,
        count(*) AS n_events,
-       round(avg(gap_us), 6) AS avg_gap_us,
+       round({_sql_davg("gap_us")}, 6) AS avg_gap_us,
        max(gap_us) AS max_gap_us
 FROM g
 GROUP BY user_id
@@ -1298,7 +1341,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(_dsum("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -1329,7 +1372,7 @@ sess AS (
 SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_value
 FROM sess
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start_us
@@ -1348,7 +1391,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             ),
             F.count("*").alias("n_rows"),
@@ -1356,8 +1399,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TPCH_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+ORACLE_TPCH_Q6 = f"""
+SELECT round({_sql_dsum("l_extendedprice * l_discount")}, 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1382,13 +1425,13 @@ def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+                _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(_dsum(rev), 2).alias("total_revenue"),
             F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 * 100.0
-                / F.sum(rev),
+                / _dsum(rev),
                 6,
             ).alias("promo_pct"),
         )
@@ -1398,15 +1441,17 @@ def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PART_PROMO = """
+_PROMO_EXPR = (
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+    "ELSE 0.0 END"
+)
+
+ORACLE_PART_PROMO = f"""
 SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
-       round(sum(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
-         AS promo_revenue,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-       round(sum(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+       round({_sql_dsum(_PROMO_EXPR)}, 2) AS promo_revenue,
+       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS total_revenue,
+       round({_sql_dsum(_PROMO_EXPR)}
+             * 100.0 / {_sql_dsum("l_extendedprice * (1 - l_discount)")}, 6) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
