@@ -203,6 +203,29 @@ def main() -> None:
 
     timings["b3_spark_multi_600k"] = round(_median_time(_b3, runs=3), 4)
 
+    # ---- B5: IVF candidate pruning at 600k — the indexed scale path.
+    # Build once (amortized across the query stream), probe 4/64 cells:
+    # ~1/16 of the corpus scanned per query, recall recorded alongside.
+    from nebuia_vector_db_spark.operators.ann import build_ivf_index, recall_at_k
+
+    t0 = time.perf_counter()
+    index = build_ivf_index(big, n_cells=64)
+    index.assigned = index.assigned.cache()
+    index.assigned.count()
+    timings["b5_ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b5_ivf_topk_nprobe4"] = round(
+        _median_time(
+            lambda: index.search(
+                q_big.tolist(), 10, nprobe=4, tie_cols=["vec_id"], method="arrow"
+            ).collect(),
+            runs=5,
+        ),
+        4,
+    )
+    timings["b5_ivf_recall_at_10"] = round(
+        recall_at_k(index, big, q_big.tolist(), k=10, nprobe=4), 4
+    )
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -241,7 +264,12 @@ def main() -> None:
     shutil.rmtree(wh, ignore_errors=True)
 
     total = round(
-        sum(v for k, v in timings.items() if not k.startswith("b4")), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.startswith(("b4", "b5_ivf_build", "b5_ivf_recall"))
+        ),
+        4,
     )
     print(
         json.dumps(
@@ -256,6 +284,11 @@ def main() -> None:
                     "b1/b2": "sec/query warm, median of 5 (BASELINE.md §3)",
                     "b2_batched": "64 queries in one job, sec/query amortized",
                     "b4": "docs/sec (recorded, no gate)",
+                    "b5": "IVF probes 4/64 cells; the synthetic corpus is "
+                    "i.i.d. Gaussian (no cluster structure), ANN's "
+                    "adversarial case — recall is recorded as the honest "
+                    "tradeoff; on real embedding distributions cells "
+                    "capture semantic neighborhoods",
                 },
             }
         )

@@ -77,6 +77,42 @@ def test_events_hourly_shuffle_budget(spark, sf_oracle):
     assert shuffle_count(df) <= 2
 
 
+def test_engine_search_prunes_collection_partitions(spark, tmp_path_factory):
+    """A single-collection search must read ONLY that collection's
+    partition (≙ the reference's MinIO prefix listing, main.go:186-189):
+    the scan's PartitionFilters carry the collection predicate."""
+    from nebuia_vector_db_spark.engine import VectorEngine
+
+    wh = str(tmp_path_factory.mktemp("wh_prune"))
+    eng = VectorEngine(spark, wh, dim=4)
+    for coll in ("a", "b", "c"):
+        eng.store(
+            coll,
+            [
+                {
+                    "text": "t",
+                    "metadata": {"source": None, "name": f"{coll}0"},
+                    "chunks": [
+                        {
+                            "text": "c",
+                            "embedding": [1.0, 0.0, 0.0, 0.0],
+                            "metadata": {"source": None, "name": f"{coll}0c"},
+                            "semantic_score": 0.0,
+                        }
+                    ],
+                }
+            ],
+        )
+    df = eng.search("b", [1.0, 0.0, 0.0, 0.0], 5)
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    text = explain_str(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "collection" in m.group(1), text[:1500]
+
+
 def test_knn_join_partial_topk_before_shuffle(spark, sf_oracle):
     """Spark 4 plans a Partial WindowGroupLimit below the exchange —
     each task ships at most k rows per query, so the window shuffle is
