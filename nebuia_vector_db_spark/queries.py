@@ -43,30 +43,66 @@ SIM6 = "similarity"
 # Order-insensitive aggregation: double addition is not associative, so
 # a sum's last ulp depends on partition order — and a result sitting on
 # a rounding boundary (x.xx5) then hash-mismatches the oracle (observed
-# at sf0.001: 289145.575 summed to .57 on Spark, .58 on DuckDB). Both
-# engines sum EXACTLY when the addend is a decimal, so every
-# rounded-sum/avg below goes through DECIMAL(38,10): the double→decimal
-# cast is per-value deterministic, the sum is associative, and the
-# final cast back to double is exact for these magnitudes.
-_DEC = "decimal(38,10)"
+# at sf0.001: 289145.575 summed to .57 on Spark, .58 on DuckDB).
+#
+# Fix: quantize each row to integer micro-units with floor(x·1e6 + 0.5)
+# — multiply, add, floor are all exactly-rounded IEEE ops, so both
+# engines produce the SAME long for the same double (no round()-mode
+# ambiguity; floor is exact). Long summation is associative and exact,
+# so the sum is identical in any partition order, and it stays on the
+# fast codegen'd long-agg path (decimal aggs measured 5× slower).
+# Magnitudes here (≤1e6) keep x·1e6 ≤ 1e12 « 2^53 (quantization exact)
+# and 600k-row sums ≤ 6e17 « 2^63 (no overflow). The result is the
+# exact sum of per-row values quantized at 1e-6 — deterministic
+# cross-engine, within 5e-7·n of the true sum.
+_UNITS = 1_000_000
+
+
+def _q6(col) -> "F.Column":
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col * _UNITS + F.lit(0.5))
 
 
 def _dsum(col) -> "F.Column":
-    col = F.col(col) if isinstance(col, str) else col
-    return F.sum(col.cast(_DEC)).cast("double")
+    return F.sum(_q6(col)) / F.lit(float(_UNITS))
 
 
 def _davg(col) -> "F.Column":
     col = F.col(col) if isinstance(col, str) else col
-    return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+    return F.sum(_q6(col)) / F.lit(float(_UNITS)) / F.count(col)
+
+
+def _sql_q6(expr: str) -> str:
+    return f"CAST(floor(({expr}) * {_UNITS} + 0.5) AS BIGINT)"
 
 
 def _sql_dsum(expr: str) -> str:
-    return f"CAST(sum(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+    return f"(sum({_sql_q6(expr)}) / {_UNITS}.0)"
 
 
 def _sql_davg(expr: str) -> str:
-    return f"{_sql_dsum(expr)} / count({expr})"
+    return f"({_sql_dsum(expr)} / count({expr}))"
+
+
+# Rounding of quantized aggregates must ALSO be engine-pure: a
+# quantized sum divided by count can sit exactly on a decimal midpoint
+# (x.xxxxxx5), where Spark's round() (BigDecimal HALF_UP on the
+# shortest decimal repr) and DuckDB's round() can disagree. floor-based
+# rounding is plain IEEE arithmetic — identical everywhere.
+def _r(col, k: int) -> "F.Column":
+    s = 10**k
+    return F.floor(col * s + F.lit(0.5)) / F.lit(float(s))
+
+
+def _sql_r(expr: str, k: int) -> str:
+    s = 10**k
+    return f"(floor(({expr}) * {s} + 0.5) / {s}.0)"
+
+
+# exact-decimal fallback for the few low-volume spots where
+# quantization would be wrong (DISTINCT sums) or where a window needs
+# it (see orders_above_cust_avg)
+_DEC = "decimal(38,10)"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +445,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+       floor(i * 1.0 / (sa.n_sh + sb.n_sh - i) * 1000000 + 0.5) / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -422,7 +458,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         ngram_jaccard_pairs(docs, threshold=0.8)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -431,7 +467,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         minhash_lsh_pairs(docs, threshold=0.8)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -466,7 +502,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
-        F.round(text_fns.avg_token_len("text"), 6).alias("avg_token_len"),
+        _r(text_fns.avg_token_len("text"), 6).alias("avg_token_len"),
     ).orderBy("doc_id")
 
 
@@ -475,8 +511,8 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_uniq,
-       round(list_reduce(list_transform(toks, s -> len(s)), (a, b) -> a + b)
-             * 1.0 / len(toks), 6) AS avg_token_len
+       floor(list_reduce(list_transform(toks, s -> len(s)), (a, b) -> a + b)
+             * 1.0 / len(toks) * 1000000 + 0.5) / 1000000.0 AS avg_token_len
 FROM t
 ORDER BY doc_id
 """
@@ -487,9 +523,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(text_fns.tokens("text")).cast("long").alias("n_tokens"),
-        F.round(text_fns.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(text_fns.alpha_ratio("text"), 6).alias("alpha_ratio"),
-        F.round(text_fns.quality_score("text"), 6).alias("quality"),
+        _r(text_fns.stopword_ratio("text"), 6).alias("stop_ratio"),
+        _r(text_fns.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        _r(text_fns.quality_score("text"), 6).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -507,9 +543,10 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       round(sr, 6) AS stop_ratio,
-       round(ar, 6) AS alpha_ratio,
-       round(0.5 * least(n_tokens / 50.0, 1.0) + 0.25 * (1.0 - sr) + 0.25 * ar, 6) AS quality
+       floor(sr * 1000000 + 0.5) / 1000000.0 AS stop_ratio,
+       floor(ar * 1000000 + 0.5) / 1000000.0 AS alpha_ratio,
+       floor((0.5 * least(n_tokens / 50.0, 1.0) + 0.25 * (1.0 - sr) + 0.25 * ar)
+             * 1000000 + 0.5) / 1000000.0 AS quality
 FROM m
 ORDER BY doc_id
 """
@@ -575,7 +612,7 @@ def q_text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         minhash_jaccard_pairs_mllib(docs, threshold=0.9)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -588,7 +625,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(text_fns.tokens("text")).cast("long").alias("n_ws_tokens"),
         text_fns.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
-        F.round(
+        _r(
             text_fns.bpe_token_count("text")
             / F.size(text_fns.tokens("text")).cast("double"),
             6,
@@ -604,7 +641,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_ws_tokens, n_bpe_tokens,
-       round(n_bpe_tokens * 1.0 / n_ws_tokens, 6) AS bpe_per_word
+       floor(n_bpe_tokens * 1.0 / n_ws_tokens * 1000000 + 0.5) / 1000000.0 AS bpe_per_word
 FROM t
 ORDER BY doc_id
 """
@@ -622,7 +659,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", "pos")
         .agg(
-            F.round(_davg("x"), 6).alias("mean_x"),
+            _r(_davg("x"), 6).alias("mean_x"),
             F.count("*").alias("n"),
         )
         .where(F.col("pos") < 8)  # first 8 dims keep the result compact
@@ -633,7 +670,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMB_CENTROIDS = f"""
 SELECT label, i AS pos,
-       round({_sql_davg("CAST(embedding[i + 1] AS DOUBLE)")}, 6) AS mean_x,
+       {_sql_r(_sql_davg("CAST(embedding[i + 1] AS DOUBLE)"), 6)} AS mean_x,
        count(*) AS n
 FROM embeddings, range(8) t(i)
 GROUP BY label, i
@@ -664,7 +701,7 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "n_bytes",
-        F.round("mean_byte", 6).alias("mean_byte"),
+        _r(F.col("mean_byte"), 6).alias("mean_byte"),
         "max_byte",
     ).orderBy("doc_id")
 
@@ -702,7 +739,8 @@ SELECT doc_id,
        CAST(w AS INT) AS width,
        CAST(hgt AS INT) AS height,
        nb AS n_bytes,
-       round(list_reduce(bytes, (x, y) -> x + y) * 1.0 / nb, 6) AS mean_byte,
+       floor(list_reduce(bytes, (x, y) -> x + y) * 1.0 / nb * 1000000 + 0.5)
+         / 1000000.0 AS mean_byte,
        CAST(list_aggregate(bytes, 'max') AS INT) AS max_byte
 FROM b
 ORDER BY doc_id
@@ -750,13 +788,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
-            F.round(_dsum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(_dsum(disc), 2).alias("sum_disc_price"),
-            F.round(_dsum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(_davg("l_quantity"), 6).alias("avg_qty"),
-            F.round(_davg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(_davg("l_discount"), 6).alias("avg_disc"),
+            _r(_dsum("l_quantity"), 2).alias("sum_qty"),
+            _r(_dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(_dsum(disc), 2).alias("sum_disc_price"),
+            _r(_dsum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _r(_davg("l_quantity"), 6).alias("avg_qty"),
+            _r(_davg("l_extendedprice"), 6).alias("avg_price"),
+            _r(_davg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -765,13 +803,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       round({_sql_dsum("l_quantity")}, 2) AS sum_qty,
-       round({_sql_dsum("l_extendedprice")}, 2) AS sum_base_price,
-       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS sum_disc_price,
-       round({_sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}, 2) AS sum_charge,
-       round({_sql_davg("l_quantity")}, 6) AS avg_qty,
-       round({_sql_davg("l_extendedprice")}, 6) AS avg_price,
-       round({_sql_davg("l_discount")}, 6) AS avg_disc,
+       {_sql_r(_sql_dsum("l_quantity"), 2)} AS sum_qty,
+       {_sql_r(_sql_dsum("l_extendedprice"), 2)} AS sum_base_price,
+       {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)} AS sum_disc_price,
+       {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"), 2)} AS sum_charge,
+       {_sql_r(_sql_davg("l_quantity"), 6)} AS avg_qty,
+       {_sql_r(_sql_davg("l_extendedprice"), 6)} AS avg_price,
+       {_sql_r(_sql_davg("l_discount"), 6)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -816,7 +854,7 @@ ORACLE_TPCH_Q3 = f"""
 SELECT l_orderkey,
        CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
        o_orderpriority,
-       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue
+       {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -863,7 +901,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q5 = f"""
 SELECT r_name, n_name,
-       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS revenue,
+       {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)} AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -888,7 +926,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(_dsum("o_totalprice"), 2).alias("sum_price"),
+            _r(_dsum("o_totalprice"), 2).alias("sum_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -904,7 +942,7 @@ ORACLE_CUBE_ORDERS = f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
-       round({_sql_dsum("o_totalprice")}, 2) AS sum_price
+       {_sql_r(_sql_dsum("o_totalprice"), 2)} AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -955,7 +993,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+            _r(_dsum("l_quantity"), 2).alias("sum_qty"),
             F.count("*").alias("n_rows"),
         )
         .select(
@@ -971,7 +1009,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLUP = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round({_sql_dsum("l_quantity")}, 2) AS sum_qty,
+       {_sql_r(_sql_dsum("l_quantity"), 2)} AS sum_qty,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -986,7 +1024,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     rev = (
         orders.groupBy("o_custkey")
-        .agg(F.round(_dsum("o_totalprice"), 2).alias("revenue"))
+        .agg(_r(_dsum("o_totalprice"), 2).alias("revenue"))
     )
     joined = cust.join(rev, cust.c_custkey == rev.o_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -1002,7 +1040,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOP_CUSTOMERS = f"""
 WITH rev AS (
-  SELECT o_custkey, round({_sql_dsum("o_totalprice")}, 2) AS revenue
+  SELECT o_custkey, {_sql_r(_sql_dsum("o_totalprice"), 2)} AS revenue
   FROM orders GROUP BY o_custkey
 )
 SELECT c_mktsegment, c_custkey, c_name, revenue,
@@ -1062,7 +1100,7 @@ def q_orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month_epoch"
             ),
         )
-        .agg(F.round(_dsum("o_totalprice"), 2).alias("revenue"))
+        .agg(_r(_dsum("o_totalprice"), 2).alias("revenue"))
     )
     w = (
         Window.partitionBy("c_mktsegment")
@@ -1081,7 +1119,7 @@ ORACLE_RUNNING_REVENUE = f"""
 WITH monthly AS (
   SELECT c_mktsegment,
          CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
-         round({_sql_dsum("o_totalprice")}, 2) AS revenue
+         {_sql_r(_sql_dsum("o_totalprice"), 2)} AS revenue
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )
@@ -1207,8 +1245,8 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(_davg("value"), 6).alias("avg_value"),
-            F.round(_davg(k), 6).alias("avg_k"),
+            _r(_davg("value"), 6).alias("avg_value"),
+            _r(_davg(k), 6).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -1219,8 +1257,8 @@ _K_EXPR = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
 ORACLE_EVENTS_JSON = f"""
 SELECT event_type,
        count(*) AS n,
-       round({_sql_davg("value")}, 6) AS avg_value,
-       round({_sql_davg(_K_EXPR)}, 6) AS avg_k
+       {_sql_r(_sql_davg("value"), 6)} AS avg_value,
+       {_sql_r(_sql_davg(_K_EXPR), 6)} AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1239,7 +1277,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_epoch", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(_dsum("value"), 2).alias("sum_value"),
+            _r(_dsum("value"), 2).alias("sum_value"),
         )
         .orderBy("hour_epoch", "event_type")
     )
@@ -1249,7 +1287,7 @@ ORACLE_EVENTS_HOURLY = f"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
        count(*) AS n,
-       round({_sql_dsum("value")}, 2) AS sum_value
+       {_sql_r(_sql_dsum("value"), 2)} AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_epoch, event_type
@@ -1267,7 +1305,7 @@ def q_events_user_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(_davg("gap_us"), 6).alias("avg_gap_us"),
+            _r(_davg("gap_us"), 6).alias("avg_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
         )
         .orderBy("user_id")
@@ -1282,7 +1320,7 @@ WITH g AS (
 )
 SELECT user_id,
        count(*) AS n_events,
-       round({_sql_davg("gap_us")}, 6) AS avg_gap_us,
+       {_sql_r(_sql_davg("gap_us"), 6)} AS avg_gap_us,
        max(gap_us) AS max_gap_us
 FROM g
 GROUP BY user_id
@@ -1341,7 +1379,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(_dsum("value"), 2).alias("sum_value"),
+            _r(_dsum("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -1391,7 +1429,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            _r(_dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
                 "revenue"
             ),
             F.count("*").alias("n_rows"),
@@ -1400,7 +1438,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q6 = f"""
-SELECT round({_sql_dsum("l_extendedprice * l_discount")}, 2) AS revenue,
+SELECT {_sql_r(_sql_dsum("l_extendedprice * l_discount"), 2)} AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1427,7 +1465,7 @@ def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
             ).alias("promo_revenue"),
-            F.round(_dsum(rev), 2).alias("total_revenue"),
+            _r(_dsum(rev), 2).alias("total_revenue"),
             F.round(
                 _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 * 100.0
@@ -1448,8 +1486,8 @@ _PROMO_EXPR = (
 
 ORACLE_PART_PROMO = f"""
 SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
-       round({_sql_dsum(_PROMO_EXPR)}, 2) AS promo_revenue,
-       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 2) AS total_revenue,
+       {_sql_r(_sql_dsum(_PROMO_EXPR), 2)} AS promo_revenue,
+       {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)} AS total_revenue,
        round({_sql_dsum(_PROMO_EXPR)}
              * 100.0 / {_sql_dsum("l_extendedprice * (1 - l_discount)")}, 6) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
