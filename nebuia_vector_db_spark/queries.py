@@ -679,6 +679,161 @@ ORDER BY label, pos
 
 
 # ==========================================================================
+# Training-data pipeline (operators/pipeline.py): chunking, PII scrub,
+# split, packing — each fully oracle-checked.
+# ==========================================================================
+
+
+def q_pipe_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=64, overlap=16).orderBy("doc_id", "chunk_id")
+
+
+ORACLE_PIPE_CHUNK = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(1, CAST(floor((n - 16 + 47) / 48) AS INT)))) AS i
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       len(toks[i*48 + 1 : i*48 + 64]) AS n_chunk_tokens,
+       array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_pipe_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing demo: the fixture corpus is clean, so synthetic
+    contact strings are injected per doc (deterministic), then
+    redacted — the oracle injects and scrubs identically."""
+    from nebuia_vector_db_spark.operators.pipeline import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com via https://ex.com/u/"),
+            F.col("doc_id"),
+            F.lit(" or +1-555-010"),
+            F.col("doc_id"),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(dirty)
+        .select(
+            "doc_id",
+            F.length("clean_text").cast("long").alias("clean_len"),
+            (F.length("clean_text") - F.length("text"))
+            .cast("long")
+            .alias("len_delta"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PIPE_SCRUB = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com via https://ex.com/u/'
+              || doc_id || ' or +1-555-010' || doc_id AS text
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^ ]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\+[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+  FROM dirty
+)
+SELECT doc_id,
+       len(clean_text) AS clean_len,
+       len(clean_text) - len(text) AS len_delta,
+       md5(clean_text) AS clean_md5
+FROM clean
+ORDER BY doc_id
+"""
+
+
+def q_pipe_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.pipeline import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+_MD5_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100"
+)
+
+ORACLE_PIPE_SPLIT = f"""
+SELECT CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+            WHEN {_MD5_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def q_pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, capacity=2048)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE_PIPE_PACK = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens
+FROM o
+GROUP BY 1
+ORDER BY bin_id
+"""
+
+
+# ==========================================================================
 # Multimodal (extension surface): binary payload columns + typed
 # metadata; decode/feature-extract via Arrow-batched mapInPandas with a
 # deterministic fake codec (multimodal/assets.py — real codecs are the
@@ -1575,6 +1730,11 @@ REGISTRY: dict[
     "text_tfidf_neardup": (q_text_tfidf_neardup, None),  # MLlib, rows-only
     "text_minhash_mllib": (q_text_minhash_mllib, None),  # MLlib, rows-only
     "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
+    # training-data pipeline (chunk / scrub / split / pack)
+    "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
+    "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
+    "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
+    "pipe_pack_sequences": (q_pipe_pack_sequences, ORACLE_PIPE_PACK),
     # multimodal (extension, binary columns + mapInPandas decode)
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES),

@@ -1,0 +1,86 @@
+"""Training-data pipeline operators (operators/pipeline.py): chunk
+coverage/overlap invariants, scrub idempotence, split stability,
+packing capacity bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.pipeline import (
+    chunk_documents,
+    dataset_split,
+    pack_sequences,
+    scrub_pii,
+)
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(docs, size=64, overlap=16).orderBy("chunk_id").collect()
+    # stride 48: starts at 0, 48, 96 → 3 chunks; last one truncated
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in rows] == [64, 64, 54]
+    toks = text.split(" ")
+    for r in rows:
+        start = r["chunk_id"] * 48
+        assert r["chunk_text"].split(" ") == toks[start : start + 64]
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert a[-16:] == b[:16]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    [r] = chunk_documents(docs, size=64, overlap=16).collect()
+    assert (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"]) == (0, 3, "a b c")
+
+
+def test_scrub_pii_redacts_and_is_idempotent(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe@corp.io or visit https://x.io/a?b=1 ok"),
+            (2, "call +1-555-0199 now"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in scrub_pii(docs).collect()}
+    assert out[1] == "mail me at [EMAIL] or visit [URL] ok"
+    assert out[2] == "call [PHONE] now"
+    assert out[3] == "nothing sensitive here"
+    # idempotent: scrubbing clean text changes nothing
+    clean = scrub_pii(docs).select("doc_id", F.col("clean_text").alias("text"))
+    again = {r["doc_id"]: r["clean_text"] for r in scrub_pii(clean).collect()}
+    assert again == out
+
+
+def test_dataset_split_deterministic_and_partitioned(spark, sf_oracle):
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert a == b  # no RNG — identical across runs
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    n = len(a)
+    assert counts["train"] > 0.7 * n  # ~80%
+    assert counts["val"] + counts["test"] > 0.1 * n
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
+    rows = [(i, " ".join(["t"] * (100 + i))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(docs, capacity=1000).orderBy("doc_id").collect()
+    # offsets are the running total; bins are floor(offset/capacity)
+    off = 0
+    for r in packed:
+        assert r["start_offset"] == off
+        assert r["bin_id"] == off // 1000
+        off += r["n_tokens"]
+    # every bin's docs are consecutive in id order
+    bins = {}
+    for r in packed:
+        bins.setdefault(r["bin_id"], []).append(r["doc_id"])
+    for ids in bins.values():
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
