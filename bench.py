@@ -109,6 +109,8 @@ def main() -> None:
         "text_quality",
         "text_fingerprint",
         "mm_image_features",
+        "pipe_chunk_docs",
+        "pipe_dataset_split",
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
