@@ -1604,6 +1604,121 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 
 # --------------------------------------------------------------------------
+# tpch_q4-style: EXISTS semi-join feeding an aggregation — priority
+# counts for orders that had a returned line item. (The fixture lacks
+# l_commitdate/l_receiptdate, so the inner predicate is l_returnflag,
+# same plan shape: semi-join on the fact key, then group.)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# tpch_q18-style: HAVING-derived key set joined back to the facts —
+# large-quantity orders with their customer. The aggregate-then-join
+# shape is the scale-relevant part: the groupBy prunes the fact table
+# to a tiny key set BEFORE the 3-way join, and the customer dim is
+# broadcast.
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_r(_dsum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, {_sql_r(_sql_dsum("l_quantity"), 2)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_sql_r(_sql_dsum("l_quantity"), 2)} > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Range (theta) join: lineitem against a small in-memory band dim on
+# l_quantity BETWEEN lo AND hi. Broadcast nested-loop is the correct
+# physical plan for a non-equi join with a tiny build side — at 100 TB
+# the fact side streams through each task with the 3-row dim in memory.
+_QTY_BANDS = [("high", 34.0, 50.0), ("low", 0.0, 16.0), ("mid", 17.0, 33.0)]
+
+
+def q_qty_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo double, hi double")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            _r(_dsum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+_QTY_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _QTY_BANDS)
+
+ORACLE_QTY_BAND_JOIN = f"""
+SELECT band, count(*) AS n_items,
+       {_sql_r(_sql_dsum("l_extendedprice"), 2)} AS revenue
+FROM lineitem
+JOIN (VALUES {_QTY_BANDS_SQL}) AS bands(band, lo, hi)
+  ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+# --------------------------------------------------------------------------
 # part_promo_share — q14-style: lineitem ⋈ broadcast(part), conditional
 # aggregation, monthly buckets (covers the `part` table)
 def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,6 +1858,9 @@ REGISTRY: dict[
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
+    "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
+    "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
+    "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
     "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
