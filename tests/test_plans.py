@@ -120,3 +120,22 @@ def test_knn_join_partial_topk_before_shuffle(spark, sf_oracle):
     df = Q.q_vs_knn_join(spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_q18_aggregates_before_join_single_shuffle(spark, sf_oracle):
+    """The HAVING key set is reduced BEFORE the 3-way join: the only
+    exchange is the l_orderkey groupBy; orders and customer join via
+    broadcast, and the final top-100 is TakeOrderedAndProject."""
+    df = Q.q_tpch_q18(spark, sf_oracle)
+    plan_asserts(
+        df, max_shuffles=1, contains=("TakeOrderedAndProject",)
+    )
+    assert has_broadcast_join(df)
+
+
+def test_qty_band_join_is_broadcast_nested_loop(spark, sf_oracle):
+    """A non-equi (range) join against a 3-row dim must not shuffle the
+    fact side for the join itself — broadcast nested-loop streams
+    lineitem through each task with the dim in memory."""
+    df = Q.q_qty_band_join(spark, sf_oracle)
+    plan_asserts(df, contains=("BroadcastNestedLoopJoin",))
