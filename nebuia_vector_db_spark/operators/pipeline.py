@@ -5,7 +5,9 @@ stores pre-chunked documents, main.go:30-35, so chunking is the
 missing upstream step).
 
 Everything is codegen'd columnar expressions — at 100 TB these run
-map-side with zero shuffles except packing's one ordered window.
+map-side with zero shuffles except packing's bucketed cumsum (a
+hash-partitioned window over percentile range buckets; never a
+single-partition global sort).
 """
 
 from __future__ import annotations
@@ -104,20 +106,76 @@ def pack_sequences(
     capacity: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing (concat-then-chunk): documents in
     ``id_col`` order are laid end-to-end and cut into ``capacity``-token
     bins — ``bin_id = floor(start_offset / capacity)``, the standard
-    packing for causal-LM training data. One ordered window (cumsum of
-    token counts); integer arithmetic throughout, so deterministic.
-    A doc spanning a boundary is assigned to the bin its first token
-    lands in."""
+    packing for causal-LM training data. A doc spanning a boundary is
+    assigned to the bin its first token lands in.
+
+    The global cumulative sum is a two-pass distributed cumsum, NOT a
+    single unpartitioned window (which would collapse the whole corpus
+    into one task): rows are range-bucketed on ``id_col`` by approx
+    percentiles, each bucket cumsums locally under a partitioned
+    window, and the tiny per-bucket totals are collected and folded
+    into running offsets that a broadcast map adds back.  Integer
+    arithmetic throughout, so the result is independent of the bucket
+    boundaries and identical to the single-window answer.
+    """
+    spark = docs.sparkSession
     toked = docs.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return toked.withColumn("start_offset", start).withColumn(
-        "bin_id", F.floor(F.col("start_offset") / capacity)
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # pass 0: deterministic monotone bucketing — approx percentile cut
+    # points of the id keep buckets row-balanced whatever the id
+    # distribution (dense, sparse, or clustered)
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    head = toked.select(
+        F.percentile_approx(id_col, qs, 10_000).alias("c")
+    ).head()
+    cuts = sorted(set(head["c"] or [])) if head is not None else []
+    if cuts:
+        cuts_arr = F.array(*[F.lit(c) for c in cuts])
+        # bucket = #cuts strictly below the id — monotone in id, which is
+        # all correctness needs (boundary placement only affects balance)
+        bucket = F.size(F.filter(cuts_arr, lambda c: c < F.col(id_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = toked.withColumn("_b", bucket)
+
+    # pass 1: per-bucket token totals — num_buckets rows to the driver
+    totals = {
+        r["_b"]: r["t"]
+        for r in bucketed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    run = 0
+    for b in sorted(totals):
+        offsets[b] = run
+        run += totals[b]
+    off_entries: list = []
+    for b, off in offsets.items():
+        off_entries += [F.lit(b), F.lit(off)]
+    off_col = (
+        F.element_at(F.create_map(*off_entries), F.col("_b"))
+        if off_entries
+        else F.lit(0)
+    )
+
+    # pass 2: local cumsum within each bucket + broadcast offset
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        bucketed.withColumn("start_offset", (local + off_col).cast("long"))
+        .withColumn("bin_id", F.floor(F.col("start_offset") / capacity))
+        .drop("_b")
     )

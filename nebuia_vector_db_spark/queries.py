@@ -826,7 +826,7 @@ o AS (
 )
 SELECT CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM o
 GROUP BY 1
 ORDER BY bin_id

@@ -139,3 +139,20 @@ def test_qty_band_join_is_broadcast_nested_loop(spark, sf_oracle):
     lineitem through each task with the dim in memory."""
     df = Q.q_qty_band_join(spark, sf_oracle)
     plan_asserts(df, contains=("BroadcastNestedLoopJoin",))
+
+
+def test_pack_sequences_has_no_single_partition_exchange(spark, sf_oracle):
+    """The packing cumsum must stay distributed: a bucketed window
+    (hash exchange on the range bucket), never the one-task
+    `Exchange SinglePartition` a global Window.orderBy would force."""
+    from nebuia_vector_db_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_oracle, "documents")
+    packed = pack_sequences(docs, capacity=2048)
+    from nebuia_vector_db_spark.plans.inspect import _executed_plan
+
+    plan = _executed_plan(packed)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
+    # the window is partitioned by the bucket column
+    assert "hashpartitioning(_b" in plan, plan

@@ -32,11 +32,16 @@ TABLES = [
 
 
 def _canon(v):
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if v != v:
             return "NaN"
         # collapse -0.0 / 0.0 and print with fixed precision
@@ -45,6 +50,8 @@ def _canon(v):
         return f"{v:.9g}"
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
@@ -92,7 +99,9 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # pandas path on the Spark side too, mirroring the driver
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
@@ -105,9 +114,12 @@ def main() -> int:
             )
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # mirror the driver: materialize the oracle result through
+            # pandas (DuckDB .df()), where e.g. HUGEINT sums surface as
+            # float64 — fetchall() would hide that class of drift
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
