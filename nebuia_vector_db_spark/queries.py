@@ -909,9 +909,16 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_fake_assets(docs), frame_bytes=16, stride=4).orderBy(
-        "doc_id"
-    )
+    sampled = sample_frames(attach_fake_assets(docs), frame_bytes=16, stride=4)
+    # scalar-encode the id array: the driver canonicalizer sorts rows
+    # with pandas, and list cells are unhashable there (r1 crash)
+    return sampled.select(
+        "doc_id",
+        "n_bytes",
+        "n_frames",
+        F.array_join("sampled_frame_ids", ",").alias("sampled_frame_ids"),
+        "n_sampled",
+    ).orderBy("doc_id")
 
 
 ORACLE_MM_FRAMES = """
@@ -923,8 +930,8 @@ WITH a AS (
   WHERE octet_length(encode(text)) // 16 > 0
 )
 SELECT doc_id, n_bytes, n_frames,
-       range(0, n_frames, 4) AS sampled_frame_ids,
-       len(range(0, n_frames, 4)) AS n_sampled
+       array_to_string(range(0, n_frames, 4), ',') AS sampled_frame_ids,
+       CAST(len(range(0, n_frames, 4)) AS BIGINT) AS n_sampled
 FROM a
 ORDER BY doc_id
 """
@@ -990,7 +997,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            _r(
                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1045,7 +1052,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
+            _r(
                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_items"),
@@ -1546,11 +1553,11 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EVENTS_SESSIONS = """
+ORACLE_EVENTS_SESSIONS = f"""
 WITH o AS (
   SELECT user_id, ts, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -1565,11 +1572,14 @@ sess AS (
 SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_value
+       {_sql_r(_sql_dsum("value"), 2)} AS sum_value
 FROM sess
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start_us
 """
+# boundary convention: Spark's session_window is half-open [start,
+# last_ts + gap) — an event landing exactly gap after its predecessor
+# starts a NEW session, hence `>=` in the oracle's new_session test.
 
 
 # --------------------------------------------------------------------------
@@ -1732,11 +1742,11 @@ def q_part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
         .agg(
-            F.round(
+            _r(
                 _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
             ).alias("promo_revenue"),
             _r(_dsum(rev), 2).alias("total_revenue"),
-            F.round(
+            _r(
                 _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
                 * 100.0
                 / _dsum(rev),
@@ -1823,7 +1833,6 @@ REGISTRY: dict[
 ] = {
     # vector search (reference parity, SURVEY §2.1)
     "vs_topk": (q_vs_topk, ORACLE_VS_TOPK),
-    "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
     "vs_multi_search": (q_vs_multi_search, ORACLE_VS_MULTI),
     "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
     "vs_knn_join": (q_vs_knn_join, ORACLE_VS_KNN_JOIN),
@@ -1876,9 +1885,13 @@ REGISTRY: dict[
     # events (batch mirrors of the streaming surface)
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_user_gap": (q_events_user_gap, ORACLE_EVENTS_USER_GAP),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
-    "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
+    # redundant pins LAST: the driver recorded exactly 50 rows in r1,
+    # so anything past position 50 risks going unrecorded — keep only
+    # queries whose operator is already covered above down here.
+    "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
 }
 
 
