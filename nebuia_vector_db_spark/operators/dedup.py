@@ -358,21 +358,45 @@ def exact_cosine_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = 1_000_000,
+    block_rows: int = 250_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold, GEMM-style.
+    """Exact all-pairs cosine ≥ threshold, GEMM-style, with two
+    physical strategies picked by corpus size:
 
-    One side is broadcast as a dense (N, d) matrix (driver-collected
-    once, ``sc.broadcast``); each Arrow batch of the scanned side does
-    a single (b, d)·(d, N) BLAS product and emits only the surviving
-    (id_a < id_b) pairs. Versus a pair-join with per-pair expression
-    scoring this avoids materializing O(N²) join rows entirely — the
-    quadratic work happens inside BLAS, the output is just the matches.
+    - ``N ≤ max_broadcast_rows``: one side broadcast as a dense (N, d)
+      matrix; each Arrow batch of the scanned side does a single
+      (b, d)·(d, N) BLAS product (:func:`_cosine_pairs_broadcast`).
+      Fastest when the matrix fits executor memory.
+    - larger: fully distributed block-pair GEMM
+      (:func:`_cosine_pairs_blocked`) — rows are hashed into blocks of
+      ≤ ``block_rows``, every block pair (bi ≤ bj) becomes one task via
+      a broadcast grid join, and the same BLAS kernel runs per pair.
+      NO driver materialization anywhere on the path; shuffle volume is
+      N·(B+1) rows for B blocks, the textbook all-pairs trade.
 
-    Scale envelope: broadcast side must fit executor memory (600k × 64
-    float32 ≈ 150 MB — fine; 100M vectors — not). Past that, use
-    :func:`embedding_neardup_lsh` to prune candidates first, or tile
-    both sides into block pairs (same kernel per block).
+    Both paths compute identical float64 arithmetic, so the result set
+    is bit-identical whichever strategy runs.
     """
+    n = df.count()
+    if n > max_broadcast_rows:
+        return _cosine_pairs_blocked(
+            df, threshold, vec_col, id_col, block_rows=block_rows, n_rows=n
+        )
+    return _cosine_pairs_broadcast(df, threshold, vec_col, id_col)
+
+
+def _cosine_pairs_broadcast(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Broadcast-side GEMM: collect the (N, d) matrix once, broadcast,
+    and stream the other side through BLAS in Arrow batches. Callers go
+    through :func:`exact_cosine_pairs`, which caps N before choosing
+    this path (600k × 64 f64 ≈ 300 MB — fine; 100M vectors — blocked
+    path instead)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -414,6 +438,94 @@ def exact_cosine_pairs(
 
     return df.mapInArrow(
         _pairs, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
+def _cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 250_000,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Distributed block-pair GEMM: no driver collect, no broadcast of
+    data — only a tiny (bi, bj) grid is broadcast.
+
+    Rows hash into B = ceil(N / block_rows) blocks. A grid of the
+    B·(B+1)/2 unordered block pairs is broadcast-joined against the
+    corpus twice (once per side), shuffled on (bi, bj), and each group
+    runs the same float64 BLAS kernel as the broadcast path on its two
+    blocks (one block for the diagonal). Every unordered id pair lands
+    in exactly one group — (block(a), block(b)) sorted — so no
+    dedup/distinct pass is needed.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    n_blocks = max(1, math.ceil(n_rows / block_rows))
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    grid = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi int, bj int",
+    )
+    left = base.join(F.broadcast(grid), base["_blk"] == grid["bi"]).select(
+        "bi", "bj", F.lit(0).alias("_side"), "_id", "_v"
+    )
+    right = (
+        base.join(
+            F.broadcast(grid),
+            (base["_blk"] == grid["bj"]) & (grid["bi"] != grid["bj"]),
+        )
+        .select("bi", "bj", F.lit(1).alias("_side"), "_id", "_v")
+    )
+    both = left.unionByName(right)
+
+    def _gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lmask = pdf["_side"].to_numpy() == 0
+        l_ids = pdf["_id"].to_numpy()[lmask]
+        l_mat = np.array(list(pdf["_v"][lmask]), dtype=np.float64)
+        if lmask.all():  # diagonal block: pair within itself
+            r_ids, r_mat = l_ids, l_mat
+        else:
+            rmask = ~lmask
+            r_ids = pdf["_id"].to_numpy()[rmask]
+            r_mat = np.array(list(pdf["_v"][rmask]), dtype=np.float64)
+        if len(l_ids) == 0 or len(r_ids) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        l_norms = np.sqrt(np.einsum("ij,ij->i", l_mat, l_mat))
+        r_norms = np.sqrt(np.einsum("ij,ij->i", r_mat, r_mat))
+        cos = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
+        ii, jj = np.nonzero(
+            (cos >= threshold) & (l_ids[:, None] < r_ids[None, :])
+        )
+        # cross-block pairs where the right id is smaller still belong
+        # to this group (block order ≠ id order) — emit them id-sorted
+        ii2, jj2 = np.nonzero(
+            (cos >= threshold) & (l_ids[:, None] > r_ids[None, :])
+        ) if not lmask.all() else (np.array([], dtype=int),) * 2
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate([l_ids[ii], r_ids[jj2]]),
+                "vec_b": np.concatenate([r_ids[jj], l_ids[ii2]]),
+                "cosine": np.concatenate([cos[ii, jj], cos[ii2, jj2]]),
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        _gemm, schema="vec_a long, vec_b long, cosine double"
     )
 
 

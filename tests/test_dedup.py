@@ -106,3 +106,37 @@ def test_embedding_neardup_lsh_moderate_threshold_recall(spark, sf_oracle):
     }
     assert got <= truth  # precision 1
     assert len(got) >= len(truth) * 0.3  # boundary-pair recall ≈ 0.5
+
+
+def test_blocked_cosine_pairs_equals_broadcast(spark, sf_oracle):
+    """The distributed block-pair GEMM must return exactly the
+    broadcast kernel's pairs (same float64 arithmetic → identical
+    cosines), and the size cap must route big inputs to it."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        _cosine_pairs_blocked,
+        _cosine_pairs_broadcast,
+        exact_cosine_pairs,
+    )
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _cosine_pairs_broadcast(emb, threshold=0.4).collect()
+    }
+    # force several blocks so diagonal AND cross-block code paths run
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _cosine_pairs_blocked(emb, threshold=0.4, block_rows=70).collect()
+    }
+    assert got == want  # identical pairs AND bit-identical cosines
+    # the public entry point picks the blocked path above the cap
+    # (no full-corpus collect happens on it — there is no collect call
+    # in _cosine_pairs_blocked at all)
+    via_cap = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in exact_cosine_pairs(
+            emb, threshold=0.4, max_broadcast_rows=10, block_rows=70
+        ).collect()
+    }
+    assert via_cap == want
