@@ -21,6 +21,7 @@ ubiquitous shingles the way production dedup pipelines drop stop-grams.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -264,10 +265,20 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over unigram token hashes: bit i of the output is
-    the majority vote of bit i across xxhash64(token).
+    the majority vote of bit i across hash(token).
+
+    ``hash_fn='xxhash64'`` (default) uses the JVM-native 64-bit hash —
+    fastest. ``hash_fn='md5'`` derives the 64 bits from the first 16
+    hex digits of md5(token): ~2× more expression work, but md5 exists
+    in every engine, so the WHOLE simhash computation is reproducible
+    in ANSI SQL — that variant is what the oracle-checked registry
+    query runs (queries.py ORACLE_DEDUP_SIMHASH).
 
     Formulated as explode → 64 conditional SUMs in one hash aggregate:
     every per-bit counter is a codegen'd partial aggregate (map-side
@@ -277,15 +288,33 @@ def simhash64(
     toks = F.array_distinct(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
-    hrows = df.select(
+    exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("h"))
+    )
+    if hash_fn == "md5":
+        # bit i = bit (3 - i%4) of hex digit i//4 of md5(token) — pure
+        # string/integer ops, identical in Spark and DuckDB
+        hx = F.md5("_t")
+        digits = [
+            F.conv(F.substring(hx, j + 1, 1), 16, 10).cast("int")
+            for j in range(16)
+        ]
+        bits = [
+            F.shiftright(digits[i // 4], 3 - i % 4).bitwiseAND(F.lit(1))
+            for i in range(64)
+        ]
+        hrows = exploded.select(
+            "_id", *[b.alias(f"_bit{i}") for i, b in enumerate(bits)]
+        )
+        bit_of = [F.col(f"_bit{i}") for i in range(64)]
+    else:
+        hrows = exploded.select("_id", F.xxhash64("_t").alias("h"))
+        bit_of = [
+            F.shiftright("h", i).bitwiseAND(F.lit(1)) for i in range(64)
+        ]
     g = hrows.groupBy("_id").agg(
         F.count("*").alias("_n"),
-        *[
-            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-            for i in range(64)
-        ],
+        *[F.sum(bit_of[i]).alias(f"_b{i}") for i in range(64)],
     )
     sim = None
     for i in range(64):
@@ -300,17 +329,21 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole blocking: split 64 bits into ``max_hamming+1`` blocks —
     any pair within the radius must agree on ≥1 whole block, so
     candidates come from equi-joins on (block_id, block_value), never a
-    cross join. Exact Hamming via bit_count(xor) verification.
+    cross join. Exact Hamming via bit_count(xor) verification — the
+    blocking is lossless (a pair with ≤ max_hamming differing bits
+    cannot differ in every block), so the output is EXACTLY the set of
+    pairs within the radius, whatever the blocking.
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = simhash64(df, text_col, id_col)
+    sh = simhash64(df, text_col, id_col, hash_fn=hash_fn)
     blocks = sh.select(
         "_id",
         "simhash",
@@ -564,26 +597,36 @@ def embedding_neardup_lsh(
         # rapidly → 1 above it
         n_planes = max(4, int(math.log(1.0 / (2 * n_tables)) / math.log(p)))
 
+    from pyspark.sql.functions import pandas_udf
+
     rng = np.random.default_rng(seed)
     from nebuia_vector_db_spark.functions.vector import dot, l2_norm
 
-    sketches = []
-    for t in range(n_tables):
-        planes = rng.normal(size=(n_planes, dim))
-        bits = [
-            (dot(F.col(vec_col), planes[p].tolist()) > 0).cast("long")
-            * F.lit(1 << p)
-            for p in range(n_planes)
-        ]
-        sketch = bits[0]
-        for b in bits[1:]:
-            sketch = sketch + b
-        sketches.append(sketch)
+    # all T·n_planes hyperplane dots in ONE Arrow-batched GEMM per
+    # batch — the expression alternative (T·n_planes interpreted
+    # aggregate() HOFs) was measured ~50s at 500×96×6; this is <1s.
+    # Draw order matches the historical per-table loop so seeds keep
+    # producing the same planes.
+    planes_all = np.concatenate(
+        [rng.normal(size=(n_planes, dim)) for _ in range(n_tables)], axis=0
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    n_t, n_p = n_tables, n_planes
+
+    @pandas_udf("array<long>")
+    def _sketches(vs: pd.Series) -> pd.Series:
+        m = np.array(list(vs), dtype=np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        bits = (m @ planes_all.T) > 0  # (b, T·P)
+        sk = (bits.reshape(len(m), n_t, n_p) * weights).sum(axis=2)
+        return pd.Series(list(sk))
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(vec_col).alias("_n"),
-        F.posexplode(F.array(*sketches)).alias("table_id", "sketch"),
+        F.posexplode(_sketches(F.col(vec_col))).alias("table_id", "sketch"),
     )
     cand = (
         base.alias("x")

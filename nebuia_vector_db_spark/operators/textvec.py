@@ -71,6 +71,77 @@ def tfidf_cosine_pairs(
     )
 
 
+def exact_tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """EXACT tf-idf cosine pairs via an inverted-index equi-join — the
+    oracle-checkable counterpart of :func:`tfidf_cosine_pairs` (which
+    prunes candidates with BRP-LSH but hides murmur3/HashingTF inside
+    MLlib, so no SQL engine can replay it).
+
+    Model: tokens = non-empty whitespace splits of lower(text);
+    tf = occurrence count; idf = (N+1)/(df+1) — a *rational* idf, so
+    every weight is built from exactly-rounded IEEE ops (int division,
+    multiply) and is bit-identical in any engine; ln()-based idf would
+    inherit each engine's 1-ulp log rounding. Dot products and norms
+    are quantized to integer micro-units per term and summed as longs
+    (associative ⇒ partition-order-independent), the same discipline as
+    queries.py::_dsum.
+
+    Scale: shuffles on token (posting lists), never all-pairs;
+    ``max_posting_len`` drops ubiquitous tokens (boilerplate) the way
+    the jaccard path drops stop-shingles.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_docs = docs.count()  # scalar query parameter, one cheap agg
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
+    if max_posting_len is not None:
+        dfreq = dfreq.where(F.col("dfc") <= max_posting_len)
+    w = tf.join(dfreq, "tok").select(
+        "_id",
+        "tok",
+        (
+            F.col("cnt").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("dfc") + 1))
+        ).alias("w"),
+    )
+    # integer micro-unit quantization: floor(x·1e6 + 0.5) is exact IEEE
+    # arithmetic, long sums are associative — deterministic everywhere
+    q = lambda c: F.floor(c * 1_000_000 + F.lit(0.5))  # noqa: E731
+    norms = w.groupBy("_id").agg(F.sum(q(F.col("w") * F.col("w"))).alias("q2"))
+    dots = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.sum(q(F.col("a.w") * F.col("b.w"))).alias("qd"))
+    )
+    na = norms.select(F.col("_id").alias("doc_a"), F.col("q2").alias("qa"))
+    nb = norms.select(F.col("_id").alias("doc_b"), F.col("q2").alias("qb"))
+    cos = (F.col("qd") / 1e6) / (
+        F.sqrt(F.col("qa") / 1e6) * F.sqrt(F.col("qb") / 1e6)
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def minhash_jaccard_pairs_mllib(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -105,4 +176,56 @@ def minhash_jaccard_pairs_mllib(
         )
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_jaccard_pairs_verified(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 32,
+    candidate_margin: float = 0.1,
+) -> DataFrame:
+    """MLlib MinHashLSH candidates + EXACT jaccard verification — the
+    oracle-checkable wrapper around :func:`minhash_jaccard_pairs_mllib`.
+
+    The LSH join runs with a loosened cut (threshold − margin) over the
+    *hashed* token sets (HashingTF collisions can nudge a boundary
+    pair's hashed-set jaccard below its true value); each candidate is
+    then re-scored with the exact distinct-token jaccard (integer
+    intersect/union — bit-identical in any engine), so precision is
+    exactly 1 against the token-set definition. With OR-construction
+    across ``num_hash_tables`` seeded tables, a qualifying pair escapes
+    candidacy with probability ≤ (1−j+margin')^T ≈ 1e-10 at j ≥ 0.8,
+    T = 32 — and the seeded planes make the outcome deterministic for
+    a given corpus, which is what lets the differential oracle gate
+    hash-match the exact all-pairs SQL.
+    """
+    cand = minhash_jaccard_pairs_mllib(
+        docs,
+        threshold=max(0.0, threshold - candidate_margin),
+        text_col=text_col,
+        id_col=id_col,
+        num_hash_tables=num_hash_tables,
+    ).select("doc_a", "doc_b")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    )
+    sets = docs.select(F.col(id_col).alias("_sid"), toks.alias("_s"))
+    jacc = F.col("_i").cast("double") / F.col("_u")
+    return (
+        cand.join(
+            sets.select(F.col("_sid").alias("doc_a"), F.col("_s").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("_sid").alias("doc_b"), F.col("_s").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("_u", F.size("_sa") + F.size("_sb") - F.col("_i"))
+        .withColumn("jaccard", jacc)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )

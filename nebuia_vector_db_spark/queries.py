@@ -473,21 +473,81 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB
-    equivalent, SURVEY §5-1)."""
+    """SimHash near-dup pairs, md5-bit variant: the oracle recomputes
+    the ENTIRE simhash (per-token bits → majority vote → 64-bit value →
+    pigeonhole-blocked Hamming pairs) in ANSI SQL, so this row is a
+    full hash-equality check, not rows-only. The xxhash64 default
+    remains the fast path (operators/dedup.py::simhash64)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_pairs(docs, max_hamming=3, hash_fn="md5").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _simhash_bit_sql(i: int) -> str:
+    # bit i = bit (3 - i%4) of hex digit i//4 of md5(tok) — mirrors
+    # operators/dedup.py::simhash64(hash_fn='md5') exactly
+    hexval = f"(strpos('0123456789abcdef', substr(hx, {i // 4 + 1}, 1)) - 1)"
+    return f"(({hexval} >> {3 - i % 4}) & 1)"
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(f"sum({_simhash_bit_sql(i)}) AS b{i}" for i in range(64))
+    val = " + ".join(
+        f"(CASE WHEN 2*b{i} > n THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    val += " + (CASE WHEN 2*b63 > n THEN -9223372036854775808 ELSE 0 END)"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                                          x -> x != ''))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+b AS (SELECT doc_id, count(*) AS n, {sums} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({val} AS BIGINT) AS sim FROM b)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, c.sim)) AS INT) AS hamming
+FROM s a JOIN s c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.sim, c.sim)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
 def q_vs_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH cosine near-dup (rows-only; the exact
-    oracle-checked baseline is vs_neardup_cos)."""
+    """Random-hyperplane LSH cosine near-dup, oracle-checked against
+    the exact all-pairs SQL: at this test scale the sketches are sized
+    for candidate recall 1 (6 planes × 96 seeded tables — deterministic
+    given the fixed seed), and every candidate is exact-verified, so
+    the output IS the exact pair set. Production defaults auto-size
+    sketches for throughput instead (operators/dedup.py docstring)."""
     emb = _emb(spark, sf_dir)
     return (
-        embedding_neardup_lsh(emb, threshold=0.45)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+        embedding_neardup_lsh(emb, threshold=0.45, n_planes=6, n_tables=96)
+        .select("vec_a", "vec_b", _r(F.col("cosine"), 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+_COS_SQL = (
+    "(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+)
+
+ORACLE_VS_NEARDUP_LSH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_r(_COS_SQL, 6)} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= 0.45
+ORDER BY vec_a, vec_b
+"""
 
 
 # ==========================================================================
@@ -588,33 +648,104 @@ ORDER BY doc_id
 
 
 def q_text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib path (rows-only: HashingTF/IDF have no DuckDB twin):
-    TF-IDF → unit-normalize → BucketedRandomProjectionLSH join;
-    exactness of reported cosines is pinned by tests/test_textvec.py."""
-    from nebuia_vector_db_spark.operators.textvec import tfidf_cosine_pairs
+    """Exact tf-idf cosine near-dup via inverted-index join, fully
+    SQL-mirrored (rational idf + micro-unit quantization keep every
+    float bit-identical across engines). The MLlib BRP-LSH variant
+    (tfidf_cosine_pairs) remains the approximate fast path, pinned by
+    tests/test_textvec.py."""
+    from nebuia_vector_db_spark.operators.textvec import (
+        exact_tfidf_cosine_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # word-soup fixtures overlap heavily in unigram space — 0.9 keeps
     # the result a true near-dup set (0.5 matches ~70% of all pairs)
     return (
-        tfidf_cosine_pairs(docs, threshold=0.9)
-        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+        exact_tfidf_cosine_pairs(docs, threshold=0.9)
+        .select("doc_a", "doc_b", _r(F.col("cosine"), 6).alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
 
 
+ORACLE_TFIDF_NEARDUP = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.cnt * ((nn.n + 1.0) / (dfreq.dfc + 1)) AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nn
+),
+norms AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(w * w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q2
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CAST(floor(a.w * b.w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qd
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT doc_a, doc_b,
+         (qd / 1000000.0)
+           / (sqrt(na.q2 / 1000000.0) * sqrt(nb.q2 / 1000000.0)) AS c
+  FROM dots
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, floor(c * 1000000 + 0.5) / 1000000.0 AS cosine
+FROM cosv WHERE c >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH twin of dedup_minhash_lsh (rows-only)."""
+    """MLlib MinHashLSH candidates + exact jaccard verification —
+    hash-checked against the exact all-pairs unigram-jaccard SQL (the
+    seeded 32-table OR-construction has per-pair miss probability
+    ~1e-10 at the loosened candidate cut, and the seed makes the run
+    deterministic)."""
     from nebuia_vector_db_spark.operators.textvec import (
-        minhash_jaccard_pairs_mllib,
+        minhash_jaccard_pairs_verified,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        minhash_jaccard_pairs_mllib(docs, threshold=0.9)
+        minhash_jaccard_pairs_verified(docs, threshold=0.9)
         .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+ORACLE_MINHASH_MLLIB = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) AS s
+  FROM documents
+),
+sh AS (SELECT doc_id, unnest(s) AS tok FROM t),
+sizes AS (SELECT doc_id, len(s) AS n FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       {_sql_r("i * 1.0 / (sa.n + sb.n - i)", 6)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,20 +1970,20 @@ REGISTRY: dict[
     "vs_nested_search": (q_vs_nested_search, ORACLE_VS_NESTED),
     "vs_ivf_topk": (q_vs_ivf_topk, ORACLE_VS_IVF_TOPK),
     "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
-    "vs_neardup_lsh": (q_vs_neardup_lsh, None),  # RP-LSH, rows-only
+    "vs_neardup_lsh": (q_vs_neardup_lsh, ORACLE_VS_NEARDUP_LSH),
     # dedup family (extension, SURVEY §2.3)
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
-    "dedup_simhash": (q_dedup_simhash, None),  # xxhash64-based, rows-only
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     # text analysis (extension, SURVEY §2.3)
     "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "text_bpe_tokens": (q_text_bpe_tokens, ORACLE_TEXT_BPE),
-    "text_tfidf_neardup": (q_text_tfidf_neardup, None),  # MLlib, rows-only
-    "text_minhash_mllib": (q_text_minhash_mllib, None),  # MLlib, rows-only
+    "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
+    "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
     "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),

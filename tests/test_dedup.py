@@ -140,3 +140,15 @@ def test_blocked_cosine_pairs_equals_broadcast(spark, sf_oracle):
         ).collect()
     }
     assert via_cap == want
+
+
+def test_simhash_md5_variant_matches_semantics(corpus):
+    """The SQL-reproducible md5-bit simhash must behave like the
+    xxhash64 default: exact dups at Hamming 0, unrelated docs outside
+    the radius."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, max_hamming=3, hash_fn="md5").collect()
+    }
+    assert got[(0, 1)] == 0  # exact dup
+    assert (0, 4) not in got and (1, 4) not in got  # unrelated doc

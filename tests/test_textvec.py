@@ -73,3 +73,48 @@ def test_minhash_mllib_pairs_no_false_positives_vs_exact_token_jaccard(docs):
         # rare hash collisions at 16k features
         assert abs(j - exact_j) < 0.05
         assert exact_j >= 0.3  # no wildly-wrong pair survives
+
+
+def test_exact_tfidf_cosine_planted_pair(spark):
+    from nebuia_vector_db_spark.operators.textvec import (
+        exact_tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),  # identical
+        (2, "alpha beta gamma delta epsilon eta"),  # near
+        (3, "totally different words here now ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in exact_tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    }
+    assert abs(got[(0, 1)] - 1.0) < 1e-9  # identical docs → cosine 1
+    assert (0, 2) in got and got[(0, 2)] < got[(0, 1)]
+    assert all(3 not in p for p in got)
+
+
+def test_minhash_verified_equals_exact_jaccard(spark):
+    """minhash_jaccard_pairs_verified must emit exactly the pairs whose
+    exact distinct-token jaccard clears the threshold (candidates come
+    from MLlib LSH, membership from exact verification)."""
+    from nebuia_vector_db_spark.operators.textvec import (
+        minhash_jaccard_pairs_verified,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i k"),  # jaccard 9/11 ≈ 0.818
+        (2, "a b c d e f g h i j"),  # exact dup of 0
+        (3, "z y x w v u t s r q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_jaccard_pairs_verified(docs, threshold=0.8).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert abs(got[(0, 2)] - 1.0) < 1e-9
+    assert abs(got[(0, 1)] - 9 / 11) < 1e-9
