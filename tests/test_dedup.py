@@ -152,3 +152,13 @@ def test_simhash_md5_variant_matches_semantics(corpus):
     }
     assert got[(0, 1)] == 0  # exact dup
     assert (0, 4) not in got and (1, 4) not in got  # unrelated doc
+
+
+def test_minhash_arrow_kernel_equals_expression_path(corpus):
+    """The Arrow min-fold must produce bit-identical signatures to the
+    pure-expression aggregate (hashes are JVM-computed in both)."""
+    from nebuia_vector_db_spark.operators.dedup import minhash_signatures
+
+    a = {r["_id"]: r["sig"] for r in minhash_signatures(corpus, method="arrow").collect()}
+    b = {r["_id"]: r["sig"] for r in minhash_signatures(corpus, method="expr").collect()}
+    assert a == b

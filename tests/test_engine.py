@@ -182,3 +182,19 @@ def test_store_reference_wire_shape_embedding(spark, tmp_path_factory):
     row = eng.chunks(["w"]).head()
     assert row["embedding"] == [1.0, 2.0]
     assert row["semantic_score"] == pytest.approx(0.1)  # O-13 round-trip
+
+
+def test_delete_capability_gate(spark, tmp_path_factory):
+    """D-6: without Delta on the classpath the parquet partition-drop
+    fallback must run — even if a stray _delta_log directory exists
+    (BOTH capability conditions are required for the ACID path)."""
+    import os
+
+    wh = str(tmp_path_factory.mktemp("wh_gate"))
+    eng = VectorEngine(spark, wh, dim=4)
+    eng.store("tmp", _mkdocs(2, 1, 4, seed=7))
+    assert eng._delta_capable() is False  # no Delta in this env
+    os.makedirs(os.path.join(wh, "_delta_log"), exist_ok=True)
+    assert eng._delta_capable() is False  # classpath check still gates
+    assert eng.delete_collection("tmp")["deleted"] is True
+    assert eng.list_collections() == []
