@@ -87,6 +87,24 @@ def avg_token_len(text: Column | str) -> Column:
     return total.cast("double") / F.size(toks)
 
 
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated n-grams: 1 − distinct/total over the doc's
+    n-token shingles (0.0 for docs shorter than n tokens). High values
+    flag boilerplate/looped generations — a standard LLM-corpus quality
+    filter alongside stopword/alpha ratios."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            SHINGLE_SEP, *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    total = F.size(toks) - (n - 1)
+    dup = (total - F.size(F.array_distinct(grams))).cast("double") / total
+    return F.when(F.size(toks) >= n, dup).otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column | str) -> Column:
     """Heuristic document quality in [0,1]: length saturation +
     stopword balance + alphabetic purity. Mirrored exactly by the SQL

@@ -101,6 +101,51 @@ def dataset_split(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/eval contamination report: for every (eval doc, train doc)
+    pair sharing ≥ ``min_shared`` distinct n-gram shingles, emit the
+    overlap count — the standard pre-training hygiene check that an
+    eval set hasn't leaked into the training split.
+
+    Splits come from :func:`dataset_split` (deterministic md5 buckets),
+    so the report is reproducible at any cluster size. The overlap is
+    an inverted-index equi-join on the shingle — posting-list sized,
+    never |train| × |eval| — the same scale shape as the jaccard dedup
+    tier (operators/dedup.py).
+    """
+    from nebuia_vector_db_spark.functions.text import (
+        shingles_from_tokens,
+        with_tokens,
+    )
+
+    split = dataset_split(docs, id_col, train_pct, val_pct)
+    sh = with_tokens(split, text_col).select(
+        F.col(id_col),
+        "split",
+        F.explode(shingles_from_tokens("_toks", n)).alias("shingle"),
+    )
+    train = sh.where(F.col("split") == "train").select(
+        F.col(id_col).alias("train_doc"), "shingle"
+    )
+    ev = sh.where(F.col("split") != "train").select(
+        F.col(id_col).alias("eval_doc"), "shingle"
+    )
+    return (
+        ev.join(train, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 2048,

@@ -579,6 +579,11 @@ ORDER BY vec_a, vec_b
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting in ONE pass: whitespace counts, uniques, mean
+    length, AND the BPE-ish subword budget (merged from the former
+    text_bpe_tokens query — both are map-side projections over the same
+    scan, so one query evidences both operators and frees a slot in the
+    driver's 50-row recording window)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text_fns.tokens("text")
     return docs.select(
@@ -586,16 +591,28 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
         _r(text_fns.avg_token_len("text"), 6).alias("avg_token_len"),
+        text_fns.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        _r(
+            text_fns.bpe_token_count("text")
+            / F.size(text_fns.tokens("text")).cast("double"),
+            6,
+        ).alias("bpe_per_word"),
     ).orderBy("doc_id")
 
 
-ORACLE_TEXT_TOKENS = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+ORACLE_TEXT_TOKENS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(regexp_extract_all(text, '{text_fns.BPE_PIECE_RE}')) AS n_bpe
+  FROM documents
+)
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_uniq,
        floor(list_reduce(list_transform(toks, s -> len(s)), (a, b) -> a + b)
-             * 1.0 / len(toks) * 1000000 + 0.5) / 1000000.0 AS avg_token_len
+             * 1.0 / len(toks) * 1000000 + 0.5) / 1000000.0 AS avg_token_len,
+       n_bpe AS n_bpe_tokens,
+       floor(n_bpe * 1.0 / len(toks) * 1000000 + 0.5) / 1000000.0 AS bpe_per_word
 FROM t
 ORDER BY doc_id
 """
@@ -608,11 +625,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(text_fns.tokens("text")).cast("long").alias("n_tokens"),
         _r(text_fns.stopword_ratio("text"), 6).alias("stop_ratio"),
         _r(text_fns.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        _r(text_fns.repetition_ratio("text"), 6).alias("rep_ratio"),
         _r(text_fns.quality_score("text"), 6).alias("quality"),
     ).orderBy("doc_id")
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in text_fns.STOPWORDS)
+
+# same 3-gram construction as _JACCARD_SQL (chr(31) joints)
+_GRAMS_SQL = (
+    "list_transform(range(len(toks) - 2),"
+    " i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3])"
+)
 
 ORACLE_TEXT_QUALITY = f"""
 WITH t AS (
@@ -622,12 +646,17 @@ m AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
          len(list_filter(toks, s -> s IN ({_STOP_SQL}))) * 1.0 / len(toks) AS sr,
-         len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(text) AS ar
+         len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(text) AS ar,
+         CASE WHEN len(toks) >= 3
+              THEN (len(toks) - 2 - len(list_distinct({_GRAMS_SQL})))
+                   * 1.0 / (len(toks) - 2)
+              ELSE 0.0 END AS rr
   FROM t
 )
 SELECT doc_id, n_tokens,
        floor(sr * 1000000 + 0.5) / 1000000.0 AS stop_ratio,
        floor(ar * 1000000 + 0.5) / 1000000.0 AS alpha_ratio,
+       floor(rr * 1000000 + 0.5) / 1000000.0 AS rep_ratio,
        floor((0.5 * least(n_tokens / 50.0, 1.0) + 0.25 * (1.0 - sr) + 0.25 * ar)
              * 1000000 + 0.5) / 1000000.0 AS quality
 FROM m
@@ -768,36 +797,6 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
 ORDER BY doc_a, doc_b
-"""
-
-
-def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM-token budgeting: whitespace tokens vs BPE-ish subword count
-    (functions/text.py::bpe_token_count)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(text_fns.tokens("text")).cast("long").alias("n_ws_tokens"),
-        text_fns.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
-        _r(
-            text_fns.bpe_token_count("text")
-            / F.size(text_fns.tokens("text")).cast("double"),
-            6,
-        ).alias("bpe_per_word"),
-    ).orderBy("doc_id")
-
-
-ORACLE_TEXT_BPE = f"""
-WITH t AS (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_ws_tokens,
-         len(regexp_extract_all(text, '{text_fns.BPE_PIECE_RE}')) AS n_bpe_tokens
-  FROM documents
-)
-SELECT doc_id, n_ws_tokens, n_bpe_tokens,
-       floor(n_bpe_tokens * 1.0 / n_ws_tokens * 1000000 + 0.5) / 1000000.0 AS bpe_per_word
-FROM t
-ORDER BY doc_id
 """
 
 
@@ -950,6 +949,43 @@ SELECT CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
 FROM documents
 GROUP BY 1
 ORDER BY split
+"""
+
+
+def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        decontaminate(docs, n=3, min_shared=2)
+        .orderBy("eval_doc", "train_doc")
+    )
+
+
+ORACLE_PIPE_DECON = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+              WHEN {_MD5_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+t AS (SELECT doc_id, split, string_split(text, ' ') AS toks FROM s),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+)
+SELECT e.doc_id AS eval_doc, tr.doc_id AS train_doc,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh e JOIN sh tr ON e.shingle = tr.shingle
+WHERE e.split != 'train' AND tr.split = 'train'
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY eval_doc, train_doc
 """
 
 
@@ -2004,7 +2040,7 @@ REGISTRY: dict[
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
-    "text_bpe_tokens": (q_text_bpe_tokens, ORACLE_TEXT_BPE),
+    # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
     "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
     "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
@@ -2013,6 +2049,7 @@ REGISTRY: dict[
     "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
     "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
     "pipe_pack_sequences": (q_pipe_pack_sequences, ORACLE_PIPE_PACK),
+    "pipe_decontaminate": (q_pipe_decontaminate, ORACLE_PIPE_DECON),
     # multimodal (extension, binary columns + mapInPandas decode)
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES),

@@ -84,3 +84,30 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
         bins.setdefault(r["bin_id"], []).append(r["doc_id"])
     for ids in bins.values():
         assert ids == list(range(ids[0], ids[0] + len(ids)))
+
+
+def test_decontaminate_flags_cross_split_overlap(spark):
+    from nebuia_vector_db_spark.operators.pipeline import decontaminate
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"unique{i} filler{i} mixer{i} pad{i} more{i}") for i in range(40)]
+    # plant the shared passage in every doc id < 8 — whatever the md5
+    # split assigns, some pair must cross the train/eval boundary
+    planted = [(100 + i, shared + f" tail{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows + planted, "doc_id long, text string")
+    got = decontaminate(docs, n=3, min_shared=2).collect()
+    from nebuia_vector_db_spark.operators.pipeline import dataset_split
+
+    splits = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    planted_ids = [i for i, _ in planted]
+    crossers = [
+        (e, t)
+        for e in planted_ids
+        for t in planted_ids
+        if splits[e] != "train" and splits[t] == "train"
+    ]
+    found = {(r["eval_doc"], r["train_doc"]) for r in got}
+    for pair in crossers:
+        assert pair in found  # every cross-split planted pair reported
+    # only planted docs share >= 2 shingles
+    assert all(e in planted_ids and t in planted_ids for e, t in found)

@@ -52,3 +52,25 @@ def test_fingerprint_whitespace_invariant(spark):
     fps = [r["fp"] for r in df.select(T.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]  # case + whitespace collapse
     assert fps[2] != fps[0]  # trailing space preserved (documented)
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.functions.text import repetition_ratio
+
+    rows = [
+        (1, "a b c a b c a b c"),  # 7 grams, 3 distinct -> 4/7
+        (2, "all distinct words in this doc"),  # 0.0
+        (3, "x y"),  # shorter than n -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["rr"]
+        for r in df.select(
+            "doc_id", F.round(repetition_ratio("text"), 6).alias("rr")
+        ).collect()
+    }
+    assert abs(got[1] - 4 / 7) < 1e-6
+    assert got[2] == 0.0
+    assert got[3] == 0.0
