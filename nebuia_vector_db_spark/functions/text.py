@@ -87,12 +87,17 @@ def avg_token_len(text: Column | str) -> Column:
     return total.cast("double") / F.size(toks)
 
 
-def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+def repetition_ratio_from_tokens(toks: Column | str, n: int = 3) -> Column:
     """Fraction of repeated n-grams: 1 − distinct/total over the doc's
     n-token shingles (0.0 for docs shorter than n tokens). High values
     flag boilerplate/looped generations — a standard LLM-corpus quality
-    filter alongside stopword/alpha ratios."""
-    toks = tokens(text)
+    filter alongside stopword/alpha ratios.
+
+    Takes a *materialized* token-array column (see with_tokens): passing
+    a raw ``split()`` expression here lets CollapseProject inline the
+    tokenizer into every ``element_at`` of the shingle lambda —
+    measured 14× slower on the quality query at sf0.1."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
@@ -103,6 +108,13 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     total = F.size(toks) - (n - 1)
     dup = (total - F.size(F.array_distinct(grams))).cast("double") / total
     return F.when(F.size(toks) >= n, dup).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Expression form of :func:`repetition_ratio_from_tokens` — for
+    hot paths over many rows tokenize once via with_tokens and use the
+    _from_tokens variant instead."""
+    return repetition_ratio_from_tokens(tokens(text), n)
 
 
 def quality_score(text: Column | str) -> Column:

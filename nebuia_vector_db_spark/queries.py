@@ -620,12 +620,15 @@ ORDER BY doc_id
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # tokenize ONCE behind the projection barrier — the repetition
+    # shingle lambda would otherwise re-run split() per element_at
+    toked = text_fns.with_tokens(docs)
+    return toked.select(
         "doc_id",
-        F.size(text_fns.tokens("text")).cast("long").alias("n_tokens"),
+        F.size("_toks").cast("long").alias("n_tokens"),
         _r(text_fns.stopword_ratio("text"), 6).alias("stop_ratio"),
         _r(text_fns.alpha_ratio("text"), 6).alias("alpha_ratio"),
-        _r(text_fns.repetition_ratio("text"), 6).alias("rep_ratio"),
+        _r(text_fns.repetition_ratio_from_tokens("_toks"), 6).alias("rep_ratio"),
         _r(text_fns.quality_score("text"), 6).alias("quality"),
     ).orderBy("doc_id")
 
