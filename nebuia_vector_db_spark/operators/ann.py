@@ -113,6 +113,50 @@ def build_ivf_index(
     return IVFIndex(assigned, centroids, vec_col)
 
 
+def save_ivf_index(index: IVFIndex, path: str) -> None:
+    """Persist the index with the corpus PHYSICALLY partitioned by
+    cell (``partitionBy('ivf_cell')``) plus a tiny centroid table.
+
+    This is the step that turns cell pruning into *partition* pruning:
+    a reloaded index's ``search`` shows the ``ivf_cell IN (...)``
+    predicate as a PartitionFilter on the scan — only the probed
+    cells' files are read (test-pinned in tests/test_plans.py). At
+    100 TB that is the difference between scanning nprobe/n_cells of
+    the corpus and scanning all of it to filter.
+    """
+    import os
+
+    spark = index.assigned.sparkSession
+    index.assigned.write.partitionBy("ivf_cell").mode("overwrite").parquet(
+        os.path.join(path, "cells")
+    )
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(index.centroids)
+    ]
+    spark.createDataFrame(
+        cents, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def load_ivf_index(
+    spark, path: str, vec_col: str = "embedding"
+) -> IVFIndex:
+    """Reload a saved index: the cell-partitioned corpus scan (lazy,
+    partition-prunable) + the centroid matrix (driver-side, tiny)."""
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = np.vstack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    )
+    return IVFIndex(assigned, centroids, vec_col)
+
+
 def recall_at_k(
     index: IVFIndex,
     exact_corpus: DataFrame,

@@ -54,3 +54,35 @@ def test_cell_assignment_covers_corpus(spark, sf_smoke):
     assert index.assigned.where(F.col("ivf_cell").isNull()).count() == 0
     cells = {r[0] for r in index.assigned.select("ivf_cell").distinct().collect()}
     assert cells <= set(range(index.n_cells))
+
+
+def test_saved_ivf_index_search_prunes_partitions(spark, sf_oracle, tmp_path_factory):
+    """Persisted index: the nprobe cell filter must reach the scan as a
+    PartitionFilter (only probed cells' files read) and return the same
+    rows as the in-memory index."""
+    from nebuia_vector_db_spark.operators.ann import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    idx = build_ivf_index(emb, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    save_ivf_index(idx, path)
+    loaded = load_ivf_index(spark, path)
+    assert (loaded.centroids == idx.centroids).all()
+
+    q = [0.125] * 64
+    got = loaded.search(q, 5, nprobe=2, tie_cols=["vec_id"])
+    plan = explain_str(got)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan
+    want = {
+        r["vec_id"] for r in idx.search(q, 5, nprobe=2, tie_cols=["vec_id"]).collect()
+    }
+    assert {r["vec_id"] for r in got.collect()} == want
