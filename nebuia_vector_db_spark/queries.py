@@ -766,7 +766,16 @@ def q_text_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the exact all-pairs unigram-jaccard SQL (the
     seeded 32-table OR-construction has per-pair miss probability
     ~1e-10 at the loosened candidate cut, and the seed makes the run
-    deterministic)."""
+    deterministic).
+
+    Scale note: MLlib's MinHashLSH is OR-only (no AND-banding), so on
+    a corpus with high baseline unigram jaccard (this word-soup
+    fixture: most pairs ~0.5) nearly every pair becomes a candidate —
+    fine at the sf0.01 gate, quadratic by sf0.1. This query exists to
+    evidence the MLlib platform API; the banded
+    ``dedup.minhash_lsh_pairs`` (AND×OR, 2s at sf0.1) is the operator
+    a 100 TB pipeline should use, and `dedup_minhash_lsh` is its
+    oracle-green row."""
     from nebuia_vector_db_spark.operators.textvec import (
         minhash_jaccard_pairs_verified,
     )
