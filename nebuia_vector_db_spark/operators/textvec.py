@@ -106,6 +106,9 @@ def exact_tfidf_cosine_pairs(
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
     if max_posting_len is not None:
         dfreq = dfreq.where(F.col("dfc") <= max_posting_len)
+    # the weight relation feeds three consumers (norms + both sides of
+    # the token self-join); without persisting, Spark re-runs the whole
+    # tokenize→tf→df chain per consumer (measured 16 shuffles vs 6)
     w = tf.join(dfreq, "tok").select(
         "_id",
         "tok",
@@ -113,7 +116,7 @@ def exact_tfidf_cosine_pairs(
             F.col("cnt").cast("double")
             * (F.lit(float(n_docs + 1)) / (F.col("dfc") + 1))
         ).alias("w"),
-    )
+    ).cache()
     # integer micro-unit quantization: floor(x·1e6 + 0.5) is exact IEEE
     # arithmetic, long sums are associative — deterministic everywhere
     q = lambda c: F.floor(c * 1_000_000 + F.lit(0.5))  # noqa: E731
