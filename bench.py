@@ -288,6 +288,67 @@ def main() -> None:
         4,
     )
 
+    # ---- B6: IVF-PQ (memory-bounded ANN) on the clustered 600k
+    # corpus — codes quantize the RESIDUAL x − cell centroid (flat PQ
+    # measured recall 0 here: whole clusters tie), 8 bytes/vector
+    # (32×); ADC scan over codes + exact re-rank of the shortlist,
+    # optionally nprobe-pruned through the same cells as B5c.
+    from nebuia_vector_db_spark.operators.pq import encode_pq, train_pq
+    from nebuia_vector_db_spark.operators.topk import topk_search
+
+    t0 = time.perf_counter()
+    books = train_pq(
+        c_index.assigned, m=16, k=256, sample=100_000,
+        cell_centroids=c_index.centroids,
+    )
+    pq = encode_pq(
+        c_index.assigned, books, cell_centroids=c_index.centroids
+    )
+    pq.codes = pq.codes.cache()
+    pq.codes.count()
+    timings["b6_pq_train_encode_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b6_pq_adc_topk"] = round(
+        _median_time(
+            lambda: pq.search(
+                clustered, c_queries[0], 10, tie_cols=["vec_id"]
+            ).collect(),
+            runs=3,
+        ),
+        4,
+    )
+    timings["b6_pq_rerank_topk_nprobe8"] = round(
+        _median_time(
+            lambda: pq.search(
+                clustered, c_queries[0], 10, rerank=3000, nprobe=8,
+                tie_cols=["vec_id"],
+            ).collect(),
+            runs=3,
+        ),
+        4,
+    )
+    adc_rec, rr_rec = [], []
+    for q in c_queries[:4]:
+        want = {
+            r["vec_id"]
+            for r in topk_search(
+                clustered, q, 10, tie_cols=["vec_id"]
+            ).collect()
+        }
+        adc = {
+            r["vec_id"]
+            for r in pq.search(clustered, q, 10, tie_cols=["vec_id"]).collect()
+        }
+        rr = {
+            r["vec_id"]
+            for r in pq.search(
+                clustered, q, 10, rerank=3000, nprobe=8, tie_cols=["vec_id"]
+            ).collect()
+        }
+        adc_rec.append(len(adc & want) / 10)
+        rr_rec.append(len(rr & want) / 10)
+    timings["b6_pq_adc_recall_at_10"] = round(sum(adc_rec) / len(adc_rec), 4)
+    timings["b6_pq_rerank_recall_at_10"] = round(sum(rr_rec) / len(rr_rec), 4)
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -336,6 +397,9 @@ def main() -> None:
                     "b5_ivf_recall",
                     "b5c_ivf_build",
                     "b5c_ivf_recall",
+                    "b6_pq_train_encode",
+                    "b6_pq_adc_recall",
+                    "b6_pq_rerank_recall",
                 )
             )
         ),
@@ -363,6 +427,10 @@ def main() -> None:
                     "corpus (the distribution cells model): recall@10 "
                     "averaged over 8 cross-component queries at "
                     "nprobe 4/64 — the usable operating point",
+                    "b6": "IVF-PQ (residual product quantization) on the "
+                    "clustered corpus: 16 bytes/vector (16x vs float32), "
+                    "ADC over codes, exact re-rank of the top-3000 "
+                    "shortlist (0.5%) at nprobe 8/64; recall over 4 queries",
                 },
             }
         )

@@ -1,0 +1,315 @@
+"""Product quantization (PQ) for memory-bounded ANN at corpus scale.
+
+The reference brute-forces raw float vectors (main.go:197-237); IVF
+(operators/ann.py) bounds the *scan*, PQ bounds the *bytes*: each
+d-dim vector becomes ``m`` one-byte codewords (64-dim float32 → 8
+bytes, 32× smaller), and queries score candidates with an asymmetric
+distance table (ADC) — one (m × k) table of query-to-codeword dots,
+then a per-row table-lookup sum. Composition with IVF (prune cells,
+then ADC within probed cells, then exact re-rank of the short list)
+is the standard 100 TB ANN stack (Jégou et al., TPAMI 2011).
+
+Spark mapping:
+- **train**: driver-side vectorized Lloyd's k-means per subspace on a
+  bounded sample (≤ ``sample`` rows collected — training is the one
+  legitimately driver-sized step; 100k × 64 f64 ≈ 51 MB).
+- **encode**: one Arrow kernel per batch — (b, dsub)·(dsub, k) GEMM
+  per subspace, argmin → codes. Map-side only, no shuffle.
+- **search**: broadcast the tiny table, Arrow kernel does
+  ``table[s, codes[:, s]].sum(axis=1)`` per batch, per-partition
+  top-k cut, global TakeOrderedAndProject. The corpus read is codes
+  only — raw vectors are touched ONLY for the exact re-rank of the
+  ≤ ``rerank`` survivors (a semi-join by id).
+
+Scoring matches the engine's similarity semantics — ``dot(q/‖q‖, x)``
+with the stored vector raw (SURVEY §1.5-1) — approximated by the sum
+of subspace dots against reconstructed codewords.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions.vector import normalize_query
+
+
+def _kmeans_np(
+    x: np.ndarray, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Vectorized Lloyd's k-means (driver-side, deterministic).
+
+    k-means++-lite init: distinct random rows. Empty clusters are
+    re-seeded from the farthest points so all k codewords stay live.
+    """
+    rng = np.random.default_rng(seed)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n, d = x.shape
+    k_eff = min(k, n)
+    centers = x[rng.choice(n, size=k_eff, replace=False)].copy()
+    x2 = np.einsum("ij,ij->i", x, x)  # hoisted; constant across iters
+    prev = None
+    for _ in range(iters):
+        # argmin ||x−c||² ≡ argmin (||c||² − 2x·c): one (n,k) buffer,
+        # mutated in place — the ||x||² broadcast would only shift
+        # every row by a constant
+        scores = x @ centers.T
+        scores *= -2.0
+        scores += np.einsum("ij,ij->i", centers, centers)[None, :]
+        assign = scores.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k_eff)
+        sums = np.empty((k_eff, d), dtype=np.float64)
+        for j in range(d):
+            sums[:, j] = np.bincount(
+                assign, weights=x[:, j], minlength=k_eff
+            )
+        live = counts > 0
+        centers[live] = (
+            sums[live] / counts[live, None]
+        ).astype(np.float32)
+        if not live.all():  # re-seed empties from the farthest points
+            far = np.argsort(scores.min(axis=1) + x2)[-int((~live).sum()):]
+            centers[~live] = x[far]
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
+    if k_eff < k:  # degenerate tiny input: pad with copies
+        centers = np.vstack([centers, centers[: k - k_eff]])
+    return centers.astype(np.float64)
+
+
+class PQIndex:
+    """Trained codebooks + the encoded corpus (id[, cell], codes).
+
+    With ``cell_centroids`` set this is IVF-PQ: codes quantize the
+    RESIDUAL x − centroid(cell(x)). Flat PQ has no within-cluster
+    resolution on clustered corpora (every member of a tight cluster
+    maps to the same codewords → identical ADC scores, recall ≈ 0 —
+    measured); residual encoding is what gives PQ its resolution where
+    the data actually lives, and the score decomposes exactly:
+    ``dot(q_n, x) ≈ dot(q_n, centroid) + Σ_s table[s, code_s]``."""
+
+    def __init__(
+        self,
+        codes: DataFrame,
+        codebooks: np.ndarray,  # (m, k, dsub) float64
+        vec_col: str,
+        id_col: str,
+        cell_centroids: np.ndarray | None = None,  # (n_cells, d)
+        cell_col: str = "ivf_cell",
+    ):
+        self.codes = codes
+        self.codebooks = codebooks
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.cell_centroids = cell_centroids
+        self.cell_col = cell_col
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.codebooks.shape[1])
+
+    def adc_table(self, qvec: Sequence[float]) -> np.ndarray:
+        """(m, k) inner products of the normalized query's subspace
+        slices against every codeword — the whole query-side work."""
+        qn = np.asarray(normalize_query(qvec), dtype=np.float64)
+        dsub = self.codebooks.shape[2]
+        return np.stack(
+            [
+                self.codebooks[s] @ qn[s * dsub : (s + 1) * dsub]
+                for s in range(self.m)
+            ]
+        )
+
+    def search(
+        self,
+        corpus: DataFrame,
+        qvec: Sequence[float],
+        topk: int,
+        rerank: int = 0,
+        tie_cols: Sequence[str] = (),
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k over the codes; with ``rerank > 0`` the top
+        ``rerank`` ADC candidates are re-scored EXACTLY against the raw
+        vectors (semi-join on id) and the final top-k is exact within
+        that candidate set — the memory-bounded near-exact path.
+
+        On an IVF-PQ index, ``nprobe`` additionally restricts the ADC
+        scan to the best cells (centroid ranking driver-side, same as
+        operators/ann.py) — the composed prune-then-score stack."""
+        from pyspark.sql.functions import pandas_udf
+
+        table = self.adc_table(qvec)
+        m = self.m
+        cut = max(topk, rerank)
+
+        codes_src = self.codes
+        cell_term = None
+        if self.cell_centroids is not None:
+            qn = np.asarray(normalize_query(qvec), dtype=np.float64)
+            cell_dots = self.cell_centroids @ qn  # (n_cells,)
+            if nprobe is not None:
+                probe = [
+                    int(c)
+                    for c in np.argsort(-cell_dots, kind="stable")[
+                        : max(1, nprobe)
+                    ]
+                ]
+                codes_src = codes_src.where(
+                    F.col(self.cell_col).isin(probe)
+                )
+            cell_term = cell_dots
+
+        @pandas_udf("double")
+        def _adc(codes: pd.Series, cells: pd.Series) -> pd.Series:
+            c = np.array(list(codes), dtype=np.int64)  # (b, m)
+            if len(c) == 0:
+                return pd.Series([], dtype="float64")
+            s = np.zeros(len(c), dtype=np.float64)
+            for j in range(m):
+                s += table[j][c[:, j]]
+            if cell_term is not None:
+                s += cell_term[cells.to_numpy(dtype=np.int64)]
+            return pd.Series(s)
+
+        cell_arg = (
+            F.col(self.cell_col)
+            if self.cell_centroids is not None
+            else F.lit(0)
+        )
+        scored = codes_src.withColumn(
+            "adc_score", _adc(F.col("codes"), cell_arg)
+        )
+        short = scored.orderBy(
+            F.desc("adc_score"), *[F.col(c) for c in tie_cols]
+        ).limit(cut)
+        if not rerank:
+            return short.select(self.id_col, "adc_score")
+        from nebuia_vector_db_spark.functions.vector import dot
+
+        qn = normalize_query(qvec)
+        cand = corpus.join(
+            F.broadcast(short.select(self.id_col)), self.id_col, "left_semi"
+        )
+        exact = cand.withColumn(
+            "similarity", dot(F.col(self.vec_col), qn)
+        )
+        return (
+            exact.orderBy(
+                F.desc("similarity"), *[F.col(c) for c in tie_cols]
+            )
+            .limit(topk)
+            .select(self.id_col, "similarity")
+        )
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 100_000,
+    iters: int = 15,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_centroids: np.ndarray | None = None,
+    cell_col: str = "ivf_cell",
+) -> np.ndarray:
+    """(m, k, dsub) codebooks from a bounded driver-side sample.
+
+    With ``cell_centroids`` (IVF-PQ), codebooks are trained on the
+    RESIDUALS x − centroid(cell(x)) — ``df`` must carry ``cell_col``
+    (e.g. ``build_ivf_index(...).assigned``)."""
+    if cell_centroids is not None:
+        rows = df.select(vec_col, cell_col).limit(sample).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        cells = np.array([r[1] for r in rows], dtype=np.int64)
+        x = x - cell_centroids[cells]
+    else:
+        rows = df.select(vec_col).limit(sample).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [
+            _kmeans_np(x[:, s * dsub : (s + 1) * dsub], k, iters, seed + s)
+            for s in range(m)
+        ]
+    )
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_centroids: np.ndarray | None = None,
+    cell_col: str = "ivf_cell",
+) -> PQIndex:
+    """Map-side Arrow encoding: per batch, one GEMM + argmin per
+    subspace; output is (id[, cell], codes array<int>) — at rest this
+    is the 32× compressed representation (write it partitioned/bucketed
+    like any table; raw vectors are only needed for re-rank). With
+    ``cell_centroids`` the codes quantize residuals (IVF-PQ)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    m, _, dsub = codebooks.shape
+    # ||c||² per subspace, precomputed once; argmin ||x−c||² ≡
+    # argmin (||c||² − 2x·c)
+    c_norm2 = np.einsum("skd,skd->sk", codebooks, codebooks)
+    residual = cell_centroids is not None
+
+    def _encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from nebuia_vector_db_spark.functions.vector import (
+            arrow_list_to_matrix,
+        )
+
+        for rb in batches:
+            ids = rb.column(id_col)
+            mat = arrow_list_to_matrix(rb.column(vec_col)).astype(
+                np.float64, copy=False
+            )
+            if mat.shape[0] == 0:
+                continue
+            if residual:
+                cells = rb.column(cell_col).to_numpy(zero_copy_only=False)
+                mat = mat - cell_centroids[cells.astype(np.int64)]
+            codes = np.empty((mat.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                xs = mat[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = (
+                    c_norm2[s][None, :] - 2.0 * (xs @ codebooks[s].T)
+                ).argmin(axis=1)
+            arrays = [ids]
+            names = [id_col]
+            if residual:
+                arrays.append(rb.column(cell_col))
+                names.append(cell_col)
+            arrays.append(pa.array(list(codes), type=pa.list_(pa.int64())))
+            names.append("codes")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    if residual:
+        src = df.select(id_col, cell_col, vec_col)
+        schema = f"{id_col} long, {cell_col} int, codes array<long>"
+    else:
+        src = df.select(id_col, vec_col)
+        schema = f"{id_col} long, codes array<long>"
+    codes_df = src.mapInArrow(_encode, schema=schema)
+    return PQIndex(
+        codes_df, codebooks, vec_col, id_col,
+        cell_centroids=cell_centroids, cell_col=cell_col,
+    )

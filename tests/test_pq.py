@@ -1,0 +1,145 @@
+"""Product quantization (operators/pq.py): encode shape/determinism,
+ADC approximation quality, and exact-rerank recovery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nebuia_vector_db_spark.operators.pq import (
+    PQIndex,
+    _kmeans_np,
+    encode_pq,
+    train_pq,
+)
+from nebuia_vector_db_spark.operators.topk import topk_search
+from nebuia_vector_db_spark.sources.registry import load_table
+
+
+def test_kmeans_np_deterministic_and_live_clusters():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 8))
+    a = _kmeans_np(x, 16, iters=10, seed=1)
+    b = _kmeans_np(x, 16, iters=10, seed=1)
+    assert (a == b).all()
+    assert a.shape == (16, 8)
+    assert len(np.unique(a, axis=0)) == 16  # no dead/duplicate centers
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    books = train_pq(emb, m=8, k=64, sample=1000, iters=10)
+    return emb, encode_pq(emb, books)
+
+
+def test_encode_shapes_and_determinism(pq_index):
+    emb, idx = pq_index
+    rows = idx.codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 64 for c in r["codes"])
+    again = {r["vec_id"]: r["codes"] for r in idx.codes.collect()}
+    first = {r["vec_id"]: r["codes"] for r in rows}
+    assert again == first
+
+
+def test_adc_approximates_exact_similarity(pq_index, spark, sf_oracle):
+    """ADC score = dot(q_n, reconstruction(x)); over the corpus it must
+    correlate strongly with the exact similarity (quantization noise,
+    not bias)."""
+    emb, idx = pq_index
+    q = [0.125] * 64
+    adc = {
+        r["vec_id"]: r["adc_score"]
+        for r in idx.search(emb, q, topk=emb.count()).collect()
+    }
+    exact = {
+        r["vec_id"]: r["similarity"]
+        for r in topk_search(emb, q, emb.count(), tie_cols=["vec_id"]).collect()
+    }
+    ids = sorted(exact)
+    a = np.array([adc[i] for i in ids])
+    e = np.array([exact[i] for i in ids])
+    corr = np.corrcoef(a, e)[0, 1]
+    # i.i.d. Gaussian is PQ's worst case (no low-dim structure for the
+    # codebooks to exploit); on clustered data this correlation is ~1.
+    # The operational guarantee is the rerank test below, not raw ADC.
+    assert corr > 0.75, corr
+    assert abs(float(np.mean(a - e))) < 0.05  # approx unbiased
+
+
+def test_rerank_recovers_exact_topk(pq_index, spark, sf_oracle):
+    """ADC shortlist + exact re-rank must return the exact top-k when
+    the shortlist is a modest multiple of k."""
+    emb, idx = pq_index
+    q = [0.125] * 64
+    want = [
+        r["vec_id"]
+        for r in topk_search(emb, q, 10, tie_cols=["vec_id"]).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in idx.search(emb, q, topk=10, rerank=200, tie_cols=["vec_id"]).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_residual_encoding_on_clustered_data(spark):
+    """Flat PQ has no within-cluster resolution on clustered corpora;
+    residual (IVF-PQ) encoding must recover the exact top-k with a
+    modest re-rank shortlist AND get decent raw-ADC recall."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.operators.ann import build_ivf_index
+    from nebuia_vector_db_spark.operators.pq import encode_pq, train_pq
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(16, 64)) * 4.0
+    cid = rng.integers(0, 16, size=2000)
+    mat = centers[cid] + rng.normal(scale=1.0, size=(2000, 64))
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(2000), "embedding": list(mat)}
+        )
+    ).cache()
+    ivf = build_ivf_index(df, n_cells=8)
+    ivf.assigned = ivf.assigned.cache()
+    books = train_pq(
+        ivf.assigned, m=8, k=64, sample=2000, iters=10,
+        cell_centroids=ivf.centroids,
+    )
+    pq = encode_pq(ivf.assigned, books, cell_centroids=ivf.centroids)
+    pq.codes = pq.codes.cache()
+
+    q = (centers[3] + rng.normal(scale=1.0, size=64)).tolist()
+    want = [
+        r["vec_id"]
+        for r in topk_search(df, q, 10, tie_cols=["vec_id"]).collect()
+    ]
+    adc = [
+        r["vec_id"] for r in pq.search(df, q, 10, tie_cols=["vec_id"]).collect()
+    ]
+    # flat PQ scored 0/10 here (all cluster members tie → arbitrary
+    # top-10); residual ADC is informative, though at 32× compression
+    # of Gaussian residuals raw top-10 overlap stays low by design —
+    # the operating mode and the real guarantee is the re-rank below
+    assert len(set(adc) & set(want)) >= 1
+    got = [
+        r["vec_id"]
+        for r in pq.search(
+            df, q, 10, rerank=200, tie_cols=["vec_id"]
+        ).collect()
+    ]
+    assert got == want
+    # composed stack: nprobe-pruned ADC + re-rank, still exact here
+    pruned = [
+        r["vec_id"]
+        for r in pq.search(
+            df, q, 10, rerank=200, nprobe=4, tie_cols=["vec_id"]
+        ).collect()
+    ]
+    assert pruned == want
