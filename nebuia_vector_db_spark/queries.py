@@ -528,6 +528,66 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the n-gram-Jaccard dup pairs: every doc
+    in a pair labeled with its component's min doc_id (the canonical
+    keeper) and the component size (operators/components.py — min-label
+    propagation + pointer jumping, O(log n) rounds). The oracle
+    recomputes the closure with a recursive CTE over the same pairs."""
+    from nebuia_vector_db_spark.operators.components import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
+    )
+    return dedup_groups(pairs).orderBy("doc_id")
+
+
+ORACLE_DEDUP_GROUPS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+grp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node)
+SELECT g.doc_id, g.group_id, c.group_size
+FROM grp g
+JOIN (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+  FROM grp GROUP BY group_id
+) c USING (group_id)
+ORDER BY g.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5-bit variant: the oracle recomputes
     the ENTIRE simhash (per-token bits → majority vote → 64-bit value →
@@ -2081,6 +2141,7 @@ REGISTRY: dict[
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
     # text analysis (extension, SURVEY §2.3)
     "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
@@ -2103,7 +2164,6 @@ REGISTRY: dict[
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
-    "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
     "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
@@ -2127,8 +2187,10 @@ REGISTRY: dict[
     # redundant pins LAST: the driver recorded exactly 50 rows in r1,
     # so anything past position 50 risks going unrecorded — keep only
     # queries whose capability is already covered above down here
-    # (supp_with_returns: semi-join, covered by tpch_q4's EXISTS).
+    # (supp_with_returns: semi-join, covered by tpch_q4's EXISTS;
+    # tpch_q6: filter+global agg, covered by tpch_q1's filter+agg).
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
+    "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
 }
 
