@@ -107,6 +107,8 @@ def main() -> None:
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_groups",
+        "vs_pq_topk",
         "text_quality",
         "text_fingerprint",
         "mm_image_features",

@@ -167,3 +167,40 @@ def bpe_token_count(text: Column | str) -> Column:
     (≈ chars/4 for prose — the usual back-of-envelope)."""
     text = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0))
+
+
+def boilerplate_stats(
+    postings,
+    min_df: int = 5,
+    id_col: str = "_id",
+):
+    """Per-document boilerplate exposure from a shingle posting list
+    (operators/dedup.py::shingle_postings — distinct shingles per doc).
+
+    A shingle is *boilerplate* when its document frequency reaches
+    ``min_df`` (headers, footers, nav chrome, license blurbs — the
+    CCNet/RefinedWeb-style signal). Returns per doc the distinct
+    shingle count, how many are boilerplate, and the ratio — the
+    filter knob a training pipeline thresholds on.
+
+    Two shuffles at any scale: one groupBy on shingle for the df
+    counts, then (join back on the same shingle key — co-partitioned,
+    AQE coalesces) one groupBy on the doc id. Never all-pairs; the
+    postings relation is shared with the dedup tiers so the corpus is
+    tokenized once per session (queries.py::_shared_postings).
+    """
+    dfreq = postings.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        postings.join(dfreq, "shingle")
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df") >= min_df, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio_raw",
+            F.col("n_boiler") / F.col("n_shingles"),
+        )
+    )

@@ -588,6 +588,53 @@ ORDER BY g.doc_id
 """
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate exposure (functions/text.py::
+    boilerplate_stats) over the session-shared shingle postings: a
+    shingle with document frequency >= 5 is boilerplate; docs are
+    scored by the fraction of their distinct shingles that are.
+    Top-100 most boilerplate-heavy docs (ratio, then doc_id)."""
+    from nebuia_vector_db_spark.functions.text import boilerplate_stats
+
+    stats = boilerplate_stats(
+        _shared_postings(spark, sf_dir), min_df=5
+    )
+    return (
+        stats.select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            _r(F.col("boiler_ratio_raw"), 6).alias("boiler_ratio"),
+        )
+        .orderBy(F.desc("boiler_ratio"), "doc_id")
+        .limit(100)
+    )
+
+
+ORACLE_TEXT_BOILERPLATE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       {_sql_r('sum(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)} AS boiler_ratio
+FROM sh s JOIN dfreq d USING (shingle)
+GROUP BY s.doc_id
+ORDER BY boiler_ratio DESC, s.doc_id
+LIMIT 100
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, md5-bit variant: the oracle recomputes
     the ENTIRE simhash (per-token bits → majority vote → 64-bit value →
@@ -2147,6 +2194,7 @@ REGISTRY: dict[
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
     "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
@@ -2169,7 +2217,6 @@ REGISTRY: dict[
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
-    "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
     "fn_showcase": (q_fn_showcase, ORACLE_FN_SHOWCASE),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "cust_no_orders": (q_cust_no_orders, ORACLE_CUST_NO_ORDERS),
@@ -2188,9 +2235,11 @@ REGISTRY: dict[
     # so anything past position 50 risks going unrecorded — keep only
     # queries whose capability is already covered above down here
     # (supp_with_returns: semi-join, covered by tpch_q4's EXISTS;
-    # tpch_q6: filter+global agg, covered by tpch_q1's filter+agg).
+    # tpch_q6: filter+global agg, covered by tpch_q1's filter+agg;
+    # cube_orders: grouping-sets family, covered by rollup_lineitem).
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
+    "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
 }
 

@@ -74,3 +74,29 @@ def test_repetition_ratio(spark):
     assert abs(got[1] - 4 / 7) < 1e-6
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_boilerplate_stats(spark):
+    from nebuia_vector_db_spark.functions.text import boilerplate_stats
+    from nebuia_vector_db_spark.operators.dedup import shingle_postings
+
+    # "x y z" appears in 3 docs (boilerplate at min_df=3); each doc
+    # also has one unique shingle
+    rows = [
+        (1, "x y z a b c"),
+        (2, "x y z d e f"),
+        (3, "x y z g h i"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(
+            shingle_postings(docs), min_df=3
+        ).collect()
+    }
+    # 4 shingles per doc (xyz, yza.., zab.., abc-style); exactly one
+    # ("x y z") clears df>=3
+    for d in (1, 2, 3):
+        assert got[d]["n_shingles"] == 4
+        assert got[d]["n_boiler"] == 1
+        assert abs(got[d]["boiler_ratio_raw"] - 0.25) < 1e-12
