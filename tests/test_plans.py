@@ -156,3 +156,37 @@ def test_pack_sequences_has_no_single_partition_exchange(spark, sf_oracle):
     assert "Window" in plan
     # the window is partitioned by the bucket column
     assert "hashpartitioning(_b" in plan, plan
+
+
+def test_pq_adc_scans_codes_only_and_rerank_broadcasts(spark, sf_oracle):
+    """The ADC scan must read codes, never the raw vectors; the exact
+    re-rank must reach the corpus via a broadcast (semi) join of the
+    tiny shortlist — at 100 TB the full-precision table is orders of
+    magnitude larger than the code table, so any plan that drags
+    embeddings through the ADC stage or shuffles the corpus for the
+    re-rank is wrong."""
+    from nebuia_vector_db_spark.operators.pq import encode_pq, train_pq
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = train_pq(emb, m=16, k=16, sample=200)
+    pq = encode_pq(emb, books)
+    out = pq.search(emb, [0.1] * 64, 5, rerank=32, tie_cols=["vec_id"])
+    assert has_broadcast_join(out)
+    from nebuia_vector_db_spark.plans.inspect import _executed_plan
+
+    plan = _executed_plan(out)
+    assert "LeftSemi" in plan, plan
+    # corpus side of the re-rank join is never exchanged
+    assert shuffle_count(out) == 0, plan
+
+
+def test_boilerplate_two_shuffles(spark, sf_oracle):
+    """df-count on shingle + final agg on doc_id; the join back to
+    postings reuses the shingle partitioning (no third exchange for
+    the join's probe side beyond those two)."""
+    from nebuia_vector_db_spark.functions.text import boilerplate_stats
+    from nebuia_vector_db_spark.operators.dedup import shingle_postings
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = boilerplate_stats(shingle_postings(docs), min_df=5)
+    assert shuffle_count(out) <= 3  # shingle agg, join key reuse, doc agg
