@@ -50,12 +50,16 @@ def connected_components(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
+    # round 0 folded into init: lbl = min(node, min neighbor)
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("node"), F.min("dst")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # labels only ever decrease, so sum(lbl) is a strictly-monotone
+    # convergence witness — one cheap agg per round instead of an
+    # old-vs-new change-detection join
+    prev_sum = labels.agg(F.sum("lbl")).head()[0]
 
     for _ in range(max_iter):
         # min label over neighbors (shuffle join on |E|)
@@ -99,16 +103,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).head()[0]
+        if cur_sum == prev_sum:
             return labels.select("node", F.col("lbl").alias("group_id"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
