@@ -158,3 +158,53 @@ def sample_frames(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
         ).cast("long").alias("n_sampled"),
     ).where(F.col("n_frames") > 0)
+
+
+def audio_windows(
+    assets: DataFrame, win_bytes: int = 256, hop_bytes: int = 128
+) -> DataFrame:
+    """'Audio' windowing over the opaque payload: fixed-size windows
+    with hop (the STFT/feature-frame access pattern), one output row
+    per full window, content-addressed by the window's md5.
+
+    The mapInPandas body is the real decode integration point — a
+    deployment swaps the byte slice + md5 for sample decoding and
+    RMS/FFT features over exactly the same Arrow batch plumbing and
+    schema; windowing stays map-side with no shuffle either way. The
+    md5 makes the fake exactly SQL-reproducible, so the registry row
+    (`mm_audio_windows`) is a full content hash check, not rows-only.
+    """
+    import hashlib
+
+    cols = assets.select("doc_id", "payload")
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, wids, starts, hashes = [], [], [], []
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(pay)
+                n = len(b)
+                if n < win_bytes:
+                    continue
+                n_win = (n - win_bytes) // hop_bytes + 1
+                for w in range(n_win):
+                    s = w * hop_bytes
+                    doc_ids.append(doc)
+                    wids.append(w)
+                    starts.append(s)
+                    hashes.append(
+                        hashlib.md5(b[s : s + win_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "window_id": wids,
+                    "start_byte": starts,
+                    "window_md5": hashes,
+                }
+            )
+
+    return cols.mapInPandas(
+        _win,
+        schema="doc_id long, window_id long, start_byte long, window_md5 string",
+    )

@@ -1322,6 +1322,42 @@ ORDER BY doc_id
 """
 
 
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: opaque payload → fixed-size windows
+    with hop via an Arrow-batched mapInPandas decode stand-in
+    (multimodal/assets.py::audio_windows). The window md5 makes the
+    fake exactly reproducible in SQL (docs are ASCII, so byte slices
+    == char slices) — a full content-hash check of the binary path."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_fake_assets,
+        audio_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = audio_windows(
+        attach_fake_assets(docs), win_bytes=256, hop_bytes=128
+    )
+    return wins.orderBy("doc_id", "window_id")
+
+
+ORACLE_MM_AUDIO = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+w AS (
+  SELECT doc_id, text,
+         unnest(range(0, (n - 256) // 128 + 1)) AS window_id
+  FROM d WHERE n >= 256
+)
+SELECT doc_id,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(window_id * 128 AS BIGINT) AS start_byte,
+       md5(substr(text, window_id * 128 + 1, 256)) AS window_md5
+FROM w
+ORDER BY doc_id, window_id
+"""
+
+
 # ==========================================================================
 # Relational analytics over the TPC-H-ish star schema (built-in ops:
 # hash/broadcast joins, partial+final aggs, rollup, windows)
@@ -2290,6 +2326,7 @@ REGISTRY: dict[
     # multimodal (extension, binary columns + mapInPandas decode)
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES),
+    "mm_audio_windows": (q_mm_audio_windows, ORACLE_MM_AUDIO),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -2303,7 +2340,6 @@ REGISTRY: dict[
     "cust_no_orders": (q_cust_no_orders, ORACLE_CUST_NO_ORDERS),
     "price_quantiles": (q_price_quantiles, ORACLE_PRICE_QUANTILES),
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
-    "distinct_stats": (q_distinct_stats, ORACLE_DISTINCT_STATS),
     "approx_cardinality": (q_approx_cardinality, ORACLE_APPROX_CARDINALITY),
     "orders_above_cust_avg": (q_orders_above_cust_avg, ORACLE_ABOVE_CUST_AVG),
     "segment_set_ops": (q_segment_set_ops, ORACLE_SEGMENT_SET_OPS),
@@ -2320,8 +2356,10 @@ REGISTRY: dict[
     # cube_orders: grouping-sets family, covered by rollup_lineitem;
     # top_customers: agg+join+sort+limit, covered by tpch_q3/q18;
     # events_user_gap: lag window, covered by orders_running_revenue
-    # frames + events_sessions gap logic).
+    # frames + events_sessions gap logic; distinct_stats: distinct-agg
+    # family, covered by approx_cardinality's exact counts).
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
+    "distinct_stats": (q_distinct_stats, ORACLE_DISTINCT_STATS),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "events_user_gap": (q_events_user_gap, ORACLE_EVENTS_USER_GAP),
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),

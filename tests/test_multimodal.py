@@ -75,3 +75,25 @@ def test_payload_prunable(spark, sf_smoke):
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_audio_windows_boundaries_and_hashes(spark):
+    import hashlib
+
+    from nebuia_vector_db_spark.multimodal.assets import audio_windows
+
+    payload = bytes(range(256)) * 2  # 512 bytes → 3 windows at 256/128
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"short"))],
+        "doc_id long, payload binary",
+    )
+    rows = audio_windows(df, win_bytes=256, hop_bytes=128).collect()
+    got = {(r["doc_id"], r["window_id"]): r for r in rows}
+    assert set(got) == {(1, 0), (1, 1), (1, 2)}  # doc 2 too short
+    for w in range(3):
+        s = w * 128
+        assert got[(1, w)]["start_byte"] == s
+        assert (
+            got[(1, w)]["window_md5"]
+            == hashlib.md5(payload[s : s + 256]).hexdigest()
+        )
