@@ -1,0 +1,86 @@
+"""Streaming vector scoring — the reference's ingest+search loop as
+one continuous pipeline.
+
+The reference couples a write path (storeDocument, main.go:294-349)
+with a poll-style read path (searchDocuments, main.go:351-367); the
+streaming twin scores embeddings AS THEY ARRIVE against a registered
+query set and emits matches — semantic routing / alerting. All
+stateless per-row (map-side): similarity is the same codegen'd HOF
+dot the batch engine uses, queries ride along as a broadcast-sized
+literal array — valid in append mode with no state store, so it runs
+identically on an unbounded stream and on Trigger.AvailableNow.
+
+Per-query top-k over an infinite stream is ill-defined without a
+window; `topk_stream_foreach_batch` gives the standard practical
+shape — per-micro-batch exact top-k (TakeOrdered inside foreachBatch)
+appended to a sink the caller compacts — mirroring the batch
+operators/topk.py semantics batch-by-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions.vector import dot, normalize_query
+
+
+def semantic_filter_stream(
+    stream: DataFrame,
+    queries: dict[str, Sequence[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append-mode semantic router: each arriving vector is scored
+    against every registered query (a handful — they unroll into the
+    projection as literals); rows clearing ``threshold`` are emitted
+    tagged with the matching query name and similarity. One codegen'd
+    projection + filter — no shuffle, no state, unbounded-safe."""
+    scored = stream
+    structs = [
+        F.struct(
+            F.lit(name).alias("query_name"),
+            dot(F.col(vec_col), normalize_query(qv)).alias("similarity"),
+        )
+        for name, qv in queries.items()
+    ]
+    scored = scored.withColumn("_m", F.explode(F.array(*structs)))
+    return (
+        scored.where(F.col("_m.similarity") >= threshold)
+        .withColumn("query_name", F.col("_m.query_name"))
+        .withColumn("similarity", F.col("_m.similarity"))
+        .drop("_m")
+    )
+
+
+def topk_stream_foreach_batch(
+    stream: DataFrame,
+    qvec: Sequence[float],
+    topk: int,
+    sink: Callable[[DataFrame, int], None],
+    vec_col: str = "embedding",
+    tie_cols: Sequence[str] = (),
+):
+    """Per-micro-batch exact top-k: each batch is scored and cut with
+    the same TakeOrderedAndProject plan as the batch engine, then
+    handed to ``sink(df, batch_id)`` (append to a results table the
+    caller compacts with a global top-k — k rows per batch, so the
+    compaction input stays tiny). Returns the started query."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        qn = normalize_query(qvec)
+        scored = batch_df.withColumn(
+            "similarity", dot(F.col(vec_col), qn)
+        )
+        top = scored.orderBy(
+            F.desc("similarity"), *[F.col(c) for c in tie_cols]
+        ).limit(topk)
+        sink(top, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )
