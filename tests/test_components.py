@@ -54,3 +54,39 @@ def test_nonconvergence_raises(spark):
     e = _edges(spark, [(i, i + 1) for i in range(40)])
     with pytest.raises(RuntimeError):
         connected_components(e, max_iter=2)
+
+
+def test_random_graph_matches_union_find(spark):
+    """50k-edge random graph on 20k nodes vs a driver-side union-find
+    — exercises multi-round convergence, big components, and
+    singletons-in-pairs at a size where a wrong fixpoint can't hide."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 20_000, size=50_000)
+    b = rng.integers(0, 20_000, size=50_000)
+    keep = a != b
+    edges = list(zip(a[keep].tolist(), b[keep].tolist()))
+
+    parent = list(range(20_000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    nodes_in_edges = {u for e in edges for u in e}
+    want = {n: find(n) for n in nodes_in_edges}
+    # canonical label = component min; path-compressed roots ARE the
+    # min because union always points the larger root at the smaller
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["group_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
