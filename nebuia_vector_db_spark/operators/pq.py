@@ -313,3 +313,78 @@ def encode_pq(
         codes_df, codebooks, vec_col, id_col,
         cell_centroids=cell_centroids, cell_col=cell_col,
     )
+
+
+def save_pq_index(index: PQIndex, path: str) -> None:
+    """Persist the compressed corpus: codes partitioned by IVF cell
+    when present (ADC probing then prunes partitions, same as
+    save_ivf_index) plus the codebooks and optional cell centroids as
+    tiny flattened tables. The raw-vector table is NOT copied — at
+    rest the index is the 16-32× smaller representation; re-rank
+    reads the original corpus by id."""
+    import os
+
+    spark = index.codes.sparkSession
+    w = index.codes.write.mode("overwrite")
+    if index.cell_centroids is not None:
+        w = w.partitionBy(index.cell_col)
+    w.parquet(os.path.join(path, "codes"))
+    m, k, dsub = index.codebooks.shape
+    books = [
+        (s, c, [float(x) for x in index.codebooks[s, c]])
+        for s in range(m)
+        for c in range(k)
+    ]
+    spark.createDataFrame(
+        books, "s int, c int, w array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    if index.cell_centroids is not None:
+        cents = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(index.cell_centroids)
+        ]
+        spark.createDataFrame(
+            cents, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+
+
+def load_pq_index(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> PQIndex:
+    """Reload: lazy (partition-prunable) codes scan + driver-side
+    codebooks/centroids."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("s", "c")
+        .collect()
+    )
+    m = 1 + max(r["s"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    dsub = len(rows[0]["w"])
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["s"], r["c"]] = r["w"]
+    cents = None
+    cent_path = os.path.join(path, "centroids")
+    try:
+        crows = spark.read.parquet(cent_path).orderBy("cell").collect()
+        cents = np.vstack(
+            [np.asarray(r["centroid"], dtype=np.float64) for r in crows]
+        )
+    except Exception:
+        cents = None  # flat-PQ index: no centroid table written
+    return PQIndex(
+        codes, books, vec_col, id_col,
+        cell_centroids=cents, cell_col=cell_col,
+    )

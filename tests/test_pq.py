@@ -143,3 +143,35 @@ def test_ivfpq_residual_encoding_on_clustered_data(spark):
         ).collect()
     ]
     assert pruned == want
+
+
+def test_save_load_roundtrip_same_results(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from nebuia_vector_db_spark.operators.pq import (
+        encode_pq,
+        load_pq_index,
+        save_pq_index,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(300, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [list(r) for r in mat]}
+    )
+    df = spark.createDataFrame(pdf)
+    books = train_pq(df, m=4, k=32, sample=1000)
+    pq = encode_pq(df, books)
+    q = mat[9].tolist()
+    before = pq.search(df, q, 5, rerank=64, tie_cols=["vec_id"]).collect()
+
+    path = str(tmp_path / "pqidx")
+    save_pq_index(pq, path)
+    loaded = load_pq_index(spark, path)
+    after = loaded.search(df, q, 5, rerank=64, tie_cols=["vec_id"]).collect()
+    assert [(r["vec_id"], round(r["similarity"], 10)) for r in before] == [
+        (r["vec_id"], round(r["similarity"], 10)) for r in after
+    ]
+    assert (loaded.codebooks == pq.codebooks).all()
