@@ -351,6 +351,40 @@ def main() -> None:
     timings["b6_pq_adc_recall_at_10"] = round(sum(adc_rec) / len(adc_rec), 4)
     timings["b6_pq_rerank_recall_at_10"] = round(sum(rr_rec) / len(rr_rec), 4)
 
+    # ---- B7: SQ8 (int8 + per-vector scale, 4×, no training) on the
+    # same 600k corpus — the middle rung of the storage ladder.
+    from nebuia_vector_db_spark.operators.sq import sq8_encode, sq8_topk
+
+    sq_codes = sq8_encode(clustered).select(
+        "vec_id", "sq8_scale", "sq8_codes"
+    ).cache()
+    sq_codes.count()
+    from nebuia_vector_db_spark.operators.sq import sq8_similarity
+
+    def _sq8_query(q):
+        return (
+            sq_codes.withColumn("similarity", sq8_similarity(q))
+            .orderBy(F.desc("similarity"), "vec_id")
+            .limit(10)
+            .collect()
+        )
+
+    timings["b7_sq8_topk_600k"] = round(
+        _median_time(lambda: _sq8_query(c_queries[0]), runs=5), 4
+    )
+    sq_rec = []
+    for q in c_queries[:4]:
+        want = {
+            r["vec_id"]
+            for r in topk_search(
+                clustered, q, 10, tie_cols=["vec_id"]
+            ).collect()
+        }
+        got = {r["vec_id"] for r in _sq8_query(q)}
+        sq_rec.append(len(got & want) / 10)
+    timings["b7_sq8_recall_at_10"] = round(sum(sq_rec) / len(sq_rec), 4)
+    sq_codes.unpersist()
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -402,6 +436,7 @@ def main() -> None:
                     "b6_pq_train_encode",
                     "b6_pq_adc_recall",
                     "b6_pq_rerank_recall",
+                    "b7_sq8_recall",
                 )
             )
         ),
@@ -433,6 +468,8 @@ def main() -> None:
                     "clustered corpus: 16 bytes/vector (16x vs float32), "
                     "ADC over codes, exact re-rank of the top-3000 "
                     "shortlist (0.5%) at nprobe 8/64; recall over 4 queries",
+                    "b7": "SQ8 int8 scan (4x vs float32, no training) on "
+                    "the clustered corpus; recall over 4 queries",
                 },
             }
         )
