@@ -25,7 +25,7 @@ is only touched by the final keep-rule semi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,11 +126,12 @@ def dedup_groups(
     and ``coalesce(group_id, doc_id)`` to label the full corpus).
     """
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
-    sizes = comp.groupBy("group_id").agg(
-        F.count("*").alias("group_size")
-    )
+    # a window avoids a second relation entirely: one hash exchange on
+    # group_id serves both the count and the join-back (sizes is
+    # O(#components) — at corpus scale that's NOT broadcastable)
+    w = Window.partitionBy("group_id")
     return (
         comp.withColumnRenamed("node", "doc_id")
-        .join(F.broadcast(sizes), "group_id")
+        .withColumn("group_size", F.count("*").over(w))
         .select("doc_id", "group_id", "group_size")
     )

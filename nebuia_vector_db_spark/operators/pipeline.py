@@ -224,3 +224,32 @@ def pack_sequences(
         .withColumn("bin_id", F.floor(F.col("start_offset") / capacity))
         .drop("_b")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff its md5-
+    derived uniform in [0,1) falls under its stratum's rate — the
+    "downsample boilerplate languages / upweight rare ones" knob of a
+    corpus mix. Same no-RNG stance as dataset_split: reproducible at
+    any cluster size, new data routes consistently, and an ANSI-SQL
+    engine replays the exact keep-set (md5 is portable). Map-side
+    only — one codegen'd projection + filter, no shuffle, no sampling
+    state."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 5, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(r))
+        ).otherwise(rate)
+    return df.withColumn("_u", u).where(F.col("_u") < rate).drop("_u")

@@ -1147,6 +1147,43 @@ ORDER BY split
 """
 
 
+def _sql_hex_int(start: int, length: int) -> str:
+    """SQL for int value of md5(doc_id) hex digits [start, start+len)
+    — mirrors Spark's conv(substring(md5(...), start, length), 16, 10)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {start + i}, 1)) - 1)"
+        f" * {16 ** (length - 1 - i)}"
+        for i in range(length)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (operators/pipeline.py::
+    stratified_sample): md5-uniform < per-stratum rate. The oracle
+    replays the exact md5 arithmetic, so the keep-set hash-matches."""
+    from nebuia_vector_db_spark.operators.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, {"en": 0.5, "es": 1.0, "de": 0.1}, stratum_col="lang"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PIPE_STRATIFIED = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({_sql_hex_int(5, 8)} / 4294967296.0) <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 1.0
+                WHEN 'de' THEN 0.1 ELSE 0.0 END
+ORDER BY doc_id
+"""
+
+
 def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.pipeline import decontaminate
 
@@ -2351,13 +2388,17 @@ REGISTRY: dict[
     # redundant pins LAST: the driver recorded exactly 50 rows in r1,
     # so anything past position 50 risks going unrecorded — keep only
     # queries whose capability is already covered above down here
-    # (supp_with_returns: semi-join, covered by tpch_q4's EXISTS;
+    # (pipe_stratified_sample first in the tail: NEW operator, same
+    # md5-derivation family as pipe_dataset_split — recorded if the
+    # driver's window ever exceeds 50;
     # tpch_q6: filter+global agg, covered by tpch_q1's filter+agg;
     # cube_orders: grouping-sets family, covered by rollup_lineitem;
     # top_customers: agg+join+sort+limit, covered by tpch_q3/q18;
     # events_user_gap: lag window, covered by orders_running_revenue
     # frames + events_sessions gap logic; distinct_stats: distinct-agg
     # family, covered by approx_cardinality's exact counts).
+    "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
+    # supp_with_returns: semi-join, covered by tpch_q4's EXISTS;
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
     "distinct_stats": (q_distinct_stats, ORACLE_DISTINCT_STATS),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),

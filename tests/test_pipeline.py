@@ -111,3 +111,31 @@ def test_decontaminate_flags_cross_split_overlap(spark):
         assert pair in found  # every cross-split planted pair reported
     # only planted docs share >= 2 shingles
     assert all(e in planted_ids and t in planted_ids for e, t in found)
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    import pandas as pd
+
+    from nebuia_vector_db_spark.operators.pipeline import stratified_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "lang": ["en", "es", "de", "fr"] * 500,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rates = {"en": 0.5, "es": 1.0, "de": 0.0}
+    s1 = stratified_sample(df, rates).collect()
+    s2 = stratified_sample(df, rates).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(
+        r["doc_id"] for r in s2
+    )  # no RNG, fully reproducible
+    by_lang = {}
+    for r in s1:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += 1
+    assert by_lang.get("es") == 500       # rate 1.0 keeps all
+    assert "de" not in by_lang            # rate 0.0 keeps none
+    assert "fr" not in by_lang            # default_rate 0.0
+    assert 180 < by_lang.get("en", 0) < 320  # ~0.5 of 500
