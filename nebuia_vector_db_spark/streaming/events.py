@@ -134,3 +134,38 @@ def run_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: arriving events pick up dimension columns
+    (user signup date, tier, ...) with no state store — the static
+    side is re-read per micro-batch (so slowly-changing dims are
+    picked up) and broadcast when small. Stateless, append-safe."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "1 hour",
+    max_gap: str = "30 minutes",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match rows sharing
+    ``key`` whose event times are within ``max_gap``. Both sides are
+    watermarked so the state store can drop rows once no future match
+    can arrive (without the time-range predicate the join state would
+    grow forever). The streaming twin of the batch as-of/range joins
+    (operators/asof.py, qty_band_join)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

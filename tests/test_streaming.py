@@ -106,3 +106,71 @@ def test_sessionize_stream_matches_batch_session_window(spark, sf_smoke):
         "sum_value",
     ]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_enrich_stream_static_join(spark, sf_smoke):
+    from nebuia_vector_db_spark.streaming.events import (
+        enrich_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = spark.createDataFrame(
+        [(u, "tier_%d" % (u % 3)) for u in range(200)],
+        "user_id long, tier string",
+    )
+    out = enrich_stream(read_events_stream(spark, sf_smoke), dim)
+    got = run_to_memory(out, "enriched_events")
+    batch = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    assert got.count() == batch.count()  # left join keeps every event
+    # every matched row carries the right tier
+    bad = got.where(
+        F.col("user_id") < 200
+    ).where(F.col("tier") != F.concat(F.lit("tier_"), (F.col("user_id") % 3).cast("string")))
+    assert bad.count() == 0
+
+
+def test_join_streams_matches_batch_range_join(spark, sf_smoke):
+    from nebuia_vector_db_spark.streaming.events import (
+        join_streams,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    left = read_events_stream(spark, sf_smoke).where(
+        F.col("event_type") == "click"
+    )
+    right = (
+        read_events_stream(spark, sf_smoke)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("ts_r"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = join_streams(
+        left.select("user_id", "ts", "event_id"), right,
+        watermark="10 hours", max_gap="30 minutes",
+    )
+    got = run_to_memory(out, "ss_join")
+
+    batch = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    clicks = batch.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts_r"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("interval 30 minutes")),
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0  # predicate actually matches something
