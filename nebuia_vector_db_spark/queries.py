@@ -1395,6 +1395,79 @@ ORDER BY doc_id, window_id
 """
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation): events per day ×
+    event_type. Explicit pivot values keep the output schema static —
+    at scale an inferred pivot needs an extra distinct pass and can
+    explode columns; conditional aggregation is one shuffle either
+    way. Oracle mirrors with CASE-based conditional counts."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("string").alias("day")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+        .orderBy("day")
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (entity resolution): distinct part
+    names within Levenshtein distance 3, blocked on first character
+    (the classic cheap block; production swaps in character-n-gram
+    blocking — same shape as the shingle inverted index in
+    operators/dedup.py — when the vocabulary is large). The distinct
+    pass first is what keeps this an O(vocabulary²-per-block) problem
+    instead of O(rows²): dedup before fuzzy-match, always."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("_blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE_FUZZY_NAME = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM names a
+JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
 # ==========================================================================
 # Relational analytics over the TPC-H-ish star schema (built-in ops:
 # hash/broadcast joins, partial+final aggs, rollup, windows)
@@ -2398,6 +2471,8 @@ REGISTRY: dict[
     # frames + events_sessions gap logic; distinct_stats: distinct-agg
     # family, covered by approx_cardinality's exact counts).
     "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
+    "events_pivot": (q_events_pivot, ORACLE_EVENTS_PIVOT),
+    "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
     # supp_with_returns: semi-join, covered by tpch_q4's EXISTS;
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
     "distinct_stats": (q_distinct_stats, ORACLE_DISTINCT_STATS),
