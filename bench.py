@@ -109,6 +109,10 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_groups",
         "vs_pq_topk",
+        "vs_sq8_topk",
+        "text_boilerplate",
+        "mm_audio_windows",
+        "pipe_stratified_sample",
         "text_quality",
         "text_fingerprint",
         "mm_image_features",

@@ -2403,12 +2403,10 @@ REGISTRY: dict[
     # vector search (reference parity, SURVEY §2.1)
     "vs_topk": (q_vs_topk, ORACLE_VS_TOPK),
     "vs_multi_search": (q_vs_multi_search, ORACLE_VS_MULTI),
-    "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
     "vs_knn_join": (q_vs_knn_join, ORACLE_VS_KNN_JOIN),
     "vs_nested_search": (q_vs_nested_search, ORACLE_VS_NESTED),
     "vs_ivf_topk": (q_vs_ivf_topk, ORACLE_VS_IVF_TOPK),
     "vs_pq_topk": (q_vs_pq_topk, ORACLE_VS_PQ_TOPK),
-    "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
     "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
     "vs_neardup_lsh": (q_vs_neardup_lsh, ORACLE_VS_NEARDUP_LSH),
     # dedup family (extension, SURVEY §2.3)
@@ -2425,7 +2423,6 @@ REGISTRY: dict[
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
-    "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
     "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
@@ -2458,21 +2455,26 @@ REGISTRY: dict[
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
+    "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
+    "events_pivot": (q_events_pivot, ORACLE_EVENTS_PIVOT),
+    "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
     # redundant pins LAST: the driver recorded exactly 50 rows in r1,
     # so anything past position 50 risks going unrecorded — keep only
     # queries whose capability is already covered above down here
-    # (pipe_stratified_sample first in the tail: NEW operator, same
-    # md5-derivation family as pipe_dataset_split — recorded if the
-    # driver's window ever exceeds 50;
+    # (vs_sq8_topk: quantized-ADC ANN family, covered by vs_pq_topk;
+    # vs_topk_per_label: grouped top-k, covered by vs_knn_join's
+    # WindowGroupLimit path; text_minhash_mllib: MinHash covered by
+    # dedup_minhash_lsh, MLlib approxSimilarityJoin covered by
+    # text_tfidf_neardup;
     # tpch_q6: filter+global agg, covered by tpch_q1's filter+agg;
     # cube_orders: grouping-sets family, covered by rollup_lineitem;
     # top_customers: agg+join+sort+limit, covered by tpch_q3/q18;
     # events_user_gap: lag window, covered by orders_running_revenue
     # frames + events_sessions gap logic; distinct_stats: distinct-agg
     # family, covered by approx_cardinality's exact counts).
-    "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
-    "events_pivot": (q_events_pivot, ORACLE_EVENTS_PIVOT),
-    "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
+    "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
+    "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
+    "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
     # supp_with_returns: semi-join, covered by tpch_q4's EXISTS;
     "supp_with_returns": (q_supp_with_returns, ORACLE_SUPP_WITH_RETURNS),
     "distinct_stats": (q_distinct_stats, ORACLE_DISTINCT_STATS),
