@@ -1396,22 +1396,24 @@ ORDER BY doc_id, window_id
 
 
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide conditional aggregation): events per day ×
-    event_type. Explicit pivot values keep the output schema static —
-    at scale an inferred pivot needs an extra distinct pass and can
-    explode columns; conditional aggregation is one shuffle either
-    way. Oracle mirrors with CASE-based conditional counts."""
+    """Pivot (long→wide): events per day × event_type, as explicit
+    conditional aggregation. ``DataFrame.pivot(values)`` plans a
+    DOUBLE aggregate (pre-agg on (day, event_type) + pivotfirst on
+    day = two hash exchanges); the sum(CASE WHEN) form is the same
+    result in ONE exchange with map-side partial aggregation — the
+    plan you want at 100 TB. An inferred pivot would additionally
+    need a distinct pass over the pivot column; static schemas only.
+    Oracle mirrors with CASE-based conditional counts."""
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date("ts").cast("string").alias("day")
     kinds = ["click", "error", "purchase", "signup", "view"]
-    return (
-        ev.select(day, "event_type")
-        .groupBy("day")
-        .pivot("event_type", kinds)
-        .count()
-        .na.fill(0, kinds)
-        .orderBy("day")
-    )
+    aggs = [
+        F.sum(F.when(F.col("event_type") == k, 1).otherwise(0))
+        .cast("long")
+        .alias(k)
+        for k in kinds
+    ]
+    return ev.select(day, "event_type").groupBy("day").agg(*aggs).orderBy("day")
 
 
 ORACLE_EVENTS_PIVOT = """

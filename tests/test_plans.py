@@ -190,3 +190,39 @@ def test_boilerplate_two_shuffles(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     out = boilerplate_stats(shingle_postings(docs), min_df=5)
     assert shuffle_count(out) <= 3  # shingle agg, join key reuse, doc agg
+
+
+def test_events_pivot_explicit_values_one_agg_pass(spark, sf_oracle):
+    """Explicit pivot values keep the pivot to ONE aggregate pass (an
+    inferred pivot runs an extra distinct job first, a full scan at
+    scale) and the scan prunes to the two live columns — the events
+    payload (props) never leaves the reader."""
+    df = Q.q_events_pivot(spark, sf_oracle)
+    # one hash exchange for the day agg + the final presentation sort
+    assert shuffle_count(df) <= 2
+    schemas = scan_read_schema(df)
+    assert schemas and "ts" in schemas[0] and "event_type" in schemas[0]
+    assert "props" not in schemas[0], schemas[0]
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark, sf_oracle):
+    """The Levenshtein comparison must run only within blocks via an
+    equi-join on the block key — never a cartesian/nested-loop over
+    the full name vocabulary (O(V²) at 100 TB)."""
+    from nebuia_vector_db_spark.plans.inspect import _executed_plan
+
+    df = Q.q_fuzzy_name_match(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stratified_sample_is_map_side_only(spark, sf_oracle):
+    """Per-stratum deterministic sampling is a pure projection+filter:
+    zero exchanges, so it composes into any downstream plan without
+    adding a stage boundary."""
+    from nebuia_vector_db_spark.operators.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.1}, stratum_col="lang")
+    assert shuffle_count(out) == 0
