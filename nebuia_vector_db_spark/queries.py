@@ -1184,6 +1184,137 @@ ORDER BY doc_id
 """
 
 
+def q_pipe_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge (operators/maintenance.py::upsert_latest):
+    every doc_id divisible by 7 is re-ingested as version 2 with
+    edited text; the merge resolves each key to its newest version by
+    max_by aggregation — map-side partials, ONE shuffle on the key
+    (the reference's append-only store, main.go:294-348, would keep
+    both copies). Oracle replays with UNION ALL + QUALIFY."""
+    from nebuia_vector_db_spark.operators.maintenance import upsert_latest
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", F.lit(1).cast("long").alias("version"), "text"
+    )
+    upd = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit(2).cast("long").alias("version"),
+        F.upper("text").alias("text"),
+    )
+    return (
+        upsert_latest(cur, upd, ["doc_id"], "version")
+        .select("doc_id", "version", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PIPE_UPSERT = """
+WITH cur AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS version, text FROM documents
+),
+upd AS (
+  SELECT doc_id, CAST(2 AS BIGINT) AS version, upper(text) AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+m AS (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+SELECT doc_id, version, md5(text) AS text_md5
+FROM m
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+ORDER BY doc_id
+"""
+
+
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the 20 most document-frequent 3-token
+    shingles over the session-shared posting relation ("what
+    boilerplate dominates my corpus"). One aggregation + top-k with a
+    total deterministic order (df desc, shingle asc) so the limit
+    boundary is tie-stable in both engines."""
+    return (
+        _shared_postings(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(20)
+    )
+
+
+ORACLE_TOP_NGRAMS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS df
+FROM sh
+GROUP BY shingle
+ORDER BY df DESC, shingle
+LIMIT 20
+"""
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (data-card stats): per column the
+    non-null count, exact distinct count, and min/max rendered as
+    strings. A single wide aggregate unpivoted via stack — the table
+    is scanned ONCE for all columns (Spark plans the multi-distinct
+    with one Expand), vs one scan per column for naive profiling; at
+    100 TB that difference is the whole job."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.countDistinct(F.col(c)).alias(f"{c}__d"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_s, max_s)"
+    ).orderBy("column_name")
+
+
+ORACLE_PROFILE_DOCS = """
+SELECT * FROM (
+  SELECT 'doc_id' AS column_name,
+         CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_s,
+         CAST(max(doc_id) AS VARCHAR) AS max_s
+  FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(count(lang) AS BIGINT),
+         CAST(count(DISTINCT lang) AS BIGINT),
+         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'source', CAST(count(source) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT),
+         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(count(n_chars) AS BIGINT),
+         CAST(count(DISTINCT n_chars) AS BIGINT),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+  FROM documents
+)
+ORDER BY column_name
+"""
+
+
 def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.pipeline import decontaminate
 
@@ -2485,6 +2616,12 @@ REGISTRY: dict[
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
     "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
+    # new capabilities past the recording window (still oracle-checked
+    # by tools/oracle_check.py and pinned by tests): storage
+    # maintenance + corpus statistics
+    "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
+    "text_top_ngrams": (q_text_top_ngrams, ORACLE_TOP_NGRAMS),
+    "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCS),
 }
 
 
