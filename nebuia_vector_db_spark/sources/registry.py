@@ -29,18 +29,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so filter
     pushdown / column pruning reach the scan untouched.
 
-    ``events`` is written with TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read nanos-as-long and rebuild a (microsecond)
-    timestamp — truncation matches DuckDB's own ns→µs conversion.
+    ``events.ts`` arrives in fixture-dependent physical layouts —
+    TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as
+    long), TIMESTAMP_NTZ, or plain TIMESTAMP — so normalize by the
+    observed type to a session-TZ (UTC) microsecond timestamp:
+    nanos-as-long is rebuilt with ``timestamp_micros`` (truncation
+    matches DuckDB's own ns→µs conversion) and NTZ is cast (identical
+    values under the UTC session zone DuckDB also assumes).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -30,34 +30,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema: ts stored as TIMESTAMP(NANOS) which
-# the vectorized reader only accepts as long (sources/registry.py) —
-# the stream reads the same way and rebuilds a µs timestamp.
-_EVENTS_PHYS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet (one file = one
     micro-batch's worth with AvailableNow; maxFilesPerTrigger tunes
-    batch size for a live run)."""
+    batch size for a live run).
+
+    ``ts`` physical layout is fixture-dependent (TIMESTAMP(NANOS)
+    readable only as long, TIMESTAMP_NTZ, or TIMESTAMP — see
+    sources/registry.py); a readStream needs an explicit schema, so
+    sniff it from a batch read of the same file and normalize to a
+    session-TZ microsecond timestamp the same way."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    phys = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the fixture is a single file and the file source watches a
     # directory — stream the parent dir, glob-filtered to events
-    return (
-        spark.readStream.schema(_EVENTS_PHYS)
+    stream = (
+        spark.readStream.schema(phys)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if isinstance(phys["ts"].dataType, T.LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(

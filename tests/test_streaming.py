@@ -155,9 +155,7 @@ def test_join_streams_matches_batch_range_join(spark, sf_smoke):
     )
     got = run_to_memory(out, "ss_join")
 
-    batch = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    batch = load_table(spark, sf_smoke, "events")
     clicks = batch.where(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
