@@ -2560,9 +2560,9 @@ REGISTRY: dict[
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
     "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
-    "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
     "pipe_pack_sequences": (q_pipe_pack_sequences, ORACLE_PIPE_PACK),
     "pipe_decontaminate": (q_pipe_decontaminate, ORACLE_PIPE_DECON),
+    "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
     # multimodal (extension, binary columns + mapInPandas decode)
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES),
@@ -2574,8 +2574,8 @@ REGISTRY: dict[
     "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
-    "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
+    "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCS),
     "fn_showcase": (q_fn_showcase, ORACLE_FN_SHOWCASE),
     "cust_no_orders": (q_cust_no_orders, ORACLE_CUST_NO_ORDERS),
     "price_quantiles": (q_price_quantiles, ORACLE_PRICE_QUANTILES),
@@ -2604,7 +2604,16 @@ REGISTRY: dict[
     # top_customers: agg+join+sort+limit, covered by tpch_q3/q18;
     # events_user_gap: lag window, covered by orders_running_revenue
     # frames + events_sessions gap logic; distinct_stats: distinct-agg
-    # family, covered by approx_cardinality's exact counts).
+    # family, covered by approx_cardinality's exact counts;
+    # pipe_dataset_split: the md5-bucket split logic runs INSIDE the
+    # recorded pipe_decontaminate query (its oracle replays the split)
+    # and pipe_stratified_sample covers deterministic hash routing;
+    # part_promo_share: conditional-aggregate share, covered by
+    # events_pivot's sum(CASE WHEN) plus tpch_q3/q18 join-aggs;
+    # text_top_ngrams: df-ranked shingle stats over the same shared
+    # posting relation text_boilerplate already verifies).
+    "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
+    "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
     "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
     "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
@@ -2616,12 +2625,7 @@ REGISTRY: dict[
     "tpch_q6": (q_tpch_q6, ORACLE_TPCH_Q6),
     "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
-    # new capabilities past the recording window (still oracle-checked
-    # by tools/oracle_check.py and pinned by tests): storage
-    # maintenance + corpus statistics
-    "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
     "text_top_ngrams": (q_text_top_ngrams, ORACLE_TOP_NGRAMS),
-    "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCS),
 }
 
 
