@@ -1914,8 +1914,15 @@ ORDER BY l_returnflag
 
 
 def q_orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window frames: per-segment monthly revenue with a running
-    cumulative sum (ROWS UNBOUNDED PRECEDING)."""
+    """Window-function breadth on one relation: per-segment monthly
+    revenue with a running cumulative sum (ROWS UNBOUNDED PRECEDING
+    frame) plus the rank family — rank, percent_rank, cume_dist,
+    ntile(4) — over a revenue ordering of the same partition. Both
+    windows share the segment partitioning, so adding the rank columns
+    costs a sort within the already-shuffled partition, not a second
+    exchange. percent_rank/cume_dist are exact IEEE fractions
+    ((rank-1)/(n-1), frac of rows <= current) — identical in DuckDB,
+    so they hash-match without quantization."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     monthly = (
@@ -1933,10 +1940,17 @@ def q_orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("month_epoch")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue"), "month_epoch"
+    )
     # the running sum is an ORDERED fold — both engines add in the same
     # sequence, so plain double summation is already deterministic here
     return (
         monthly.withColumn("running_revenue", F.round(F.sum("revenue").over(w), 2))
+        .withColumn("rev_rank", F.rank().over(wr).cast("long"))
+        .withColumn("rev_pct_rank", F.percent_rank().over(wr))
+        .withColumn("rev_cume_dist", F.cume_dist().over(wr))
+        .withColumn("rev_quartile", F.ntile(4).over(wr).cast("long"))
         .orderBy("c_mktsegment", "month_epoch")
     )
 
@@ -1951,8 +1965,13 @@ WITH monthly AS (
 )
 SELECT c_mktsegment, month_epoch, revenue,
        round(sum(revenue) OVER (PARTITION BY c_mktsegment ORDER BY month_epoch
-                                ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+                                ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+       CAST(rank() OVER wr AS BIGINT) AS rev_rank,
+       percent_rank() OVER wr AS rev_pct_rank,
+       cume_dist() OVER wr AS rev_cume_dist,
+       CAST(ntile(4) OVER wr AS BIGINT) AS rev_quartile
 FROM monthly
+WINDOW wr AS (PARTITION BY c_mktsegment ORDER BY revenue DESC, month_epoch)
 ORDER BY c_mktsegment, month_epoch
 """
 
@@ -2130,31 +2149,70 @@ ORDER BY event_type
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour aggregation (batch form of the streaming
-    windowed agg in streaming/events.py)."""
+    """Gap-filled tumbling 1-hour aggregation (batch form of the
+    streaming windowed agg in streaming/events.py): a dense calendar
+    spine — ``sequence(min hour, max hour, 1h)`` exploded, crossed
+    with the distinct event types — left-joins the hourly counts so
+    silent hours surface as explicit zero rows (the resample/gap-fill
+    time-series operator; a downstream forecaster needs the zeros).
+
+    Scale shape: the aggregate is the only full-data pass; the spine
+    is O(hours) and the type dimension O(types) — both tiny, built
+    from the agg's own output, and the final join is
+    broadcast-able."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.withColumn(
-            "hour_epoch",
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))),
-        )
-        .groupBy("hour_epoch", "event_type")
+    counts = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
         .agg(
             F.count("*").alias("n"),
             _r(_dsum("value"), 2).alias("sum_value"),
+        )
+    )
+    bounds = counts.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = counts.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["hour", "event_type"], "left")
+        .select(
+            F.unix_timestamp("hour").alias("hour_epoch"),
+            "event_type",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
         .orderBy("hour_epoch", "event_type")
     )
 
 
 ORACLE_EVENTS_HOURLY = f"""
-SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-       event_type,
-       count(*) AS n,
-       {_sql_r(_sql_dsum("value"), 2)} AS sum_value
-FROM events
-GROUP BY 1, 2
-ORDER BY hour_epoch, event_type
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         event_type,
+         count(*) AS n,
+         {_sql_r(_sql_dsum("value"), 2)} AS sum_value
+  FROM events
+  GROUP BY 1, 2
+),
+b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM c),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+),
+ty AS (SELECT DISTINCT event_type FROM c)
+SELECT CAST(epoch(s.hour) AS BIGINT) AS hour_epoch,
+       ty.event_type,
+       coalesce(c.n, 0) AS n,
+       coalesce(c.sum_value, 0.0) AS sum_value
+FROM spine s
+CROSS JOIN ty
+LEFT JOIN c ON c.hour = s.hour AND c.event_type = ty.event_type
+ORDER BY 1, 2
 """
 
 
@@ -2282,6 +2340,127 @@ ORDER BY user_id, session_start_us
 # boundary convention: Spark's session_window is half-open [start,
 # last_ts + gap) — an event landing exactly gap after its predecessor
 # starts a NEW session, hence `>=` in the oracle's new_session test.
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: how many users progressed view → click → qualified
+# purchase IN TIMESTAMP ORDER (a click before the first view doesn't
+# count). Stage timestamps chain through per-stage min-aggregates +
+# equi-joins on user_id — each stage is one partial-aggregated shuffle
+# on the user key, never a per-user event sort, so the plan is flat
+# regardless of how many events one user has. The last stage is
+# qualified by a JSON property (props.$.k >= 50) — the JSON-extract
+# capability in its natural habitat.
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    buys = (
+        ev.where((F.col("event_type") == "purchase") & (k >= 50))
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _stage(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n_users"),
+        )
+
+    return (
+        _stage(views, 1, "view")
+        .unionAll(_stage(clicks, 2, "click_after_view"))
+        .unionAll(_stage(buys, 3, "qualified_purchase"))
+        .orderBy("stage")
+    )
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND {_K_EXPR.replace('props', 'e.props')} >= 50
+        AND e.ts > c.t2
+  GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+       (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click_after_view', (SELECT count(*) FROM c)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'qualified_purchase', (SELECT count(*) FROM p)
+ORDER BY stage
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by the week of their first
+# event; each cell counts the cohort's distinct users active N weeks
+# later — the standard retention triangle. Two shuffles total (first-
+# event agg on user_id; cell agg on (cohort, offset)); the
+# activity↔cohort equi-join is on user_id, so at 100 TB it co-locates
+# with the first shuffle rather than re-partitioning the raw events.
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort_week").alias("cohort_week_epoch"),
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week_epoch", "week_offset")
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT CAST(epoch(f.cohort_week) AS BIGINT) AS cohort_week_epoch,
+       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week_epoch, week_offset
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2570,7 +2749,6 @@ REGISTRY: dict[
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
-    "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
     "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
@@ -2584,10 +2762,11 @@ REGISTRY: dict[
     "orders_above_cust_avg": (q_orders_above_cust_avg, ORACLE_ABOVE_CUST_AVG),
     "segment_set_ops": (q_segment_set_ops, ORACLE_SEGMENT_SET_OPS),
     # events (batch mirrors of the streaming surface)
-    "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
+    "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+    "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
     "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
     "events_pivot": (q_events_pivot, ORACLE_EVENTS_PIVOT),
     "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
@@ -2611,9 +2790,16 @@ REGISTRY: dict[
     # part_promo_share: conditional-aggregate share, covered by
     # events_pivot's sum(CASE WHEN) plus tpch_q3/q18 join-aggs;
     # text_top_ngrams: df-ranked shingle stats over the same shared
-    # posting relation text_boilerplate already verifies).
+    # posting relation text_boilerplate already verifies;
+    # events_json: JSON extraction now recorded inside events_funnel's
+    # qualified stage (get_json_object filter) — same builtin, same
+    # column; tpch_q5: the multi-join aggregate family is pinned by
+    # tpch_q3 (broadcast dims) and tpch_q18 (pre-aggregated HAVING
+    # key set), and q5 stays bench-timed + locally oracle-checked).
     "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
+    "events_json": (q_events_json, ORACLE_EVENTS_JSON),
+    "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
     "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
     "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
     "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
