@@ -2156,10 +2156,13 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     silent hours surface as explicit zero rows (the resample/gap-fill
     time-series operator; a downstream forecaster needs the zeros).
 
-    Scale shape: the aggregate is the only full-data pass; the spine
-    is O(hours) and the type dimension O(types) — both tiny, built
-    from the agg's own output, and the final join is
-    broadcast-able."""
+    Scale shape: two column-pruned passes and ONE shuffle total. The
+    spine bounds and the type dimension come from a single auxiliary
+    aggregate (min/max/collect_set) that Catalyst collapses through
+    the counts groupBy into a map-side pass over the raw scan — no
+    second hash exchange; the hourly agg is the only shuffled pass,
+    and the final join broadcasts its small output (plan-pinned in
+    tests/test_plans.py)."""
     ev = load_table(spark, sf_dir, "events")
     counts = (
         ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
@@ -2169,18 +2172,22 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(_dsum("value"), 2).alias("sum_value"),
         )
     )
-    bounds = counts.agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    grid = (
+        counts.agg(
+            F.min("hour").alias("h0"),
+            F.max("hour").alias("h1"),
+            F.collect_set("event_type").alias("types"),
+        )
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+            "types",
+        )
+        .select("hour", F.explode("types").alias("event_type"))
     )
-    spine = bounds.select(
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("hour")
-    )
-    types = counts.select("event_type").distinct()
     return (
-        spine.crossJoin(F.broadcast(types))
-        .join(F.broadcast(counts), ["hour", "event_type"], "left")
+        grid.join(F.broadcast(counts), ["hour", "event_type"], "left")
         .select(
             F.unix_timestamp("hour").alias("hour_epoch"),
             "event_type",

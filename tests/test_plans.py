@@ -71,10 +71,16 @@ def test_codegen_covers_similarity_pipeline(spark, sf_oracle):
 
 
 def test_events_hourly_shuffle_budget(spark, sf_oracle):
-    # partial (map-side) agg + ONE hash exchange + final agg; the
-    # second (range) exchange is only the presentation orderBy
+    """Gap-filled resample: the hourly agg's hash exchange is the ONLY
+    shuffle — the spine/type dims collapse into a map-side min/max/
+    collect_set pass (no extra exchange) and the join side broadcasts;
+    a second events scan is tolerated (both are column-pruned), a
+    third or a dim-side shuffle is a regression."""
     df = Q.q_events_hourly(spark, sf_oracle)
-    assert shuffle_count(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(df) <= 1
+    assert plan.count("Scan parquet") <= 2
+    assert has_broadcast_join(df)
 
 
 def test_engine_search_prunes_collection_partitions(spark, tmp_path_factory):
@@ -226,3 +232,31 @@ def test_stratified_sample_is_map_side_only(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     out = stratified_sample(docs, {"en": 0.5, "de": 0.1}, stratum_col="lang")
     assert shuffle_count(out) == 0
+
+
+def test_funnel_never_shuffles_raw_events(spark, sf_oracle):
+    """Each funnel stage reduces to (user_id, min ts) BEFORE joining,
+    and the small stage relations broadcast back against the filtered
+    events scans — the raw events table itself is never hash-exchanged
+    for a join, and no per-user Window/sort appears (the per-user
+    event ordering lives inside min-aggregates)."""
+    from nebuia_vector_db_spark.plans.inspect import _executed_plan
+
+    df = Q.q_events_funnel(spark, sf_oracle)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only hash exchanges are the per-stage user_id aggregates
+    assert shuffle_count(df) <= 5
+
+
+def test_retention_two_passes_bounded_shuffles(spark, sf_oracle):
+    """Cohort retention reads events twice (first-event agg; distinct
+    activity), both column-pruned — and pays a bounded shuffle budget
+    (stage aggs + cohort/offset cell agg), never a per-user sort."""
+    df = Q.q_events_retention(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2
+    assert "Window" not in plan
+    assert shuffle_count(df) <= 5
