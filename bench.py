@@ -127,6 +127,10 @@ def main() -> None:
         "events_user_gap",
         "events_asof_signup",
         "events_sessions",
+        "events_funnel",
+        "events_retention",
+        "pipe_upsert_latest",
+        "profile_documents",
     ]
     reg = Q.queries()
     for name in headline:

@@ -1225,6 +1225,123 @@ ORDER BY doc_id
 """
 
 
+def q_pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan — the
+    composition a training-data pipeline actually runs before
+    tokenization: quality gate (score >= 0.5) and language allowlist →
+    drop non-canonical near-duplicates (every jaccard-0.8 component
+    keeps only its min-id doc) → deterministic md5 split → per-(split,
+    lang) corpus card (docs, tokens, mean quality).
+
+    Each stage is an operator this registry already hash-verifies in
+    isolation (text_quality, dedup_groups, pipe_dataset_split); this
+    query verifies their COMPOSITION. Scale shape: quality/langid/
+    split are map-side projections fused into one documents pass by
+    whole-stage codegen; the duplicate drop is a left-anti join
+    against the small dup-component relation (broadcast-able — dup
+    sets are tiny relative to the corpus); the only wide stages are
+    the dedup tier itself and the final cheap card aggregate."""
+    from nebuia_vector_db_spark.operators.components import dedup_groups
+    from nebuia_vector_db_spark.operators.pipeline import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = text_fns.with_tokens(docs)
+    scored = toked.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        text_fns.quality_score("text").alias("quality"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
+    )
+    dups = (
+        dedup_groups(pairs)
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    curated = dataset_split(kept.join(F.broadcast(dups), "doc_id", "left_anti"))
+    return (
+        curated.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            _r(_davg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_PIPE_CURATE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         (0.5 * least(len(toks) / 50.0, 1.0)
+          + 0.25 * (1.0 - len(list_filter(toks, s -> s IN ({_STOP_SQL})))
+                          * 1.0 / len(toks))
+          + 0.25 * len(regexp_replace(text, '[^a-z]', '', 'g'))
+                   * 1.0 / len(text)) AS quality
+  FROM t
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+grp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+dups AS (SELECT doc_id FROM grp WHERE doc_id != group_id),
+kept AS (
+  SELECT q.* FROM q
+  LEFT JOIN dups ON q.doc_id = dups.doc_id
+  WHERE dups.doc_id IS NULL
+        AND q.quality >= 0.5 AND q.lang IN ('en', 'de', 'fr')
+),
+s AS (
+  SELECT *, CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+                 WHEN {_MD5_BUCKET} < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {_sql_r(_sql_davg("quality"), 6)} AS avg_quality
+FROM s
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the 20 most document-frequent 3-token
     shingles over the session-shared posting relation ("what
@@ -2819,6 +2936,10 @@ REGISTRY: dict[
     "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
     "text_top_ngrams": (q_text_top_ngrams, ORACLE_TOP_NGRAMS),
+    # flagship composition: quality gate + lang allowlist + dup drop +
+    # split + corpus card in one plan — every stage individually
+    # recorded above; this row verifies the composition end-to-end
+    "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
 }
 
 
