@@ -1225,6 +1225,46 @@ ORDER BY doc_id
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew handling, hash-verified: events (the big, skewed
+    side) join a small per-user tier dim through operators/skew.py::
+    salted_join — the dim replicates n_salts ways, the fact side
+    scatters over (user_id, salt), so one hot user becomes n_salts
+    even tasks instead of a straggler. Salting must be semantically
+    invisible: the oracle replays a PLAIN join + aggregate, so any
+    row lost or duplicated by the salt plumbing hash-mismatches."""
+    from nebuia_vector_db_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("long"))
+    )
+    joined = salted_join(ev, dim, on=["user_id"], n_salts=8)
+    return (
+        joined.groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _r(_dsum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("tier", "event_type")
+    )
+
+
+ORACLE_SKEW_SALTED = f"""
+WITH dim AS (
+  SELECT DISTINCT user_id, CAST(user_id % 3 AS BIGINT) AS tier FROM events
+)
+SELECT d.tier, e.event_type,
+       count(*) AS n,
+       {_sql_r(_sql_dsum("e.value"), 2)} AS sum_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1, 2
+ORDER BY tier, event_type
+"""
+
+
 def q_pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation in ONE declarative plan — the
     composition a training-data pipeline actually runs before
@@ -2940,6 +2980,8 @@ REGISTRY: dict[
     # split + corpus card in one plan — every stage individually
     # recorded above; this row verifies the composition end-to-end
     "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
+    # skew handling made hash-checkable: salted join ≡ plain join
+    "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
 }
 
 
