@@ -1,0 +1,107 @@
+"""Hybrid retrieval: keyword (tf-idf) relevance fused with vector
+cosine similarity over the same corpus — the query mode a user of the
+reference (documents carry BOTH text and chunk embeddings,
+main.go:30-35) reaches for when pure vector recall misses exact-term
+matches. The reference itself only does the vector half; this is the
+extension that makes its data model searchable both ways at once.
+
+Determinism discipline (same as queries.py::_dsum): each component
+score is quantized to integer micro-units — ``floor(x·1e6 + 0.5)`` is
+exact IEEE arithmetic — and the FUSION IS LONG ADDITION, so the
+ranking is pure integer comparison: identical in any engine, any
+partition order. The registry query ``hybrid_search`` hash-verifies
+the full pipeline (weights → query dot → norms → fusion → top-k)
+against an ANSI-SQL replay.
+
+Scale shape: the keyword side shuffles on token (posting lists) and
+doc id — never all-pairs; the vector side is a map-side projection;
+the fusion join is keyed on the doc id and the top-k is a
+TakeOrderedAndProject (bounded per-partition heaps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.functions.vector import (
+    dot,
+    l2_norm,
+    normalize_query,
+)
+from nebuia_vector_db_spark.operators.textvec import tfidf_weight_relation
+
+_UNITS = 1_000_000
+
+
+def _q6(c: Column) -> Column:
+    return F.floor(c * _UNITS + F.lit(0.5))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    qvec: Sequence[float],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k docs by ``score = (kw_cos + vec_cos) / 2`` where
+
+    - ``kw_cos``: cosine between the doc's tf-idf weight vector and the
+      binary query-term vector — Σ_{t∈terms} w(doc,t) / (‖w(doc)‖·√|terms|);
+      docs sharing no query term score 0.
+    - ``vec_cos``: true cosine between the doc's embedding (joined on
+      ``vec_id = doc_id``) and the L2-normalized query vector.
+
+    Both components are quantized to micro-units before the fusion sum
+    (see module docstring), and ties break on the doc id.
+    """
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("hybrid_search needs at least one query term")
+    w = tfidf_weight_relation(docs, text_col, id_col)
+    norms = w.groupBy("_id").agg(
+        F.sum(_q6(F.col("w") * F.col("w"))).alias("q2")
+    )
+    qdots = (
+        w.where(F.col("tok").isin(list(terms)))
+        .groupBy("_id")
+        .agg(F.sum(_q6(F.col("w"))).alias("qd"))
+    )
+    kw_cos = (F.col("qd") / _UNITS) / (
+        F.sqrt(F.col("q2") / _UNITS) * F.sqrt(F.lit(float(len(terms))))
+    )
+    kw = (
+        norms.join(qdots, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(kw_cos, F.lit(0.0)).alias("kw_cos"),
+        )
+    )
+    qn = normalize_query(qvec)
+    vec = emb.select(
+        F.col(vec_id_col).alias(id_col),
+        (dot(emb_col, qn) / l2_norm(emb_col)).alias("vec_cos"),
+    )
+    fused = vec.join(kw, id_col).select(
+        id_col,
+        _q6(F.col("vec_cos")).cast("long").alias("sv"),
+        _q6(F.col("kw_cos")).cast("long").alias("sk"),
+    )
+    return (
+        fused.withColumn("score_units", F.col("sv") + F.col("sk"))
+        .orderBy(F.desc("score_units"), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("sv") / float(_UNITS)).alias("vec_cos"),
+            (F.col("sk") / float(_UNITS)).alias("kw_cos"),
+            (F.col("score_units") / float(2 * _UNITS)).alias("score"),
+        )
+    )

@@ -71,6 +71,45 @@ def tfidf_cosine_pairs(
     )
 
 
+def tfidf_weight_relation(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """The (_id, tok, w) tf-idf weight relation shared by the exact
+    cosine pair join and hybrid search. Model: tokens = non-empty
+    whitespace splits of lower(text); tf = occurrence count; idf =
+    (N+1)/(df+1) — rational, so every weight is exactly-rounded IEEE
+    arithmetic and bit-identical in any engine.
+
+    Cached: the relation feeds multiple consumers (norms + join sides
+    / query dots); without persisting, Spark re-runs the whole
+    tokenize→tf→df chain per consumer (measured 16 shuffles vs 6)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_docs = docs.count()  # scalar query parameter, one cheap agg
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
+    if max_posting_len is not None:
+        dfreq = dfreq.where(F.col("dfc") <= max_posting_len)
+    return (
+        tf.join(dfreq, "tok")
+        .select(
+            "_id",
+            "tok",
+            (
+                F.col("cnt").cast("double")
+                * (F.lit(float(n_docs + 1)) / (F.col("dfc") + 1))
+            ).alias("w"),
+        )
+        .cache()
+    )
+
+
 def exact_tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
@@ -96,27 +135,7 @@ def exact_tfidf_cosine_pairs(
     ``max_posting_len`` drops ubiquitous tokens (boilerplate) the way
     the jaccard path drops stop-shingles.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-    tf = (
-        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("tok"))
-        .groupBy("_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    n_docs = docs.count()  # scalar query parameter, one cheap agg
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
-    if max_posting_len is not None:
-        dfreq = dfreq.where(F.col("dfc") <= max_posting_len)
-    # the weight relation feeds three consumers (norms + both sides of
-    # the token self-join); without persisting, Spark re-runs the whole
-    # tokenize→tf→df chain per consumer (measured 16 shuffles vs 6)
-    w = tf.join(dfreq, "tok").select(
-        "_id",
-        "tok",
-        (
-            F.col("cnt").cast("double")
-            * (F.lit(float(n_docs + 1)) / (F.col("dfc") + 1))
-        ).alias("w"),
-    ).cache()
+    w = tfidf_weight_relation(docs, text_col, id_col, max_posting_len)
     # integer micro-unit quantization: floor(x·1e6 + 0.5) is exact IEEE
     # arithmetic, long sums are associative — deterministic everywhere
     q = lambda c: F.floor(c * 1_000_000 + F.lit(0.5))  # noqa: E731

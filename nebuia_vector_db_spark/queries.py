@@ -1225,6 +1225,79 @@ ORDER BY doc_id
 """
 
 
+_HYBRID_TERMS = ["vector", "join", "scan", "filter", "merge"]
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/hybrid.py): tf-idf keyword cosine
+    fused with embedding cosine (docs joined to their vectors on
+    vec_id = doc_id), integer micro-unit fusion so the ranking is
+    long arithmetic — the oracle replays weights, query dot, norms,
+    fusion, and the top-10 cut in ANSI SQL."""
+    from nebuia_vector_db_spark.operators.hybrid import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, _HYBRID_TERMS, FIXED_Q, k=10)
+
+
+_HYBRID_TERMS_SQL = ", ".join(f"'{t}'" for t in sorted(_HYBRID_TERMS))
+
+ORACLE_HYBRID = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.cnt * ((nn.n + 1.0) / (dfreq.dfc + 1)) AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nn
+),
+norms AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(w * w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q2
+  FROM w GROUP BY doc_id
+),
+qd AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qd
+  FROM w WHERE tok IN ({_HYBRID_TERMS_SQL}) GROUP BY doc_id
+),
+kw AS (
+  SELECT n.doc_id,
+         coalesce((qd.qd / 1000000.0)
+                  / (sqrt(n.q2 / 1000000.0) * sqrt(CAST({len(_HYBRID_TERMS)} AS DOUBLE))),
+                  0.0) AS kw_cos
+  FROM norms n LEFT JOIN qd ON n.doc_id = qd.doc_id
+),
+qn AS (SELECT CAST({_FIXED_Q_SQL} AS DOUBLE[]) AS v),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v)
+           / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))) AS vec_cos
+  FROM embeddings e, qn
+),
+f AS (
+  SELECT v.doc_id,
+         CAST(floor(v.vec_cos * 1000000 + 0.5) AS BIGINT) AS sv,
+         CAST(floor(k.kw_cos * 1000000 + 0.5) AS BIGINT) AS sk
+  FROM vec v JOIN kw k ON v.doc_id = k.doc_id
+)
+SELECT doc_id,
+       sv / 1000000.0 AS vec_cos,
+       sk / 1000000.0 AS kw_cos,
+       (sv + sk) / 2000000.0 AS score
+FROM f
+ORDER BY (sv + sk) DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew handling, hash-verified: events (the big, skewed
     side) join a small per-user tier dim through operators/skew.py::
@@ -2982,6 +3055,8 @@ REGISTRY: dict[
     "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
     # skew handling made hash-checkable: salted join ≡ plain join
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
+    # hybrid keyword+vector retrieval with integer-unit fusion
+    "hybrid_search": (q_hybrid_search, ORACLE_HYBRID),
 }
 
 

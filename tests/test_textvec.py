@@ -118,3 +118,53 @@ def test_minhash_verified_equals_exact_jaccard(spark):
     assert set(got) == {(0, 1), (0, 2), (1, 2)}
     assert abs(got[(0, 2)] - 1.0) < 1e-9
     assert abs(got[(0, 1)] - 9 / 11) < 1e-9
+
+
+def test_hybrid_matches_vector_only_when_terms_absent(spark, sf_smoke):
+    """With query terms that appear in no document the keyword side is
+    0 everywhere, so the hybrid ranking must equal the pure vector
+    cosine ranking over the same joined corpus."""
+    from nebuia_vector_db_spark.functions.vector import (
+        dot,
+        l2_norm,
+        normalize_query,
+    )
+    from nebuia_vector_db_spark.operators.hybrid import hybrid_search
+    from nebuia_vector_db_spark.queries import FIXED_Q, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = hybrid_search(docs, emb, ["zzzznotaword"], FIXED_Q, k=5).collect()
+    assert all(r["kw_cos"] == 0.0 for r in got)
+
+    qn = normalize_query(FIXED_Q)
+    want = (
+        emb.join(docs.select("doc_id"), emb.vec_id == docs.doc_id)
+        .select(
+            "doc_id",
+            (dot("embedding", qn) / l2_norm("embedding")).alias("c"),
+        )
+        .orderBy(F.desc("c"), "doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+def test_hybrid_keyword_component_requires_term_presence(spark, sf_smoke):
+    from nebuia_vector_db_spark.operators.hybrid import hybrid_search
+    from nebuia_vector_db_spark.queries import FIXED_Q, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    terms = ["vector", "join"]
+    got = hybrid_search(docs, emb, terms, FIXED_Q, k=10).collect()
+    texts = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in got:
+        has_term = any(t in texts[r["doc_id"]] for t in terms)
+        assert (r["kw_cos"] > 0.0) == has_term
+        # fusion bookkeeping: score is the exact mean of the quantized parts
+        assert abs(r["score"] * 2 - (r["vec_cos"] + r["kw_cos"])) < 1e-12
