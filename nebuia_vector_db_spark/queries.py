@@ -2972,7 +2972,7 @@ REGISTRY: dict[
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
-    "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
+    "hybrid_search": (q_hybrid_search, ORACLE_HYBRID),
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
     "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
@@ -3032,11 +3032,16 @@ REGISTRY: dict[
     # qualified stage (get_json_object filter) — same builtin, same
     # column; tpch_q5: the multi-join aggregate family is pinned by
     # tpch_q3 (broadcast dims) and tpch_q18 (pre-aggregated HAVING
-    # key set), and q5 stays bench-timed + locally oracle-checked).
+    # key set), and q5 stays bench-timed + locally oracle-checked;
+    # emb_label_centroids: per-group vector averaging is exercised by
+    # the recorded vs_ivf_topk's KMeans cell build and stays locally
+    # oracle-checked — hybrid_search (keyword+vector fusion) is the
+    # more distinct capability for its slot).
     "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),
+    "emb_label_centroids": (q_emb_label_centroids, ORACLE_EMB_CENTROIDS),
     "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
     "vs_topk_per_label": (q_vs_topk_per_label, ORACLE_VS_TOPK_PER_LABEL),
     "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
@@ -3055,8 +3060,6 @@ REGISTRY: dict[
     "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
     # skew handling made hash-checkable: salted join ≡ plain join
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
-    # hybrid keyword+vector retrieval with integer-unit fusion
-    "hybrid_search": (q_hybrid_search, ORACLE_HYBRID),
 }
 
 
