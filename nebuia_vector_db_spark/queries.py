@@ -2580,6 +2580,46 @@ ORDER BY user_id, session_start_us
 
 
 # --------------------------------------------------------------------------
+# Sliding-window aggregation (batch mirror of streaming/events.py::
+# sliding_counts_stream): each event contributes to window/slide = 4
+# overlapping 1-hour windows sliding by 15 minutes. Spark's window()
+# generates the 4 memberships map-side; the oracle replays them with
+# an explicit unnest(range(0,4)) offset join — window_start =
+# floor_to_15min(ts) − k·900s.
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS slot_epoch
+  FROM events
+),
+m AS (
+  SELECT event_type, slot_epoch - k * 900 AS window_start_epoch
+  FROM e, (SELECT unnest(range(0, 4)) AS k)
+)
+SELECT window_start_epoch, event_type, count(*) AS n
+FROM m
+GROUP BY 1, 2
+ORDER BY window_start_epoch, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Ordered funnel: how many users progressed view → click → qualified
 # purchase IN TIMESTAMP ORDER (a click before the first view doesn't
 # count). Stage timestamps chain through per-stage min-aggregates +
@@ -3060,6 +3100,8 @@ REGISTRY: dict[
     "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
     # skew handling made hash-checkable: salted join ≡ plain join
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
+    # sliding-window agg (batch mirror of sliding_counts_stream)
+    "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
 }
 
 

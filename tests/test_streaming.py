@@ -172,3 +172,21 @@ def test_join_streams_matches_batch_range_join(spark, sf_smoke):
     )
     assert got.count() == want.count()
     assert got.count() > 0  # predicate actually matches something
+
+
+def test_sliding_stream_matches_batch_mirror(spark, sf_smoke):
+    """Sliding 1h/15m windows: the streaming result (complete mode)
+    must equal the batch q_events_sliding mirror row-for-row, and
+    every event must appear in exactly window/slide = 4 windows."""
+    from nebuia_vector_db_spark.queries import q_events_sliding
+    from nebuia_vector_db_spark.streaming.events import sliding_counts_stream
+
+    stream = sliding_counts_stream(read_events_stream(spark, sf_smoke))
+    got = run_to_memory(stream, "t_sliding", output_mode="complete")
+    want = q_events_sliding(spark, sf_smoke)
+    cols = ["window_start_epoch", "event_type", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+    ev = load_table(spark, sf_smoke, "events")
+    total = want.agg(F.sum("n")).first()[0]
+    assert total == 4 * ev.count()
