@@ -129,8 +129,10 @@ def main() -> None:
         "events_sessions",
         "events_funnel",
         "events_retention",
+        "events_sliding",
         "pipe_upsert_latest",
         "profile_documents",
+        "hybrid_search",
     ]
     reg = Q.queries()
     for name in headline:
