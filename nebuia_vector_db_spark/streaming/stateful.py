@@ -78,3 +78,91 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming funnel: a per-user STATE MACHINE (not a mere
+# counter) — the streaming twin of queries.py::q_events_funnel. State
+# holds the first-view / first-ordered-click / first-qualified-purchase
+# event times; a stage slot fills only when every earlier slot is
+# filled with a strictly earlier timestamp, so the final state equals
+# the batch min-aggregate chain when events arrive in per-user event-
+# time order (guaranteed within a micro-batch by an explicit sort;
+# across batches by a time-ordered source — for an out-of-order feed,
+# front it with a watermarked sort or widen the state to candidate
+# minima).
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+
+def _make_funnel_update(min_k: int):
+    def _update_funnel(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("ts", kind="mergesort")
+        ts_us = batch["ts"].astype("int64") // 1000
+        for t, etype, k in zip(
+            ts_us.tolist(), batch["event_type"].tolist(), batch["k"].tolist()
+        ):
+            if t1 == 0:
+                if etype == "view":
+                    t1 = t
+            elif t2 == 0:
+                if etype == "click" and t > t1:
+                    t2 = t
+            elif t3 == 0:
+                if etype == "purchase" and t > t2 and k is not None and k >= min_k:
+                    t3 = t
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "t1_us": [t1],
+                "t2_us": [t2],
+                "t3_us": [t3],
+            }
+        )
+
+    return _update_funnel
+
+
+def funnel_user_state(events: DataFrame, min_k: int = 50) -> DataFrame:
+    """events stream → one (user_id, t1_us, t2_us, t3_us) row per user
+    per micro-batch (0 = stage not reached), state carried across
+    batches. The JSON qualifier is extracted JVM-side BEFORE the
+    Python state kernel, so the Arrow batch carries a typed long."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_update(min_k),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

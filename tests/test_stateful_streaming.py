@@ -73,3 +73,77 @@ def test_state_carries_across_batches(spark, multi_file_events):
     # >1 row into the update sink
     emissions = sink.groupBy("user_id").count()
     assert emissions.where(F.col("count") > 1).count() > 0
+
+
+def test_funnel_state_matches_batch_funnel(spark, sf_smoke):
+    """Final streaming-funnel state must reproduce the batch funnel's
+    stage counts: users with t1/t2/t3 set == stages 1/2/3."""
+    from nebuia_vector_db_spark.queries import q_events_funnel
+    from nebuia_vector_db_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from nebuia_vector_db_spark.streaming.stateful import funnel_user_state
+
+    out = run_to_memory(
+        funnel_user_state(read_events_stream(spark, sf_smoke)),
+        "t_funnel_state",
+        output_mode="update",
+    )
+    # update mode emits cumulative rows; slots only ever fill, so the
+    # per-user max of each slot is the final state
+    final = out.groupBy("user_id").agg(
+        F.max("t1_us").alias("t1"),
+        F.max("t2_us").alias("t2"),
+        F.max("t3_us").alias("t3"),
+    )
+    got = {
+        1: final.where(F.col("t1") > 0).count(),
+        2: final.where(F.col("t2") > 0).count(),
+        3: final.where(F.col("t3") > 0).count(),
+    }
+    want = {
+        r["stage"]: r["n_users"]
+        for r in q_events_funnel(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_funnel_state_idempotent_under_duplicate_delivery(spark, sf_smoke, tmp_path):
+    """At-least-once delivery: replaying every event a second time must
+    not advance any user's funnel past its exactly-once state (filled
+    slots ignore duplicates; ordering guards reject stale events)."""
+    from nebuia_vector_db_spark.sources.registry import load_table
+    from nebuia_vector_db_spark.streaming.events import run_to_memory
+    from nebuia_vector_db_spark.streaming.stateful import funnel_user_state
+
+    src = load_table(spark, sf_smoke, "events")
+    d = str(tmp_path / "replayed_funnel")
+    src.write.parquet(d, mode="overwrite")
+    src.write.parquet(d, mode="append")
+
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    out = run_to_memory(
+        funnel_user_state(stream), "t_funnel_dup", output_mode="update"
+    )
+    final_dup = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("t1_us").alias("t1"),
+            F.max("t2_us").alias("t2"),
+            F.max("t3_us").alias("t3"),
+        )
+        .collect()
+    )
+    from nebuia_vector_db_spark.queries import q_events_funnel
+
+    want = {
+        r["stage"]: r["n_users"]
+        for r in q_events_funnel(spark, sf_smoke).collect()
+    }
+    got = {
+        1: sum(1 for r in final_dup if r["t1"] > 0),
+        2: sum(1 for r in final_dup if r["t2"] > 0),
+        3: sum(1 for r in final_dup if r["t3"] > 0),
+    }
+    assert got == want
