@@ -147,12 +147,22 @@ class VectorEngine:
         query_vector: Sequence[float],
         top_k: int,
         method: str = "sql",
+        where: "F.Column | str | None" = None,
     ) -> DataFrame:
         """≙ POST /search (main.go:351-367): brute-force scan of one
         collection, sim = dot(q/‖q‖, v), top-k desc (D-1/D-2).
         ``method='arrow'`` switches scoring to the GEMM-per-Arrow-batch
-        kernel (same results, BLAS throughput — see operators/topk.py)."""
-        return self._search_impl([collection_name], query_vector, top_k, method)
+        kernel (same results, BLAS throughput — see operators/topk.py).
+
+        ``where`` (extension — the reference has no row predicates,
+        SURVEY §2.2 'Filters'): a Column or SQL string evaluated on the
+        exploded chunk relation (``doc_name``, ``chunk_metadata``,
+        ``text``, ``semantic_score``, ...) BEFORE scoring, so Catalyst
+        can push eligible predicates into the scan and the similarity
+        kernel only sees surviving rows."""
+        return self._search_impl(
+            [collection_name], query_vector, top_k, method, where
+        )
 
     def multi_search(
         self,
@@ -160,12 +170,16 @@ class VectorEngine:
         query_vector: Sequence[float],
         top_k: int,
         method: str = "sql",
+        where: "F.Column | str | None" = None,
     ) -> DataFrame:
         """≙ POST /multi_search (main.go:369-405). The reference's
         per-collection-top-k-then-global-top-k is semantically a global
         top-k (SURVEY §1.5-6); one plan over the unified table — the
-        per-collection goroutine fan-out becomes partition parallelism."""
-        return self._search_impl(list(collections), query_vector, top_k, method)
+        per-collection goroutine fan-out becomes partition parallelism.
+        ``where`` filters chunks before scoring (see ``search``)."""
+        return self._search_impl(
+            list(collections), query_vector, top_k, method, where
+        )
 
     def _search_impl(
         self,
@@ -173,12 +187,15 @@ class VectorEngine:
         query_vector: Sequence[float],
         top_k: int,
         method: str = "sql",
+        where: "F.Column | str | None" = None,
     ) -> DataFrame:
         if self.dim is not None and len(query_vector) != self.dim:
             raise DimensionMismatchError(
                 f"query dim {len(query_vector)} != engine dim {self.dim}"
             )
         ch = self.chunks(collections)
+        if where is not None:
+            ch = ch.where(F.expr(where) if isinstance(where, str) else where)
         if method == "arrow":
             from nebuia_vector_db_spark.operators.topk import topk_search
 

@@ -198,3 +198,39 @@ def test_delete_capability_gate(spark, tmp_path_factory):
     assert eng._delta_capable() is False  # classpath check still gates
     assert eng.delete_collection("tmp")["deleted"] is True
     assert eng.list_collections() == []
+
+
+def test_search_metadata_filter_restricts_candidates(spark, tmp_path_factory):
+    """The `where` extension: a predicate on the chunk relation must
+    exclude non-matching chunks from scoring entirely (not post-filter
+    the top-k), on both the sql and arrow paths."""
+    from nebuia_vector_db_spark.engine import VectorEngine
+
+    wh = str(tmp_path_factory.mktemp("wh_filter"))
+    eng = VectorEngine(spark, wh, dim=4)
+    docs = [
+        {
+            "text": f"d{i}",
+            "metadata": {"source": None, "name": f"doc{i}"},
+            "chunks": [
+                {
+                    "text": f"c{i}",
+                    # doc0 points exactly at the query; others decay
+                    "embedding": [1.0, float(i), 0.0, 0.0],
+                    "metadata": {"source": None, "name": f"doc{i}.c"},
+                    "semantic_score": float(i),
+                }
+            ],
+        }
+        for i in range(6)
+    ]
+    eng.store("c", docs)
+    q = [1.0, 0.0, 0.0, 0.0]
+    for method in ("sql", "arrow"):
+        got = eng.search(
+            "c", q, 10, method=method, where="semantic_score >= 3"
+        ).collect()
+        names = {r["embedding_id"] for r in got}
+        assert names == {"doc3", "doc4", "doc5"}, (method, names)
+    # unfiltered control still sees everything
+    assert len(eng.search("c", q, 10).collect()) == 6
