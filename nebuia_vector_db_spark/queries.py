@@ -2579,6 +2579,73 @@ ORDER BY user_id, session_start_us
 # starts a NEW session, hence `>=` in the oracle's new_session test.
 
 
+def q_vs_doc_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level retrieval over chunk granularity (late-interaction
+    rollup): rank documents by their BEST chunk similarity, keeping the
+    argmax chunk position and the doc's mean similarity — the doc-level
+    answer the reference's chunk-level results (main.go:242-261) leave
+    to the client. ONE partial-aggregated shuffle on doc_id; the argmax
+    is a lexicographic struct-max over (quantized sim, -position) —
+    integer comparisons only, so ties and ulp drift can't make the
+    winner engine- or partition-order-dependent."""
+    qn = normalize_query(_qvec(spark, sf_dir, 0))
+    emb = _emb(spark, sf_dir)
+    scored = (
+        emb.withColumn("doc_id", (F.col("vec_id") / 4).cast("long"))
+        .withColumn("position", (F.col("vec_id") % 4 + 1).cast("long"))
+        .withColumn("sq", _q6(dot(F.col("embedding"), qn)).cast("long"))
+    )
+    best = F.max(
+        F.struct(F.col("sq"), (-F.col("position")).alias("np"))
+    ).alias("b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            best,
+            (F.sum("sq") / F.count("*")).alias("mean_units"),
+            F.count("*").alias("n_chunks"),
+        )
+        .select(
+            "doc_id",
+            (F.col("b.sq") / 1e6).alias("best_sim"),
+            (-F.col("b.np")).alias("best_position"),
+            _r(F.col("mean_units") / 1e6, 6).alias("mean_sim"),
+            "n_chunks",
+        )
+        .orderBy(F.desc("best_sim"), "doc_id")
+        .limit(10)
+    )
+
+
+ORACLE_VS_DOC_MAXSIM = (
+    _ORACLE_QN.format(vid=0)
+    + """
+, s AS (
+  SELECT e.vec_id // 4 AS doc_id,
+         (e.vec_id % 4) + 1 AS position,
+         CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v)
+                    * 1000000 + 0.5) AS BIGINT) AS sq
+  FROM embeddings e, qn
+),
+g AS (
+  SELECT doc_id,
+         max(struct_pack(sq := sq, np := -position)) AS b,
+         sum(sq) * 1.0 / count(*) AS mean_units,
+         count(*) AS n_chunks
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id,
+       b.sq / 1000000.0 AS best_sim,
+       -b.np AS best_position,
+       floor(mean_units / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS mean_sim,
+       n_chunks
+FROM g
+ORDER BY best_sim DESC, doc_id
+LIMIT 10
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Sliding-window aggregation (batch mirror of streaming/events.py::
 # sliding_counts_stream): each event contributes to window/slide = 4
@@ -3102,6 +3169,8 @@ REGISTRY: dict[
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
     # sliding-window agg (batch mirror of sliding_counts_stream)
     "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+    # doc-level late-interaction rollup (max/mean chunk sim + argmax)
+    "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
 }
 
 
