@@ -40,6 +40,79 @@ def _q6(c: Column) -> Column:
     return F.floor(c * _UNITS + F.lit(0.5))
 
 
+def rrf_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    qvec: Sequence[float],
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion: ``score = 1/(rrf_k + rank_kw) +
+    1/(rrf_k + rank_vec)`` — the standard fusion when the two score
+    scales aren't comparable (tf-idf magnitudes vs cosine). Ranks come
+    from the same quantized component scores as :func:`hybrid_search`
+    (ties broken by doc id), so the ranks — and therefore the fused
+    ordering — are integer-derived and engine-independent; the final
+    fused score is the same double expression in both engines.
+
+    Plan note: the two rank windows are global (ORDER BY with no
+    partition) over the CANDIDATE relation — fine when fusing a
+    bounded candidate set (the intended use, like any rank fusion);
+    for corpus-wide fusion prefer :func:`hybrid_search`, whose scores
+    don't need a total order."""
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("rrf_search needs at least one query term")
+    from pyspark.sql import Window
+
+    w = tfidf_weight_relation(docs, text_col, id_col)
+    norms = w.groupBy("_id").agg(
+        F.sum(_q6(F.col("w") * F.col("w"))).alias("q2")
+    )
+    qdots = (
+        w.where(F.col("tok").isin(list(terms)))
+        .groupBy("_id")
+        .agg(F.sum(_q6(F.col("w"))).alias("qd"))
+    )
+    kw_cos = (F.col("qd") / _UNITS) / (
+        F.sqrt(F.col("q2") / _UNITS) * F.sqrt(F.lit(float(len(terms))))
+    )
+    kw = norms.join(qdots, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(_q6(kw_cos), F.lit(0)).cast("long").alias("sk"),
+    )
+    qn = normalize_query(qvec)
+    vec = emb.select(
+        F.col(vec_id_col).alias(id_col),
+        _q6(dot(emb_col, qn) / l2_norm(emb_col)).cast("long").alias("sv"),
+    )
+    cand = vec.join(kw, id_col)
+    rank_vec = F.row_number().over(
+        Window.orderBy(F.desc("sv"), id_col)
+    ).cast("long")
+    rank_kw = F.row_number().over(
+        Window.orderBy(F.desc("sk"), id_col)
+    ).cast("long")
+    ranked = cand.withColumn("rank_vec", rank_vec).withColumn(
+        "rank_kw", rank_kw
+    )
+    score = (
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_vec"))
+        + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_kw"))
+    )
+    return (
+        ranked.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(k)
+        .select(id_col, "rank_vec", "rank_kw", "rrf_score")
+    )
+
+
 def hybrid_search(
     docs: DataFrame,
     emb: DataFrame,

@@ -1298,6 +1298,73 @@ LIMIT 10
 """
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over the same two signals as
+    hybrid_search — rank-based, so it needs no comparable score
+    scales; ranks derive from integer-quantized scores with doc-id
+    tie-breaks, making the fused ordering engine-independent."""
+    from nebuia_vector_db_spark.operators.hybrid import rrf_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_search(docs, emb, _HYBRID_TERMS, FIXED_Q, k=10)
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.cnt * ((nn.n + 1.0) / (dfreq.dfc + 1)) AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nn
+),
+norms AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(w * w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS q2
+  FROM w GROUP BY doc_id
+),
+qd AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(w * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qd
+  FROM w WHERE tok IN ({_HYBRID_TERMS_SQL}) GROUP BY doc_id
+),
+kw AS (
+  SELECT n.doc_id,
+         CAST(coalesce(floor((qd.qd / 1000000.0)
+                  / (sqrt(n.q2 / 1000000.0) * sqrt(CAST({len(_HYBRID_TERMS)} AS DOUBLE)))
+                  * 1000000 + 0.5), 0) AS BIGINT) AS sk
+  FROM norms n LEFT JOIN qd ON n.doc_id = qd.doc_id
+),
+qn AS (SELECT CAST({_FIXED_Q_SQL} AS DOUBLE[]) AS v),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v)
+           / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))
+           * 1000000 + 0.5) AS BIGINT) AS sv
+  FROM embeddings e, qn
+),
+cand AS (SELECT v.doc_id, v.sv, k.sk FROM vec v JOIN kw k ON v.doc_id = k.doc_id),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sv DESC, doc_id) AS BIGINT) AS rank_vec,
+         CAST(row_number() OVER (ORDER BY sk DESC, doc_id) AS BIGINT) AS rank_kw
+  FROM cand
+)
+SELECT doc_id, rank_vec, rank_kw,
+       1.0 / (60.0 + rank_vec) + 1.0 / (60.0 + rank_kw) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew handling, hash-verified: events (the big, skewed
     side) join a small per-user tier dim through operators/skew.py::
@@ -3171,6 +3238,8 @@ REGISTRY: dict[
     "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     # doc-level late-interaction rollup (max/mean chunk sim + argmax)
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
+    # rank-based hybrid fusion (RRF) — score-scale-free counterpart
+    "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
 }
 
 
