@@ -234,3 +234,18 @@ def test_search_metadata_filter_restricts_candidates(spark, tmp_path_factory):
         assert names == {"doc3", "doc4", "doc5"}, (method, names)
     # unfiltered control still sees everything
     assert len(eng.search("c", q, 10).collect()) == 6
+
+
+def test_search_edge_cases_topk_zero_and_missing_collection(engine):
+    """top_k=0 → empty result (limit 0, not an error); searching a
+    collection that was never stored ≙ the reference's empty prefix
+    listing (zero keys → zero results, main.go:186-203)."""
+    assert engine.search("alpha", [1.0] * 8, 0).count() == 0
+    assert engine.search("nope_never_stored", [1.0] * 8, 5).count() == 0
+
+
+def test_search_zero_query_vector_yields_zero_similarity(engine):
+    """normalize(0-vector) passes through as zeros (vector.py guards
+    the 0/0), so every similarity is exactly 0.0 — no NaNs leak."""
+    rows = engine.search("alpha", [0.0] * 8, 3).collect()
+    assert rows and all(r["similarity"] == 0.0 for r in rows)
