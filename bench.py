@@ -240,6 +240,13 @@ def main() -> None:
     timings["b5_ivf_recall_at_10"] = round(
         recall_at_k(index, big, q_big.tolist(), k=10, nprobe=4), 4
     )
+    # the honest tradeoff curve on the i.i.d. worst case: recall vs
+    # fraction of corpus scanned (nprobe/64) — on clustered data (B5c)
+    # the same scan fraction buys far more recall
+    for np_ in (8, 16):
+        timings[f"b5_ivf_recall_at_10_nprobe{np_}"] = round(
+            recall_at_k(index, big, q_big.tolist(), k=10, nprobe=np_), 4
+        )
 
     # ---- B5c: IVF on a CLUSTERED 600k corpus (mixture of 128
     # Gaussians) — the distribution IVF cells are built for, vs the
