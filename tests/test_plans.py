@@ -260,3 +260,15 @@ def test_retention_two_passes_bounded_shuffles(spark, sf_oracle):
     assert plan.count("Scan parquet") <= 2
     assert "Window" not in plan
     assert shuffle_count(df) <= 5
+
+
+def test_hybrid_search_topk_and_no_cartesian(spark, sf_oracle):
+    """Hybrid fusion: the keyword side is posting-list equi-joins over
+    the cached weight relation (never all-pairs), the fusion join is
+    keyed on the doc id, and the final cut is TakeOrderedAndProject —
+    a cartesian or a global-sort regression fails here."""
+    df = Q.q_hybrid_search(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 8
