@@ -47,24 +47,24 @@ def rrf_search(
     qvec: Sequence[float],
     k: int = 10,
     rrf_k: int = 60,
+    n_cand: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Reciprocal-rank fusion: ``score = 1/(rrf_k + rank_kw) +
-    1/(rrf_k + rank_vec)`` — the standard fusion when the two score
-    scales aren't comparable (tf-idf magnitudes vs cosine). Ranks come
-    from the same quantized component scores as :func:`hybrid_search`
-    (ties broken by doc id), so the ranks — and therefore the fused
-    ordering — are integer-derived and engine-independent; the final
-    fused score is the same double expression in both engines.
+    """Reciprocal-rank fusion of the two retrievers' TOP-``n_cand``
+    LISTS: ``score = Σ_signals 1/(rrf_k + rank)``, a doc absent from a
+    signal's list contributing 0 for it — the standard fusion when the
+    two score scales aren't comparable (tf-idf magnitudes vs cosine).
 
-    Plan note: the two rank windows are global (ORDER BY with no
-    partition) over the CANDIDATE relation — fine when fusing a
-    bounded candidate set (the intended use, like any rank fusion);
-    for corpus-wide fusion prefer :func:`hybrid_search`, whose scores
-    don't need a total order."""
+    Scale shape: each signal's list is cut with ``orderBy().limit()``
+    — Spark plans TakeOrderedAndProject (per-partition bounded heaps,
+    NO global sort of the corpus) — and ranks are then assigned by a
+    window over the ≤ ``n_cand``-row candidate relation, whose single
+    partition is bounded by construction (a query parameter, not the
+    data). Ranks derive from integer-quantized scores with doc-id
+    tie-breaks, so the fused ordering is engine-independent."""
     terms = sorted({t.lower() for t in terms})
     if not terms:
         raise ValueError("rrf_search needs at least one query term")
@@ -91,22 +91,24 @@ def rrf_search(
         F.col(vec_id_col).alias(id_col),
         _q6(dot(emb_col, qn) / l2_norm(emb_col)).cast("long").alias("sv"),
     )
-    cand = vec.join(kw, id_col)
-    rank_vec = F.row_number().over(
-        Window.orderBy(F.desc("sv"), id_col)
-    ).cast("long")
-    rank_kw = F.row_number().over(
-        Window.orderBy(F.desc("sk"), id_col)
-    ).cast("long")
-    ranked = cand.withColumn("rank_vec", rank_vec).withColumn(
-        "rank_kw", rank_kw
-    )
-    score = (
-        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_vec"))
-        + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_kw"))
+    # top-N lists: TakeOrderedAndProject cuts, then ranks within the
+    # bounded candidate relations (≤ n_cand rows each by construction)
+    vec_top = vec.orderBy(F.desc("sv"), id_col).limit(n_cand)
+    kw_top = kw.orderBy(F.desc("sk"), id_col).limit(n_cand)
+    vec_ranked = vec_top.withColumn(
+        "rank_vec",
+        F.row_number().over(Window.orderBy(F.desc("sv"), id_col)).cast("long"),
+    ).select(id_col, "rank_vec")
+    kw_ranked = kw_top.withColumn(
+        "rank_kw",
+        F.row_number().over(Window.orderBy(F.desc("sk"), id_col)).cast("long"),
+    ).select(id_col, "rank_kw")
+    fused = vec_ranked.join(kw_ranked, id_col, "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r)), F.lit(0.0)
     )
     return (
-        ranked.withColumn("rrf_score", score)
+        fused.withColumn("rrf_score", contrib("rank_vec") + contrib("rank_kw"))
         .orderBy(F.desc("rrf_score"), id_col)
         .limit(k)
         .select(id_col, "rank_vec", "rank_kw", "rrf_score")

@@ -1299,10 +1299,12 @@ LIMIT 10
 
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion over the same two signals as
-    hybrid_search — rank-based, so it needs no comparable score
-    scales; ranks derive from integer-quantized scores with doc-id
-    tie-breaks, making the fused ordering engine-independent."""
+    """Reciprocal-rank fusion of the two retrievers' top-100 lists
+    (absent from a list → zero contribution, the standard RRF) — rank-
+    based, so it needs no comparable score scales; each list is cut by
+    TakeOrderedAndProject (no global sort) and ranks derive from
+    integer-quantized scores with doc-id tie-breaks, making the fused
+    ordering engine-independent."""
     from nebuia_vector_db_spark.operators.hybrid import rrf_search
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1350,16 +1352,24 @@ vec AS (
            * 1000000 + 0.5) AS BIGINT) AS sv
   FROM embeddings e, qn
 ),
-cand AS (SELECT v.doc_id, v.sv, k.sk FROM vec v JOIN kw k ON v.doc_id = k.doc_id),
-ranked AS (
+rv AS (
   SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY sv DESC, doc_id) AS BIGINT) AS rank_vec,
+         CAST(row_number() OVER (ORDER BY sv DESC, doc_id) AS BIGINT) AS rank_vec
+  FROM vec QUALIFY rank_vec <= 100
+),
+rk AS (
+  SELECT doc_id,
          CAST(row_number() OVER (ORDER BY sk DESC, doc_id) AS BIGINT) AS rank_kw
-  FROM cand
+  FROM kw QUALIFY rank_kw <= 100
+),
+f AS (
+  SELECT coalesce(rv.doc_id, rk.doc_id) AS doc_id, rv.rank_vec, rk.rank_kw
+  FROM rv FULL OUTER JOIN rk ON rv.doc_id = rk.doc_id
 )
 SELECT doc_id, rank_vec, rank_kw,
-       1.0 / (60.0 + rank_vec) + 1.0 / (60.0 + rank_kw) AS rrf_score
-FROM ranked
+       coalesce(1.0 / (60.0 + rank_vec), 0.0)
+         + coalesce(1.0 / (60.0 + rank_kw), 0.0) AS rrf_score
+FROM f
 ORDER BY rrf_score DESC, doc_id
 LIMIT 10
 """

@@ -272,3 +272,14 @@ def test_hybrid_search_topk_and_no_cartesian(spark, sf_oracle):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 8
+
+
+def test_rrf_windows_only_over_bounded_lists(spark, sf_oracle):
+    """RRF must never totally order the corpus: each signal's list is
+    cut by TakeOrderedAndProject (bounded heaps) BEFORE the rank
+    window, so the plan's windows run over <= n_cand rows and no
+    SinglePartition exchange of unbounded data appears."""
+    df = Q.q_hybrid_rrf(spark, sf_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "Exchange SinglePartition" not in plan, plan
