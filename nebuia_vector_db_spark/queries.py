@@ -2766,46 +2766,78 @@ ORDER BY window_start_epoch, event_type
 # --------------------------------------------------------------------------
 # Ordered funnel: how many users progressed view → click → qualified
 # purchase IN TIMESTAMP ORDER (a click before the first view doesn't
-# count). Stage timestamps chain through per-stage min-aggregates +
-# equi-joins on user_id — each stage is one partial-aggregated shuffle
-# on the user key, never a per-user event sort, so the plan is flat
-# regardless of how many events one user has. The last stage is
-# qualified by a JSON property (props.$.k >= 50) — the JSON-extract
-# capability in its natural habitat.
+# count). ONE scan and ONE shuffle: events hash-partition on user_id
+# once, and stage qualification is a chain of prefix-window minima over
+# that partition — a click qualifies iff a view precedes it strictly
+# (prefix min view ts < click ts ⟺ global first-view ts < click ts, so
+# this is exactly the min-aggregate-chain semantics the oracle
+# replays), a purchase iff a qualified click precedes it AND its JSON
+# property clears the bar (props.$.k >= 50 — JSON extract in its
+# natural habitat). Strict comparisons make timestamp ties
+# order-independent. The join-chain formulation (3 scans + 5 shuffles)
+# was replaced in round 2; the DuckDB oracle still uses it, so the two
+# formulations cross-verify.
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    base = ev.select("user_id", "ts", "event_id", "event_type", k.alias("k"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    is_view = F.col("event_type") == "view"
+    t1r = F.min(F.when(is_view, F.col("ts"))).over(w)
+    staged = base.withColumn(
+        "c2",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > t1r),
+            F.col("ts"),
+        ),
     )
-    buys = (
-        ev.where((F.col("event_type") == "purchase") & (k >= 50))
-        .join(clicks, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    t2r = F.min("c2").over(w)
+    staged = staged.withColumn(
+        "c3",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("k") >= 50)
+            & (F.col("ts") > t2r),
+            F.col("ts"),
+        ),
     )
-
-    def _stage(df: DataFrame, stage: int, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(stage).cast("long").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.col("n_users"),
-        )
-
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("t1"),
+        F.min("c2").alias("t2"),
+        F.min("c3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),  # count(col) counts non-nulls
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
     return (
-        _stage(views, 1, "view")
-        .unionAll(_stage(clicks, 2, "click_after_view"))
-        .unionAll(_stage(buys, 3, "qualified_purchase"))
+        counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("stage"),
+                        F.lit("view").alias("stage_name"),
+                        F.col("n1").alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit(2).cast("long").alias("stage"),
+                        F.lit("click_after_view").alias("stage_name"),
+                        F.col("n2").alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit(3).cast("long").alias("stage"),
+                        F.lit("qualified_purchase").alias("stage_name"),
+                        F.col("n3").alias("n_users"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.stage_name", "s.n_users")
         .orderBy("stage")
     )
 

@@ -234,21 +234,20 @@ def test_stratified_sample_is_map_side_only(spark, sf_oracle):
     assert shuffle_count(out) == 0
 
 
-def test_funnel_never_shuffles_raw_events(spark, sf_oracle):
-    """Each funnel stage reduces to (user_id, min ts) BEFORE joining,
-    and the small stage relations broadcast back against the filtered
-    events scans — the raw events table itself is never hash-exchanged
-    for a join, and no per-user Window/sort appears (the per-user
-    event ordering lives inside min-aggregates)."""
+def test_funnel_one_scan_one_shuffle_no_joins(spark, sf_oracle):
+    """The ordered funnel is a single pass: events hash-partition on
+    user_id ONCE, stage qualification chains prefix-window minima over
+    that partition, and no join (and no second events scan) appears —
+    the join-chain formulation this replaced paid 3 scans + 5
+    shuffles. (The one SinglePartition exchange is the final 3-row
+    global count aggregate, not data.)"""
     from nebuia_vector_db_spark.plans.inspect import _executed_plan
 
     df = Q.q_events_funnel(spark, sf_oracle)
     plan = _executed_plan(df)
-    assert "Window" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    # the only hash exchanges are the per-stage user_id aggregates
-    assert shuffle_count(df) <= 5
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 1
 
 
 def test_retention_two_passes_bounded_shuffles(spark, sf_oracle):
