@@ -49,7 +49,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in ("orders", "lineitem"):
+        # same drift-insurance as events.ts: queries assume midnight
+        # TIMESTAMP semantics for the TPC-H date columns; if a fixture
+        # regeneration narrows them to DATE, widen back (no-op today)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        for f in df.schema.fields:
+            if f.name.endswith("date") and isinstance(f.dataType, T.DateType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
