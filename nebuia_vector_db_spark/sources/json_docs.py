@@ -25,6 +25,54 @@ from pyspark.sql import functions as F
 from nebuia_vector_db_spark.schemas import DOCUMENT_JSON_SCHEMA
 
 
+def write_json_documents(df: DataFrame, root: str) -> int:
+    """Export canonical DOCUMENT_SCHEMA rows back to the reference's
+    ``{collection}/{uuid}_doc.json`` layout (main.go:334-342),
+    re-wrapping embeddings as ``{vector: [...]}`` — the inverse of
+    :func:`read_json_documents`, so a migration can round-trip and a
+    reference deployment can be rehydrated from the warehouse.
+
+    The JSON payload is built JVM-side (``to_json``); executors write
+    one file per document from ``foreachPartition``-style imperative IO
+    (the custom-sink escape hatch — ≙ the reference's per-object
+    PutObject, main.go:340-342; against object storage substitute the
+    store's SDK in ``_write``). Jackson prints shortest-round-trip
+    doubles, so embeddings survive the trip bit-for-bit. Returns the
+    number of documents written."""
+    payload = F.to_json(
+        F.struct(
+            F.col("text"),
+            F.col("metadata"),
+            F.transform(
+                "chunks",
+                lambda c: F.struct(
+                    c["text"].alias("text"),
+                    F.struct(c["embedding"].alias("vector")).alias(
+                        "embedding"
+                    ),
+                    c["metadata"].alias("metadata"),
+                    c["semantic_score"].alias("semantic_score"),
+                ),
+            ).alias("chunks"),
+        )
+    )
+    rows = df.select("collection", "doc_id", payload.alias("js"))
+
+    def _write(it):
+        import os
+
+        n = 0
+        for r in it:
+            d = os.path.join(root, r["collection"])
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r['doc_id']}_doc.json"), "w") as fh:
+                fh.write(r["js"])
+            n += 1
+        yield n
+
+    return sum(rows.rdd.mapPartitions(_write).collect())
+
+
 def read_json_documents(
     spark: SparkSession, root: str, collection: str | None = None
 ) -> DataFrame:

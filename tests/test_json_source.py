@@ -94,3 +94,60 @@ def test_migration_into_engine(spark, bucket, tmp_path_factory):
     top = eng.search("alpha", [0.6, 0.8], 1).head()
     assert top["embedding_id"] == "d2"  # cos-nearest chunk's doc name
     assert top["collection_name"] == "alpha"
+
+
+def test_json_export_round_trips(spark, tmp_path_factory):
+    """warehouse → reference wire layout → back: the exported
+    {collection}/{uuid}_doc.json tree must re-read into the identical
+    canonical rows (embeddings bit-for-bit, metadata and
+    semantic_score preserved)."""
+    from nebuia_vector_db_spark.engine import VectorEngine
+    from nebuia_vector_db_spark.sources.json_docs import (
+        read_json_documents,
+        write_json_documents,
+    )
+
+    wh = str(tmp_path_factory.mktemp("wh_export"))
+    out = str(tmp_path_factory.mktemp("json_export"))
+    eng = VectorEngine(spark, wh, dim=3)
+    for coll in ("x", "y"):
+        eng.store(
+            coll,
+            [
+                {
+                    "text": f"{coll} doc {i}",
+                    "metadata": {"source": '{"o": 1}', "name": f"{coll}{i}"},
+                    "chunks": [
+                        {
+                            "text": f"c{i}.{j}",
+                            "embedding": [0.1 * i, 1.0 / 3.0, float(j)],
+                            "metadata": {"source": None, "name": f"{coll}{i}c{j}"},
+                            "semantic_score": 0.25 * j,
+                        }
+                        for j in range(2)
+                    ],
+                }
+                for i in range(3)
+            ],
+        )
+    src = eng.documents()
+    n = write_json_documents(src, out)
+    assert n == 6
+
+    back = read_json_documents(spark, out)
+
+    def canon(df):
+        return sorted(
+            (
+                r["collection"],
+                r["text"],
+                r["metadata"]["name"],
+                tuple(
+                    (c["text"], tuple(c["embedding"]), c["semantic_score"])
+                    for c in r["chunks"]
+                ),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(back) == canon(src)
