@@ -151,3 +151,45 @@ def test_json_export_round_trips(spark, tmp_path_factory):
         )
 
     assert canon(back) == canon(src)
+
+
+def test_registered_views_serve_full_sql(spark, sf_smoke):
+    """SURVEY §2.2: the engine exposes a full SQL surface via
+    register_views + spark.sql — a join + aggregate + window statement
+    must run and agree with the DataFrame-API equivalent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.sources.registry import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, sf_smoke)
+    got = spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               rank() OVER (ORDER BY count(*) DESC, c_mktsegment) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY rk
+        """
+    ).collect()
+    cust = load_table(spark, sf_smoke, "customer")
+    orders = load_table(spark, sf_smoke, "orders")
+    want = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn(
+            "rk",
+            F.rank().over(
+                Window.orderBy(F.desc("n_orders"), "c_mktsegment")
+            ),
+        )
+        .orderBy("rk")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
