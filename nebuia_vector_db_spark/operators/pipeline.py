@@ -226,6 +226,34 @@ def pack_sequences(
     )
 
 
+def epoch_shard(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle + sharding: every row gets a
+    ``shard`` in [0, n_shards) and an ``order_key`` — both derived from
+    ``md5(epoch ':' id)`` — so a training run reads shard files in
+    ``(order_key, id)`` order and sees a different, *reproducible*
+    permutation each epoch (same no-RNG stance as dataset_split:
+    stable across runs, engines, and cluster sizes; new data routes
+    consistently). Map-side only — one codegen'd projection, no
+    shuffle; the physical re-partitioning is
+    ``repartition(n_shards, "shard")`` at write time."""
+    h = F.md5(
+        F.concat(
+            F.lit(f"{epoch}:"), F.col(id_col).cast("string")
+        )
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards
+    )
+    return df.withColumn("shard", shard).withColumn(
+        "order_key", F.substring(h, 5, 12)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -1532,6 +1532,49 @@ ORDER BY split, lang
 """
 
 
+def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/pipeline.py::epoch_shard,
+    epoch=3, 8 shards): the first 5 docs of each shard in epoch order —
+    exactly what a dataloader reads — via grouped top-k
+    (WindowGroupLimit, no global sort). The oracle replays the md5
+    arithmetic and the QUALIFY cut, so both the shard routing and the
+    per-epoch permutation are hash-verified."""
+    from nebuia_vector_db_spark.operators.pipeline import epoch_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = epoch_shard(docs, epoch=3, n_shards=8)
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        sharded.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("shard", "rk", "doc_id", "order_key")
+        .orderBy("shard", "rk")
+    )
+
+
+_EPOCH_H = "md5('3:' || CAST(doc_id AS VARCHAR))"
+
+ORACLE_PIPE_EPOCH = f"""
+WITH s AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr({_EPOCH_H}, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr({_EPOCH_H}, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr({_EPOCH_H}, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr({_EPOCH_H}, 4, 1)) - 1)) % 8
+           AS shard,
+         substr({_EPOCH_H}, 5, 12) AS order_key
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY order_key, doc_id) AS BIGINT) AS rk,
+       doc_id, order_key
+FROM s
+QUALIFY rk <= 5
+ORDER BY shard, rk
+"""
+
+
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the 20 most document-frequent 3-token
     shingles over the session-shared posting relation ("what
@@ -3282,6 +3325,8 @@ REGISTRY: dict[
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
     # rank-based hybrid fusion (RRF) — score-scale-free counterpart
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
+    # deterministic epoch shuffle/sharding for training dataloaders
+    "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
 }
 
 

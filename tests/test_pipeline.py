@@ -139,3 +139,35 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     assert "de" not in by_lang            # rate 0.0 keeps none
     assert "fr" not in by_lang            # default_rate 0.0
     assert 180 < by_lang.get("en", 0) < 320  # ~0.5 of 500
+
+
+def test_epoch_shard_reshuffles_per_epoch_deterministically(spark, sf_smoke):
+    """Same epoch → identical (shard, order); different epoch →
+    different permutation; shards stay roughly balanced; every doc
+    appears exactly once regardless of epoch."""
+    from nebuia_vector_db_spark.operators.pipeline import epoch_shard
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+
+    def keyed(epoch):
+        return sorted(
+            (r["doc_id"], r["shard"], r["order_key"])
+            for r in epoch_shard(docs, epoch, n_shards=8).collect()
+        )
+
+    e1a, e1b, e2 = keyed(1), keyed(1), keyed(2)
+    assert e1a == e1b  # reproducible
+    assert e1a != e2  # epoch actually reshuffles
+    assert len(e1a) == n  # conservation
+
+    counts = [
+        r["c"]
+        for r in epoch_shard(docs, 1, n_shards=8)
+        .groupBy("shard")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) <= 3 * min(counts)  # rough md5 balance at n=500
