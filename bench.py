@@ -133,6 +133,8 @@ def main() -> None:
         "pipe_upsert_latest",
         "profile_documents",
         "hybrid_search",
+        "pipe_curate",
+        "pipe_epoch_shuffle",
     ]
     reg = Q.queries()
     for name in headline:

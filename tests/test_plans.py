@@ -282,3 +282,13 @@ def test_rrf_windows_only_over_bounded_lists(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 3
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_epoch_shard_is_map_side_only(spark, sf_oracle):
+    """Epoch shuffle/sharding is a pure projection (md5 arithmetic):
+    zero exchanges, so it composes into a write's repartition without
+    adding a stage of its own."""
+    from nebuia_vector_db_spark.operators.pipeline import epoch_shard
+
+    docs = load_table(spark, sf_oracle, "documents")
+    assert shuffle_count(epoch_shard(docs, epoch=1)) == 0
