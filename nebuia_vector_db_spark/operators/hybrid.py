@@ -125,6 +125,7 @@ def hybrid_search(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """Top-k docs by ``score = (kw_cos + vec_cos) / 2`` where
 
@@ -136,14 +137,21 @@ def hybrid_search(
 
     Both components are quantized to micro-units before the fusion sum
     (see module docstring), and ties break on the doc id.
+
+    ``index``: a persisted :class:`~nebuia_vector_db_spark.operators.
+    textvec.TextIndex` — skips the per-query weight/norm build (the
+    ingest-time index path, like IVF/PQ on the vector side).
     """
     terms = sorted({t.lower() for t in terms})
     if not terms:
         raise ValueError("hybrid_search needs at least one query term")
-    w = tfidf_weight_relation(docs, text_col, id_col)
-    norms = w.groupBy("_id").agg(
-        F.sum(_q6(F.col("w") * F.col("w"))).alias("q2")
-    )
+    if index is not None:
+        w, norms = index.weights, index.norms
+    else:
+        w = tfidf_weight_relation(docs, text_col, id_col)
+        norms = w.groupBy("_id").agg(
+            F.sum(_q6(F.col("w") * F.col("w"))).alias("q2")
+        )
     qdots = (
         w.where(F.col("tok").isin(list(terms)))
         .groupBy("_id")

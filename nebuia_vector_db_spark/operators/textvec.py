@@ -110,6 +110,46 @@ def tfidf_weight_relation(
     )
 
 
+class TextIndex:
+    """Persisted tf-idf text index: the ``(_id, tok, w)`` weight
+    relation plus per-doc squared norms — what hybrid search needs at
+    query time, built once at ingest instead of per query. On a
+    cluster, write ``weights`` bucketed by ``tok`` (``write.bucketBy``)
+    so posting-list equi-joins are exchange-free; plain parquet here
+    (local FS has no metastore requirement)."""
+
+    def __init__(self, weights: DataFrame, norms: DataFrame):
+        self.weights = weights
+        self.norms = norms
+
+
+def save_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting_len: int | None = None,
+) -> TextIndex:
+    """Build and persist the tf-idf index (weights + norms) for
+    :func:`nebuia_vector_db_spark.operators.hybrid.hybrid_search`'s
+    ``index=`` fast path. Returns the in-session index too."""
+    w = tfidf_weight_relation(docs, text_col, id_col, max_posting_len)
+    q = lambda c: F.floor(c * 1_000_000 + F.lit(0.5))  # noqa: E731
+    norms = w.groupBy("_id").agg(
+        F.sum(q(F.col("w") * F.col("w"))).alias("q2")
+    )
+    w.write.mode("overwrite").parquet(f"{path}/weights")
+    norms.write.mode("overwrite").parquet(f"{path}/norms")
+    return TextIndex(w, norms)
+
+
+def load_text_index(spark, path: str) -> TextIndex:
+    return TextIndex(
+        spark.read.parquet(f"{path}/weights"),
+        spark.read.parquet(f"{path}/norms"),
+    )
+
+
 def exact_tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.9,

@@ -168,3 +168,28 @@ def test_hybrid_keyword_component_requires_term_presence(spark, sf_smoke):
         assert (r["kw_cos"] > 0.0) == has_term
         # fusion bookkeeping: score is the exact mean of the quantized parts
         assert abs(r["score"] * 2 - (r["vec_cos"] + r["kw_cos"])) < 1e-12
+
+
+def test_text_index_persist_round_trip_serves_hybrid(spark, sf_smoke, tmp_path):
+    """save_text_index → load_text_index → hybrid_search(index=...)
+    must return exactly the inline-computed result (the persisted
+    weights/norms are the same relation, so scores are bit-identical)."""
+    from nebuia_vector_db_spark.operators.hybrid import hybrid_search
+    from nebuia_vector_db_spark.operators.textvec import (
+        load_text_index,
+        save_text_index,
+    )
+    from nebuia_vector_db_spark.queries import FIXED_Q, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    terms = ["vector", "join", "scan"]
+
+    save_text_index(docs, str(tmp_path / "tidx"))
+    idx = load_text_index(spark, str(tmp_path / "tidx"))
+
+    inline = hybrid_search(docs, emb, terms, FIXED_Q, k=10).collect()
+    indexed = hybrid_search(
+        docs, emb, terms, FIXED_Q, k=10, index=idx
+    ).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in indexed]
