@@ -3068,6 +3068,60 @@ LIMIT 100
 
 
 # --------------------------------------------------------------------------
+# tpch_q10-style: returned-item revenue report — which customers cost
+# the most in returns during a quarter. Scale shape: the returnflag
+# predicate is pushed to the lineitem scan, the quarter predicate to
+# the orders scan, revenue aggregates on the customer key BEFORE the
+# dimension joins (customer + nation broadcast), and the final top-20
+# is TakeOrderedAndProject.
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _r(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+FROM (
+  SELECT o_custkey,
+         {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-07-01'
+  GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Range (theta) join: lineitem against a small in-memory band dim on
 # l_quantity BETWEEN lo AND hi. Broadcast nested-loop is the correct
 # physical plan for a non-equi join with a tiny build side — at 100 TB
@@ -3327,6 +3381,8 @@ REGISTRY: dict[
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     # deterministic epoch shuffle/sharding for training dataloaders
     "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
+    # returned-item revenue report (agg-before-dim-join, 4 tables)
+    "tpch_q10": (q_tpch_q10, ORACLE_TPCH_Q10),
 }
 
 
