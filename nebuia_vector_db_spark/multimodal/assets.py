@@ -208,3 +208,50 @@ def audio_windows(
         _win,
         schema="doc_id long, window_id long, start_byte long, window_md5 string",
     )
+
+
+def scene_changes(
+    assets: DataFrame, frame_bytes: int = 16, threshold: int = 500
+) -> DataFrame:
+    """Temporal operator over the 'video' payload: consecutive-frame
+    byte deltas (sum of absolute per-byte differences), emitting the
+    frames whose delta clears ``threshold`` — the scene-cut /
+    keyframe-selection access pattern. One numpy reshape+diff per
+    payload inside an Arrow batch; a real deployment swaps the byte
+    math for decoded-luma histogram distance over the same plumbing.
+    Map-side only, no shuffle; ``frame_id`` is the LATER frame of the
+    pair. The fake is exact byte arithmetic, so the registry row
+    (`mm_scene_changes`) is fully SQL-replayed, not rows-only."""
+    import numpy as np
+
+    cols = assets.select("doc_id", "payload")
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_fid, out_delta = [], [], []
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(pay), dtype=np.uint8)
+                nf = len(b) // frame_bytes
+                if nf < 2:
+                    continue
+                fr = (
+                    b[: nf * frame_bytes]
+                    .reshape(nf, frame_bytes)
+                    .astype(np.int32)
+                )
+                deltas = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                for i in np.nonzero(deltas >= threshold)[0]:
+                    out_doc.append(doc)
+                    out_fid.append(int(i) + 1)
+                    out_delta.append(int(deltas[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_id": out_fid,
+                    "delta": out_delta,
+                }
+            )
+
+    return cols.mapInPandas(
+        _cuts, schema="doc_id long, frame_id long, delta long"
+    )

@@ -1876,6 +1876,49 @@ ORDER BY doc_id, window_id
 """
 
 
+def q_mm_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the binary 'video' payloads
+    (multimodal/assets.py::scene_changes): consecutive 16-byte frames
+    whose absolute byte delta >= 500. The fixture payloads are ASCII,
+    so the oracle replays the exact byte arithmetic with ascii() —
+    a full content check of the temporal mapInPandas path."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_fake_assets,
+        scene_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = scene_changes(
+        attach_fake_assets(docs), frame_bytes=16, threshold=500
+    )
+    return cuts.orderBy("doc_id", "frame_id")
+
+
+ORACLE_MM_SCENES = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) // 16 AS nf
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, unnest(range(1, nf)) AS fid
+  FROM d WHERE nf >= 2
+),
+delta AS (
+  SELECT doc_id, fid,
+         list_reduce(
+           list_transform(range(16), i ->
+             abs(ascii(substr(text, (fid - 1) * 16 + i + 1, 1))
+                 - ascii(substr(text, fid * 16 + i + 1, 1)))),
+           (x, y) -> x + y) AS delta
+  FROM f
+)
+SELECT doc_id, CAST(fid AS BIGINT) AS frame_id, CAST(delta AS BIGINT) AS delta
+FROM delta
+WHERE delta >= 500
+ORDER BY doc_id, frame_id
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3383,6 +3426,8 @@ REGISTRY: dict[
     "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
     # returned-item revenue report (agg-before-dim-join, 4 tables)
     "tpch_q10": (q_tpch_q10, ORACLE_TPCH_Q10),
+    # temporal multimodal op: consecutive-frame byte-delta scene cuts
+    "mm_scene_changes": (q_mm_scene_changes, ORACLE_MM_SCENES),
 }
 
 
