@@ -53,6 +53,23 @@ def _median_time(fn, runs: int = 3, warmup: int = 1) -> float:
     return statistics.median(times)
 
 
+def _median_build(build_fn, runs: int = 3):
+    """Median-of-N for OFFLINE build/train steps (VERDICT r2 #3: the
+    single-shot b5/b6 build numbers swung 8-40 s across identical
+    code). ``build_fn`` must do the full build AND materialize it,
+    returning (result, cleanup_fn); intermediate results are cleaned
+    up so caches don't accumulate. Returns (median_sec, last_result).
+    """
+    times, result, cleanup = [], None, None
+    for _ in range(runs):
+        if cleanup is not None:
+            cleanup()
+        t0 = time.perf_counter()
+        result, cleanup = build_fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), result
+
+
 def _synth_matrix() -> np.ndarray:
     rng = np.random.default_rng(42)
     return rng.normal(size=(SYNTH_N, SYNTH_D)).astype(np.float32)

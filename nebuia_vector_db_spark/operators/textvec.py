@@ -19,6 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Cached weight relations handed out by tfidf_weight_relation. The
+# cache is load-bearing (the relation feeds norms + both join sides;
+# uncached it re-runs tokenize→tf→df per consumer — measured 16
+# shuffles vs 6), but repeated hybrid/exact-pair queries in one long
+# session would otherwise accumulate executor storage memory with no
+# way to release it. Call release_cached_relations() between query
+# batches (bench.py does) to drop them all.
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> int:
+    """Unpersist every weight relation cached by
+    :func:`tfidf_weight_relation` in this session; returns the count
+    released."""
+    n = 0
+    for df in _CACHED_RELATIONS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_RELATIONS.clear()
+    return n
+
 
 def tfidf_features(
     docs: DataFrame,
@@ -96,7 +120,7 @@ def tfidf_weight_relation(
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfc"))
     if max_posting_len is not None:
         dfreq = dfreq.where(F.col("dfc") <= max_posting_len)
-    return (
+    rel = (
         tf.join(dfreq, "tok")
         .select(
             "_id",
@@ -108,6 +132,8 @@ def tfidf_weight_relation(
         )
         .cache()
     )
+    _CACHED_RELATIONS.append(rel)
+    return rel
 
 
 class TextIndex:
@@ -121,6 +147,15 @@ class TextIndex:
     def __init__(self, weights: DataFrame, norms: DataFrame):
         self.weights = weights
         self.norms = norms
+
+    def release(self) -> None:
+        """Unpersist the weight/norm relations if cached (no-op for
+        parquet-loaded indexes)."""
+        for df in (self.weights, self.norms):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def save_text_index(

@@ -120,7 +120,10 @@ def _make_funnel_update(min_k: int):
         t1, t2, t3 = state.get if state.exists else (0, 0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values("ts", kind="mergesort")
-        ts_us = batch["ts"].astype("int64") // 1000
+        # unit-safe µs conversion: Arrow→pandas may yield datetime64[ns]
+        # or datetime64[us] depending on pandas version; an int64 view
+        # divided by a hard-coded 1000 would silently shift units
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
         for t, etype, k in zip(
             ts_us.tolist(), batch["event_type"].tolist(), batch["k"].tolist()
         ):

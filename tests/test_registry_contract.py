@@ -31,6 +31,49 @@ def test_every_recorded_query_has_an_oracle():
     assert not missing, f"recorded queries without oracle: {missing}"
 
 
+# Every distinct capability must hold a slot inside the recorded
+# window (round-3 rotation, VERDICT.md "Next round #1"). One
+# representative per family; a reorder that drops any of these below
+# position 50 silently loses its driver-green row.
+_REQUIRED_IN_WINDOW = {
+    # reference parity + ANN tiers
+    "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
+    "vs_ivf_topk", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
+    # embedding near-dup (exact + LSH)
+    "vs_neardup_cos", "vs_neardup_lsh",
+    # dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_groups",
+    # text analysis
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_boilerplate", "text_tfidf_neardup", "text_minhash_mllib",
+    # hybrid retrieval
+    "hybrid_search", "hybrid_rrf",
+    # training-data pipeline
+    "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
+    "pipe_decontaminate", "pipe_stratified_sample",
+    "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
+    # multimodal
+    "mm_image_features", "mm_audio_windows", "mm_scene_changes",
+    # relational
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q10", "rollup_lineitem",
+    "approx_cardinality", "orders_running_revenue",
+    "fuzzy_name_match", "skew_salted_join",
+    # events
+    "events_hourly", "events_sliding", "events_sessions",
+    "events_asof_signup", "events_funnel", "events_retention",
+}
+
+
+def test_window_is_exactly_full_and_covers_distinct_capabilities():
+    window_names = {name for name, _ in _window_items}
+    assert len(_window_items) == WINDOW, (
+        f"registry has only {len(_window_items)} entries in the window"
+    )
+    missing = _REQUIRED_IN_WINDOW - window_names
+    assert not missing, f"distinct capabilities below the window: {missing}"
+
+
 @pytest.mark.parametrize(
     "name", [name for name, _ in _window_items], ids=[n for n, _ in _window_items]
 )
