@@ -160,6 +160,14 @@ def main() -> None:
             _median_time(lambda: fn(spark, SF_DIR).collect()), 4
         )
 
+    # release the tf-idf weight relations cached by the hybrid/curate
+    # queries above — the B-series needs the storage memory
+    from nebuia_vector_db_spark.operators.textvec import (
+        release_cached_relations,
+    )
+
+    release_cached_relations()
+
     # ---- B1: sf embeddings top-10, Spark numpy-UDF path vs NumPy
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     emb.count()
@@ -242,11 +250,14 @@ def main() -> None:
     # ~1/16 of the corpus scanned per query, recall recorded alongside.
     from nebuia_vector_db_spark.operators.ann import build_ivf_index, recall_at_k
 
-    t0 = time.perf_counter()
-    index = build_ivf_index(big, n_cells=64)
-    index.assigned = index.assigned.cache()
-    index.assigned.count()
-    timings["b5_ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+    def _build_b5():
+        idx = build_ivf_index(big, n_cells=64)
+        idx.assigned = idx.assigned.cache()
+        idx.assigned.count()
+        return idx, lambda: idx.assigned.unpersist()
+
+    t_b5, index = _median_build(_build_b5, runs=3)
+    timings["b5_ivf_build_sec"] = round(t_b5, 4)
     timings["b5_ivf_topk_nprobe4"] = round(
         _median_time(
             lambda: index.search(
@@ -288,11 +299,14 @@ def main() -> None:
         ).write.mode("overwrite").parquet(CLUSTERED_PATH)
     clustered = spark.read.parquet(CLUSTERED_PATH).cache()
     clustered.count()
-    t0 = time.perf_counter()
-    c_index = build_ivf_index(clustered, n_cells=64)
-    c_index.assigned = c_index.assigned.cache()
-    c_index.assigned.count()
-    timings["b5c_ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+    def _build_b5c():
+        idx = build_ivf_index(clustered, n_cells=64)
+        idx.assigned = idx.assigned.cache()
+        idx.assigned.count()
+        return idx, lambda: idx.assigned.unpersist()
+
+    t_b5c, c_index = _median_build(_build_b5c, runs=3)
+    timings["b5c_ivf_build_sec"] = round(t_b5c, 4)
     q_rng = np.random.default_rng(11)
     c_queries = [
         (centers[i] + q_rng.normal(scale=1.0, size=SYNTH_D)).tolist()
@@ -334,17 +348,20 @@ def main() -> None:
     from nebuia_vector_db_spark.operators.pq import encode_pq, train_pq
     from nebuia_vector_db_spark.operators.topk import topk_search
 
-    t0 = time.perf_counter()
-    books = train_pq(
-        c_index.assigned, m=16, k=256, sample=100_000,
-        cell_centroids=c_index.centroids,
-    )
-    pq = encode_pq(
-        c_index.assigned, books, cell_centroids=c_index.centroids
-    )
-    pq.codes = pq.codes.cache()
-    pq.codes.count()
-    timings["b6_pq_train_encode_sec"] = round(time.perf_counter() - t0, 4)
+    def _build_b6():
+        books = train_pq(
+            c_index.assigned, m=16, k=256, sample=100_000,
+            cell_centroids=c_index.centroids,
+        )
+        enc = encode_pq(
+            c_index.assigned, books, cell_centroids=c_index.centroids
+        )
+        enc.codes = enc.codes.cache()
+        enc.codes.count()
+        return enc, lambda: enc.codes.unpersist()
+
+    t_b6, pq = _median_build(_build_b6, runs=3)
+    timings["b6_pq_train_encode_sec"] = round(t_b6, 4)
     timings["b6_pq_adc_topk"] = round(
         _median_time(
             lambda: pq.search(
@@ -421,6 +438,93 @@ def main() -> None:
     timings["b7_sq8_recall_at_10"] = round(sum(sq_rec) / len(sq_rec), 4)
     sq_codes.unpersist()
 
+    # ---- B8: scale-slope sweep — the 100 TB claim measured, not just
+    # argued from plans. The batched-GEMM kNN (16 queries in one job)
+    # runs at 600k / 2.4M / 9.6M vectors; with a fixed query set the
+    # work is exactly linear in corpus size, so wall time should grow
+    # ~4x per step. b8_slope_* records t(next) / (t(prev) * 4) — 1.0 is
+    # perfectly linear, the gate in VERDICT r2 #4 is <= 1.3.
+    import pandas as pd
+
+    def _ensure_scaled(n: int, path: str) -> None:
+        if os.path.exists(path):
+            return
+
+        def _gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                rng = np.random.default_rng(
+                    1000 + (int(ids[0]) if len(ids) else 0)
+                )
+                m = rng.normal(size=(len(ids), SYNTH_D)).astype(np.float32)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+
+        (
+            spark.range(n)
+            .repartition(int(CPUS) * 2)
+            .mapInPandas(_gen, "vec_id long, embedding array<float>")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    sweep_queries = spark.createDataFrame(
+        [(int(i), mat[i].astype(np.float64).tolist()) for i in qids[:16]],
+        "query_id long, query_vec array<double>",
+    ).cache()
+    sweep_queries.count()
+    sweep_sizes = [600_000, 2_400_000, 9_600_000]
+    sweep_times: list[float] = []
+    for n_rows in sweep_sizes:
+        if n_rows == SYNTH_N:
+            corpus = big  # already cached
+        else:
+            path = f"/tmp/nebuia_bench_sweep_{n_rows}.parquet"
+            _ensure_scaled(n_rows, path)
+            corpus = spark.read.parquet(path).cache()
+            corpus.count()
+        t = _median_time(
+            lambda: knn_join(
+                sweep_queries, corpus, k=10, tie_cols=["vec_id"],
+                method="arrow",
+            ).collect(),
+            runs=3,
+        )
+        sweep_times.append(t)
+        timings[f"b8_scale_sweep_{n_rows // 1000}k"] = round(t, 4)
+        if corpus is not big:
+            corpus.unpersist()
+    for prev_n, next_n, t_prev, t_next in zip(
+        sweep_sizes, sweep_sizes[1:], sweep_times, sweep_times[1:]
+    ):
+        ratio = (t_next / t_prev) / (next_n / prev_n)
+        timings[f"b8_slope_{next_n // 1000}k"] = round(ratio, 4)
+    sweep_queries.unpersist()
+
+    # ---- B9: the blocked (above-cap) exact-cosine scale path with a
+    # measured number (VERDICT r2 #5): 240k vectors forced onto
+    # _cosine_pairs_blocked (max_broadcast_rows below N, 6 blocks ->
+    # 21 block-pair GEMM tasks). Kept to a 240k subset so the
+    # quadratic all-pairs job stays bounded per round; the number to
+    # watch is b9_blocked_pairs_per_sec (scale-invariant throughput).
+    from nebuia_vector_db_spark.operators.dedup import exact_cosine_pairs
+
+    b9_n = 240_000
+    sub = big.where(F.col("vec_id") < b9_n).cache()
+    sub.count()
+
+    def _b9():
+        exact_cosine_pairs(
+            sub, threshold=0.9, max_broadcast_rows=100_000,
+            block_rows=40_000,
+        ).count()
+
+    t_b9 = _median_time(_b9, runs=3, warmup=1)
+    timings["b9_blocked_cosine_240k_sec"] = round(t_b9, 4)
+    timings["b9_blocked_pairs_per_sec"] = round(
+        (b9_n * (b9_n - 1) / 2) / t_b9, 1
+    )
+    sub.unpersist()
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -473,6 +577,8 @@ def main() -> None:
                     "b6_pq_adc_recall",
                     "b6_pq_rerank_recall",
                     "b7_sq8_recall",
+                    "b8_",
+                    "b9_",
                 )
             )
         ),
@@ -506,6 +612,17 @@ def main() -> None:
                     "shortlist (0.5%) at nprobe 8/64; recall over 4 queries",
                     "b7": "SQ8 int8 scan (4x vs float32, no training) on "
                     "the clustered corpus; recall over 4 queries",
+                    "b5/b5c/b6 builds": "median of 3 full rebuilds "
+                    "(offline numbers were single-shot before r3 and "
+                    "swung 8-40 s across identical code)",
+                    "b8": "batched-GEMM kNN (16 queries/job) at "
+                    "600k/2.4M/9.6M vectors; b8_slope_* = "
+                    "t(next)/(t(prev)*4), 1.0 = perfectly linear, "
+                    "gate <= 1.3",
+                    "b9": "distributed block-pair GEMM exact cosine "
+                    "(the above-cap path, 21 block-pair tasks) on a "
+                    "240k subset; pairs/sec is the scale-invariant "
+                    "throughput",
                 },
             }
         )

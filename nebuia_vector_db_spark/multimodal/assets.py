@@ -11,12 +11,15 @@ mandated multimodal extension surface. Design per the north star:
   arriving as zero-copy bytes. That shape (iterator of pandas
   DataFrames in, iterator out) is exactly what a real PIL/ffmpeg
   decoder plugs into;
-- the actual codec is STUBBED: this container has no image/audio
-  libraries. ``decode_image_real`` raises ``NotImplementedError`` and
-  documents the integration point; ``decode_image_features`` computes
-  a *deterministic fake decode* over the raw bytes (dims derived from
-  md5, pixel stats = byte stats) so the Spark-side plumbing — schema,
-  batch shape, partitioning — is fully real and oracle-testable.
+- codecs: PNG is REAL — ``attach_png_assets`` / ``decode_image_real``
+  run a pure-stdlib PNG encode/decode (zlib DEFLATE, CRC validation,
+  scanline unfiltering incl. Paeth — see multimodal/png.py), so the
+  registry round-trip row exercises genuine compressed-image bytes.
+  Other formats (JPEG, video/audio containers) need an executor-side
+  codec install (PIL/ffmpeg); ``decode_image_features`` additionally
+  keeps a *deterministic fake decode* (dims from md5, pixel stats =
+  byte stats) whose arithmetic any SQL engine can replay — the
+  fully-hash-checkable variant.
 
 Scale: payload columns dominate storage; keep them in their own
 parquet column (columnar pruning makes metadata-only queries cheap)
@@ -113,28 +116,119 @@ def decode_image_features(assets: DataFrame) -> DataFrame:
     return cols.mapInPandas(_decode, schema=_FEATURE_SCHEMA)
 
 
+def attach_png_assets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+) -> DataFrame:
+    """Derive a REAL PNG asset per document: the text's UTF-8 bytes
+    become the pixel buffer of a ``width``-pixel-wide grayscale image
+    (zero-padded to fill the last row) and are encoded through
+    :mod:`nebuia_vector_db_spark.multimodal.png` — real DEFLATE
+    stream, real CRC, a file any PNG viewer opens. Runs as
+    Arrow-batched mapInPandas (compression is Python work), map-side,
+    no shuffle. Because the pixels ARE the text bytes, a SQL oracle
+    can replay pixel statistics of the decoded image from the text
+    column — making the full encode→decode round trip hash-checkable
+    (registry row `mm_png_roundtrip`)."""
+    import math
+
+    from nebuia_vector_db_spark.multimodal.png import encode_png
+
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, heights = [], [], []
+            for doc, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                if not b:
+                    continue
+                h = math.ceil(len(b) / width)
+                buf = np.zeros(h * width, dtype=np.uint8)
+                buf[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                ids.append(doc)
+                payloads.append(encode_png(buf.reshape(h, width)))
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime": ["image/png"] * len(ids),
+                    "declared_width": [width] * len(ids),
+                    "declared_height": heights,
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, payload binary, mime string, "
+            "declared_width int, declared_height int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.col("declared_width"),
+            F.col("declared_height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
+
+
+_REAL_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "mean_px double, max_px int"
+)
+
+
 def decode_image_real(assets: DataFrame) -> DataFrame:
-    """The real-codec integration point — NOT IMPLEMENTED here (no
-    PIL/opencv/ffmpeg in this environment by design).
+    """REAL image decode over Arrow batches — PNG implemented with the
+    pure-stdlib codec (:mod:`nebuia_vector_db_spark.multimodal.png`:
+    zlib inflate, CRC validation, filters 0-4 incl. Paeth). Emits
+    per-image stats from the ACTUAL decoded pixel buffer: parsed
+    header dims, pixel count (channels collapsed by mean for stats),
+    mean/max pixel value.
 
-    A deployment installs the codec on executors and swaps the batch
-    body::
+    Non-PNG payloads (JPEG/video/audio containers) still need an
+    executor-side codec install (PIL/ffmpeg) and raise cleanly per
+    payload via the signature check — the mapInPandas plumbing is
+    identical either way, so a deployment swaps only the decode call.
+    Same shape as :func:`decode_image_features`: map-side, payload
+    pruned unless projected, no shuffle."""
+    from nebuia_vector_db_spark.multimodal.png import decode_png
 
-        from PIL import Image
-        img = Image.open(io.BytesIO(payload))
-        width, height = img.size  # then real pixel stats / resize
+    cols = assets.select("doc_id", "payload")
 
-    Everything else (schema, mapInPandas, partitioning) is shared with
-    :func:`decode_image_features`.
-    """
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real image decode requires an image library on the executors; "
-            "use decode_image_features (deterministic fake) in this environment"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when available")
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, npx, means, maxes = [], [], [], [], [], []
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_png(bytes(pay))
+                ids.append(doc)
+                ws.append(w)
+                hs.append(h)
+                npx.append(w * h)
+                means.append(float(px.mean()))
+                maxes.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_pixels": npx,
+                    "mean_px": means,
+                    "max_px": maxes,
+                }
+            )
+
+    return cols.mapInPandas(_decode, schema=_REAL_DECODE_SCHEMA)
 
 
 def sample_frames(

@@ -55,10 +55,17 @@ def test_frame_sample_counts(spark, sf_smoke):
         assert r["n_sampled"] == len(ids)
 
 
-def test_real_decode_is_stubbed(spark, sf_smoke):
+def test_real_decode_rejects_non_png_payloads(spark, sf_smoke):
+    """decode_image_real is a REAL codec since round 3 (stdlib PNG);
+    feeding it non-PNG bytes (attach_fake_assets = raw text bytes)
+    must fail cleanly at execution with the signature error, not
+    produce garbage stats."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
     docs = load_table(spark, sf_smoke, "documents").limit(1)
-    with pytest.raises(NotImplementedError):
-        decode_image_real(attach_fake_assets(docs))
+    with pytest.raises((PythonException, Py4JJavaError), match="not a PNG"):
+        decode_image_real(attach_fake_assets(docs)).collect()
 
 
 def test_payload_prunable(spark, sf_smoke):

@@ -53,8 +53,9 @@ _REQUIRED_IN_WINDOW = {
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_stratified_sample",
     "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
-    # multimodal
-    "mm_image_features", "mm_audio_windows", "mm_scene_changes",
+    # multimodal (mm_png_roundtrip = REAL codec; supersedes the
+    # fake-codec mm_image_features in the window)
+    "mm_png_roundtrip", "mm_audio_windows", "mm_scene_changes",
     # relational
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q10", "rollup_lineitem",
     "approx_cardinality", "orders_running_revenue",
