@@ -366,6 +366,49 @@ def save_pq_index(index: PQIndex, path: str) -> None:
         )
 
 
+def append_to_pq_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> "PQIndex":
+    """Incremental PQ maintenance — the compressed-tier twin of
+    ann.append_to_ivf_index: new vectors are routed to the EXISTING
+    cell centroids (broadcast-GEMM argmin), encoded with the EXISTING
+    codebooks (map-side Arrow, no shuffle), and their codes appended
+    to the saved partitions. A full re-encode of the grown corpus with
+    the same codebooks/centroids yields identical codes (test-pinned).
+
+    Codebooks are frozen like centroids: under drift, quantization
+    error creeps up — monitor mean ADC-vs-exact gap on a sampled
+    query set and retrain (a fresh train_pq + staged swap) when it
+    degrades. Never retrain in place: old codes are meaningless under
+    new codebooks.
+    """
+    import os
+
+    idx = load_pq_index(spark, path, vec_col, id_col, cell_col)
+    src = new_df
+    if idx.cell_centroids is not None and cell_col not in new_df.columns:
+        from nebuia_vector_db_spark.operators.ann import assign_to_cells
+
+        src = assign_to_cells(new_df, idx.cell_centroids, vec_col)
+        # assign_to_cells names the column ivf_cell; align if custom
+        if cell_col != "ivf_cell":
+            src = src.withColumnRenamed("ivf_cell", cell_col)
+    new_codes = encode_pq(
+        src, idx.codebooks, vec_col, id_col,
+        cell_centroids=idx.cell_centroids, cell_col=cell_col,
+    ).codes
+    w = new_codes.write.mode("append")
+    if idx.cell_centroids is not None:
+        w = w.partitionBy(cell_col)
+    w.parquet(os.path.join(path, "codes"))
+    return load_pq_index(spark, path, vec_col, id_col, cell_col)
+
+
 def load_pq_index(
     spark,
     path: str,

@@ -173,13 +173,21 @@ def join_streams(
     max_gap: str = "30 minutes",
     left_ts: str = "ts",
     right_ts: str = "ts_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: match rows sharing
-    ``key`` whose event times are within ``max_gap``. Both sides are
+    """Watermarked stream-stream join: match rows sharing ``key``
+    whose event times are within ``max_gap``. Both sides are
     watermarked so the state store can drop rows once no future match
     can arrive (without the time-range predicate the join state would
     grow forever). The streaming twin of the batch as-of/range joins
-    (operators/asof.py, qty_band_join)."""
+    (operators/asof.py, qty_band_join).
+
+    ``how='leftOuter'``: unmatched left rows are emitted with null
+    right columns — but only once the watermark passes their match
+    window (the engine must prove no match can still arrive), so
+    outer results trail the watermark delay by design. Requires the
+    time-range condition (Spark's outer stream-stream join
+    precondition) — already built in here."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -187,4 +195,4 @@ def join_streams(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {max_gap}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from nebuia_vector_db_spark.operators.pq import (
     PQIndex,
@@ -175,3 +176,62 @@ def test_save_load_roundtrip_same_results(spark, tmp_path):
         (r["vec_id"], round(r["similarity"], 10)) for r in after
     ]
     assert (loaded.codebooks == pq.codebooks).all()
+
+
+def test_pq_append_equals_full_reencode(spark, sf_oracle, tmp_path_factory):
+    """Incremental PQ: save(encode(A)) + append(B) holds the same
+    codes as encode(A∪B) with the same codebooks/centroids, and a
+    search over the appended index matches the full one."""
+    from nebuia_vector_db_spark.operators.ann import (
+        assign_to_cells,
+        build_ivf_index,
+    )
+    from nebuia_vector_db_spark.operators.pq import (
+        append_to_pq_index,
+        encode_pq,
+        load_pq_index,
+        save_pq_index,
+        train_pq,
+    )
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    part_a = emb.where(F.col("vec_id") % 4 != 0)
+    part_b = emb.where(F.col("vec_id") % 4 == 0)
+
+    ivf = build_ivf_index(part_a, n_cells=4)
+    books = train_pq(
+        ivf.assigned, m=8, k=16, sample=5_000,
+        cell_centroids=ivf.centroids,
+    )
+    path = str(tmp_path_factory.mktemp("pq_inc"))
+    save_pq_index(
+        encode_pq(ivf.assigned, books, cell_centroids=ivf.centroids), path
+    )
+    appended = append_to_pq_index(spark, path, part_b)
+
+    full_assigned = assign_to_cells(emb, ivf.centroids)
+    full = encode_pq(full_assigned, books, cell_centroids=ivf.centroids)
+
+    inc_rows = sorted(
+        (r["vec_id"], r["ivf_cell"], tuple(r["codes"]))
+        for r in appended.codes.collect()
+    )
+    full_rows = sorted(
+        (r["vec_id"], r["ivf_cell"], tuple(r["codes"]))
+        for r in full.codes.collect()
+    )
+    assert inc_rows == full_rows
+    assert len(inc_rows) == emb.count()
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 3).head()["embedding"]]
+    got_inc = [
+        (r["vec_id"], round(r["similarity"], 9))
+        for r in appended.search(emb, q, 10, rerank=50, tie_cols=["vec_id"]).collect()
+    ]
+    got_full = [
+        (r["vec_id"], round(r["similarity"], 9))
+        for r in full.search(emb, q, 10, rerank=50, tie_cols=["vec_id"]).collect()
+    ]
+    assert got_inc == got_full
+    emb.unpersist()

@@ -171,3 +171,52 @@ def test_join_streams_gap_boundary_inclusive(spark, tmp_path_factory):
         r["user_id"] for r in run_to_memory(out, "ss_gap").collect()
     }
     assert got == {1, 2}
+
+
+def test_join_streams_left_outer_emits_nulls_after_watermark(
+    spark, tmp_path_factory
+):
+    """leftOuter stream-stream join: a left row with no match emits
+    with null right columns, but only after the watermark proves no
+    match can still arrive. Clock batches push the watermark well past
+    every real row's match window; the final batch gives the engine a
+    trigger in which to evict + emit the outer rows."""
+    left_dir = str(tmp_path_factory.mktemp("lo_left"))
+    right_dir = str(tmp_path_factory.mktemp("lo_right"))
+
+    _write_batch(
+        left_dir,
+        0,
+        [(1, _t(10, 0)), (2, _t(10, 1)), (99, _t(10, 30))],
+    )
+    _write_batch(right_dir, 0, [(1, _t(10, 2)), (98, _t(10, 30))])
+    # clock batches: advance watermark far past 10:06 (u2's window)
+    _write_batch(left_dir, 1, [(99, _t(13, 0))])
+    _write_batch(right_dir, 1, [(98, _t(13, 0))])
+    _write_batch(left_dir, 2, [(99, _t(16, 0))])
+    _write_batch(right_dir, 2, [(98, _t(16, 0))])
+
+    left = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(left_dir)
+    )
+    right = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(right_dir)
+        .select("user_id", F.col("ts").alias("ts_r"))
+    )
+    out = join_streams(
+        left, right, watermark="30 minutes", max_gap="5 minutes",
+        how="leftOuter",
+    )
+    rows = run_to_memory(out, "ss_left_outer").collect()
+    matched = {(r["user_id"], r["ts"]) for r in rows if r["ts_r"] is not None}
+    outer = {(r["user_id"], r["ts"]) for r in rows if r["ts_r"] is None}
+
+    assert (1, _t(10, 0)) in matched        # real match, right side kept
+    assert (2, _t(10, 1)) in outer          # no match -> null emission
+    assert (99, _t(10, 30)) in outer        # early clock also times out
+    # no row is emitted both matched and outer
+    assert not ({(1, _t(10, 0))} & outer)
