@@ -292,3 +292,17 @@ def test_epoch_shard_is_map_side_only(spark, sf_oracle):
 
     docs = load_table(spark, sf_oracle, "documents")
     assert shuffle_count(epoch_shard(docs, epoch=1)) == 0
+
+
+def test_ivf_cell_assignment_is_map_side_only(spark, sf_oracle):
+    """assign_to_cells (the incremental-append router) must be a pure
+    map: broadcast centroid matrix + per-batch GEMM argmin, zero
+    exchanges — appending a day's vectors never reshuffles anything."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.operators.ann import assign_to_cells
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = np.zeros((8, 64), dtype=np.float64)
+    cents[np.arange(8), np.arange(8)] = 1.0
+    assert shuffle_count(assign_to_cells(emb, cents)) == 0
