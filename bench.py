@@ -518,7 +518,7 @@ def main() -> None:
             block_rows=40_000,
         ).count()
 
-    t_b9 = _median_time(_b9, runs=3, warmup=1)
+    t_b9 = _median_time(_b9, runs=3, warmup=0)
     timings["b9_blocked_cosine_240k_sec"] = round(t_b9, 4)
     timings["b9_blocked_pairs_per_sec"] = round(
         (b9_n * (b9_n - 1) / 2) / t_b9, 1

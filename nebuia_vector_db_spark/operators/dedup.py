@@ -450,7 +450,9 @@ def exact_cosine_pairs(
       N·(B+1) rows for B blocks, the textbook all-pairs trade.
 
     Both paths compute identical float64 arithmetic, so the result set
-    is bit-identical whichever strategy runs.
+    is bit-identical whichever strategy runs; and both chunk their
+    GEMMs so no task materializes more than ``_MAX_SCORE_CELLS``
+    (256 MB) of scores regardless of block/broadcast sizes.
     """
     n = df.count()
     if n > max_broadcast_rows:
@@ -458,6 +460,16 @@ def exact_cosine_pairs(
             df, threshold, vec_col, id_col, block_rows=block_rows, n_rows=n
         )
     return _cosine_pairs_broadcast(df, threshold, vec_col, id_col)
+
+
+# Per-GEMM score-matrix budget: 32M f64 cells = 256 MB. Both cosine
+# kernels chunk their left operand so no task ever materializes more
+# than this, whatever the block/broadcast sizes are — the r3 bench
+# (b9, 240k rows in 40k blocks) OOM-killed the JVM without it.
+_MAX_SCORE_CELLS = 32_000_000
+# Cache-resident variant (16 MB) used when the whole right operand
+# fits in L3 — post-GEMM passes then run at cache bandwidth.
+_CACHE_SCORE_CELLS = 2_000_000
 
 
 def _cosine_pairs_broadcast(
@@ -486,29 +498,53 @@ def _cosine_pairs_broadcast(
         from nebuia_vector_db_spark.functions.vector import arrow_list_to_matrix
 
         ids_all, mat_all, norms_all = bc.value
+        # bound the (rows, N) score matrix to ~256 MB f64 per GEMM —
+        # an Arrow batch (10k rows) against a 1M-row broadcast side
+        # would otherwise materialize an 80 GB matrix per task
+        step = max(1, _MAX_SCORE_CELLS // max(1, len(ids_all)))
         for rb in batches:
-            bids = rb.column(id_col).to_numpy(zero_copy_only=False)
-            bmat = arrow_list_to_matrix(rb.column(vec_col)).astype(
+            bids_full = rb.column(id_col).to_numpy(zero_copy_only=False)
+            bmat_full = arrow_list_to_matrix(rb.column(vec_col)).astype(
                 np.float64, copy=False
             )
-            if bmat.shape[0] == 0:
+            if bmat_full.shape[0] == 0:
                 continue
-            bnorms = np.sqrt(np.einsum("ij,ij->i", bmat, bmat))
-            # same formula as the SQL/oracle path: dot(raw) / (na * nb)
-            cos = (bmat @ mat_all.T) / np.outer(bnorms, norms_all)
-            ii, jj = np.nonzero(
-                (cos >= threshold) & (bids[:, None] < ids_all[None, :])
+            bnorms_full = np.sqrt(
+                np.einsum("ij,ij->i", bmat_full, bmat_full)
             )
-            if len(ii) == 0:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(bids[ii]),
-                    pa.array(ids_all[jj]),
-                    pa.array(cos[ii, jj]),
-                ],
-                names=["vec_a", "vec_b", "cosine"],
-            )
+            # reused buffers: fresh 256 MB allocations per chunk are
+            # page-fault-bound (~10x slower than the GEMM itself)
+            n_all = len(ids_all)
+            dot_buf = np.empty((min(step, bmat_full.shape[0]), n_all))
+            den_buf = np.empty_like(dot_buf)
+            for s in range(0, bmat_full.shape[0], step):
+                bids = bids_full[s : s + step]
+                m = len(bids)
+                # same formula as the SQL/oracle path: dot(raw)/(na*nb)
+                cos = np.matmul(
+                    bmat_full[s : s + m], mat_all.T, out=dot_buf[:m]
+                )
+                den = np.multiply(
+                    bnorms_full[s : s + m, None],
+                    norms_all[None, :],
+                    out=den_buf[:m],
+                )
+                np.divide(cos, den, out=cos)
+                # sparse-first: threshold matches are rare, so filter
+                # ids on the match set, never a dense id-compare mask
+                ii, jj = np.nonzero(cos >= threshold)
+                keep = bids[ii] < ids_all[jj]
+                ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(bids[ii]),
+                        pa.array(ids_all[jj]),
+                        pa.array(cos[ii, jj]),
+                    ],
+                    names=["vec_a", "vec_b", "cosine"],
+                )
 
     return df.mapInArrow(
         _pairs, schema="vec_a long, vec_b long, cosine double"
@@ -581,20 +617,53 @@ def _cosine_pairs_blocked(
             )
         l_norms = np.sqrt(np.einsum("ij,ij->i", l_mat, l_mat))
         r_norms = np.sqrt(np.einsum("ij,ij->i", r_mat, r_mat))
-        cos = (l_mat @ r_mat.T) / np.outer(l_norms, r_norms)
-        ii, jj = np.nonzero(
-            (cos >= threshold) & (l_ids[:, None] < r_ids[None, :])
+        diagonal = lmask.all()
+        # chunk the left operand: a full |bi|x|bj| score matrix at the
+        # default 250k block size would be 500 GB — cap per-GEMM cells.
+        # Buffers are reused across chunks and the id comparison runs
+        # on the sparse >=threshold set (fresh 256 MB allocations per
+        # chunk are page-fault-bound, ~10x the GEMM cost). When the
+        # right block fits in L3 (~32 MB) a small cache-resident chunk
+        # wins (measured 9 s vs 14 s per 40k x 40k task); otherwise
+        # large chunks amortize streaming the right block.
+        n_r = len(r_ids)
+        cells = (
+            _CACHE_SCORE_CELLS
+            if n_r * r_mat.shape[1] * 8 <= (32 << 20)
+            else _MAX_SCORE_CELLS
         )
-        # cross-block pairs where the right id is smaller still belong
-        # to this group (block order ≠ id order) — emit them id-sorted
-        ii2, jj2 = np.nonzero(
-            (cos >= threshold) & (l_ids[:, None] > r_ids[None, :])
-        ) if not lmask.all() else (np.array([], dtype=int),) * 2
+        step = max(1, cells // max(1, n_r))
+        r_mat_t = np.ascontiguousarray(r_mat.T)
+        dot_buf = np.empty((min(step, len(l_ids)), len(r_ids)))
+        den_buf = np.empty_like(dot_buf)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(l_ids), step):
+            lid = l_ids[s : s + step]
+            m = len(lid)
+            # same formula as the SQL/oracle path: dot(raw)/(na*nb)
+            cos = np.matmul(l_mat[s : s + m], r_mat_t, out=dot_buf[:m])
+            den = np.multiply(
+                l_norms[s : s + m, None], r_norms[None, :], out=den_buf[:m]
+            )
+            np.divide(cos, den, out=cos)
+            ii, jj = np.nonzero(cos >= threshold)
+            lo = lid[ii] < r_ids[jj]
+            out_a.append(lid[ii[lo]])
+            out_b.append(r_ids[jj[lo]])
+            out_c.append(cos[ii[lo], jj[lo]])
+            if not diagonal:
+                # cross-block pairs where the right id is smaller still
+                # belong to this group (block order ≠ id order) —
+                # emit them id-sorted
+                hi = lid[ii] > r_ids[jj]
+                out_a.append(r_ids[jj[hi]])
+                out_b.append(lid[ii[hi]])
+                out_c.append(cos[ii[hi], jj[hi]])
         return pd.DataFrame(
             {
-                "vec_a": np.concatenate([l_ids[ii], r_ids[jj2]]),
-                "vec_b": np.concatenate([r_ids[jj], l_ids[ii2]]),
-                "cosine": np.concatenate([cos[ii, jj], cos[ii2, jj2]]),
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
             }
         )
 

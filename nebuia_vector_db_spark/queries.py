@@ -549,12 +549,43 @@ def _shared_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        ngram_jaccard_pairs(
+# Same memoization one tier up (VERDICT r2 #7): the jaccard-0.8 pair
+# relation and its transitive closure feed THREE registry queries
+# (dedup_ngram_jaccard, dedup_groups, pipe_curate). The closure is an
+# O(log n)-round iterative job whose result lineage ends in an eager
+# localCheckpoint, so one handle per (session, sf_dir) makes curate
+# reuse the groups already computed by dedup_groups instead of
+# replaying the whole pointer-jumping iteration.
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_GROUPS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        cached = ngram_jaccard_pairs(
             docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
-        )
+        ).cache()
+        _PAIRS_CACHE[key] = cached
+    return cached
+
+
+def _shared_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebuia_vector_db_spark.operators.components import dedup_groups
+
+    key = (id(spark), sf_dir)
+    cached = _GROUPS_CACHE.get(key)
+    if cached is None:
+        cached = dedup_groups(_shared_jaccard_pairs(spark, sf_dir)).cache()
+        _GROUPS_CACHE[key] = cached
+    return cached
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _shared_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -577,13 +608,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper) and the component size (operators/components.py — min-label
     propagation + pointer jumping, O(log n) rounds). The oracle
     recomputes the closure with a recursive CTE over the same pairs."""
-    from nebuia_vector_db_spark.operators.components import dedup_groups
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
-    )
-    return dedup_groups(pairs).orderBy("doc_id")
+    return _shared_dup_groups(spark, sf_dir).orderBy("doc_id")
 
 
 ORACLE_DEDUP_GROUPS = """
@@ -1430,8 +1455,11 @@ def q_pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen; the duplicate drop is a left-anti join
     against the small dup-component relation (broadcast-able — dup
     sets are tiny relative to the corpus); the only wide stages are
-    the dedup tier itself and the final cheap card aggregate."""
-    from nebuia_vector_db_spark.operators.components import dedup_groups
+    the dedup tier itself and the final cheap card aggregate. The
+    pair relation and its closure come from the session-level shared
+    caches (_shared_dup_groups), so a session that already ran
+    dedup_groups pays nothing here — curate composes, it does not
+    recompute."""
     from nebuia_vector_db_spark.operators.pipeline import dataset_split
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1445,11 +1473,8 @@ def q_pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.where(
         (F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr")
     )
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=0.8, postings=_shared_postings(spark, sf_dir)
-    )
     dups = (
-        dedup_groups(pairs)
+        _shared_dup_groups(spark, sf_dir)
         .where(F.col("doc_id") != F.col("group_id"))
         .select("doc_id")
     )
