@@ -2003,6 +2003,72 @@ ORDER BY doc_id, frame_id
 """
 
 
+def q_mm_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio row: a deterministic int16 PCM signal per
+    document is encoded into a genuine RIFF/WAVE container
+    (multimodal/wav.py — fmt/data chunks, word alignment) by
+    ``attach_wav_assets``, then ``decode_audio_real`` walks the chunk
+    list, validates the fmt header, and reports stats computed from
+    the DECODED samples (rate/duration from the header, peak / mean /
+    RMS from the PCM buffer). The signal is modular arithmetic over
+    (doc_id, sample index), so DuckDB regenerates every sample and
+    the row is a full hash check that the container round trip is
+    lossless — the audio counterpart of mm_png_roundtrip, retiring
+    the last fake-only multimodal codec path."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_wav_assets,
+        decode_audio_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_audio_real(attach_wav_assets(docs, rate=8000))
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        _r(F.col("mean_sample"), 6).alias("mean_sample"),
+        _r(F.col("rms"), 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+# Regenerates attach_wav_assets' PCM signal sample-by-sample:
+#   n(doc) = doc_id % 400 + 100;  x[i] = (doc_id*7919 + i*104729) % 65536 - 32768
+# All aggregates are exact-integer (n ≤ 499, |x| ≤ 32768 ⇒ Σx² < 2^53),
+# divided once, so the 6-dp rounding matches Spark's bit-for-bit.
+ORACLE_MM_WAV = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 400 + 100 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM d
+),
+v AS (
+  SELECT doc_id, n,
+         (doc_id * 7919 + i * 104729) % 65536 - 32768 AS x
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         max(n) AS n,
+         max(abs(x)) AS peak,
+         sum(x) AS sx,
+         sum(x * x) AS sxx
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(peak AS INT) AS peak,
+       {_sql_r('CAST(sx AS DOUBLE) / n', 6)} AS mean_sample,
+       {_sql_r('sqrt(CAST(sxx AS DOUBLE) / n)', 6)} AS rms
+FROM agg
+ORDER BY doc_id
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3503,6 +3569,10 @@ REGISTRY: dict[
     # price_quantiles: rank-window family covered by hybrid_rrf's
     #   rank fusion + orders_running_revenue's frames; exact
     #   percentile stays locally green.
+    # mm_audio_real: REAL WAV codec round trip — the real-codec window
+    #   slot is held by mm_png_roundtrip (identical mapInPandas decode
+    #   shape); stays locally green via tools/oracle_check.py;
+    "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
