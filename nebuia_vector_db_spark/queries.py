@@ -2069,6 +2069,61 @@ ORDER BY doc_id
 """
 
 
+def q_snap_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID storage row: load documents into a SnapshotTable
+    (sources/snapshot.py — immutable data files + exclusive-create
+    snapshot commits, the Delta/Iceberg protocol minus the JVM), run
+    a copy-on-write DELETE (only files containing matching rows are
+    rewritten; the rest carry forward by reference), then read the
+    committed snapshot back. The oracle replays the delete as a
+    plain WHERE NOT — verifying that the transactional rewrite is
+    value-exact. Retires the round-2 'ACID path never executed here'
+    gap (deviation D-6) with an executable, hash-checked transaction.
+    """
+    import shutil
+    import tempfile
+
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="snaptbl_")
+    try:
+        tbl = SnapshotTable.create(
+            spark, root, docs.repartitionByRange(4, "doc_id")
+        )
+        tbl.delete_where("lang = 'de' OR n_chars < 60")
+        out = (
+            tbl.read()
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("lang")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_SNAP_DELETE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+WHERE NOT (lang = 'de' OR n_chars < 60)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3573,6 +3628,12 @@ REGISTRY: dict[
     #   slot is held by mm_png_roundtrip (identical mapInPandas decode
     #   shape); stays locally green via tools/oracle_check.py;
     "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
+    # snap_delete_read: SnapshotTable ACID copy-on-write delete —
+    #   transactional-storage capability; delete SEMANTICS are pinned
+    #   in-window by pipe_upsert_latest (CDC merge family); the
+    #   snapshot commit protocol is exhaustively unit-tested
+    #   (tests/test_snapshot.py); stays locally green;
+    "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),

@@ -1,0 +1,459 @@
+"""SnapshotTable — ACID-lite parquet table with atomic snapshot commits.
+
+The reference's write surface is append + prefix delete with NO
+isolation (main.go:294-348 store, main.go:407-458 delete — a
+concurrent reader can observe a half-deleted collection). At 100 TB
+that is untenable: every production lakehouse (Delta/Iceberg/Hudi)
+layers a transaction log over immutable data files. This module is
+that layer, minimal but real, with no dependency beyond the stdlib +
+Spark:
+
+Layout::
+
+    table_root/
+      data/<commit-uuid>/part-*.parquet   immutable data files
+      _snapshots/v00000001.json           snapshot: file list + schema
+      _snapshots/v00000002.json           + per-file column min/max stats
+
+Commit protocol — the versioned snapshot file is created with
+``open(..., 'x')`` (O_EXCL): the exclusive create IS the
+compare-and-swap. Two writers racing to commit version N+1 cannot
+both succeed; the loser gets :class:`CommitConflictError` and retries
+on the new snapshot (optimistic concurrency, same contract as Delta's
+``_delta_log`` protocol). Readers list ``_snapshots`` and take the
+max version — they always see a complete snapshot, never a partial
+write, because data files are fully written BEFORE the snapshot that
+references them exists, and no data file is ever mutated.
+
+Deployment note: on a POSIX filesystem (local, NFS with O_EXCL) the
+exclusive create is atomic; on HDFS swap in ``FileSystem.create(path,
+overwrite=false)``, on S3 a conditional PUT (If-None-Match) — the
+protocol is unchanged.
+
+Scale properties:
+- **Copy-on-write delete** rewrites ONLY the files that contain
+  matching rows (found distributedly via ``input_file_name``); the
+  untouched 99.9% of a 100 TB table is carried forward by reference.
+- **File-level data skipping**: each snapshot stores per-file min/max
+  for leaf columns (harvested from parquet footers, no data read);
+  ``read(where=...)`` prunes the file list BEFORE Spark ever plans
+  the scan — the same planning-time skipping Delta/Iceberg do, which
+  row-group pruning inside Spark cannot match because it still pays
+  task scheduling + footer reads for every file.
+- **Time travel**: ``read(version=N)``; old snapshots stay valid
+  until ``vacuum`` because deletes never remove data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+class SnapshotTable:
+    """Handle on a snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._snap_dir = os.path.join(self.path, "_snapshots")
+        self._data_dir = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------ snapshots
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._snap_dir):
+            return []
+        out = []
+        for name in os.listdir(self._snap_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        return vs[-1]
+
+    def _snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._snap_dir, f"v{v:08d}.json")) as f:
+            snap = json.load(f)
+        snap["version"] = v
+        return snap
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version, op, file/row deltas."""
+        return [
+            {
+                k: s.get(k)
+                for k in ("version", "op", "n_files", "n_rows", "parent")
+            }
+            for s in (self._snapshot(v) for v in self.versions())
+        ]
+
+    # -------------------------------------------------------------- commit
+    def _commit(self, snap: dict, expected_parent: int | None) -> int:
+        """Exclusive-create the next snapshot file (the CAS)."""
+        os.makedirs(self._snap_dir, exist_ok=True)
+        new_version = (0 if expected_parent is None else expected_parent) + 1
+        snap["parent"] = expected_parent
+        target = os.path.join(self._snap_dir, f"v{new_version:08d}.json")
+        tmp = json.dumps(snap, sort_keys=True)
+        try:
+            with open(target, "x") as f:
+                f.write(tmp)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {new_version} already committed at {self.path}"
+            ) from None
+        return new_version
+
+    def _write_files(self, df: DataFrame, stats_cols: list[str]) -> list[dict]:
+        """Write df as a new immutable commit dir; return file entries
+        (relative path, row count, byte size, per-column min/max from
+        the parquet FOOTERS — no data pages are read)."""
+        commit_id = uuid.uuid4().hex
+        out_dir = os.path.join(self._data_dir, commit_id)
+        df.write.mode("error").parquet(out_dir)
+        import pyarrow.parquet as pq
+
+        entries = []
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(out_dir, name)
+            md = pq.ParquetFile(full).metadata
+            stats: dict[str, list] = {}
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for ci, col in enumerate(schema_names):
+                if col not in stats_cols:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    stats[col] = [_json_safe(lo), _json_safe(hi)]
+            entries.append(
+                {
+                    "path": os.path.join("data", commit_id, name),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(full),
+                    "stats": stats,
+                }
+            )
+        return entries
+
+    @staticmethod
+    def _default_stats_cols(df: DataFrame) -> list[str]:
+        return [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (
+                    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+                    T.DateType, T.TimestampType,
+                ),
+            )
+        ]
+
+    # ----------------------------------------------------------- operations
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+    ) -> "SnapshotTable":
+        tbl = cls(spark, path)
+        if tbl.versions():
+            raise FileExistsError(f"snapshot table already exists at {path}")
+        files = tbl._write_files(
+            df, stats_cols or cls._default_stats_cols(df)
+        )
+        tbl._commit(
+            {
+                "op": "create",
+                "schema": json.loads(df.schema.json()),
+                "files": files,
+                "n_files": len(files),
+                "n_rows": sum(f["rows"] for f in files),
+            },
+            expected_parent=None,
+        )
+        return tbl
+
+    def _schema(self, snap: dict) -> T.StructType:
+        return T.StructType.fromJson(snap["schema"])
+
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. ``where`` is an optional list of simple
+        predicates ``(col, op, literal)`` with op in ``= < <= > >=``
+        used for FILE-LEVEL pruning against the snapshot's min/max
+        stats (planning-time data skipping). Pruning is advisory only
+        — the predicates are ALSO applied to the rows, so a stats-less
+        file degrades to a normal scan, never a wrong answer."""
+        snap = self._snapshot(version)
+        files = snap["files"]
+        if where:
+            files = [f for f in files if _file_may_match(f, where)]
+        schema = self._schema(snap)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in files]
+        )
+        for col, op, lit in where or []:
+            df = df.where(_predicate(col, op, lit))
+        return df
+
+    def n_files(self, version: int | None = None) -> int:
+        return len(self._snapshot(version)["files"])
+
+    def pruned_file_count(
+        self, where: list[tuple[str, str, object]]
+    ) -> int:
+        """How many files a ``read(where=...)`` would actually scan."""
+        return sum(
+            1 for f in self._snapshot()["files"] if _file_may_match(f, where)
+        )
+
+    def append(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        df = _align(df, self._schema(snap))
+        new_files = snap["files"] + self._write_files(
+            df, stats_cols or self._default_stats_cols(df)
+        )
+        return self._commit(
+            {
+                "op": "append",
+                "schema": snap["schema"],
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+            },
+            expected_parent=parent,
+        )
+
+    def delete_where(self, condition: Column | str) -> int:
+        """Copy-on-write delete. Three phases, Delta-style:
+
+        1. find the files that contain ≥1 matching row — one
+           distributed scan projecting only ``input_file_name()``
+           (Catalyst pushes the predicate to the parquet readers);
+           the collected result is a FILE list, never rows;
+        2. rewrite ONLY those files with the predicate inverted;
+        3. commit: carried-forward files + rewritten files.
+
+        Unaffected files move by reference — at 100 TB a delete that
+        touches one day's partition rewrites that day, not the table.
+        Old snapshots remain readable (time travel) until vacuum."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        current = self.read(parent)
+        hit = (
+            current.where(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        hit_paths = {_strip_scheme(r["f"]) for r in hit}
+        kept, rewrite = [], []
+        for f in snap["files"]:
+            full = os.path.abspath(os.path.join(self.path, f["path"]))
+            (rewrite if full in hit_paths else kept).append(f)
+        new_files = list(kept)
+        if rewrite:
+            schema = self._schema(snap)
+            survivors = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in rewrite]
+            ).where(~cond)
+            new_files += self._write_files(
+                survivors, self._default_stats_cols(survivors)
+            )
+        return self._commit(
+            {
+                "op": "delete",
+                "schema": snap["schema"],
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+                "rewrote_files": len(rewrite),
+                "carried_files": len(kept),
+            },
+            expected_parent=parent,
+        )
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        version_col: str,
+    ) -> int:
+        """Latest-wins MERGE: rows in ``updates`` replace same-key rows
+        iff their ``version_col`` is newer. Copy-on-write on the files
+        that contain matching keys (found via a broadcast semi-join of
+        the update keys against the scan), everything else carried by
+        reference. Resolution reuses
+        :func:`operators.maintenance.upsert_latest` (max_by aggregate,
+        one shuffle over only the affected files + updates)."""
+        from nebuia_vector_db_spark.operators.maintenance import upsert_latest
+
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        schema = self._schema(snap)
+        updates = _align(updates, schema)
+        current = self.read(parent)
+        keys = updates.select(*key_cols).distinct()
+        hit = (
+            current.join(F.broadcast(keys), key_cols, "left_semi")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        hit_paths = {_strip_scheme(r["f"]) for r in hit}
+        kept, rewrite = [], []
+        for f in snap["files"]:
+            full = os.path.abspath(os.path.join(self.path, f["path"]))
+            (rewrite if full in hit_paths else kept).append(f)
+        if rewrite:
+            affected = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in rewrite]
+            )
+        else:
+            affected = self.spark.createDataFrame([], schema)
+        merged = upsert_latest(affected, updates, key_cols, version_col)
+        merged = _align(merged, schema)
+        new_files = kept + self._write_files(
+            merged, self._default_stats_cols(merged)
+        )
+        return self._commit(
+            {
+                "op": "upsert",
+                "schema": snap["schema"],
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+                "rewrote_files": len(rewrite),
+                "carried_files": len(kept),
+            },
+            expected_parent=parent,
+        )
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Physically delete data files unreferenced by the retained
+        ``keep_last`` snapshots, and drop the older snapshot files.
+        This is the ONLY operation that removes data; until it runs,
+        every historical snapshot is readable and in-flight readers of
+        any retained snapshot are safe."""
+        vs = self.versions()
+        retained = vs[-keep_last:] if keep_last > 0 else vs[-1:]
+        live = set()
+        for v in retained:
+            for f in self._snapshot(v)["files"]:
+                live.add(os.path.abspath(os.path.join(self.path, f["path"])))
+        removed_files = 0
+        for commit_id in list(os.listdir(self._data_dir)):
+            cdir = os.path.join(self._data_dir, commit_id)
+            for name in list(os.listdir(cdir)):
+                full = os.path.abspath(os.path.join(cdir, name))
+                if name.endswith(".parquet") and full not in live:
+                    os.remove(full)
+                    removed_files += 1
+            if not any(n.endswith(".parquet") for n in os.listdir(cdir)):
+                import shutil
+
+                shutil.rmtree(cdir)
+        removed_snaps = 0
+        for v in vs:
+            if v not in retained:
+                os.remove(os.path.join(self._snap_dir, f"v{v:08d}.json"))
+                removed_snaps += 1
+        return {
+            "removed_data_files": removed_files,
+            "removed_snapshots": removed_snaps,
+            "retained_versions": retained,
+        }
+
+
+# ------------------------------------------------------------------ helpers
+def _json_safe(v):
+    if isinstance(v, bytes):
+        return None  # binary stats are not comparable via JSON; skip
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.abspath(p)
+
+
+def _predicate(col: str, op: str, lit) -> Column:
+    c = F.col(col)
+    return {
+        "=": c == lit, "<": c < lit, "<=": c <= lit,
+        ">": c > lit, ">=": c >= lit,
+    }[op]
+
+
+def _file_may_match(f: dict, where: list[tuple[str, str, object]]) -> bool:
+    """Conservative stats check: False only when the file PROVABLY has
+    no matching rows (all predicates are ANDed)."""
+    for col, op, lit in where:
+        st = f.get("stats", {}).get(col)
+        if not st or st[0] is None:
+            continue  # no stats -> cannot prune on this predicate
+        lo, hi = st
+        try:
+            if op == "=" and not (lo <= lit <= hi):
+                return False
+            if op in ("<", "<=") and not (lo < lit or (op == "<=" and lo <= lit)):
+                return False
+            if op in (">", ">=") and not (hi > lit or (op == ">=" and hi >= lit)):
+                return False
+        except TypeError:
+            continue  # mixed types -> don't prune
+    return True
+
+
+def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast df to the table schema (column order + types)."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

@@ -1,0 +1,160 @@
+"""SnapshotTable (sources/snapshot.py): atomic commits, copy-on-write
+delete/upsert, time travel, file-level data skipping, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.sources.snapshot import (
+    CommitConflictError,
+    SnapshotTable,
+    _file_may_match,
+)
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id")).alias("payload"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+
+
+def test_create_read_history(spark, base_df, tmp_path):
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+    assert tbl.current_version() == 1
+    got = tbl.read()
+    assert got.count() == 1000
+    assert [f.name for f in got.schema.fields] == ["k", "bucket", "payload", "ver"]
+    (h,) = tbl.history()
+    assert h["op"] == "create" and h["n_rows"] == 1000
+
+
+def test_append_and_time_travel(spark, base_df, tmp_path):
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+    more = spark.range(1000, 1200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id")).alias("payload"),
+        F.lit(2).cast("long").alias("ver"),
+    )
+    v2 = tbl.append(more)
+    assert v2 == 2
+    assert tbl.read().count() == 1200
+    assert tbl.read(version=1).count() == 1000  # time travel
+
+
+def test_cow_delete_rewrites_only_hit_files(spark, tmp_path):
+    # range-partition on bucket so files hold disjoint buckets
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("bucket"),
+            F.lit(1).cast("long").alias("ver"),
+        )
+        .repartitionByRange(4, "bucket")
+    )
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), df)
+    before = {f["path"] for f in tbl._snapshot()["files"]}
+    tbl.delete_where(F.col("bucket") == 2)
+    snap = tbl._snapshot()
+    after = {f["path"] for f in snap["files"]}
+    # most files carried forward by reference (same path objects)
+    assert snap["carried_files"] >= 1
+    assert snap["rewrote_files"] >= 1
+    assert before & after, "carried files must keep their original paths"
+    got = tbl.read()
+    assert got.where(F.col("bucket") == 2).count() == 0
+    assert got.count() == 1500
+    # the pre-delete snapshot still reads completely
+    assert tbl.read(version=1).count() == 2000
+
+
+def test_commit_conflict_is_detected(spark, base_df, tmp_path):
+    """Two writers that both read parent=1 cannot both commit v2: the
+    exclusive create of the versioned snapshot file is the CAS."""
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+    snap = tbl._snapshot(1)
+    body = {k: snap[k] for k in ("op", "schema", "files")}
+    # the racing writer lands version 2 first
+    with open(os.path.join(tbl._snap_dir, "v00000002.json"), "x") as f:
+        json.dump(body, f)
+    with pytest.raises(CommitConflictError):
+        tbl._commit(dict(body), expected_parent=1)
+    # retrying on the NEW parent succeeds (optimistic-concurrency loop)
+    assert tbl._commit(dict(body), expected_parent=2) == 3
+
+
+def test_data_skipping_prunes_files(spark, tmp_path):
+    df = (
+        spark.range(0, 10_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), df)
+    n_all = tbl.n_files()
+    assert n_all >= 8
+    where = [("k", ">=", 9000)]
+    n_scanned = tbl.pruned_file_count(where)
+    assert n_scanned < n_all, "stats pruning must drop provably-dead files"
+    got = tbl.read(where=where)
+    assert got.count() == 1000
+    assert got.agg(F.min("k")).head()[0] == 9000
+    # equality predicate outside every file's range scans nothing
+    assert tbl.pruned_file_count([("k", "=", -5)]) == 0
+    assert tbl.read(where=[("k", "=", -5)]).count() == 0
+
+
+def test_upsert_matches_global_merge(spark, base_df, tmp_path):
+    from nebuia_vector_db_spark.operators.maintenance import upsert_latest
+
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), base_df.repartitionByRange(4, "k")
+    )
+    updates = spark.range(500, 600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("bucket"),
+        F.lit("UPDATED").alias("payload"),
+        F.lit(9).cast("long").alias("ver"),
+    )
+    tbl.upsert(updates, key_cols=["k"], version_col="ver")
+    got = tbl.read()
+    assert got.count() == 1000
+    assert got.where(F.col("payload") == "UPDATED").count() == 100
+    expected = upsert_latest(base_df, updates, ["k"], "ver")
+    sym_diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert sym_diff == 0
+    snap = tbl._snapshot()
+    assert snap["carried_files"] >= 1, "upsert must carry unaffected files"
+
+
+def test_vacuum_removes_only_unreferenced(spark, base_df, tmp_path):
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+    tbl.delete_where("k < 100")
+    res = tbl.vacuum(keep_last=1)
+    assert res["removed_snapshots"] == 1
+    assert res["removed_data_files"] >= 1
+    assert tbl.read().count() == 900  # current snapshot intact
+    assert tbl.versions() == [2]
+    with pytest.raises(FileNotFoundError):
+        tbl._snapshot(1)
+
+
+def test_stats_check_is_conservative():
+    f = {"stats": {"a": [10, 20]}}
+    assert _file_may_match(f, [("a", "=", 15)])
+    assert not _file_may_match(f, [("a", "=", 25)])
+    assert not _file_may_match(f, [("a", ">", 20)])
+    assert _file_may_match(f, [("a", ">=", 20)])
+    assert not _file_may_match(f, [("a", "<", 10)])
+    assert _file_may_match(f, [("a", "<=", 10)])
+    # missing stats or mixed types: never prune
+    assert _file_may_match({"stats": {}}, [("a", "=", 1)])
+    assert _file_may_match(f, [("a", "=", "zzz")])
