@@ -2124,6 +2124,70 @@ ORDER BY lang
 """
 
 
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout row: Morton-interleave (l_orderkey, l_partkey)
+    at 8 bits each (operators/zorder.py — pure codegen'd integer
+    shift/AND/OR, no UDF) and profile the resulting key space:
+    per-bucket row counts + orderkey extents. The oracle replays the
+    quantization (exact integer div) and the bit interleave in SQL,
+    hash-verifying the layout key the clustering writer sorts by —
+    the correctness core of cluster_by_zorder, whose file-pruning win
+    over a linear sort is measured in tests/test_zorder.py."""
+    from nebuia_vector_db_spark.operators.zorder import (
+        column_ranges,
+        zorder_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey"]
+    mins, maxs = column_ranges(li, cols)
+    keyed = li.withColumn("z", zorder_key(cols, mins, maxs, bits=8))
+    return (
+        keyed.groupBy(F.shiftright(F.col("z"), 8).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+ORACLE_ZORDER = """
+WITH rng AS (
+  SELECT min(l_orderkey) AS mna, max(l_orderkey) AS mxa,
+         min(l_partkey) AS mnb, max(l_partkey) AS mxb
+  FROM lineitem
+),
+q AS (
+  SELECT l_orderkey, l_partkey,
+         ((l_orderkey - mna) * 255) // greatest(mxa - mna, 1) AS qa,
+         ((l_partkey - mnb) * 255) // greatest(mxb - mnb, 1) AS qb
+  FROM lineitem, rng
+),
+z AS (
+  SELECT l_orderkey, l_partkey,
+         list_reduce(
+           list_transform(range(8), i ->
+             (((qa >> i) & 1) << (2 * i))
+             | (((qb >> i) & 1) << (2 * i + 1))),
+           (x, y) -> x | y) AS zkey
+  FROM q
+)
+SELECT zkey >> 8 AS z_bucket,
+       count(*) AS n_rows,
+       min(l_orderkey) AS min_ok,
+       max(l_orderkey) AS max_ok,
+       min(l_partkey) AS min_pk,
+       max(l_partkey) AS max_pk
+FROM z
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3634,6 +3698,11 @@ REGISTRY: dict[
     #   snapshot commit protocol is exhaustively unit-tested
     #   (tests/test_snapshot.py); stays locally green;
     "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
+    # zorder_cluster: Morton-key layout arithmetic hash-verified;
+    #   the physical-layout family's in-window slot is held by
+    #   skew_salted_join (bucketed co-location); pruning win is
+    #   measured in tests/test_zorder.py; stays locally green;
+    "zorder_cluster": (q_zorder_cluster, ORACLE_ZORDER),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
