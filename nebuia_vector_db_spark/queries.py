@@ -3636,14 +3636,22 @@ REGISTRY: dict[
     # encode text bytes -> genuine PNG -> decode -> pixel stats,
     # SQL-replayed from the source text (lossless check)
     "mm_png_roundtrip": (q_mm_png_roundtrip, ORACLE_MM_PNG),
-    "mm_audio_windows": (q_mm_audio_windows, ORACLE_MM_AUDIO),
+    # REAL WAV codec round trip (RIFF chunk-walk parse, stats from
+    # decoded PCM) — supersedes the md5-fake mm_audio_windows in the
+    # window (round-3 swap; windowing mechanics stay locally green)
+    "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
     # temporal multimodal op: consecutive-frame byte-delta scene cuts
     # (exercises the same frame-extraction path as mm_frame_sample)
     "mm_scene_changes": (q_mm_scene_changes, ORACLE_MM_SCENES),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
-    "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
+    # SnapshotTable ACID copy-on-write delete — transactional storage
+    # is a new family with no other window representative (round-3
+    # swap for tpch_q4: the EXISTS/semi-join semantic stays pinned
+    # in-window by pipe_decontaminate's anti-join and vs_pq_topk's
+    # re-rank semi-join; q4 itself stays locally green below)
+    "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
     # returned-item revenue report (agg-before-dim-join, 4 tables)
     "tpch_q10": (q_tpch_q10, ORACLE_TPCH_Q10),
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
@@ -3688,16 +3696,15 @@ REGISTRY: dict[
     # price_quantiles: rank-window family covered by hybrid_rrf's
     #   rank fusion + orders_running_revenue's frames; exact
     #   percentile stays locally green.
-    # mm_audio_real: REAL WAV codec round trip — the real-codec window
-    #   slot is held by mm_png_roundtrip (identical mapInPandas decode
-    #   shape); stays locally green via tools/oracle_check.py;
-    "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
-    # snap_delete_read: SnapshotTable ACID copy-on-write delete —
-    #   transactional-storage capability; delete SEMANTICS are pinned
-    #   in-window by pipe_upsert_latest (CDC merge family); the
-    #   snapshot commit protocol is exhaustively unit-tested
-    #   (tests/test_snapshot.py); stays locally green;
-    "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
+    # mm_audio_windows: md5-fake audio windowing — demoted in favor of
+    #   the REAL-codec mm_audio_real (same mapInPandas byte plumbing;
+    #   the framing arithmetic also runs inside events_sliding's
+    #   window family); stays locally green;
+    "mm_audio_windows": (q_mm_audio_windows, ORACLE_MM_AUDIO),
+    # tpch_q4: EXISTS → semi-join — demoted for snap_delete_read
+    #   (ACID storage family); semi/anti stay pinned in-window by
+    #   pipe_decontaminate + vs_pq_topk's re-rank; locally green;
+    "tpch_q4": (q_tpch_q4, ORACLE_TPCH_Q4),
     # zorder_cluster: Morton-key layout arithmetic hash-verified;
     #   the physical-layout family's in-window slot is held by
     #   skew_salted_join (bucketed co-location); pruning win is

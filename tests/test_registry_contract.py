@@ -53,11 +53,14 @@ _REQUIRED_IN_WINDOW = {
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_stratified_sample",
     "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
-    # multimodal (mm_png_roundtrip = REAL codec; supersedes the
-    # fake-codec mm_image_features in the window)
-    "mm_png_roundtrip", "mm_audio_windows", "mm_scene_changes",
-    # relational
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q10", "rollup_lineitem",
+    # multimodal (mm_png_roundtrip / mm_audio_real = REAL codecs;
+    # supersede the fake-codec mm_image_features / mm_audio_windows)
+    "mm_png_roundtrip", "mm_audio_real", "mm_scene_changes",
+    # transactional storage (SnapshotTable COW delete — round 3)
+    "snap_delete_read",
+    # relational (tpch_q4's EXISTS/semi stays pinned by
+    # pipe_decontaminate's anti-join; demoted round 3)
+    "tpch_q1", "tpch_q3", "tpch_q10", "rollup_lineitem",
     "approx_cardinality", "orders_running_revenue",
     "fuzzy_name_match", "skew_salted_join",
     # events
