@@ -185,6 +185,7 @@ class SnapshotTable:
         path: str,
         df: DataFrame,
         stats_cols: list[str] | None = None,
+        extra_meta: dict | None = None,
     ) -> "SnapshotTable":
         tbl = cls(spark, path)
         if tbl.versions():
@@ -194,6 +195,7 @@ class SnapshotTable:
         )
         tbl._commit(
             {
+                **(extra_meta or {}),
                 "op": "create",
                 "schema": json.loads(df.schema.json()),
                 "files": files,
@@ -203,6 +205,11 @@ class SnapshotTable:
             expected_parent=None,
         )
         return tbl
+
+    def meta(self, key: str, version: int | None = None):
+        """Read an application metadata key from a snapshot (e.g. the
+        streaming sink's transaction watermark)."""
+        return self._snapshot(version).get(key)
 
     def _schema(self, snap: dict) -> T.StructType:
         return T.StructType.fromJson(snap["schema"])
@@ -244,7 +251,10 @@ class SnapshotTable:
         )
 
     def append(
-        self, df: DataFrame, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        extra_meta: dict | None = None,
     ) -> int:
         parent = self.current_version()
         snap = self._snapshot(parent)
@@ -254,6 +264,7 @@ class SnapshotTable:
         )
         return self._commit(
             {
+                **(extra_meta or {}),
                 "op": "append",
                 "schema": snap["schema"],
                 "files": new_files,

@@ -80,3 +80,57 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Exactly-once append sink into a :class:`SnapshotTable`.
+
+    Structured Streaming's foreachBatch is AT-LEAST-ONCE: after a
+    crash between "sink wrote" and "checkpoint advanced", the same
+    ``batch_id`` is redelivered. The transactional fix (Delta's
+    ``txnAppId``/``txnVersion`` pattern) is to record the batch id IN
+    the sink's own commit, atomically with the data: each snapshot
+    carries ``last_stream_batch_id`` = max over the commit chain, and
+    a replayed batch whose id is <= that watermark is acknowledged
+    without writing. Because the id travels inside the snapshot json
+    whose exclusive create IS the commit, data-write and id-write
+    cannot diverge — appends become idempotent, i.e. exactly-once in
+    effect.
+
+    O(1) per batch beyond the append itself: batch ids are monotonic,
+    so only the latest snapshot's watermark is consulted (it
+    propagates through every commit and survives vacuum, which always
+    retains the newest snapshot)."""
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        tbl = SnapshotTable(spark, path)
+        if not tbl.versions():
+            SnapshotTable.create(
+                spark, path, batch,
+                extra_meta={"last_stream_batch_id": batch_id},
+            )
+            return
+        last = tbl.meta("last_stream_batch_id")
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay of a committed batch: ack, no write
+        tbl.append(
+            batch,
+            extra_meta={
+                "last_stream_batch_id": max(
+                    batch_id, last if last is not None else -1
+                )
+            },
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -80,3 +80,52 @@ def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
         2: (2, "two-v2"),
         3: (1, "three-v1"),
     }
+
+
+def test_snapshot_sink_appends_all_rows_exactly_once(spark, tmp_path):
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+    from nebuia_vector_db_spark.streaming.sinks import snapshot_sink
+
+    src = str(tmp_path / "snap_src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id AS k", "CAST(id * 2 AS LONG) AS v"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    table = str(tmp_path / "snap_tbl")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = snapshot_sink(stream, table, str(tmp_path / "ckpt_a"))
+    q.awaitTermination()
+
+    tbl = SnapshotTable(spark, table)
+    assert tbl.read().count() == 30
+    ops = [h["op"] for h in tbl.history()]
+    assert ops[0] == "create" and set(ops[1:]) <= {"append"}
+    assert tbl.meta("last_stream_batch_id") == len(ops) - 1
+
+
+def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint redelivers every batch (worst-case
+    at-least-once replay); the batch-id watermark inside the commit
+    log must swallow all of them."""
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+    from nebuia_vector_db_spark.streaming.sinks import snapshot_sink
+
+    src = str(tmp_path / "snap_src2")
+    spark.range(0, 25).selectExpr("id AS k", "id AS v").coalesce(
+        2
+    ).write.parquet(src)
+
+    table = str(tmp_path / "snap_tbl2")
+    for i in range(2):
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = snapshot_sink(stream, table, str(tmp_path / f"ckpt_b{i}"))
+        q.awaitTermination()
+
+    tbl = SnapshotTable(spark, table)
+    assert tbl.read().count() == 25, "replayed batches must not re-append"
+    assert sorted(r["k"] for r in tbl.read().collect()) == list(range(25))
