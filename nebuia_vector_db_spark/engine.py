@@ -284,7 +284,15 @@ class VectorEngine:
         (main.go:427-452) removes objects one by one with NO isolation
         either — a concurrent reader there can also observe a
         half-deleted collection. Pinned as deviation D-6 in SURVEY §1.5
-        and by tests/test_engine.py::test_delete_capability_gate."""
+        and by tests/test_engine.py::test_delete_capability_gate.
+
+        A Delta-free transactional alternative exists in this repo:
+        ``sources/snapshot.py`` (SnapshotTable) executes the same
+        DELETE as an atomic copy-on-write snapshot commit — isolated,
+        time-travelable, vacuum-gated — and is oracle-verified by the
+        ``snap_delete_read`` registry row. A warehouse that needs
+        reader-safe deletes stores the documents table there instead
+        of as loose partition directories."""
         if self._delta_capable():
             safe = collection_name.replace("'", "''")
             self.spark.sql(

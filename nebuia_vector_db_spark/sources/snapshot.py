@@ -121,10 +121,18 @@ class SnapshotTable:
             ) from None
         return new_version
 
-    def _write_files(self, df: DataFrame, stats_cols: list[str]) -> list[dict]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        stats_cols: list[str],
+        bloom_cols: list[str] | None = None,
+    ) -> list[dict]:
         """Write df as a new immutable commit dir; return file entries
         (relative path, row count, byte size, per-column min/max from
-        the parquet FOOTERS — no data pages are read)."""
+        the parquet FOOTERS — no data pages are read — and, for
+        ``bloom_cols``, a per-file Bloom filter over the column's
+        distinct values for point-lookup skipping where min/max can't
+        prune)."""
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self._data_dir, commit_id)
         df.write.mode("error").parquet(out_dir)
@@ -135,7 +143,8 @@ class SnapshotTable:
             if not name.endswith(".parquet"):
                 continue
             full = os.path.join(out_dir, name)
-            md = pq.ParquetFile(full).metadata
+            pf = pq.ParquetFile(full)
+            md = pf.metadata
             stats: dict[str, list] = {}
             schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
             for ci, col in enumerate(schema_names):
@@ -152,12 +161,19 @@ class SnapshotTable:
                     hi = st.max if hi is None else max(hi, st.max)
                 if ok and lo is not None:
                     stats[col] = [_json_safe(lo), _json_safe(hi)]
+            blooms = {}
+            for col in bloom_cols or []:
+                if col not in schema_names:
+                    continue
+                vals = pf.read(columns=[col]).column(col).to_pylist()
+                blooms[col] = _bloom_build(vals)
             entries.append(
                 {
                     "path": os.path.join("data", commit_id, name),
                     "rows": md.num_rows,
                     "bytes": os.path.getsize(full),
                     "stats": stats,
+                    **({"blooms": blooms} if blooms else {}),
                 }
             )
         return entries
@@ -186,12 +202,13 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         extra_meta: dict | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "SnapshotTable":
         tbl = cls(spark, path)
         if tbl.versions():
             raise FileExistsError(f"snapshot table already exists at {path}")
         files = tbl._write_files(
-            df, stats_cols or cls._default_stats_cols(df)
+            df, stats_cols or cls._default_stats_cols(df), bloom_cols
         )
         tbl._commit(
             {
@@ -255,21 +272,78 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         extra_meta: dict | None = None,
+        merge_schema: bool = False,
+        bloom_cols: list[str] | None = None,
     ) -> int:
+        """Append ``df`` as new immutable files. With ``merge_schema``,
+        columns present in ``df`` but not the table are ADDED to the
+        table schema (additive evolution, the lakehouse
+        ``mergeSchema`` contract): existing files are untouched — the
+        parquet reader fills the new column with NULL for them —
+        while shared columns keep the table's original types."""
         parent = self.current_version()
         snap = self._snapshot(parent)
-        df = _align(df, self._schema(snap))
+        schema = self._schema(snap)
+        if merge_schema:
+            known = {f.name for f in schema.fields}
+            schema = T.StructType(
+                schema.fields
+                + [f for f in df.schema.fields if f.name not in known]
+            )
+        df = _align(df, schema)
         new_files = snap["files"] + self._write_files(
-            df, stats_cols or self._default_stats_cols(df)
+            df, stats_cols or self._default_stats_cols(df), bloom_cols
         )
         return self._commit(
             {
                 **(extra_meta or {}),
                 "op": "append",
+                "schema": json.loads(schema.json()),
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+            },
+            expected_parent=parent,
+        )
+
+    def compact(
+        self,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        target_partitions: int | None = None,
+    ) -> int:
+        """Bin-pack the snapshot's SMALL files (< ``small_file_bytes``)
+        into fewer, larger ones; files already at target size carry
+        forward by reference. The small-file problem is what an
+        exactly-once streaming sink (one file per micro-batch) or a
+        trickle of COW deletes inevitably creates, and at 100 TB it
+        turns scans into a file-open benchmark — compaction restores
+        I/O-bound scanning without touching big files. Committed as a
+        normal snapshot: readers flip atomically, old versions stay
+        time-travelable until vacuum."""
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        small = [f for f in snap["files"] if f["bytes"] < small_file_bytes]
+        big = [f for f in snap["files"] if f["bytes"] >= small_file_bytes]
+        if len(small) <= 1:
+            return parent  # nothing to pack
+        schema = self._schema(snap)
+        total = sum(f["bytes"] for f in small)
+        n_out = target_partitions or max(1, total // small_file_bytes + 1)
+        packed = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in small]
+        ).coalesce(int(n_out))
+        new_files = big + self._write_files(
+            packed, self._default_stats_cols(packed)
+        )
+        return self._commit(
+            {
+                "op": "compact",
                 "schema": snap["schema"],
                 "files": new_files,
                 "n_files": len(new_files),
                 "n_rows": sum(f["rows"] for f in new_files),
+                "compacted_files": len(small),
+                "carried_files": len(big),
             },
             expected_parent=parent,
         )
@@ -417,6 +491,55 @@ class SnapshotTable:
 
 
 # ------------------------------------------------------------------ helpers
+_BLOOM_BITS_PER_KEY = 10  # ~1% false-positive at k=7
+_BLOOM_HASHES = 7
+
+
+def _bloom_hashes(value) -> list[int]:
+    import hashlib
+
+    out = []
+    # canonicalize numerics so a predicate literal `5` matches a
+    # stored `5.0` (and vice versa); bool checked first (int subclass)
+    if isinstance(value, bool):
+        canon = repr(value).encode()
+    elif isinstance(value, (int, float)):
+        canon = repr(float(value)).encode()
+    else:
+        canon = repr(value).encode()
+    for i in range(_BLOOM_HASHES):
+        h = hashlib.blake2b(canon, digest_size=8, salt=bytes([i])).digest()
+        out.append(int.from_bytes(h, "big"))
+    return out
+
+
+def _bloom_build(values) -> dict:
+    """Serialize a Bloom filter over the distinct values (base64 bit
+    array + bit count). ~10 bits/key, 7 hashes → ~1% FP."""
+    import base64
+
+    distinct = {v for v in values if v is not None}
+    m = max(64, len(distinct) * _BLOOM_BITS_PER_KEY)
+    bits = bytearray((m + 7) // 8)
+    for v in distinct:
+        for h in _bloom_hashes(v):
+            pos = h % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    m = bloom["m"]
+    bits = base64.b64decode(bloom["b64"])
+    for h in _bloom_hashes(value):
+        pos = h % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _json_safe(v):
     if isinstance(v, bytes):
         return None  # binary stats are not comparable via JSON; skip
@@ -445,21 +568,28 @@ def _predicate(col: str, op: str, lit) -> Column:
 
 def _file_may_match(f: dict, where: list[tuple[str, str, object]]) -> bool:
     """Conservative stats check: False only when the file PROVABLY has
-    no matching rows (all predicates are ANDed)."""
+    no matching rows (all predicates are ANDed). Equality predicates
+    additionally consult the file's Bloom filter when one was built —
+    the point-lookup case min/max can't prune on a high-cardinality
+    unsorted column (a needle `k = ?` hits every file's [min, max]
+    range but ~1% of Blooms)."""
     for col, op, lit in where:
         st = f.get("stats", {}).get(col)
-        if not st or st[0] is None:
-            continue  # no stats -> cannot prune on this predicate
-        lo, hi = st
-        try:
-            if op == "=" and not (lo <= lit <= hi):
+        if st and st[0] is not None:
+            lo, hi = st
+            try:
+                if op == "=" and not (lo <= lit <= hi):
+                    return False
+                if op in ("<", "<=") and not (lo < lit or (op == "<=" and lo <= lit)):
+                    return False
+                if op in (">", ">=") and not (hi > lit or (op == ">=" and hi >= lit)):
+                    return False
+            except TypeError:
+                pass  # mixed types -> range can't prune
+        if op == "=":
+            bloom = f.get("blooms", {}).get(col)
+            if bloom and not _bloom_may_contain(bloom, lit):
                 return False
-            if op in ("<", "<=") and not (lo < lit or (op == "<=" and lo <= lit)):
-                return False
-            if op in (">", ">=") and not (hi > lit or (op == ">=" and hi >= lit)):
-                return False
-        except TypeError:
-            continue  # mixed types -> don't prune
     return True
 
 

@@ -158,3 +158,72 @@ def test_stats_check_is_conservative():
     # missing stats or mixed types: never prune
     assert _file_may_match({"stats": {}}, [("a", "=", 1)])
     assert _file_may_match(f, [("a", "=", "zzz")])
+
+
+def test_schema_evolution_additive(spark, base_df, tmp_path):
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+    evolved = spark.range(1000, 1100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("bucket"),
+        F.lit("new").alias("payload"),
+        F.lit(2).cast("long").alias("ver"),
+        F.lit("fr").alias("lang"),  # new column
+    )
+    # without merge_schema the new column is dropped (strict align)
+    tbl.append(evolved)
+    assert "lang" not in tbl.read().columns
+    # with merge_schema the column is added; old files read as NULL
+    tbl.append(evolved, merge_schema=True)
+    got = tbl.read()
+    assert "lang" in got.columns
+    assert got.where(F.col("lang").isNull()).count() == 1100
+    assert got.where(F.col("lang") == "fr").count() == 100
+    # old snapshots keep the old schema (time travel is schema-stable)
+    assert "lang" not in tbl.read(version=1).columns
+
+
+def test_compact_packs_small_files(spark, tmp_path):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df.repartition(12)
+    )
+    assert tbl.n_files() >= 12
+    v = tbl.compact(small_file_bytes=64 * 1024 * 1024, target_partitions=2)
+    assert v == 2
+    snap = tbl._snapshot()
+    assert snap["op"] == "compact"
+    assert tbl.n_files() <= 3
+    got = tbl.read()
+    assert got.count() == 5000
+    assert got.agg(F.sum("k")).head()[0] == sum(range(5000))
+    # pre-compaction snapshot still time-travels
+    assert tbl.read(version=1).count() == 5000
+    # compacting an already-compact table is a no-op
+    assert tbl.compact(small_file_bytes=1) == v
+
+
+def test_bloom_prunes_point_lookups_where_minmax_cannot(spark, tmp_path):
+    """Hash-distributed high-cardinality key: every file spans the
+    full [min, max] range, so footer stats prune nothing — the
+    per-file Bloom filter is what kills dead files on `k = ?`."""
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).repartition(8)  # round-robin: all files cover the whole k range
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, bloom_cols=["k"]
+    )
+    n_all = tbl.n_files()
+    assert n_all >= 8
+    # a present key: exactly one file truly holds it; bloom scans few
+    hit = [("k", "=", 12_345)]
+    assert tbl.pruned_file_count(hit) <= 2
+    assert tbl.read(where=hit).count() == 1
+    # an absent key inside the global range: min/max can't prune, the
+    # blooms almost surely all reject (8 files x 1% FP)
+    miss = [("k", "=", 20_001)]
+    assert tbl.pruned_file_count(miss) <= 1
+    assert tbl.read(where=miss).count() == 0
+    # numeric canonicalization: float literal matches stored int
+    assert tbl.read(where=[("k", "=", 12_345.0)]).count() == 1
