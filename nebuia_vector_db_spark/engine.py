@@ -45,10 +45,38 @@ class DimensionMismatchError(ValueError):
 
 
 class VectorEngine:
-    def __init__(self, spark: SparkSession, warehouse_path: str, dim: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_path: str,
+        dim: int | None = None,
+        table_format: str = "parquet",
+    ):
+        """``table_format``:
+
+        - ``"parquet"`` (default) — loose collection-partitioned
+          parquet directories; matches the reference's isolation
+          level exactly (none, §1.5-7 / D-6);
+        - ``"snapshot"`` — the warehouse is a
+          :class:`~nebuia_vector_db_spark.sources.snapshot.SnapshotTable`:
+          every store is an atomic snapshot commit, delete_collection
+          is a transactional copy-on-write DELETE (concurrent readers
+          keep a complete snapshot; pre-delete versions remain
+          time-travelable until vacuum), and single-collection reads
+          file-prune via snapshot stats instead of hive partition
+          pruning. Same engine API either way.
+        """
+        if table_format not in ("parquet", "snapshot"):
+            raise ValueError(f"unknown table_format: {table_format!r}")
         self.spark = spark
         self.warehouse_path = warehouse_path
         self.dim = dim
+        self.table_format = table_format
+
+    def _snapshot_table(self):
+        from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+        return SnapshotTable(self.spark, self.warehouse_path)
 
     # ---------------------------------------------------------------- store
     def store(self, collection_name: str, documents: Sequence[dict]) -> dict:
@@ -105,6 +133,15 @@ class VectorEngine:
         DOCUMENT_SCHEMA shape; missing doc_ids minted JVM-side."""
         if "doc_id" not in df.columns:
             df = df.withColumn("doc_id", F.expr("uuid()"))
+        if self.table_format == "snapshot":
+            from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+            tbl = self._snapshot_table()
+            if tbl.versions():
+                tbl.append(df)
+            else:
+                SnapshotTable.create(self.spark, self.warehouse_path, df)
+            return
         (
             df.write.mode("append")
             .partitionBy("collection")
@@ -113,6 +150,22 @@ class VectorEngine:
 
     # --------------------------------------------------------------- search
     def documents(self, collections: Sequence[str] | None = None) -> DataFrame:
+        if self.table_format == "snapshot":
+            tbl = self._snapshot_table()
+            if not tbl.versions():
+                return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+            if collections is not None and len(collections) == 1:
+                # snapshot-stats file pruning ≙ partition pruning:
+                # each store commit is single-collection, so its
+                # files' collection min == max and dead files drop at
+                # planning time
+                return tbl.read(
+                    where=[("collection", "=", list(collections)[0])]
+                )
+            df = tbl.read()
+            if collections is not None:
+                df = df.where(F.col("collection").isin(list(collections)))
+            return df
         df = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self.warehouse_path)
         if collections is not None:
             # partition pruning ≙ MinIO prefix listing (main.go:186-189)
@@ -286,13 +339,20 @@ class VectorEngine:
         half-deleted collection. Pinned as deviation D-6 in SURVEY §1.5
         and by tests/test_engine.py::test_delete_capability_gate.
 
-        A Delta-free transactional alternative exists in this repo:
-        ``sources/snapshot.py`` (SnapshotTable) executes the same
-        DELETE as an atomic copy-on-write snapshot commit — isolated,
-        time-travelable, vacuum-gated — and is oracle-verified by the
-        ``snap_delete_read`` registry row. A warehouse that needs
-        reader-safe deletes stores the documents table there instead
-        of as loose partition directories."""
+        A Delta-free transactional path ALSO runs here: with
+        ``table_format="snapshot"`` the delete is an atomic
+        copy-on-write SnapshotTable commit (sources/snapshot.py) —
+        isolated, time-travelable until vacuum — oracle-verified by
+        the ``snap_delete_read`` registry row and engine-tested by
+        test_engine.py::test_snapshot_engine_transactional_delete."""
+        if self.table_format == "snapshot":
+            tbl = self._snapshot_table()
+            if not tbl.versions():
+                return {"status": "Collection deletion started", "deleted": False}
+            before = tbl._snapshot()["n_rows"]
+            tbl.delete_where(F.col("collection") == collection_name)
+            deleted = tbl._snapshot()["n_rows"] < before
+            return {"status": "Collection deletion started", "deleted": deleted}
         if self._delta_capable():
             safe = collection_name.replace("'", "''")
             self.spark.sql(

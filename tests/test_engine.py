@@ -249,3 +249,53 @@ def test_search_zero_query_vector_yields_zero_similarity(engine):
     the 0/0), so every similarity is exactly 0.0 — no NaNs leak."""
     rows = engine.search("alpha", [0.0] * 8, 3).collect()
     assert rows and all(r["similarity"] == 0.0 for r in rows)
+
+
+def test_snapshot_engine_matches_parquet_engine(spark, tmp_path_factory):
+    """table_format='snapshot' is a drop-in: identical search results,
+    same catalog, and single-collection reads prune dead files at
+    planning time via snapshot stats."""
+    wh_p = str(tmp_path_factory.mktemp("wh_parquet"))
+    wh_s = str(tmp_path_factory.mktemp("wh_snap")) + "/t"
+    docs_a = _mkdocs(5, 2, 8, seed=11, name_prefix="a")
+    docs_b = _mkdocs(3, 2, 8, seed=12, name_prefix="b")
+    eng_p = VectorEngine(spark, wh_p, dim=8)
+    eng_s = VectorEngine(spark, wh_s, dim=8, table_format="snapshot")
+    for eng in (eng_p, eng_s):
+        eng.store("alpha", docs_a)
+        eng.store("beta", docs_b)
+    assert eng_s.list_collections() == ["alpha", "beta"]
+
+    q = list(np.random.default_rng(5).normal(size=8))
+    res_p = eng_p.search("alpha", q, 5).collect()
+    res_s = eng_s.search("alpha", q, 5).collect()
+    got_p = [(r["embedding_id"], round(r["similarity"], 9)) for r in res_p]
+    got_s = [(r["embedding_id"], round(r["similarity"], 9)) for r in res_s]
+    assert got_p == got_s
+
+    # each store commit is single-collection -> stats prune its files
+    tbl = eng_s._snapshot_table()
+    n_all = tbl.n_files()
+    n_alpha = tbl.pruned_file_count([("collection", "=", "alpha")])
+    assert 0 < n_alpha < n_all
+
+
+def test_snapshot_engine_transactional_delete(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_snap_del")) + "/t"
+    eng = VectorEngine(spark, wh, dim=4, table_format="snapshot")
+    eng.store("keep", _mkdocs(4, 1, 4, seed=21, name_prefix="k"))
+    eng.store("drop", _mkdocs(3, 1, 4, seed=22, name_prefix="d"))
+    tbl = eng._snapshot_table()
+    v_before = tbl.current_version()
+
+    resp = eng.delete_collection("drop")
+    assert resp["deleted"] is True
+    assert eng.list_collections() == ["keep"]
+    assert eng.documents(["drop"]).count() == 0
+    # the delete is one atomic commit; the pre-delete snapshot still
+    # reads completely (concurrent readers are never half-deleted)
+    assert tbl.current_version() == v_before + 1
+    old = tbl.read(version=v_before)
+    assert old.where(F.col("collection") == "drop").count() == 3
+    # deleting a missing collection is a clean no-op
+    assert eng.delete_collection("nope")["deleted"] is False
