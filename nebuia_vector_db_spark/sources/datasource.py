@@ -1,0 +1,139 @@
+"""Python Data Source (Spark 4 API) for the reference's JSON layout.
+
+``sources/json_docs.py`` reads the ``{collection}/{uuid}_doc.json``
+bucket layout (main.go:334-342) through ``spark.read.json`` + glob.
+This module exposes the SAME layout as a first-class pluggable source
+via the PySpark 4 Python Data Source API::
+
+    spark.dataSource.register(NebuiaDocsDataSource)
+    df = spark.read.format("nebuia_docs").option("path", root).load()
+    df.where(col("collection") == "papers")   # pruned at PLANNING time
+
+Why a custom source instead of the glob reader:
+
+- **Partition planning mirrors the storage layout**: one input
+  partition per collection directory (≙ MinIO prefix), so Spark's
+  scheduler parallelizes exactly the way the reference's goroutine
+  fan-out does (main.go:197-208) — but with partition PRUNING:
+- **Filter pushdown**: ``pushFilters`` accepts ``collection = ?`` /
+  ``collection IN (...)`` and drops dead collections before a single
+  file is listed or opened — the prefix-listing shortcut
+  (main.go:186-189) expressed as Catalyst planning metadata.
+- **Suffix filter in planning**: only ``*_doc.json`` keys are ever
+  opened (≙ main.go:203), enforced when the partition lists its dir.
+
+Each partition's ``read`` decodes its documents with the stdlib json
+parser and yields DOCUMENT_SCHEMA-shaped tuples; Spark handles the
+arrow/pickle transport. At 100 TB the same class points at an object
+store listing (swap ``os.listdir`` for the store SDK's paginated
+prefix list) — partitions stream, nothing is materialized on the
+driver but the collection names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
+
+
+class CollectionPartition(InputPartition):
+    def __init__(self, root: str, collection: str):
+        self.root = root
+        self.collection = collection
+
+
+class NebuiaDocsDataSource(DataSource):
+    """``spark.read.format("nebuia_docs")`` — options: ``path`` (root
+    of the bucket tree, required)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nebuia_docs"
+
+    def schema(self):
+        return DOCUMENT_SCHEMA
+
+    def reader(self, schema) -> "NebuiaDocsReader":
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("nebuia_docs requires .option('path', root)")
+        return NebuiaDocsReader(root)
+
+
+class NebuiaDocsReader(DataSourceReader):
+    def __init__(self, root: str):
+        self.root = root
+        self._keep: set[str] | None = None  # None = all collections
+
+    # ------------------------------------------------------- planning
+    def pushFilters(self, filters: list[Filter]):
+        """Accept collection equality/IN filters (partition pruning ≙
+        the reference's prefix listing); everything else is returned
+        for Spark to re-apply after the scan."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("collection",):
+                self._keep = {f.value}
+            elif isinstance(f, In) and f.attribute == ("collection",):
+                self._keep = set(f.value)
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self) -> list[CollectionPartition]:
+        cols = sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+        if self._keep is not None:
+            cols = [c for c in cols if c in self._keep]
+        return [CollectionPartition(self.root, c) for c in cols]
+
+    # ------------------------------------------------------ execution
+    def read(self, partition: CollectionPartition):
+        d = os.path.join(partition.root, partition.collection)
+        for name in sorted(os.listdir(d)):
+            if not name.endswith("_doc.json"):  # ≙ main.go:203
+                continue
+            with open(os.path.join(d, name)) as fh:
+                doc = json.load(fh)
+            md = doc.get("metadata") or {}
+            chunks = []
+            for ch in doc.get("chunks") or []:
+                emb = ch.get("embedding")
+                if isinstance(emb, dict):  # wire shape {vector: [...]}
+                    emb = emb.get("vector")
+                cmd = ch.get("metadata") or {}
+                chunks.append(
+                    (
+                        ch.get("text"),
+                        [float(x) for x in (emb or [])],
+                        (_json_str(cmd.get("source")), cmd.get("name")),
+                        float(ch.get("semantic_score") or 0.0),
+                    )
+                )
+            yield (
+                partition.collection,
+                name[: -len("_doc.json")],
+                doc.get("text"),
+                (_json_str(md.get("source")), md.get("name")),
+                chunks,
+            )
+
+
+def _json_str(v):
+    if v is None or isinstance(v, str):
+        return v
+    return json.dumps(v, sort_keys=True)

@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from nebuia_vector_db_spark.engine import VectorEngine
 from nebuia_vector_db_spark.sources.json_docs import read_json_documents
@@ -193,3 +194,76 @@ def test_registered_views_serve_full_sql(spark, sf_smoke):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) > 0
+
+
+def test_python_datasource_reads_layout(spark, tmp_path):
+    """The Spark 4 Python Data Source over the same bucket layout:
+    format('nebuia_docs') ≡ the glob reader, row for row."""
+    from nebuia_vector_db_spark.engine import VectorEngine
+    from nebuia_vector_db_spark.sources.datasource import NebuiaDocsDataSource
+    from nebuia_vector_db_spark.sources.json_docs import (
+        read_json_documents,
+        write_json_documents,
+    )
+
+    wh = str(tmp_path / "wh")
+    eng = VectorEngine(spark, wh, dim=4)
+    for coll in ("pa", "pb"):
+        eng.store(
+            coll,
+            [
+                {
+                    "text": f"{coll} doc {i}",
+                    "metadata": {"source": {"k": i}, "name": f"{coll}{i}"},
+                    "chunks": [
+                        {
+                            "text": f"c{i}",
+                            "embedding": [float(i), 0.0, 1.0, 0.5],
+                            "metadata": {"source": None, "name": f"{coll}{i}c"},
+                            "semantic_score": 0.25,
+                        }
+                    ],
+                }
+                for i in range(3)
+            ],
+        )
+    root = str(tmp_path / "bucket")
+    assert write_json_documents(eng.documents(), root) == 6
+
+    spark.dataSource.register(NebuiaDocsDataSource)
+    via_ds = spark.read.format("nebuia_docs").option("path", root).load()
+    via_glob = read_json_documents(spark, root)
+    a = {tuple(map(str, r)) for r in via_ds.collect()}
+    b = {tuple(map(str, r)) for r in via_glob.collect()}
+    assert a == b and len(a) == 6
+
+    got = via_ds.where(F.col("collection") == "pa")
+    assert got.count() == 3
+    assert {r["collection"] for r in got.collect()} == {"pa"}
+
+
+def test_python_datasource_pushdown_prunes_partitions(tmp_path):
+    """Planner-level check without Spark: collection filters reach
+    pushFilters and drop dead prefixes before any listing."""
+    import os
+
+    from pyspark.sql.datasource import EqualTo, In
+    from nebuia_vector_db_spark.sources.datasource import NebuiaDocsReader
+
+    root = str(tmp_path)
+    for c in ("a", "b", "c"):
+        os.makedirs(os.path.join(root, c))
+
+    r = NebuiaDocsReader(root)
+    assert [p.collection for p in r.partitions()] == ["a", "b", "c"]
+
+    r = NebuiaDocsReader(root)
+    assert r.pushFilters([EqualTo(("collection",), "b")]) == []
+    assert [p.collection for p in r.partitions()] == ["b"]
+
+    r = NebuiaDocsReader(root)
+    leftover = r.pushFilters(
+        [In(("collection",), ("a", "c")), EqualTo(("text",), "x")]
+    )
+    assert len(leftover) == 1  # non-collection filter handed back
+    assert [p.collection for p in r.partitions()] == ["a", "c"]
