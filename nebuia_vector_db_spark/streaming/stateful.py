@@ -169,3 +169,100 @@ def funnel_user_state(events: DataFrame, min_k: int = 50) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): typed multi-state processor
+# ---------------------------------------------------------------------------
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id long, n_types long, n_events long, sum_value double, seq long"
+)
+
+
+def _profile_processor_cls():
+    """Factory so the module imports even on a Spark without the
+    transformWithState API (the class body references it lazily)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EventProfileProcessor(StatefulProcessor):
+        """Per-user profile via the Spark 4 arbitrary-state API —
+        the successor to applyInPandasWithState, with TYPED state
+        primitives instead of one opaque tuple:
+
+        - ``MapState[event_type -> count]`` (per-type tallies; a
+          map update touches ONE key, not a whole serialized blob —
+          the at-scale win over GroupState when profiles are wide)
+        - ``ValueState (n_events, sum_value, seq)`` running totals;
+          ``seq`` is a monotonic emit counter so downstream consumers
+          (and the equivalence test) can identify each user's LATEST
+          profile row in Update output mode.
+
+        Emits one profile row per user per micro-batch it appears in.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._types = handle.getMapState(
+                "type_counts", "t string", "c long"
+            )
+            self._totals = handle.getValueState(
+                "totals", "n long, s double, seq long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = s = 0
+            type_counts: dict[str, int] = {}
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                for t, c in pdf["event_type"].value_counts().items():
+                    type_counts[t] = type_counts.get(t, 0) + int(c)
+            for t, c in type_counts.items():
+                prev = (
+                    self._types.getValue((t,))[0]
+                    if self._types.containsKey((t,))
+                    else 0
+                )
+                self._types.updateValue((t,), (prev + c,))
+            tot = self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+            new = (tot[0] + n, tot[1] + s, tot[2] + 1)
+            self._totals.update(new)
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [n_types],
+                    "n_events": [new[0]],
+                    "sum_value": [new[1]],
+                    "seq": [new[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return EventProfileProcessor
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user profile (distinct event types, totals) via
+    ``transformWithStateInPandas``. Update mode; the row with the
+    highest ``seq`` per user is the current profile. Batch mirror:
+    ``groupBy(user_id).agg(countDistinct(event_type), count(*),
+    sum(value))`` — equivalence pinned by
+    tests/test_stateful_streaming.py."""
+    cls = _profile_processor_cls()
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=PROFILE_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -147,3 +147,130 @@ def test_funnel_state_idempotent_under_duplicate_delivery(spark, sf_smoke, tmp_p
         3: sum(1 for r in final_dup if r["t3"] > 0),
     }
     assert got == want
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return tuple(k) in self._m
+
+    def getValue(self, k):
+        return self._m[tuple(k)]
+
+    def updateValue(self, k, v):
+        self._m[tuple(k)] = tuple(v)
+
+    def keys(self):
+        return iter(self._m.keys())
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def test_transform_with_state_processor_logic_with_fake_handle():
+    """The EventProfileProcessor's state machine, driven directly:
+    typed map/value state accumulates across calls (≙ micro-batches)
+    and seq increments per emission. Exercised against a dict-backed
+    handle because this environment lacks the protobuf runtime the
+    live transformWithState channel needs (see skip below)."""
+    import pandas as pd
+
+    from nebuia_vector_db_spark.streaming.stateful import (
+        _profile_processor_cls,
+    )
+
+    proc = _profile_processor_cls()()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame(
+        {"event_type": ["a", "a", "b"], "value": [1.0, 2.0, 3.0]}
+    )
+    (out1,) = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_types": 2, "n_events": 3,
+        "sum_value": 6.0, "seq": 1,
+    }
+    b2 = pd.DataFrame({"event_type": ["c", "a"], "value": [4.0, 5.0]})
+    (out2,) = list(proc.handleInputRows((7,), iter([b2]), None))
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_types": 3, "n_events": 5,
+        "sum_value": 15.0, "seq": 2,
+    }
+
+
+def test_transform_with_state_profile_live_stream(spark, multi_file_events):
+    """Live transformWithStateInPandas run — requires the protobuf
+    runtime for the state-server channel; skipped (documented gate)
+    where it is absent. The processor logic itself is covered by the
+    fake-handle test above."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf not installed: transformWithState's "
+            "driver-worker channel cannot start in this environment"
+        )
+    from nebuia_vector_db_spark.streaming.stateful import user_profile_stream
+
+    d, src = multi_file_events
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+    )
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws_profile")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(d, "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        """
+        SELECT user_id, n_types, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY seq DESC) rn
+          FROM t_tws_profile) WHERE rn = 1
+        """
+    ).collect()
+    got = {
+        r["user_id"]: (r["n_types"], r["n_events"], round(r["sum_value"], 6))
+        for r in rows
+    }
+    expected = {
+        r["user_id"]: (r["nt"], r["ne"], round(r["sv"], 6))
+        for r in src.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("nt"),
+            F.count("*").alias("ne"),
+            F.sum("value").alias("sv"),
+        )
+        .collect()
+    }
+    assert got == expected
