@@ -537,6 +537,53 @@ def main() -> None:
     )
     sub.unpersist()
 
+    # ---- B10: SnapshotTable + Z-order planning-time data skipping
+    # (round 3): lay lineitem out z-ordered on (l_orderkey,
+    # l_partkey), snapshot it, and measure a box query on the SECOND
+    # dimension — the one a linear sort cannot prune. Recorded:
+    # layout cost, fraction of files the planner scans (the headline:
+    # at 100 TB scan cost is proportional to files touched), and both
+    # read wall times. At sf0.1 the two times sit AT THE ~0.2 s
+    # dispatch floor (BASELINE.md §3) — 600k rows is scheduling-
+    # bound either way; the fraction is the scale-relevant number.
+    # Results are identical (predicate applied on both paths).
+    from nebuia_vector_db_spark.operators.zorder import cluster_by_zorder
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    import shutil as _sh
+    import tempfile as _tf
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    zroot = _tf.mkdtemp(prefix="nvdb_bench_z_")
+    t0 = time.perf_counter()
+    ztbl = SnapshotTable.create(
+        spark,
+        os.path.join(zroot, "t"),
+        cluster_by_zorder(li, ["l_orderkey", "l_partkey"], 32, bits=8),
+    )
+    timings["b10_zorder_snapshot_layout_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    pk_hi = li.agg(F.max("l_partkey")).head()[0]
+    box = [("l_partkey", ">=", 1), ("l_partkey", "<=", max(1, pk_hi // 20))]
+    n_files = ztbl.n_files()
+    n_scanned = ztbl.pruned_file_count(box)
+    timings["b10_files_scanned_fraction"] = round(n_scanned / n_files, 4)
+    pruned_df = ztbl.read(where=box)  # 6/32-file plan, built once
+    full_df = ztbl.read().where(
+        (F.col("l_partkey") >= box[0][2])
+        & (F.col("l_partkey") <= box[1][2])
+    )
+    timings["b10_pruned_read_sec"] = round(
+        _median_time(lambda: pruned_df.count(), runs=3), 4
+    )
+    timings["b10_full_scan_read_sec"] = round(
+        _median_time(lambda: full_df.count(), runs=3), 4
+    )
+    _sh.rmtree(zroot, ignore_errors=True)
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -591,6 +638,7 @@ def main() -> None:
                     "b7_sq8_recall",
                     "b8_",
                     "b9_",
+                    "b10_",
                 )
             )
         ),
@@ -635,6 +683,11 @@ def main() -> None:
                     "(the above-cap path, 21 block-pair tasks) on a "
                     "240k subset; pairs/sec is the scale-invariant "
                     "throughput",
+                    "b10": "Z-order + SnapshotTable planning-time data "
+                    "skipping on lineitem: files_scanned_fraction is "
+                    "the scale-relevant number (box query on the "
+                    "second clustered dim); both read times sit at "
+                    "the dispatch floor at sf0.1",
                 },
             }
         )
