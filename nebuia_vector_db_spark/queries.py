@@ -2188,6 +2188,49 @@ ORDER BY z_bucket
 """
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: ``parse_json``
+    → binary variant → typed ``variant_get`` extraction — the
+    schema-on-read encoding that replaces string re-parsing per
+    access (each extraction decodes the variant's binary form, not
+    the JSON text; on a real table the variant column is stored once
+    and every query reuses it). Distinct from q_events_json, which
+    pins the classic ``get_json_object`` string path. The oracle
+    replays the same extraction with DuckDB's json_extract —
+    type-checked end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select(k.alias("k"), "event_id", "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+            _r(_davg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_EVENTS_VARIANT = f"""
+WITH x AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         event_id, value
+  FROM events
+)
+SELECT k_bucket,
+       count(*) AS n,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event,
+       {_sql_r(_sql_davg("value"), 6)} AS avg_value
+FROM x
+GROUP BY k_bucket
+ORDER BY k_bucket
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3710,6 +3753,10 @@ REGISTRY: dict[
     #   skew_salted_join (bucketed co-location); pruning win is
     #   measured in tests/test_zorder.py; stays locally green;
     "zorder_cluster": (q_zorder_cluster, ORACLE_ZORDER),
+    # events_variant: Spark 4 VARIANT extraction (parse_json +
+    #   try_variant_get) — the JSON family's in-window slot is held
+    #   by events_funnel's qualified stage; stays locally green;
+    "events_variant": (q_events_variant, ORACLE_EVENTS_VARIANT),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),

@@ -454,6 +454,44 @@ class SnapshotTable:
             expected_parent=parent,
         )
 
+    def optimize_zorder(
+        self,
+        cols: list[str],
+        n_partitions: int | None = None,
+        bits: int = 8,
+    ) -> int:
+        """``OPTIMIZE ... ZORDER BY (cols)``: rewrite the whole
+        snapshot Morton-clustered on ``cols`` (operators/zorder.py) so
+        every data file covers a compact hyper-rectangle and the
+        snapshot's min/max stats prune on ALL clustered dimensions.
+        One range exchange + local sort — the price any re-layout
+        pays; committed atomically like every other op, so readers
+        flip to the clustered layout in one step and prior snapshots
+        stay time-travelable until vacuum."""
+        from nebuia_vector_db_spark.operators.zorder import cluster_by_zorder
+
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        if n_partitions is None:
+            n_partitions = max(4, len(snap["files"]))
+        clustered = cluster_by_zorder(
+            self.read(parent), cols, n_partitions, bits
+        )
+        new_files = self._write_files(
+            clustered, self._default_stats_cols(clustered)
+        )
+        return self._commit(
+            {
+                "op": "optimize_zorder",
+                "zorder_cols": cols,
+                "schema": snap["schema"],
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+            },
+            expected_parent=parent,
+        )
+
     def vacuum(self, keep_last: int = 1) -> dict:
         """Physically delete data files unreferenced by the retained
         ``keep_last`` snapshots, and drop the older snapshot files.
