@@ -2231,6 +2231,50 @@ ORDER BY k_bucket
 """
 
 
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 SQL): per high-balance
+    customer, the top-2 orders by price via a correlated LATERAL —
+    the dependent-join family, distinct from the window-function
+    form of grouped top-k (`vs_topk_per_label`). Catalyst plans the
+    decorrelated rewrite (the lateral becomes a ranked join), which
+    is exactly why expressing it declaratively beats hand-writing
+    the per-key loop. The oracle replays the same LATERAL in DuckDB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+ORACLE_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3757,6 +3801,10 @@ REGISTRY: dict[
     #   try_variant_get) — the JSON family's in-window slot is held
     #   by events_funnel's qualified stage; stays locally green;
     "events_variant": (q_events_variant, ORACLE_EVENTS_VARIANT),
+    # lateral_top_orders: correlated LATERAL (dependent join) — the
+    #   grouped-top-k family's in-window slot is held by vs_knn_join's
+    #   WindowGroupLimit; stays locally green;
+    "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
