@@ -17,6 +17,7 @@ sort+truncate top-k).
 
 from nebuia_vector_db_spark.engine import VectorEngine
 from nebuia_vector_db_spark.session import get_spark
+from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
-__all__ = ["VectorEngine", "get_spark"]
+__all__ = ["VectorEngine", "get_spark", "SnapshotTable"]
 __version__ = "0.1.0"
