@@ -260,6 +260,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     ).cache()
+    # registered so long-lived sessions can release it (same contract
+    # as the tf-idf weight relations — ADVICE r2: caches on query
+    # paths must have an unpersist handle)
+    from nebuia_vector_db_spark.operators.textvec import _CACHED_RELATIONS
+
+    _CACHED_RELATIONS.append(band_rows)
     cand = (
         band_rows.alias("x")
         .join(
