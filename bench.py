@@ -584,6 +584,61 @@ def main() -> None:
     )
     _sh.rmtree(zroot, ignore_errors=True)
 
+    # ---- B11: dedup-pipeline scale sweep (round 3): MinHash-LSH
+    # end-to-end (shingle -> 128-perm signatures -> 32-band self-join
+    # -> exact-Jaccard verify) at 5k / 20k / 80k synthetic docs with
+    # a fixed 2% near-dup rate. b8 sweeps the GEMM family; this
+    # sweeps the shuffle/join family — the other half of the 100 TB
+    # claim. Slope = t(next) / (t(prev) * 4); ~1.0 is linear. Small
+    # sizes keep the quadratic-free pipeline under a few minutes.
+    from nebuia_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    def _synth_docs(n_docs: int):
+        # every 50th doc duplicates its predecessor's text exactly
+        src = F.when(
+            (F.col("id") % 50 == 0) & (F.col("id") > 0),
+            F.col("id") - 1,
+        ).otherwise(F.col("id"))
+        return (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"), src.alias("_src"))
+            .select(
+                "doc_id",
+                # hash-mixed words: distinct docs share almost no
+                # shingles, so the only >=0.9 pairs are the injected
+                # exact dups (a periodic arithmetic generator would
+                # alias whole documents)
+                F.expr(
+                    "concat_ws(' ', transform(sequence(0, 29), j -> "
+                    "concat('w', pmod(xxhash64(concat(cast(_src as "
+                    "string), '_', cast(j as string))), 100000))))"
+                ).alias("text"),
+            )
+        )
+
+    prev_t = None
+    b11_sizes = [5_000, 20_000, 80_000]
+    for n_docs in b11_sizes:
+        docs_n = _synth_docs(n_docs).cache()
+        docs_n.count()
+
+        def _b11():
+            minhash_lsh_pairs(docs_n, threshold=0.9).count()
+
+        t = _median_time(_b11, runs=3, warmup=1)
+        timings[f"b11_minhash_sweep_{n_docs // 1000}k"] = round(t, 4)
+        if prev_t is not None:
+            timings[f"b11_slope_{n_docs // 1000}k"] = round(
+                t / (prev_t * 4), 4
+            )
+        prev_t = t
+        docs_n.unpersist()
+    from nebuia_vector_db_spark.operators.textvec import (
+        release_cached_relations as _release,
+    )
+
+    _release()  # b11 registers one band cache per run
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -639,6 +694,7 @@ def main() -> None:
                     "b8_",
                     "b9_",
                     "b10_",
+                    "b11_",
                 )
             )
         ),
@@ -688,6 +744,10 @@ def main() -> None:
                     "the scale-relevant number (box query on the "
                     "second clustered dim); both read times sit at "
                     "the dispatch floor at sf0.1",
+                    "b11": "MinHash-LSH dedup end-to-end at 5k/20k/80k "
+                    "docs (2% exact dups): slope = t_next/(4*t_prev), "
+                    "~1.0 linear — the shuffle/join-family counterpart "
+                    "of b8's GEMM sweep",
                 },
             }
         )
