@@ -279,10 +279,21 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingle_sets = with_tokens(df, text_col).select(
-        F.col(id_col).alias("_id"),
-        shingles_from_tokens("_toks", n).alias("_shingles"),
-    )
+    if postings is not None:
+        # reuse the (cached) posting relation instead of re-tokenizing
+        # the corpus: postings rows are already DISTINCT (id, shingle)
+        # (shingles_from_tokens array_distincts), so collect_set
+        # rebuilds exactly the shingle set the verify needs — one
+        # aggregation over a cached relation vs a second full scan +
+        # tokenize pass
+        shingle_sets = postings.groupBy("_id").agg(
+            F.collect_set("shingle").alias("_shingles")
+        )
+    else:
+        shingle_sets = with_tokens(df, text_col).select(
+            F.col(id_col).alias("_id"),
+            shingles_from_tokens("_toks", n).alias("_shingles"),
+        )
     verified = (
         cand.join(
             shingle_sets.select(
