@@ -11,14 +11,17 @@ mandated multimodal extension surface. Design per the north star:
   arriving as zero-copy bytes. That shape (iterator of pandas
   DataFrames in, iterator out) is exactly what a real PIL/ffmpeg
   decoder plugs into;
-- codecs: PNG is REAL — ``attach_png_assets`` / ``decode_image_real``
-  run a pure-stdlib PNG encode/decode (zlib DEFLATE, CRC validation,
-  scanline unfiltering incl. Paeth — see multimodal/png.py), so the
-  registry round-trip row exercises genuine compressed-image bytes.
-  Other formats (JPEG, video/audio containers) need an executor-side
-  codec install (PIL/ffmpeg); ``decode_image_features`` additionally
-  keeps a *deterministic fake decode* (dims from md5, pixel stats =
-  byte stats) whose arithmetic any SQL engine can replay — the
+- codecs: PNG, baseline grayscale JPEG, and WAV are REAL —
+  ``attach_png_assets`` / ``attach_jpeg_assets`` / ``attach_wav_assets``
+  and ``decode_image_real`` (magic-sniffed) / ``decode_audio_real``
+  run pure-stdlib/numpy codecs (png.py: zlib DEFLATE + CRC + Paeth
+  unfiltering; jpeg.py: DCT + Annex-K quant + canonical Huffman;
+  wav.py: RIFF chunk walk + PCM-16), so the registry round-trip rows
+  exercise genuine compressed/container bytes. Color JPEG and
+  video/audio container formats still need an executor-side codec
+  install (PIL/ffmpeg); ``decode_image_features`` additionally keeps
+  a *deterministic fake decode* (dims from md5, pixel stats = byte
+  stats) whose arithmetic any SQL engine can replay — the
   fully-hash-checkable variant.
 
 Scale: payload columns dominate storage; keep them in their own
@@ -189,28 +192,36 @@ _REAL_DECODE_SCHEMA = (
 
 
 def decode_image_real(assets: DataFrame) -> DataFrame:
-    """REAL image decode over Arrow batches — PNG implemented with the
-    pure-stdlib codec (:mod:`nebuia_vector_db_spark.multimodal.png`:
-    zlib inflate, CRC validation, filters 0-4 incl. Paeth). Emits
-    per-image stats from the ACTUAL decoded pixel buffer: parsed
-    header dims, pixel count (channels collapsed by mean for stats),
-    mean/max pixel value.
+    """REAL image decode over Arrow batches, format-sniffed by magic
+    number: PNG (:mod:`..multimodal.png` — zlib inflate, CRC
+    validation, filters 0-4 incl. Paeth) and baseline grayscale JPEG
+    (:mod:`..multimodal.jpeg` — marker parse, canonical Huffman
+    entropy decode, dequant + IDCT). Emits per-image stats from the
+    ACTUAL decoded pixel buffer: parsed header dims, pixel count
+    (channels collapsed by mean for stats), mean/max pixel value.
 
-    Non-PNG payloads (JPEG/video/audio containers) still need an
+    Other container formats (color JPEG, video/audio) still need an
     executor-side codec install (PIL/ffmpeg) and raise cleanly per
     payload via the signature check — the mapInPandas plumbing is
     identical either way, so a deployment swaps only the decode call.
     Same shape as :func:`decode_image_features`: map-side, payload
     pruned unless projected, no shuffle."""
+    from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg_gray
     from nebuia_vector_db_spark.multimodal.png import decode_png
 
     cols = assets.select("doc_id", "payload")
+
+    def _decode_any(b: bytes):
+        if b[:2] == b"\xff\xd8":
+            px = decode_jpeg_gray(b)
+            return px.shape[1], px.shape[0], px
+        return decode_png(b)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, npx, means, maxes = [], [], [], [], [], []
             for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, px = decode_png(bytes(pay))
+                w, h, px = _decode_any(bytes(pay))
                 ids.append(doc)
                 ws.append(w)
                 hs.append(h)
@@ -461,3 +472,71 @@ def decode_audio_real(assets: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(_decode, schema=_AUDIO_DECODE_SCHEMA)
+
+
+def attach_jpeg_assets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+    quality: int = 90,
+) -> DataFrame:
+    """Derive a REAL baseline-JPEG asset per document — the lossy
+    sibling of :func:`attach_png_assets`: the text's UTF-8 bytes
+    become a ``width``-wide grayscale pixel buffer encoded through
+    :mod:`nebuia_vector_db_spark.multimodal.jpeg` (forward DCT,
+    Annex-K quantization at ``quality``, canonical Huffman entropy
+    coding — a stream any baseline decoder opens). Because JPEG is
+    lossy there is no exact SQL oracle; fidelity is pinned by
+    tests (PSNR + dimension round trip). Arrow-batched mapInPandas,
+    map-side, no shuffle."""
+    import math
+
+    from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_gray
+
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, heights = [], [], []
+            for doc, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                if not b:
+                    continue
+                h = math.ceil(len(b) / width)
+                buf = np.zeros(h * width, dtype=np.uint8)
+                buf[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                ids.append(doc)
+                payloads.append(
+                    encode_jpeg_gray(buf.reshape(h, width), quality)
+                )
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime": ["image/jpeg"] * len(ids),
+                    "declared_width": [width] * len(ids),
+                    "declared_height": heights,
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, payload binary, mime string, "
+            "declared_width int, declared_height int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.col("declared_width"),
+            F.col("declared_height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
