@@ -540,3 +540,71 @@ def attach_jpeg_assets(
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("asset_meta"),
     )
+
+
+def attach_jpeg_lossless_assets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks_per_row: int = 16,
+) -> DataFrame:
+    """JPEG asset constructed to round-trip EXACTLY: each UTF-8 byte
+    of the text becomes one constant 8×8 block, encoded at
+    quality=100 — where the scaled Annex-K table is all ones and a
+    flat block's spectrum is a single integer DC coefficient, so
+    quantization drops nothing. The decoder still runs the full
+    marker parse / Huffman entropy decode / dequant / IDCT; the
+    decoded pixel stats are replayable from the text column in SQL
+    (registry row `mm_jpeg_roundtrip`) — a hash-checked oracle for a
+    codec that is lossy in general. Byte count pads to a full block
+    row with zero blocks."""
+    import math
+
+    from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_gray
+
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, heights = [], [], []
+            for doc, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                if not b:
+                    continue
+                n_rows = math.ceil(len(b) / blocks_per_row)
+                vals = np.zeros(n_rows * blocks_per_row, dtype=np.uint8)
+                vals[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                grid = vals.reshape(n_rows, blocks_per_row)
+                img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                ids.append(doc)
+                payloads.append(encode_jpeg_gray(img, quality=100))
+                heights.append(n_rows * 8)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime": ["image/jpeg"] * len(ids),
+                    "declared_width": [blocks_per_row * 8] * len(ids),
+                    "declared_height": heights,
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, payload binary, mime string, "
+            "declared_width int, declared_height int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.col("declared_width"),
+            F.col("declared_height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )

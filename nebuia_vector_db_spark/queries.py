@@ -2275,6 +2275,56 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec JPEG row, made hash-checkable despite JPEG being
+    lossy: each text byte becomes a constant 8×8 block encoded at
+    quality=100, where the scaled quantization table is all ones and
+    a flat block's spectrum is a single integer DC coefficient — so
+    the encode→decode round trip is EXACT while still exercising the
+    full baseline machinery (marker emit/parse, canonical Huffman
+    entropy coding with byte stuffing, DCT/IDCT, DC prediction).
+    DuckDB replays the decoded pixel stats from the text bytes."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_jpeg_lossless_assets,
+        decode_image_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image_real(attach_jpeg_lossless_assets(docs))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        _r(F.col("mean_px"), 6).alias("mean_px"),
+        "max_px",
+    ).orderBy("doc_id")
+
+
+ORACLE_MM_JPEG = f"""
+WITH a AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) >= 1
+),
+b AS (
+  SELECT doc_id, nb, (nb + 15) // 16 AS nrows,
+         list_transform(range(nb), i -> {_HEXVAL_HI}) AS bytes
+  FROM a
+)
+SELECT doc_id,
+       CAST(128 AS INT) AS width,
+       CAST(nrows * 8 AS INT) AS height,
+       CAST(nrows * 1024 AS BIGINT) AS n_pixels,
+       {_sql_r('list_reduce(bytes, (x, y) -> x + y) * 1.0 / (nrows * 16)', 6)}
+         AS mean_px,
+       CAST(list_aggregate(bytes, 'max') AS INT) AS max_px
+FROM b
+ORDER BY doc_id
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3805,6 +3855,10 @@ REGISTRY: dict[
     #   grouped-top-k family's in-window slot is held by vs_knn_join's
     #   WindowGroupLimit; stays locally green;
     "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL),
+    # mm_jpeg_roundtrip: REAL baseline-JPEG codec, exact-by-
+    #   construction (flat blocks at q=100) — the real-codec window
+    #   slots are held by mm_png_roundtrip/mm_audio_real; locally green;
+    "mm_jpeg_roundtrip": (q_mm_jpeg_roundtrip, ORACLE_MM_JPEG),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
