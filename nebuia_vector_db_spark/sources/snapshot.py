@@ -492,6 +492,23 @@ class SnapshotTable:
             expected_parent=parent,
         )
 
+    def with_retry(self, op: str, *args, retries: int = 5, **kwargs):
+        """Optimistic-concurrency loop: run a mutating table op
+        (``"append"``, ``"delete_where"``, ``"upsert"``, ``"compact"``,
+        ``"optimize_zorder"``) and, on :class:`CommitConflictError`
+        (another writer landed the version first), re-read the new
+        snapshot and reapply — the standard lakehouse retry contract.
+        Safe because every op derives its input from the CURRENT
+        snapshot at call time; a retry sees the winner's commit."""
+        last: CommitConflictError | None = None
+        fn = getattr(self, op)
+        for _ in range(retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except CommitConflictError as e:
+                last = e
+        raise last
+
     def vacuum(self, keep_last: int = 1) -> dict:
         """Physically delete data files unreferenced by the retained
         ``keep_last`` snapshots, and drop the older snapshot files.

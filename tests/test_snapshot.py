@@ -227,3 +227,46 @@ def test_bloom_prunes_point_lookups_where_minmax_cannot(spark, tmp_path):
     assert tbl.read(where=miss).count() == 0
     # numeric canonicalization: float literal matches stored int
     assert tbl.read(where=[("k", "=", 12_345.0)]).count() == 1
+
+
+def test_concurrent_appends_with_retry_lose_nothing(spark, tmp_path):
+    """Two writers race real commits; with_retry resolves conflicts
+    and the table converges with every row from both writers."""
+    import threading
+
+    base = spark.range(0, 100).selectExpr("id k")
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base)
+    errs = []
+
+    def _writer(lo):
+        try:
+            local = SnapshotTable(spark, str(tmp_path / "t"))
+            for i in range(3):
+                df = spark.range(lo + i * 100, lo + i * 100 + 100).selectExpr(
+                    "id k"
+                )
+                local.with_retry("append", df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=_writer, args=(1_000,))
+    t2 = threading.Thread(target=_writer, args=(10_000,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = tbl.read()
+    assert got.count() == 100 + 6 * 100
+    assert tbl.current_version() == 7  # 1 create + 6 serialized appends
+    # each writer's rows all arrived
+    assert got.where((F.col("k") >= 1_000) & (F.col("k") < 1_300)).count() == 300
+    assert got.where(F.col("k") >= 10_000).count() == 300
+
+
+def test_with_retry_gives_up_after_budget(spark, base_df, tmp_path, monkeypatch):
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+
+    def _always_conflict(*a, **k):
+        raise CommitConflictError("simulated")
+
+    monkeypatch.setattr(tbl, "append", _always_conflict)
+    with pytest.raises(CommitConflictError, match="simulated"):
+        tbl.with_retry("append", base_df.limit(1), retries=2)
