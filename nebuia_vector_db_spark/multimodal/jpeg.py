@@ -257,42 +257,53 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     ph, pw = -h % 8, -w % 8
     padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
 
+    # vectorized transform stage: every 8x8 block DCT'd/quantized in
+    # one einsum (the per-block Python loop below only does entropy
+    # coding, which is inherently sequential bit work)
+    bh, bwid = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = (
+        padded.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.einsum("ij,bjk,lk->bil", _DCT_T, blocks, _DCT_T)
+    zz_all = (
+        np.round(coefs / qt[None, :, :])
+        .astype(np.int64)
+        .reshape(-1, 64)[:, _ZIGZAG]
+    )
+
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, padded.shape[0], 8):
-        for bx in range(0, padded.shape[1], 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = np.round(_dct2(block) / qt).astype(np.int64)
-            zz = coef.reshape(64)[_ZIGZAG]
-            # DC
-            size, ampl = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, length = dc_codes[size]
+    for zz in zz_all:
+        # DC
+        size, ampl = _magnitude(int(zz[0]) - prev_dc)
+        prev_dc = int(zz[0])
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        bw.write(ampl, size)
+        # AC with run-length of zeros
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            size, ampl = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
             bw.write(code, length)
             bw.write(ampl, size)
-            # AC with run-length of zeros
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for i in range(1, last + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, ampl = _magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(ampl, size)
-                run = 0
-            if last < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
