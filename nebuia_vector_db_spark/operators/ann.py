@@ -253,3 +253,70 @@ def recall_at_k(
         .collect()
     }
     return len(exact_ids & approx_ids) / max(1, len(exact_ids))
+
+
+# ------------------------------------------------------- snapshot persistence
+def save_ivf_index_snapshot(index: IVFIndex, path: str):
+    """Persist the index as a :class:`SnapshotTable` — transactional
+    index maintenance: every save/append is an atomic snapshot commit,
+    so a reader mid-search keeps a complete index version (the plain
+    ``save_ivf_index`` overwrite is not reader-safe), old versions
+    time-travel until vacuum, and racing maintenance jobs serialize
+    through the commit CAS.
+
+    Layout: the assigned corpus range-partitioned + sorted on
+    ``ivf_cell`` (each data file covers few cells, so the parquet
+    min/max stats the snapshot records — and the row-group stats
+    Catalyst pushes ``ivf_cell IN (...)`` against — prune probes), and
+    the centroid matrix stored IN the snapshot json (``extra_meta``;
+    json floats round-trip exactly), versioned atomically with the
+    corpus it indexes."""
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    spark = index.assigned.sparkSession
+    n_cells = int(index.centroids.shape[0])
+    laid_out = index.assigned.repartitionByRange(
+        max(4, n_cells // 4), "ivf_cell"
+    ).sortWithinPartitions("ivf_cell")
+    meta = {
+        "centroids": [[float(x) for x in c] for c in index.centroids],
+        "vec_col": index.vec_col,
+    }
+    return SnapshotTable.create(spark, path, laid_out, extra_meta=meta)
+
+
+def load_ivf_index_snapshot(
+    spark, path: str, version: int | None = None
+) -> IVFIndex:
+    """Reload an index snapshot (optionally a historical version —
+    time travel for indexes: reproduce yesterday's retrieval exactly)."""
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(spark, path)
+    cents = tbl.meta("centroids", version)
+    vec_col = tbl.meta("vec_col", version) or "embedding"
+    centroids = np.array(cents, dtype=np.float64)
+    return IVFIndex(tbl.read(version), centroids, vec_col)
+
+
+def append_to_ivf_index_snapshot(
+    spark, path: str, new_df: DataFrame
+) -> IVFIndex:
+    """Incremental maintenance with transactional semantics: route new
+    vectors to the frozen centroids (map-side broadcast-GEMM argmin)
+    and land them in ONE atomic commit — concurrent readers see the
+    old or the new index, never a half-appended one. Conflicts with a
+    racing maintenance job retry through the commit CAS."""
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    tbl = SnapshotTable(spark, path)
+    cents = tbl.meta("centroids")
+    vec_col = tbl.meta("vec_col") or "embedding"
+    centroids = np.array(cents, dtype=np.float64)
+    assigned = assign_to_cells(new_df, centroids, vec_col)
+    tbl.with_retry(
+        "append",
+        assigned,
+        extra_meta={"centroids": cents, "vec_col": vec_col},
+    )
+    return IVFIndex(tbl.read(), centroids, vec_col)
