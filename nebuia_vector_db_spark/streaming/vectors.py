@@ -84,3 +84,60 @@ def topk_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_ingest_stream(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+):
+    """Streaming vector ingest into a snapshot-backed IVF index,
+    exactly-once: each micro-batch is routed to the index's FROZEN
+    centroids (map-side broadcast-GEMM argmin, operators/ann.py) and
+    appended as ONE atomic snapshot commit carrying the batch-id
+    watermark — the composition of the three maintenance primitives
+    this engine provides (cell assignment, SnapshotTable CAS commits,
+    the idempotent-sink pattern from snapshot_sink). A redelivered
+    batch acks without writing; a reader mid-search keeps a complete
+    index version; a racing compaction retries through the CAS.
+
+    The index at ``index_path`` must already exist
+    (``save_ivf_index_snapshot``); the stream needs the index's
+    vector column. This is the 100 TB daily-ingest shape: routing is
+    shuffle-free, the append touches no existing file, and centroid
+    drift is handled by the documented monitor-and-retrain loop
+    (operators/ann.py::append_to_ivf_index)."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.operators.ann import assign_to_cells
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        tbl = SnapshotTable(spark, index_path)
+        last = tbl.meta("last_stream_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replay of a committed batch
+        cents = tbl.meta("centroids")
+        vec_col = tbl.meta("vec_col") or "embedding"
+        assigned = assign_to_cells(
+            batch, np.array(cents, dtype=np.float64), vec_col
+        )
+        tbl.with_retry(
+            "append",
+            assigned,
+            extra_meta={
+                "centroids": cents,
+                "vec_col": vec_col,
+                "last_stream_batch_id": max(
+                    batch_id, last if last is not None else -1
+                ),
+            },
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -81,3 +81,62 @@ def test_topk_foreach_batch_compacts_to_exact_topk(spark, tmp_path):
     assert [(r["vec_id"], round(r["similarity"], 9)) for r in got] == [
         (r["vec_id"], round(r["similarity"], 9)) for r in want
     ]
+
+
+def test_ivf_ingest_stream_matches_batch_append(spark, tmp_path):
+    """Streamed vector ingest (2 micro-batches) into the snapshot
+    index ≡ one batch append through the same centroids; replaying
+    the whole stream appends nothing (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.operators.ann import (
+        assign_to_cells,
+        build_ivf_index,
+        load_ivf_index_snapshot,
+        save_ivf_index_snapshot,
+    )
+    from nebuia_vector_db_spark.sources.registry import load_table
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+    from nebuia_vector_db_spark.streaming.vectors import ivf_ingest_stream
+
+    import os
+
+    emb = load_table(
+        spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001"),
+        "embeddings",
+    ).cache()
+    part_a = emb.where(F.col("vec_id") % 4 != 0)
+    part_b = emb.where(F.col("vec_id") % 4 == 0)
+
+    base = build_ivf_index(part_a, n_cells=4)
+    path = str(tmp_path / "idx")
+    save_ivf_index_snapshot(base, path)
+
+    src = str(tmp_path / "stream_src")
+    part_b.repartition(2).write.parquet(src)
+    for i in range(2):  # second pass = full at-least-once replay
+        stream = (
+            spark.readStream.schema(part_b.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = ivf_ingest_stream(stream, path, str(tmp_path / f"ck{i}"))
+        q.awaitTermination()
+
+    idx = load_ivf_index_snapshot(spark, path)
+    assert idx.assigned.count() == emb.count(), "replay must not re-append"
+    want = sorted(
+        (r["vec_id"], r["ivf_cell"])
+        for r in assign_to_cells(emb, base.centroids)
+        .select("vec_id", "ivf_cell")
+        .collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["ivf_cell"])
+        for r in idx.assigned.select("vec_id", "ivf_cell").collect()
+    )
+    assert got == want
+    # centroid matrix survived every commit
+    tbl = SnapshotTable(spark, path)
+    assert (idx.centroids == base.centroids).all()
+    assert tbl.meta("last_stream_batch_id") is not None
