@@ -2325,6 +2325,51 @@ ORDER BY doc_id
 """
 
 
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long, the inverse of events_pivot): melt three
+    lineitem measure columns into (measure, value) rows with
+    ``stack``, then profile each measure. ``stack`` is a codegen'd
+    Expand node — one scan produces all three measure streams, the
+    same plan shape Spark's native ``unpivot``/``melt`` API lowers
+    to; the oracle replays it as a portable UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', "
+            "l_extendedprice, 'discount', l_discount) AS (measure, value)"
+        )
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            _r(F.sum("value"), 4).alias("total"),
+            _r(F.min("value"), 4).alias("vmin"),
+            _r(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("measure")
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'discount', l_discount FROM lineitem
+)
+SELECT measure,
+       count(*) AS n,
+       {_sql_r('sum(value)', 4)} AS total,
+       {_sql_r('min(value)', 4)} AS vmin,
+       {_sql_r('max(value)', 4)} AS vmax
+FROM long
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3859,6 +3904,10 @@ REGISTRY: dict[
     #   construction (flat blocks at q=100) — the real-codec window
     #   slots are held by mm_png_roundtrip/mm_audio_real; locally green;
     "mm_jpeg_roundtrip": (q_mm_jpeg_roundtrip, ORACLE_MM_JPEG),
+    # lineitem_unpivot: wide→long stack/Expand (inverse of
+    #   events_pivot); the Expand family's in-window slot is held by
+    #   rollup_lineitem; stays locally green;
+    "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_UNPIVOT),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
