@@ -2343,7 +2343,9 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("measure")
         .agg(
             F.count("*").alias("n"),
-            _r(F.sum("value"), 4).alias("total"),
+            # micro-unit quantized sum (_dsum): order-independent, so
+            # Spark's parallel partial sums match DuckDB exactly
+            _r(_dsum("value"), 4).alias("total"),
             _r(F.min("value"), 4).alias("vmin"),
             _r(F.max("value"), 4).alias("vmax"),
         )
@@ -2361,7 +2363,7 @@ WITH long AS (
 )
 SELECT measure,
        count(*) AS n,
-       {_sql_r('sum(value)', 4)} AS total,
+       {_sql_r(_sql_dsum('value'), 4)} AS total,
        {_sql_r('min(value)', 4)} AS vmin,
        {_sql_r('max(value)', 4)} AS vmax
 FROM long
