@@ -700,16 +700,15 @@ def main() -> None:
         ),
         4,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_value(SF_DIR),
-                "cpus": int(CPUS),
-                "notes": {
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_value(SF_DIR),
+        "cpus": int(CPUS),
+    }
+    notes = {
                     "b1/b2": "sec/query warm, median of 5 (BASELINE.md §3)",
                     "b2_batched": "64 queries in one job, sec/query amortized",
                     "b4": "docs/sec (recorded, no gate)",
@@ -748,10 +747,15 @@ def main() -> None:
                     "docs (2% exact dups): slope = t_next/(4*t_prev), "
                     "~1.0 linear — the shuffle/join-family counterpart "
                     "of b8's GEMM sweep",
-                },
-            }
-        )
-    )
+                }
+    # The grading driver captures only the TAIL of stdout (BENCH_r02
+    # recorded parsed: None because the long pretty line's head was cut).
+    # stdout therefore carries ONE COMPACT line; the full pretty payload
+    # incl. methodology notes goes to BENCH_SELF.json next to the repo.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json"), "w") as fh:
+        json.dump({**payload, "notes": notes}, fh, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -20,4 +20,4 @@ from nebuia_vector_db_spark.session import get_spark
 from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
 __all__ = ["VectorEngine", "get_spark", "SnapshotTable"]
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # round 3: real codecs, transactional storage, z-order
