@@ -244,8 +244,15 @@ def _extend(bits: int, size: int) -> int:
 
 
 # ------------------------------------------------------------------ encoder
-def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
-    """Encode a 2-D uint8 array as a baseline grayscale JPEG."""
+def encode_jpeg_gray(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode a 2-D uint8 array as a baseline grayscale JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (byte-aligned entropy segments with DC prediction
+    reset) — the mechanism hardware/parallel decoders use to resync,
+    and the fixture generator for the decoder's restart path."""
     img = np.asarray(img)
     if img.ndim != 2:
         raise JpegFormatError("encoder takes a 2-D grayscale array")
@@ -276,7 +283,15 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for zz in zz_all:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()  # byte-align before the marker (T.81 F.1.2.3)
+            bw.out += bytes(
+                [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+            )
+            prev_dc = 0
+        mcu += 1
         # DC
         size, ampl = _magnitude(int(zz[0]) - prev_dc)
         prev_dc = int(zz[0])
@@ -317,6 +332,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     )
     out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(  # SOS: 1 component, DC table 0 / AC table 0
         0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])
     )
@@ -431,14 +448,22 @@ def _decode_scan(
     for by in range(bh):
         for bx in range(bwid):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # RSTn marker: byte-align and consume
+                # byte-align, skip pad/fill bytes (incl. a stuffed
+                # 0xFF00 pad), consume the RSTn marker, reset DC
                 br._nbits = 0
-                if (
-                    br.pos + 1 < len(br.data)
-                    and br.data[br.pos] == 0xFF
-                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
-                ):
-                    br.pos += 2
+                found = False
+                for _ in range(4):
+                    if (
+                        br.pos + 1 < len(br.data)
+                        and br.data[br.pos] == 0xFF
+                        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                    ):
+                        br.pos += 2
+                        found = True
+                        break
+                    br.pos += 1
+                if not found:
+                    raise JpegFormatError("expected RSTn marker")
                 prev_dc = 0
             zz = np.zeros(64, dtype=np.int64)
             size = dc.decode(br)

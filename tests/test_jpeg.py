@@ -146,3 +146,27 @@ def test_spark_jpeg_attach_and_real_decode(spark, sf_smoke):
         buf = np.zeros(h * 32)
         buf[: len(b)] = np.frombuffer(b, dtype=np.uint8)
         assert abs(r["mean_px"] - buf.mean()) < 3.0  # lossy tolerance
+
+
+def test_restart_markers_round_trip():
+    """DRI + RSTn: byte-aligned entropy segments with DC reset — the
+    resync mechanism parallel decoders rely on. Exact on flat-block
+    q=100 content and PSNR-clean on random content, across intervals
+    that do and don't divide the MCU count."""
+    rng = np.random.default_rng(5)
+    # exact path: constant 8x8 blocks at q=100
+    grid = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+    for interval in (1, 4, 5, 42):
+        dec = decode_jpeg_gray(
+            encode_jpeg_gray(img, quality=100, restart_interval=interval)
+        )
+        np.testing.assert_array_equal(dec, img)
+    # lossy path: random content, many 0xFF-prone segments
+    noisy = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    dec = decode_jpeg_gray(
+        encode_jpeg_gray(noisy, quality=95, restart_interval=3)
+    )
+    assert dec.shape == noisy.shape
+    ref = decode_jpeg_gray(encode_jpeg_gray(noisy, quality=95))
+    np.testing.assert_array_equal(dec, ref)  # restarts change nothing
