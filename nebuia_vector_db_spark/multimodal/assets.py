@@ -608,3 +608,63 @@ def attach_jpeg_lossless_assets(
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("asset_meta"),
     )
+
+
+_AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, window_id long, start_sample long, "
+    "win_rms double, win_peak int"
+)
+
+
+def audio_windows_real(
+    assets: DataFrame, win_samples: int = 256, hop_samples: int = 128
+) -> DataFrame:
+    """REAL windowed audio features: decode the WAV container
+    (multimodal/wav.py) and emit per-window RMS + peak from the
+    ACTUAL PCM samples — the STFT-frame access pattern
+    ``audio_windows`` fakes with byte md5s, now on decoded audio.
+    One vectorized stride-trick pass per clip inside an Arrow batch;
+    map-side, no shuffle. Window stats are exact-integer
+    accumulations, so a SQL oracle that regenerates the PCM signal
+    replays them bit-for-bit (registry row `mm_audio_windows_real`)."""
+    import math
+
+    from nebuia_vector_db_spark.multimodal.wav import decode_wav
+
+    cols = assets.select("doc_id", "payload")
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wids, starts, rmss, peaks = [], [], [], [], []
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                _, frames = decode_wav(bytes(pay))
+                s = frames[:, 0].astype(np.int64)
+                n = len(s)
+                if n < win_samples:
+                    continue
+                n_win = (n - win_samples) // hop_samples + 1
+                idx = (
+                    np.arange(n_win)[:, None] * hop_samples
+                    + np.arange(win_samples)[None, :]
+                )
+                w = s[idx]  # (n_win, win_samples)
+                sq = (w * w).sum(axis=1)
+                for k in range(n_win):
+                    ids.append(doc)
+                    wids.append(k)
+                    starts.append(k * hop_samples)
+                    rmss.append(math.sqrt(float(sq[k]) / win_samples))
+                    peaks.append(int(np.abs(w[k]).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_id": wids,
+                    "start_sample": starts,
+                    "win_rms": rmss,
+                    "win_peak": pd.array(peaks, dtype="int32"),
+                }
+            )
+
+    return cols.mapInPandas(_win, schema=_AUDIO_WINDOW_SCHEMA)

@@ -2372,6 +2372,60 @@ ORDER BY measure
 """
 
 
+def q_mm_audio_windows_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed features over DECODED audio: the deterministic PCM
+    signal is encoded through the real WAV container, decoded back
+    (chunk walk + fmt validation), then windowed with the STFT frame
+    pattern (win 256, hop 128) — per-window RMS and peak from actual
+    samples. The oracle regenerates the signal and replays every
+    window's exact-integer accumulation — upgrading the md5-fake
+    mm_audio_windows path to a full real-codec content check."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_wav_assets,
+        audio_windows_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = audio_windows_real(
+        attach_wav_assets(docs, rate=8000), win_samples=256, hop_samples=128
+    )
+    return wins.select(
+        "doc_id",
+        "window_id",
+        "start_sample",
+        _r(F.col("win_rms"), 6).alias("win_rms"),
+        "win_peak",
+    ).orderBy("doc_id", "window_id")
+
+
+# Regenerates the attach_wav_assets signal per window:
+#   n(doc) = doc_id % 400 + 100; x[i] = (doc_id*7919 + i*104729) % 65536 - 32768
+# windows: w = 0 .. (n-256)//128, start = w*128, stats over 256 samples
+ORACLE_MM_WAV_WINDOWS = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 400 + 100 AS n FROM documents
+),
+w AS (
+  SELECT doc_id, n, unnest(range((n - 256) // 128 + 1)) AS wid
+  FROM d WHERE n >= 256
+),
+s AS (
+  SELECT doc_id, wid, wid * 128 AS start_sample,
+         list_transform(range(256), j ->
+           (doc_id * 7919 + (wid * 128 + j) * 104729) % 65536 - 32768
+         ) AS xs
+  FROM w
+)
+SELECT doc_id,
+       CAST(wid AS BIGINT) AS window_id,
+       CAST(start_sample AS BIGINT) AS start_sample,
+       {_sql_r('sqrt(list_reduce(list_transform(xs, x -> CAST(x*x AS DOUBLE)), (a,b) -> a+b) / 256)', 6)} AS win_rms,
+       CAST(list_aggregate(list_transform(xs, x -> abs(x)), 'max') AS INT) AS win_peak
+FROM s
+ORDER BY doc_id, window_id
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): events per day × event_type, as explicit
     conditional aggregation. ``DataFrame.pivot(values)`` plans a
@@ -3910,6 +3964,10 @@ REGISTRY: dict[
     #   events_pivot); the Expand family's in-window slot is held by
     #   rollup_lineitem; stays locally green;
     "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_UNPIVOT),
+    # mm_audio_windows_real: STFT-pattern windows over DECODED PCM —
+    #   the real-codec window slots are held by mm_png_roundtrip /
+    #   mm_audio_real (clip stats, same decode path); locally green;
+    "mm_audio_windows_real": (q_mm_audio_windows_real, ORACLE_MM_WAV_WINDOWS),
     "mm_image_features": (q_mm_image_features, ORACLE_MM_FEATURES),
     "tpch_q18": (q_tpch_q18, ORACLE_TPCH_Q18),
     "qty_band_join": (q_qty_band_join, ORACLE_QTY_BAND_JOIN),
