@@ -152,6 +152,12 @@ def main() -> None:
         "hybrid_search",
         "pipe_curate",
         "pipe_epoch_shuffle",
+        # round-3 query families (cheap pure-query rows; the heavy
+        # round-3 storage/codec paths are benched as B10/B11)
+        "zorder_cluster",
+        "events_variant",
+        "lateral_top_orders",
+        "lineitem_unpivot",
     ]
     reg = Q.queries()
     for name in headline:
