@@ -509,12 +509,24 @@ class SnapshotTable:
                 last = e
         raise last
 
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def vacuum(
+        self, keep_last: int = 1, min_file_age_seconds: float = 0.0
+    ) -> dict:
         """Physically delete data files unreferenced by the retained
         ``keep_last`` snapshots, and drop the older snapshot files.
         This is the ONLY operation that removes data; until it runs,
         every historical snapshot is readable and in-flight readers of
-        any retained snapshot are safe."""
+        any retained snapshot are safe.
+
+        ``min_file_age_seconds`` is the concurrent-WRITER guard (the
+        Delta vacuum-retention contract): a racing writer's data files
+        exist on disk BEFORE the snapshot that references them, so an
+        unguarded vacuum could delete an in-flight commit's files.
+        Files younger than the threshold are never removed; set it
+        above the longest plausible write duration when writers may
+        race the vacuum (0 is safe only for a quiesced table)."""
+        import time as _time
+
         vs = self.versions()
         retained = vs[-keep_last:] if keep_last > 0 else vs[-1:]
         live = set()
@@ -522,11 +534,16 @@ class SnapshotTable:
             for f in self._snapshot(v)["files"]:
                 live.add(os.path.abspath(os.path.join(self.path, f["path"])))
         removed_files = 0
+        now = _time.time()
         for commit_id in list(os.listdir(self._data_dir)):
             cdir = os.path.join(self._data_dir, commit_id)
             for name in list(os.listdir(cdir)):
                 full = os.path.abspath(os.path.join(cdir, name))
-                if name.endswith(".parquet") and full not in live:
+                if (
+                    name.endswith(".parquet")
+                    and full not in live
+                    and now - os.path.getmtime(full) >= min_file_age_seconds
+                ):
                     os.remove(full)
                     removed_files += 1
             if not any(n.endswith(".parquet") for n in os.listdir(cdir)):

@@ -270,3 +270,18 @@ def test_with_retry_gives_up_after_budget(spark, base_df, tmp_path, monkeypatch)
     monkeypatch.setattr(tbl, "append", _always_conflict)
     with pytest.raises(CommitConflictError, match="simulated"):
         tbl.with_retry("append", base_df.limit(1), retries=2)
+
+
+def test_vacuum_age_guard_spares_young_files(spark, base_df, tmp_path):
+    """The concurrent-writer guard: unreferenced files younger than
+    min_file_age_seconds survive vacuum (an in-flight commit's data
+    exists before its snapshot does)."""
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base_df)
+    tbl.delete_where("k < 100")
+    res = tbl.vacuum(keep_last=1, min_file_age_seconds=3600)
+    assert res["removed_data_files"] == 0, "young files must survive"
+    # old snapshot metadata is still dropped, current content intact
+    assert tbl.read().count() == 900
+    res2 = tbl.vacuum(keep_last=1, min_file_age_seconds=0)
+    assert res2["removed_data_files"] >= 1
+    assert tbl.read().count() == 900
