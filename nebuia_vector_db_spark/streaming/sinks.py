@@ -86,6 +86,7 @@ def snapshot_sink(
     stream: DataFrame,
     path: str,
     checkpoint: str,
+    app_id: str | None = None,
 ):
     """Exactly-once append sink into a :class:`SnapshotTable`.
 
@@ -94,18 +95,25 @@ def snapshot_sink(
     ``batch_id`` is redelivered. The transactional fix (Delta's
     ``txnAppId``/``txnVersion`` pattern) is to record the batch id IN
     the sink's own commit, atomically with the data: each snapshot
-    carries ``last_stream_batch_id`` = max over the commit chain, and
-    a replayed batch whose id is <= that watermark is acknowledged
-    without writing. Because the id travels inside the snapshot json
-    whose exclusive create IS the commit, data-write and id-write
-    cannot diverge — appends become idempotent, i.e. exactly-once in
-    effect.
+    carries a per-APP watermark map ``stream_watermarks[app_id] =
+    max batch id``, and a replayed batch whose id is <= its app's
+    watermark is acknowledged without writing. Because the watermark
+    travels inside the snapshot json whose exclusive create IS the
+    commit, data-write and id-write cannot diverge — appends become
+    idempotent, i.e. exactly-once in effect.
 
-    O(1) per batch beyond the append itself: batch ids are monotonic,
-    so only the latest snapshot's watermark is consulted (it
+    ``app_id`` defaults to the checkpoint path — each streaming query
+    gets its own watermark lane, so SEVERAL independent streams can
+    feed one table without their (per-query, both-starting-at-0)
+    batch-id sequences colliding (≙ Delta's txnAppId).
+
+    O(1) per batch beyond the append itself: batch ids are monotonic
+    per app, so only the latest snapshot's map is consulted (it
     propagates through every commit and survives vacuum, which always
     retains the newest snapshot)."""
     from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    app = app_id if app_id is not None else checkpoint
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -113,19 +121,16 @@ def snapshot_sink(
         if not tbl.versions():
             SnapshotTable.create(
                 spark, path, batch,
-                extra_meta={"last_stream_batch_id": batch_id},
+                extra_meta={"stream_watermarks": {app: batch_id}},
             )
             return
-        last = tbl.meta("last_stream_batch_id")
+        marks = dict(tbl.meta("stream_watermarks") or {})
+        last = marks.get(app)
         if last is not None and batch_id <= last:
             return  # at-least-once replay of a committed batch: ack, no write
-        tbl.append(
-            batch,
-            extra_meta={
-                "last_stream_batch_id": max(
-                    batch_id, last if last is not None else -1
-                )
-            },
+        marks[app] = max(batch_id, last if last is not None else -1)
+        tbl.with_retry(
+            "append", batch, extra_meta={"stream_watermarks": marks}
         )
 
     return (

@@ -90,16 +90,17 @@ def ivf_ingest_stream(
     vec_stream: DataFrame,
     index_path: str,
     checkpoint: str,
+    app_id: str | None = None,
 ):
     """Streaming vector ingest into a snapshot-backed IVF index,
     exactly-once: each micro-batch is routed to the index's FROZEN
     centroids (map-side broadcast-GEMM argmin, operators/ann.py) and
-    appended as ONE atomic snapshot commit carrying the batch-id
-    watermark — the composition of the three maintenance primitives
-    this engine provides (cell assignment, SnapshotTable CAS commits,
-    the idempotent-sink pattern from snapshot_sink). A redelivered
-    batch acks without writing; a reader mid-search keeps a complete
-    index version; a racing compaction retries through the CAS.
+    appended as ONE atomic snapshot commit carrying this writer's
+    batch-id watermark (per-``app_id`` lane, ≙ Delta txnAppId — see
+    sinks.snapshot_sink; several independent streams can feed one
+    index). A redelivered batch acks without writing; a reader
+    mid-search keeps a complete index version; a racing maintenance
+    job retries through the CAS.
 
     The index at ``index_path`` must already exist
     (``save_ivf_index_snapshot``); the stream needs the index's
@@ -112,10 +113,13 @@ def ivf_ingest_stream(
     from nebuia_vector_db_spark.operators.ann import assign_to_cells
     from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
+    app = app_id if app_id is not None else checkpoint
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         tbl = SnapshotTable(spark, index_path)
-        last = tbl.meta("last_stream_batch_id")
+        marks = dict(tbl.meta("stream_watermarks") or {})
+        last = marks.get(app)
         if last is not None and batch_id <= last:
             return  # replay of a committed batch
         cents = tbl.meta("centroids")
@@ -123,15 +127,14 @@ def ivf_ingest_stream(
         assigned = assign_to_cells(
             batch, np.array(cents, dtype=np.float64), vec_col
         )
+        marks[app] = max(batch_id, last if last is not None else -1)
         tbl.with_retry(
             "append",
             assigned,
             extra_meta={
                 "centroids": cents,
                 "vec_col": vec_col,
-                "last_stream_batch_id": max(
-                    batch_id, last if last is not None else -1
-                ),
+                "stream_watermarks": marks,
             },
         )
 

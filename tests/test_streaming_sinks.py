@@ -98,14 +98,14 @@ def test_snapshot_sink_appends_all_rows_exactly_once(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = snapshot_sink(stream, table, str(tmp_path / "ckpt_a"))
+    q = snapshot_sink(stream, table, str(tmp_path / "ckpt_a"), app_id="w1")
     q.awaitTermination()
 
     tbl = SnapshotTable(spark, table)
     assert tbl.read().count() == 30
     ops = [h["op"] for h in tbl.history()]
     assert ops[0] == "create" and set(ops[1:]) <= {"append"}
-    assert tbl.meta("last_stream_batch_id") == len(ops) - 1
+    assert tbl.meta("stream_watermarks")["w1"] == len(ops) - 1
 
 
 def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
@@ -123,9 +123,34 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
     table = str(tmp_path / "snap_tbl2")
     for i in range(2):
         stream = spark.readStream.schema("k long, v long").parquet(src)
-        q = snapshot_sink(stream, table, str(tmp_path / f"ckpt_b{i}"))
+        q = snapshot_sink(stream, table, str(tmp_path / f"ckpt_b{i}"), app_id="w1")
         q.awaitTermination()
 
     tbl = SnapshotTable(spark, table)
     assert tbl.read().count() == 25, "replayed batches must not re-append"
     assert sorted(r["k"] for r in tbl.read().collect()) == list(range(25))
+
+
+def test_snapshot_sink_two_independent_streams_do_not_collide(spark, tmp_path):
+    """Two different streaming queries (distinct app_ids, both with
+    batch ids starting at 0) feed one table: per-app watermark lanes
+    mean neither swallows the other's batches."""
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+    from nebuia_vector_db_spark.streaming.sinks import snapshot_sink
+
+    table = str(tmp_path / "snap_multi")
+    for w, lo in (("wa", 0), ("wb", 100)):
+        src = str(tmp_path / f"src_{w}")
+        spark.range(lo, lo + 20).selectExpr("id k", "id v").coalesce(
+            2
+        ).write.parquet(src)
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = snapshot_sink(
+            stream, table, str(tmp_path / f"ck_{w}"), app_id=w
+        )
+        q.awaitTermination()
+
+    tbl = SnapshotTable(spark, table)
+    assert tbl.read().count() == 40, "second stream's batch 0 must land"
+    marks = tbl.meta("stream_watermarks")
+    assert set(marks) == {"wa", "wb"}

@@ -120,7 +120,7 @@ def test_ivf_ingest_stream_matches_batch_append(spark, tmp_path):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        q = ivf_ingest_stream(stream, path, str(tmp_path / f"ck{i}"))
+        q = ivf_ingest_stream(stream, path, str(tmp_path / f"ck{i}"), app_id="ivf-w1")
         q.awaitTermination()
 
     idx = load_ivf_index_snapshot(spark, path)
@@ -139,4 +139,4 @@ def test_ivf_ingest_stream_matches_batch_append(spark, tmp_path):
     # centroid matrix survived every commit
     tbl = SnapshotTable(spark, path)
     assert (idx.centroids == base.centroids).all()
-    assert tbl.meta("last_stream_batch_id") is not None
+    assert tbl.meta("stream_watermarks")["ivf-w1"] is not None
