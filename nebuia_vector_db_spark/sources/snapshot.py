@@ -228,6 +228,26 @@ class SnapshotTable:
         streaming sink's transaction watermark)."""
         return self._snapshot(version).get(key)
 
+    # snapshot keys owned by the table protocol; everything else is
+    # APPLICATION metadata (stream watermarks, index centroids, ...)
+    # and must survive every commit, including maintenance rewrites
+    _RESERVED_KEYS = frozenset(
+        {
+            "op", "schema", "files", "n_files", "n_rows", "parent",
+            "version", "rewrote_files", "carried_files",
+            "compacted_files", "zorder_cols",
+        }
+    )
+
+    @classmethod
+    def _app_meta(cls, snap: dict) -> dict:
+        """The parent snapshot's application keys, carried forward by
+        every commit (a compaction must not lose the streaming sink's
+        watermarks or a snapshot index's centroid matrix)."""
+        return {
+            k: v for k, v in snap.items() if k not in cls._RESERVED_KEYS
+        }
+
     def _schema(self, snap: dict) -> T.StructType:
         return T.StructType.fromJson(snap["schema"])
 
@@ -296,6 +316,7 @@ class SnapshotTable:
         )
         return self._commit(
             {
+                **self._app_meta(snap),
                 **(extra_meta or {}),
                 "op": "append",
                 "schema": json.loads(schema.json()),
@@ -337,6 +358,7 @@ class SnapshotTable:
         )
         return self._commit(
             {
+                **self._app_meta(snap),
                 "op": "compact",
                 "schema": snap["schema"],
                 "files": new_files,
@@ -387,6 +409,7 @@ class SnapshotTable:
             )
         return self._commit(
             {
+                **self._app_meta(snap),
                 "op": "delete",
                 "schema": snap["schema"],
                 "files": new_files,
@@ -443,6 +466,7 @@ class SnapshotTable:
         )
         return self._commit(
             {
+                **self._app_meta(snap),
                 "op": "upsert",
                 "schema": snap["schema"],
                 "files": new_files,
@@ -482,6 +506,7 @@ class SnapshotTable:
         )
         return self._commit(
             {
+                **self._app_meta(snap),
                 "op": "optimize_zorder",
                 "zorder_cols": cols,
                 "schema": snap["schema"],

@@ -124,14 +124,26 @@ def snapshot_sink(
                 extra_meta={"stream_watermarks": {app: batch_id}},
             )
             return
-        marks = dict(tbl.meta("stream_watermarks") or {})
-        last = marks.get(app)
-        if last is not None and batch_id <= last:
-            return  # at-least-once replay of a committed batch: ack, no write
-        marks[app] = max(batch_id, last if last is not None else -1)
-        tbl.with_retry(
-            "append", batch, extra_meta={"stream_watermarks": marks}
+        from nebuia_vector_db_spark.sources.snapshot import (
+            CommitConflictError,
         )
+
+        for _ in range(6):  # conflict => RE-READ marks (a racing app
+            # may have advanced its own lane; stale marks would
+            # regress it and let its replays duplicate)
+            marks = dict(tbl.meta("stream_watermarks") or {})
+            last = marks.get(app)
+            if last is not None and batch_id <= last:
+                return  # replay of a committed batch: ack, no write
+            marks[app] = max(batch_id, last if last is not None else -1)
+            try:
+                tbl.append(
+                    batch, extra_meta={"stream_watermarks": marks}
+                )
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(f"could not commit batch {batch_id}")
 
     return (
         stream.writeStream.foreachBatch(_append)

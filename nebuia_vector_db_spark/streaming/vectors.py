@@ -118,25 +118,32 @@ def ivf_ingest_stream(
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         tbl = SnapshotTable(spark, index_path)
-        marks = dict(tbl.meta("stream_watermarks") or {})
-        last = marks.get(app)
-        if last is not None and batch_id <= last:
-            return  # replay of a committed batch
+        from nebuia_vector_db_spark.sources.snapshot import (
+            CommitConflictError,
+        )
+
         cents = tbl.meta("centroids")
         vec_col = tbl.meta("vec_col") or "embedding"
-        assigned = assign_to_cells(
-            batch, np.array(cents, dtype=np.float64), vec_col
-        )
-        marks[app] = max(batch_id, last if last is not None else -1)
-        tbl.with_retry(
-            "append",
-            assigned,
-            extra_meta={
-                "centroids": cents,
-                "vec_col": vec_col,
-                "stream_watermarks": marks,
-            },
-        )
+        assigned = None
+        for _ in range(6):  # conflict => re-read marks (see sinks.py)
+            marks = dict(tbl.meta("stream_watermarks") or {})
+            last = marks.get(app)
+            if last is not None and batch_id <= last:
+                return  # replay of a committed batch
+            if assigned is None:
+                assigned = assign_to_cells(
+                    batch, np.array(cents, dtype=np.float64), vec_col
+                )
+            marks[app] = max(batch_id, last if last is not None else -1)
+            try:
+                tbl.append(
+                    assigned,
+                    extra_meta={"stream_watermarks": marks},
+                )
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(f"could not commit batch {batch_id}")
 
     return (
         vec_stream.writeStream.foreachBatch(_ingest)

@@ -285,3 +285,30 @@ def test_vacuum_age_guard_spares_young_files(spark, base_df, tmp_path):
     res2 = tbl.vacuum(keep_last=1, min_file_age_seconds=0)
     assert res2["removed_data_files"] >= 1
     assert tbl.read().count() == 900
+
+
+def test_maintenance_commits_preserve_app_metadata(spark, base_df, tmp_path):
+    """Application metadata (stream watermarks, index centroids) must
+    survive EVERY commit kind — a compaction that dropped them would
+    un-dedupe streams and break snapshot indexes."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), base_df,
+        extra_meta={"stream_watermarks": {"w1": 5}, "centroids": [[1.0, 2.0]]},
+    )
+    tbl.append(base_df.limit(10))
+    tbl.delete_where("k < 50")
+    tbl.compact(small_file_bytes=1 << 30, target_partitions=1)
+    tbl.optimize_zorder(["k", "bucket"], n_partitions=2)
+    tbl.upsert(
+        base_df.limit(5).withColumn("ver", F.lit(9).cast("long")),
+        key_cols=["k"], version_col="ver",
+    )
+    assert tbl.meta("stream_watermarks") == {"w1": 5}
+    assert tbl.meta("centroids") == [[1.0, 2.0]]
+    # explicit extra_meta still overrides on append
+    tbl.append(
+        base_df.limit(1),
+        extra_meta={"stream_watermarks": {"w1": 6}},
+    )
+    assert tbl.meta("stream_watermarks") == {"w1": 6}
+    assert tbl.meta("centroids") == [[1.0, 2.0]]
