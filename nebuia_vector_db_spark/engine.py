@@ -298,9 +298,20 @@ class VectorEngine:
         store_dataframe (the reference's async fire-and-forget store,
         main.go:302-321, becomes an at-least-once micro-batch append
         with checkpointed progress — strictly stronger delivery).
-        Returns the StreamingQuery; caller stops it."""
+        Returns the StreamingQuery; caller stops it.
+
+        With ``table_format="snapshot"`` the ingest goes through the
+        exactly-once SnapshotTable sink (atomic commits + per-writer
+        batch-id watermark) instead of the file sink's loose parquet
+        appends, which would bypass the snapshot log."""
         if "doc_id" not in docs_stream.columns:
             docs_stream = docs_stream.withColumn("doc_id", F.expr("uuid()"))
+        if self.table_format == "snapshot":
+            from nebuia_vector_db_spark.streaming.sinks import snapshot_sink
+
+            return snapshot_sink(
+                docs_stream, self.warehouse_path, checkpoint
+            )
         return (
             docs_stream.writeStream.format("parquet")
             .option("path", self.warehouse_path)

@@ -299,3 +299,31 @@ def test_snapshot_engine_transactional_delete(spark, tmp_path_factory):
     assert old.where(F.col("collection") == "drop").count() == 3
     # deleting a missing collection is a clean no-op
     assert eng.delete_collection("nope")["deleted"] is False
+
+
+def test_snapshot_engine_streaming_ingest(spark, tmp_path_factory):
+    """store_stream on a snapshot warehouse routes through the
+    exactly-once SnapshotTable sink — commits, not loose files."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="snap_stream_")
+    wh = base + "/wh"
+    src = base + "/src"
+
+    # stage DOCUMENT_SCHEMA-shaped parquet via a batch engine
+    feeder = VectorEngine(spark, src, dim=4)
+    feeder.store("s", _mkdocs(6, 1, 4, seed=31, name_prefix="s"))
+
+    eng = VectorEngine(spark, wh, dim=4, table_format="snapshot")
+    stream = spark.readStream.schema(
+        eng.documents().schema
+    ).parquet(src)
+    q = eng.store_stream(stream, base + "/ck")
+    q.awaitTermination()
+
+    assert eng.documents().count() == 6
+    tbl = eng._snapshot_table()
+    assert tbl.versions()  # commits landed in the snapshot log
+    assert tbl.meta("stream_watermarks") is not None
+    res = eng.search("s", [1.0, 0.0, 0.0, 0.0], 3)
+    assert res.count() == 3
