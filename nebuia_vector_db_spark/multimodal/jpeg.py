@@ -344,7 +344,22 @@ def encode_jpeg_gray(
 
 # ------------------------------------------------------------------ decoder
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to a 2-D uint8 array."""
+    """Decode a baseline grayscale JPEG to a 2-D uint8 array.
+
+    Fail-closed boundary: ANY malformation — including corruptions
+    that slip past the targeted checks (e.g. a DHT whose bit counts
+    overrun its value list) — surfaces as :class:`JpegFormatError`,
+    never a raw IndexError/struct.error escaping into the caller
+    (fuzz-pinned in tests/test_codec_fuzz.py)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except JpegFormatError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise JpegFormatError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG stream (missing SOI)")
     pos = 2

@@ -1,0 +1,84 @@
+"""Adversarial-input robustness for the three real codecs: arbitrary
+bytes (including truncations/mutations of valid streams) must raise
+the codec's typed error — never crash, hang, or mis-decode silently —
+because at 100 TB a corrupt payload WILL occur and a decoder that
+segfaults a Python worker takes the whole task with it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nebuia_vector_db_spark.multimodal.jpeg import (
+    JpegFormatError,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+from nebuia_vector_db_spark.multimodal.png import decode_png, encode_png
+from nebuia_vector_db_spark.multimodal.wav import (
+    WavFormatError,
+    decode_wav,
+    encode_wav,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_random_bytes_never_crash_decoders(payload):
+    for decode, errs in (
+        (decode_jpeg_gray, (JpegFormatError,)),
+        (decode_wav, (WavFormatError,)),
+        (decode_png, (ValueError,)),  # png raises its own ValueError family
+    ):
+        try:
+            decode(payload)
+        except errs:
+            pass  # clean rejection is the contract
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=800),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=3),
+)
+def test_mutated_valid_streams_fail_closed(cut, flip_to, which):
+    """Truncate a VALID stream at an arbitrary point / flip one byte:
+    the decoder either raises its typed error or returns a
+    well-formed result (flips inside pixel/sample data legitimately
+    decode) — anything else (crash, hang, wrong type) fails."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    samples = np.arange(-50, 50, dtype=np.int16)
+    good = [
+        encode_jpeg_gray(img, 90),
+        encode_wav(samples, 8000),
+        encode_png(img),
+    ][which % 3]
+    decode, errs = [
+        (decode_jpeg_gray, (JpegFormatError,)),
+        (decode_wav, (WavFormatError,)),
+        (decode_png, (ValueError,)),
+    ][which % 3]
+
+    cut_at = min(cut, len(good) - 1)
+    truncated = good[:cut_at]
+    if cut_at < len(good) - 2:
+        # real truncation must raise; losing only the 2-byte trailer
+        # (JPEG EOI) leaves a complete payload many decoders accept
+        with pytest.raises(errs):
+            decode(bytes(truncated))
+    else:
+        try:
+            decode(bytes(truncated))
+        except errs:
+            pass
+
+    mutated = bytearray(good)
+    mutated[cut % len(good)] = flip_to
+    try:
+        out = decode(bytes(mutated))
+        assert isinstance(out, (tuple, np.ndarray))
+    except errs:
+        pass
