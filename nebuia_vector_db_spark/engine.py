@@ -134,13 +134,23 @@ class VectorEngine:
         if "doc_id" not in df.columns:
             df = df.withColumn("doc_id", F.expr("uuid()"))
         if self.table_format == "snapshot":
-            from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+            from nebuia_vector_db_spark.sources.snapshot import (
+                CommitConflictError,
+                SnapshotTable,
+            )
 
             tbl = self._snapshot_table()
-            if tbl.versions():
-                tbl.append(df)
-            else:
-                SnapshotTable.create(self.spark, self.warehouse_path, df)
+            if not tbl.versions():
+                # create-vs-create race: the loser's exclusive v1
+                # commit fails — fall through to a retried append so
+                # concurrent first stores both land (matching parquet
+                # mode, where concurrent appends never fail)
+                try:
+                    SnapshotTable.create(self.spark, self.warehouse_path, df)
+                    return
+                except (FileExistsError, CommitConflictError):
+                    pass
+            tbl.with_retry("append", df)
             return
         (
             df.write.mode("append")
@@ -361,7 +371,12 @@ class VectorEngine:
             if not tbl.versions():
                 return {"status": "Collection deletion started", "deleted": False}
             before = tbl._snapshot()["n_rows"]
-            tbl.delete_where(F.col("collection") == collection_name)
+            # retried through the commit CAS: a store racing this
+            # delete must not surface CommitConflictError to the
+            # caller (parquet mode never fails concurrent mutations)
+            tbl.with_retry(
+                "delete_where", F.col("collection") == collection_name
+            )
             deleted = tbl._snapshot()["n_rows"] < before
             return {"status": "Collection deletion started", "deleted": deleted}
         if self._delta_capable():

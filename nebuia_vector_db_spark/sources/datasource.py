@@ -84,12 +84,18 @@ class NebuiaDocsReader(DataSourceReader):
         unsupported = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("collection",):
-                self._keep = {f.value}
+                self._intersect({f.value})
             elif isinstance(f, In) and f.attribute == ("collection",):
-                self._keep = set(f.value)
+                self._intersect(set(f.value))
             else:
                 unsupported.append(f)
         return unsupported
+
+    def _intersect(self, keep: set[str]) -> None:
+        # multiple pushed collection filters AND together — replacing
+        # the keep-set would enforce only the LAST filter while
+        # claiming all of them (Spark won't re-apply claimed filters)
+        self._keep = keep if self._keep is None else self._keep & keep
 
     def partitions(self) -> list[CollectionPartition]:
         cols = sorted(

@@ -15,20 +15,32 @@ Layout::
       _snapshots/v00000001.json           snapshot: file list + schema
       _snapshots/v00000002.json           + per-file column min/max stats
 
-Commit protocol — the versioned snapshot file is created with
-``open(..., 'x')`` (O_EXCL): the exclusive create IS the
-compare-and-swap. Two writers racing to commit version N+1 cannot
-both succeed; the loser gets :class:`CommitConflictError` and retries
-on the new snapshot (optimistic concurrency, same contract as Delta's
-``_delta_log`` protocol). Readers list ``_snapshots`` and take the
-max version — they always see a complete snapshot, never a partial
-write, because data files are fully written BEFORE the snapshot that
-references them exists, and no data file is ever mutated.
+Commit protocol — the versioned snapshot object is published through
+a :class:`~..sources.commit_backend.CommitBackend`, whose
+``try_commit(version, payload)`` is an atomic "create iff absent":
+two writers racing to commit version N+1 cannot both succeed; the
+loser gets :class:`CommitConflictError` and retries on the new
+snapshot (optimistic concurrency, same contract as Delta's
+``_delta_log`` protocol). On the default local-filesystem backend the
+publish is write-temp + fsync + ``os.link`` — the link is the CAS and
+the version file appears fully written or not at all, so a reader can
+NEVER observe a truncated snapshot and a writer crash leaves only an
+orphan temp file (never a corrupt committed version). Other backends
+(S3 conditional PUT, HDFS create-no-overwrite) plug in behind the
+same three-method surface; the in-memory conditional-PUT fake in
+commit_backend.py proves the protocol backend-agnostic in tests.
 
-Deployment note: on a POSIX filesystem (local, NFS with O_EXCL) the
-exclusive create is atomic; on HDFS swap in ``FileSystem.create(path,
-overwrite=false)``, on S3 a conditional PUT (If-None-Match) — the
-protocol is unchanged.
+Log scalability (the Delta checkpoint shape): commit N's payload
+stores only the file-manifest DELTA (``add`` + ``remove``) against
+commit N-1 — O(changed files), not O(table files) — and every
+``checkpoint_interval`` commits the full manifest is also written as
+a parquet checkpoint (``ckpt-vNNNNNNNN.parquet``) with a
+``_last_checkpoint`` pointer. Readers resolve the current version in
+O(tail) by probing forward from the pointer (no directory listing)
+and reconstruct a manifest from the nearest checkpoint plus the delta
+tail — at one commit per 5 minutes for a year (~100k versions over
+~1M data files), version resolution and manifest reads stay
+bounded by the checkpoint interval instead of growing with history.
 
 Scale properties:
 - **Copy-on-write delete** rewrites ONLY the files that contain
@@ -54,72 +66,217 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nebuia_vector_db_spark.sources.commit_backend import (
+    CommitBackend,
+    LocalFSCommitBackend,
+)
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
 
 class SnapshotTable:
-    """Handle on a snapshot-versioned parquet table rooted at ``path``."""
+    """Handle on a snapshot-versioned parquet table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``backend`` overrides the transaction-log storage (default: the
+    local filesystem under ``path/_snapshots``); ``checkpoint_interval``
+    is how often the full manifest is checkpointed to parquet (the
+    Delta-style log-compaction knob — smaller = shorter delta tails on
+    read, more checkpoint writes)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        backend: CommitBackend | None = None,
+        checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._snap_dir = os.path.join(self.path, "_snapshots")
         self._data_dir = os.path.join(self.path, "data")
+        self.backend = backend or LocalFSCommitBackend(self._snap_dir)
+        self.checkpoint_interval = int(checkpoint_interval)
+        self._cache: dict[int, dict] = {}  # version -> full snapshot state
 
     # ------------------------------------------------------------ snapshots
     def versions(self) -> list[int]:
-        if not os.path.isdir(self._snap_dir):
-            return []
-        out = []
-        for name in os.listdir(self._snap_dir):
-            if name.startswith("v") and name.endswith(".json"):
-                try:
-                    out.append(int(name[1:-5]))
-                except ValueError:
-                    pass
-        return sorted(out)
+        """Full log listing (audit/history path — hot readers use
+        :meth:`current_version`, which never lists)."""
+        return self.backend.list_versions()
 
     def current_version(self) -> int:
-        vs = self.versions()
-        if not vs:
-            raise FileNotFoundError(f"no snapshots at {self.path}")
-        return vs[-1]
+        """O(tail) version resolution: start at the ``_last_checkpoint``
+        pointer and probe forward until the next version is absent.
+        Falls back to a listing only when the table has never been
+        checkpointed (short logs, where listing is cheap anyway)."""
+        ptr = self._read_pointer()
+        if ptr is not None and self.backend.version_exists(ptr):
+            v = ptr
+        else:
+            vs = self.versions()
+            if not vs:
+                raise FileNotFoundError(f"no snapshots at {self.path}")
+            return vs[-1]
+        while self.backend.version_exists(v + 1):
+            v += 1
+        return v
+
+    def _read_pointer(self) -> int | None:
+        raw = self.backend.read_pointer()
+        if raw is None:
+            return None
+        try:
+            return int(json.loads(raw)["version"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return None  # pointer is a hint; fall back to listing
+
+    def _load_version_json(self, version: int) -> dict:
+        try:
+            return json.loads(self.backend.read_version(version))
+        except json.JSONDecodeError as e:
+            raise OSError(
+                f"corrupt snapshot v{version} at {self.path}: {e}"
+            ) from e
 
     def _snapshot(self, version: int | None = None) -> dict:
+        """Reconstruct the FULL snapshot state (metadata + complete
+        file manifest) at ``version``: nearest checkpoint or full
+        commit at/below it, plus the delta tail replayed forward.
+        Committed snapshots are immutable, so states cache safely."""
         v = self.current_version() if version is None else version
-        with open(os.path.join(self._snap_dir, f"v{v:08d}.json")) as f:
-            snap = json.load(f)
+        if v in self._cache:
+            return dict(self._cache[v])
+        j_v = self._load_version_json(v)
+        if "files" in j_v:  # full commit (create / legacy format)
+            files = j_v["files"]
+        elif self.backend.checkpoint_exists(v):
+            files = self._read_checkpoint_files(v)
+        else:
+            deltas = [j_v]
+            cur = v - 1
+            while True:
+                if cur < 1:
+                    raise FileNotFoundError(
+                        f"no manifest base below v{v} at {self.path}"
+                    )
+                if self.backend.checkpoint_exists(cur):
+                    files = self._read_checkpoint_files(cur)
+                    break
+                j = self._load_version_json(cur)
+                if "files" in j:
+                    files = j["files"]
+                    break
+                deltas.append(j)
+                cur -= 1
+            for d in reversed(deltas):
+                removed = set(d.get("remove", []))
+                files = [
+                    f for f in files if f["path"] not in removed
+                ] + d.get("add", [])
+        snap = {
+            k: val for k, val in j_v.items() if k not in ("add", "remove")
+        }
+        snap["files"] = files
         snap["version"] = v
-        return snap
+        if len(self._cache) >= 8:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[v] = snap
+        return dict(snap)
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version, op, file/row deltas."""
-        return [
-            {
-                k: s.get(k)
-                for k in ("version", "op", "n_files", "n_rows", "parent")
-            }
-            for s in (self._snapshot(v) for v in self.versions())
-        ]
+        out = []
+        for v in self.versions():
+            s = self._load_version_json(v)
+            out.append(
+                {
+                    "version": v,
+                    **{
+                        k: s.get(k)
+                        for k in ("op", "n_files", "n_rows", "parent")
+                    },
+                }
+            )
+        return out
 
     # -------------------------------------------------------------- commit
     def _commit(self, snap: dict, expected_parent: int | None) -> int:
-        """Exclusive-create the next snapshot file (the CAS)."""
-        os.makedirs(self._snap_dir, exist_ok=True)
+        """Publish the next snapshot through the backend CAS. The
+        payload stores the manifest as a DELTA against the parent
+        (``add``/``remove``) so commit size is O(changed files); the
+        full state is checkpointed every ``checkpoint_interval``
+        commits."""
         new_version = (0 if expected_parent is None else expected_parent) + 1
         snap["parent"] = expected_parent
-        target = os.path.join(self._snap_dir, f"v{new_version:08d}.json")
-        tmp = json.dumps(snap, sort_keys=True)
-        try:
-            with open(target, "x") as f:
-                f.write(tmp)
-        except FileExistsError:
+        payload = {k: v for k, v in snap.items() if k != "files"}
+        files = snap.get("files")
+        parent_files = None
+        if expected_parent is not None and files is not None:
+            try:
+                parent_files = self._snapshot(expected_parent)["files"]
+            except (FileNotFoundError, OSError):
+                parent_files = None
+        if parent_files is None:
+            if files is not None:
+                payload["files"] = files  # full commit (create / fallback)
+        else:
+            parent_by_path = {f["path"]: f for f in parent_files}
+            new_paths = {f["path"] for f in files}
+            payload["add"] = [
+                f for f in files if f["path"] not in parent_by_path
+            ]
+            payload["remove"] = sorted(
+                p for p in parent_by_path if p not in new_paths
+            )
+        if not self.backend.try_commit(
+            new_version, json.dumps(payload, sort_keys=True)
+        ):
             raise CommitConflictError(
                 f"version {new_version} already committed at {self.path}"
-            ) from None
+            )
+        if files is not None:
+            state = dict(snap)
+            state["files"] = files
+            state["version"] = new_version
+            if len(self._cache) >= 8:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[new_version] = state
+            if (
+                self.checkpoint_interval > 0
+                and new_version % self.checkpoint_interval == 0
+            ):
+                self._write_checkpoint(new_version, files)
         return new_version
+
+    # --------------------------------------------------------- checkpoints
+    def _write_checkpoint(self, version: int, files: list[dict]) -> None:
+        """Materialize the full manifest as a parquet checkpoint and
+        advance the ``_last_checkpoint`` pointer. Losing the race on
+        either write is harmless: checkpoints are immutable functions
+        of the version, and the pointer is only a hint."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {"entry": pa.array([json.dumps(f, sort_keys=True) for f in files])}
+        )
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        self.backend.write_checkpoint(version, buf.getvalue())
+        self.backend.write_pointer(json.dumps({"version": version}))
+
+    def _read_checkpoint_files(self, version: int) -> list[dict]:
+        import io
+
+        import pyarrow.parquet as pq
+
+        data = self.backend.read_checkpoint(version)
+        table = pq.read_table(io.BytesIO(data))
+        return [json.loads(s) for s in table.column("entry").to_pylist()]
 
     def _write_files(
         self,
@@ -165,8 +322,27 @@ class SnapshotTable:
             for col in bloom_cols or []:
                 if col not in schema_names:
                     continue
-                vals = pf.read(columns=[col]).column(col).to_pylist()
-                blooms[col] = _bloom_build(vals)
+                import pyarrow as pa
+
+                arr = pf.read(columns=[col]).column(col)
+                at = arr.type
+                if not (
+                    pa.types.is_integer(at)
+                    or pa.types.is_floating(at)
+                    or pa.types.is_decimal(at)
+                    or pa.types.is_boolean(at)
+                    or pa.types.is_string(at)
+                    or pa.types.is_large_string(at)
+                ):
+                    # temporal/binary values don't canonicalize the
+                    # same way predicate literals do — a mismatch
+                    # would FALSE-NEGATIVE the bloom and silently
+                    # drop matching files, so refuse loudly instead
+                    raise ValueError(
+                        f"bloom_cols[{col!r}] has type {at}; bloom "
+                        "skipping supports only string/numeric columns"
+                    )
+                blooms[col] = _bloom_build(arr.to_pylist())
             entries.append(
                 {
                     "path": os.path.join("data", commit_id, name),
@@ -203,8 +379,13 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         extra_meta: dict | None = None,
         bloom_cols: list[str] | None = None,
+        backend: CommitBackend | None = None,
+        checkpoint_interval: int = 10,
     ) -> "SnapshotTable":
-        tbl = cls(spark, path)
+        tbl = cls(
+            spark, path, backend=backend,
+            checkpoint_interval=checkpoint_interval,
+        )
         if tbl.versions():
             raise FileExistsError(f"snapshot table already exists at {path}")
         files = tbl._write_files(
@@ -294,14 +475,28 @@ class SnapshotTable:
         extra_meta: dict | None = None,
         merge_schema: bool = False,
         bloom_cols: list[str] | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         """Append ``df`` as new immutable files. With ``merge_schema``,
         columns present in ``df`` but not the table are ADDED to the
         table schema (additive evolution, the lakehouse
         ``mergeSchema`` contract): existing files are untouched — the
         parquet reader fills the new column with NULL for them —
-        while shared columns keep the table's original types."""
-        parent = self.current_version()
+        while shared columns keep the table's original types.
+
+        ``expected_parent`` pins the snapshot this append derives from
+        (metadata read + CAS parent as one atomic unit): if any other
+        commit lands in between, the append raises
+        :class:`CommitConflictError` instead of silently basing its
+        ``extra_meta`` on a stale snapshot. The exactly-once streaming
+        sink uses this to make its read-watermarks/commit pair atomic
+        across apps (a TOCTOU fix — without it, a racing app's freshly
+        advanced watermark could be wholesale-overwritten by our stale
+        copy, un-deduplicating its replays)."""
+        parent = (
+            self.current_version() if expected_parent is None
+            else expected_parent
+        )
         snap = self._snapshot(parent)
         schema = self._schema(snap)
         if merge_schema:
@@ -554,6 +749,15 @@ class SnapshotTable:
 
         vs = self.versions()
         retained = vs[-keep_last:] if keep_last > 0 else vs[-1:]
+        # Checkpoint the OLDEST retained version before dropping older
+        # log entries: every retained version must stay reconstructible
+        # from a base at-or-below it, and the dropped entries may have
+        # been that base (delta commits). The pointer then moves to the
+        # newest surviving checkpoint so probe-forward resolution stays
+        # O(tail).
+        oldest = retained[0]
+        if not self.backend.checkpoint_exists(oldest):
+            self._write_checkpoint(oldest, self._snapshot(oldest)["files"])
         live = set()
         for v in retained:
             for f in self._snapshot(v)["files"]:
@@ -578,8 +782,17 @@ class SnapshotTable:
         removed_snaps = 0
         for v in vs:
             if v not in retained:
-                os.remove(os.path.join(self._snap_dir, f"v{v:08d}.json"))
+                self.backend.delete_version(v)
+                self._cache.pop(v, None)
                 removed_snaps += 1
+        for cv in self.backend.list_checkpoints():
+            if cv < oldest:
+                self.backend.delete_checkpoint(cv)
+        remaining_ckpts = self.backend.list_checkpoints()
+        if remaining_ckpts:
+            self.backend.write_pointer(
+                json.dumps({"version": remaining_ckpts[-1]})
+            )
         return {
             "removed_data_files": removed_files,
             "removed_snapshots": removed_snaps,
@@ -593,14 +806,21 @@ _BLOOM_HASHES = 7
 
 
 def _bloom_hashes(value) -> list[int]:
+    import decimal
     import hashlib
 
     out = []
     # canonicalize numerics so a predicate literal `5` matches a
-    # stored `5.0` (and vice versa); bool checked first (int subclass)
+    # stored `5.0` or Decimal('5') (both sides — build reads values
+    # via pyarrow to_pylist, which yields Decimal for decimal columns,
+    # while read(where=...) literals are plain int/float; divergent
+    # canon forms would FALSE-NEGATIVE the bloom and wrongly prune a
+    # file that holds the value). bool checked first (int subclass);
+    # types outside {bool,int,float,Decimal,str} are rejected at
+    # _write_files time so no other form can reach a bloom probe.
     if isinstance(value, bool):
         canon = repr(value).encode()
-    elif isinstance(value, (int, float)):
+    elif isinstance(value, (int, float, decimal.Decimal)):
         canon = repr(float(value)).encode()
     else:
         canon = repr(value).encode()

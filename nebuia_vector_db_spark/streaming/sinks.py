@@ -118,27 +118,39 @@ def snapshot_sink(
     def _append(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         tbl = SnapshotTable(spark, path)
-        if not tbl.versions():
-            SnapshotTable.create(
-                spark, path, batch,
-                extra_meta={"stream_watermarks": {app: batch_id}},
-            )
-            return
         from nebuia_vector_db_spark.sources.snapshot import (
             CommitConflictError,
         )
 
+        if not tbl.versions():
+            try:
+                SnapshotTable.create(
+                    spark, path, batch,
+                    extra_meta={"stream_watermarks": {app: batch_id}},
+                )
+                return
+            except (FileExistsError, CommitConflictError):
+                pass  # another app created the table first; append
         for _ in range(6):  # conflict => RE-READ marks (a racing app
             # may have advanced its own lane; stale marks would
-            # regress it and let its replays duplicate)
-            marks = dict(tbl.meta("stream_watermarks") or {})
+            # regress it and let its replays duplicate). The marks are
+            # read from the EXACT snapshot the commit CAS-es against
+            # (expected_parent): a commit landing between the read and
+            # the append raises CommitConflictError instead of letting
+            # a stale marks dict overwrite the rival's watermark.
+            parent = tbl.current_version()
+            marks = dict(
+                tbl.meta("stream_watermarks", version=parent) or {}
+            )
             last = marks.get(app)
             if last is not None and batch_id <= last:
                 return  # replay of a committed batch: ack, no write
             marks[app] = max(batch_id, last if last is not None else -1)
             try:
                 tbl.append(
-                    batch, extra_meta={"stream_watermarks": marks}
+                    batch,
+                    extra_meta={"stream_watermarks": marks},
+                    expected_parent=parent,
                 )
                 return
             except CommitConflictError:

@@ -125,8 +125,14 @@ def ivf_ingest_stream(
         cents = tbl.meta("centroids")
         vec_col = tbl.meta("vec_col") or "embedding"
         assigned = None
-        for _ in range(6):  # conflict => re-read marks (see sinks.py)
-            marks = dict(tbl.meta("stream_watermarks") or {})
+        for _ in range(6):  # conflict => re-read marks (see sinks.py);
+            # marks come from the exact snapshot the commit CAS-es
+            # against (expected_parent) so an interleaved commit can
+            # never be overwritten with a stale watermark map
+            parent = tbl.current_version()
+            marks = dict(
+                tbl.meta("stream_watermarks", version=parent) or {}
+            )
             last = marks.get(app)
             if last is not None and batch_id <= last:
                 return  # replay of a committed batch
@@ -139,6 +145,7 @@ def ivf_ingest_stream(
                 tbl.append(
                     assigned,
                     extra_meta={"stream_watermarks": marks},
+                    expected_parent=parent,
                 )
                 return
             except CommitConflictError:

@@ -1,0 +1,261 @@
+"""Snapshot-log scalability + commit-backend protocol (round 4).
+
+Covers the two storage-layer items from VERDICT r3:
+- #1 checkpointed log: delta commits, parquet manifest checkpoints,
+  ``_last_checkpoint`` pointer — ``current_version()``/``read()``
+  touch only the checkpoint + the delta tail even after 500+ commits;
+- #4 pluggable commit backend: the same optimistic-concurrency
+  protocol runs against an in-memory conditional-PUT fake (the S3 /
+  GCS shape), including the lost-race path.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.sources.commit_backend import (
+    InMemoryCommitBackend,
+    LocalFSCommitBackend,
+)
+from nebuia_vector_db_spark.sources.snapshot import (
+    CommitConflictError,
+    SnapshotTable,
+)
+
+
+class CountingFSBackend(LocalFSCommitBackend):
+    """LocalFS backend instrumented with per-operation counters so
+    tests can assert how much log I/O a read actually performs."""
+
+    def __init__(self, log_dir):
+        super().__init__(log_dir)
+        self.reads = 0
+        self.listings = 0
+        self.exist_probes = 0
+
+    def read_version(self, version):
+        self.reads += 1
+        return super().read_version(version)
+
+    def list_versions(self):
+        self.listings += 1
+        return super().list_versions()
+
+    def version_exists(self, version):
+        self.exist_probes += 1
+        return super().version_exists(version)
+
+
+def _entry(i: int) -> dict:
+    return {
+        "path": f"data/c{i:06d}/part-0.parquet",
+        "rows": 10,
+        "bytes": 1000,
+        "stats": {"k": [i, i + 9]},
+    }
+
+
+def _schema_json(spark):
+    return json.loads(
+        spark.range(1).selectExpr("id k").schema.json()
+    )
+
+
+def test_500_commits_read_touches_only_checkpoint_plus_tail(
+    spark, tmp_path
+):
+    """The VERDICT r3 #1 'done' criterion: after 500+ delta commits,
+    version resolution does no listing and manifest reconstruction
+    reads at most checkpoint_interval log entries."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(spark, root, checkpoint_interval=10)
+    schema = _schema_json(spark)
+    files: list[dict] = []
+    parent = None
+    for i in range(503):
+        files = files + [_entry(i)]
+        if i % 37 == 36:  # sprinkle removals so deltas carry both kinds
+            files = files[1:]
+        parent = tbl._commit(
+            {
+                "op": "create" if parent is None else "append",
+                "schema": schema,
+                "files": list(files),
+                "n_files": len(files),
+                "n_rows": 10 * len(files),
+            },
+            expected_parent=parent,
+        )
+    assert parent == 503
+
+    # a FRESH handle (cold cache) resolves + reconstructs cheaply
+    counting = CountingFSBackend(str(tmp_path / "t" / "_snapshots"))
+    cold = SnapshotTable(spark, root, backend=counting)
+    assert cold.current_version() == 503
+    assert counting.listings == 0, "pointer probe must replace listing"
+    snap = cold._snapshot()
+    assert len(snap["files"]) == len(files)
+    assert [f["path"] for f in snap["files"]] == [
+        f["path"] for f in files
+    ]
+    # tail above the v500 checkpoint is 3 commits; +1 for the target's
+    # own metadata read
+    assert counting.reads <= 10 + 2, f"too many log reads: {counting.reads}"
+    assert counting.exist_probes <= 10, "probe window must stay bounded"
+
+    # a mid-history version also reconstructs (checkpoint below + tail)
+    counting2 = CountingFSBackend(str(tmp_path / "t" / "_snapshots"))
+    cold2 = SnapshotTable(spark, root, backend=counting2)
+    old = cold2._snapshot(455)
+    assert old["version"] == 455
+    assert counting2.reads <= 10 + 2
+
+
+def test_delta_payloads_are_small_and_reconstruct(spark, tmp_path):
+    """On-disk commits after create carry add/remove, not the full
+    manifest; reads still see the complete file list."""
+    df = spark.range(0, 100).selectExpr("id k")
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, checkpoint_interval=5
+    )
+    for i in range(6):
+        tbl.append(spark.range(100 * (i + 1), 100 * (i + 2)).selectExpr("id k"))
+    raw_v3 = json.loads(tbl.backend.read_version(3))
+    assert "files" not in raw_v3, "append commits must be deltas"
+    assert raw_v3["add"], "delta must list the new files"
+    assert tbl.backend.checkpoint_exists(5), "interval checkpoint missing"
+    assert tbl.read().count() == 700
+    assert tbl.read(version=3).count() == 300  # time travel via replay
+    # delete produces remove entries in the delta
+    tbl.delete_where("k < 100")
+    raw_v8 = json.loads(tbl.backend.read_version(8))
+    assert raw_v8.get("remove"), "COW delete must record removed paths"
+    assert tbl.read().count() == 600
+
+
+def test_vacuum_checkpoints_oldest_retained(spark, tmp_path):
+    """Vacuum must leave every retained version reconstructible even
+    though the delta commits below them are gone."""
+    df = spark.range(0, 50).selectExpr("id k")
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, checkpoint_interval=100
+    )  # interval high: NO periodic checkpoint before vacuum
+    for i in range(7):
+        tbl.append(spark.range(50 * (i + 1), 50 * (i + 2)).selectExpr("id k"))
+    res = tbl.vacuum(keep_last=3)
+    assert res["removed_snapshots"] == 5
+    assert tbl.versions() == [6, 7, 8]
+    assert tbl.backend.checkpoint_exists(6), "oldest retained needs a base"
+    for v, n in [(6, 300), (7, 350), (8, 400)]:
+        assert tbl.read(version=v).count() == n
+    assert tbl.current_version() == 8
+    # a later append + vacuum cycle keeps working
+    tbl.append(spark.range(400, 450).selectExpr("id k"))
+    assert tbl.read().count() == 450
+
+
+def test_inmemory_backend_full_stack(spark, tmp_path):
+    """The whole table protocol (create/append/delete/read/meta) over
+    the conditional-PUT fake — proves no code path secretly assumes a
+    POSIX log directory."""
+    be = InMemoryCommitBackend()
+    df = spark.range(0, 200).selectExpr("id k", "id % 4 bucket")
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, backend=be,
+        extra_meta={"stream_watermarks": {"a": 1}},
+    )
+    tbl.append(spark.range(200, 300).selectExpr("id k", "id % 4 bucket"))
+    tbl.delete_where("bucket = 3")
+    got = tbl.read()
+    assert got.count() == 225
+    assert got.where(F.col("bucket") == 3).count() == 0
+    assert tbl.meta("stream_watermarks") == {"a": 1}
+    assert tbl.read(version=1).count() == 200  # time travel
+    assert be.list_versions() == [1, 2, 3]
+
+
+def test_inmemory_conditional_put_single_winner():
+    be = InMemoryCommitBackend()
+    wins = []
+
+    def _try(tag):
+        if be.try_commit(7, tag):
+            wins.append(tag)
+
+    ts = [threading.Thread(target=_try, args=(f"w{i}",)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1
+    assert be.read_version(7) == wins[0]
+    assert be.put_attempts == 8
+
+
+def test_lost_race_retries_through_fake_backend(spark, tmp_path):
+    """The worst-case interleaving: a rival lands the version AFTER we
+    read the parent but BEFORE our conditional PUT. The loser must see
+    CommitConflictError and with_retry must converge with both
+    writers' rows present."""
+    be = InMemoryCommitBackend()
+    base = spark.range(0, 10).selectExpr("id k")
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), base, backend=be)
+
+    rival_rows = spark.range(1000, 1010).selectExpr("id k")
+
+    def _rival():
+        # same backend, separate handle — commits v2 first
+        rv = SnapshotTable(spark, str(tmp_path / "t"), backend=be)
+        rv.append(rival_rows)
+
+    be.race_hook = _rival  # fires inside OUR try_commit, pre-PUT
+    with pytest.raises(CommitConflictError):
+        tbl.append(spark.range(2000, 2010).selectExpr("id k"))
+    # the optimistic retry path recovers on the new parent
+    tbl.with_retry("append", spark.range(2000, 2010).selectExpr("id k"))
+    got = tbl.read()
+    assert got.count() == 30
+    assert got.where(F.col("k") >= 1000).where(F.col("k") < 1010).count() == 10
+    assert got.where(F.col("k") >= 2000).count() == 10
+
+
+def test_localfs_commit_leaves_no_temp_or_partial(tmp_path):
+    be = LocalFSCommitBackend(str(tmp_path / "log"))
+    assert be.try_commit(1, '{"op": "create"}')
+    assert not be.try_commit(1, '{"op": "rival"}')  # lost race
+    import os
+
+    names = os.listdir(str(tmp_path / "log"))
+    assert names == ["v00000001.json"], names
+    assert be.read_version(1) == '{"op": "create"}'
+
+
+def test_append_expected_parent_detects_interleaved_commit(
+    spark, tmp_path
+):
+    """The streaming-sink TOCTOU fix: an append pinned to a parent
+    snapshot fails if any commit interleaved, so watermark metadata
+    can never be derived from a snapshot other than the CAS parent."""
+    df = spark.range(0, 20).selectExpr("id k")
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df,
+        extra_meta={"stream_watermarks": {"a": 1}},
+    )
+    parent = tbl.current_version()
+    # rival app advances its own lane
+    tbl.append(
+        df.limit(1),
+        extra_meta={"stream_watermarks": {"a": 1, "b": 7}},
+    )
+    with pytest.raises(CommitConflictError):
+        tbl.append(
+            df.limit(1),
+            extra_meta={"stream_watermarks": {"a": 2}},
+            expected_parent=parent,
+        )
+    # the rival's watermark survived (no wholesale overwrite)
+    assert tbl.meta("stream_watermarks") == {"a": 1, "b": 7}
