@@ -369,6 +369,56 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# vs_ivf_batch — BATCH ANN through per-query probed cells in one
+# corpus pass (IVFIndex.search_batch, round 4 / VERDICT r3 #5): the
+# probe mask zeroes candidate×query pairs whose cell was not probed
+# for that query, so one masked GEMM scan serves the whole query
+# batch. nprobe == n_cells makes every pair allowed — exactly the
+# exact batch kNN — so the oracle is the brute-force batch-kNN SQL.
+# Partial-probe scan-fraction/recall is measured in tests/test_ann.py
+# and bench b12.
+def q_vs_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    index = build_ivf_index(emb, n_cells=8)
+    queries = (
+        emb.where(F.col("vec_id").isin(2, 5, 8))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    out = index.search_batch(
+        queries, 5, nprobe=index.n_cells, tie_cols=["vec_id"]
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("similarity", 6).alias(SIM6),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+ORACLE_VS_IVF_BATCH = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id IN (2, 5, 8)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(s, 6) AS similarity,
+       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+FROM scored
+QUALIFY rk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # vs_pq_topk — product-quantized ANN with exact re-rank (operators/pq.py).
 # The PQ codes are the 16-byte-per-vector compressed corpus; ADC scores
 # the codes, and the top-`rerank` shortlist is re-scored EXACTLY against
@@ -3830,7 +3880,12 @@ REGISTRY: dict[
     "vs_multi_search": (q_vs_multi_search, ORACLE_VS_MULTI),
     "vs_knn_join": (q_vs_knn_join, ORACLE_VS_KNN_JOIN),
     "vs_nested_search": (q_vs_nested_search, ORACLE_VS_NESTED),
-    "vs_ivf_topk": (q_vs_ivf_topk, ORACLE_VS_IVF_TOPK),
+    # batch ANN (round-4 promotion): per-query probed cells + masked
+    # GEMM in ONE corpus pass; at full probe ≡ exact batch kNN. Covers
+    # the MLlib IVF build AND the probe-mask kernel; the single-query
+    # IVF path (same centroids, same isin pruning, TakeOrdered cut)
+    # demotes below the window — see justification there.
+    "vs_ivf_batch": (q_vs_ivf_batch, ORACLE_VS_IVF_BATCH),
     "vs_pq_topk": (q_vs_pq_topk, ORACLE_VS_PQ_TOPK),
     # int8 scalar quantization — distinct from PQ's codebook ADC
     "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
@@ -3934,6 +3989,13 @@ REGISTRY: dict[
     # price_quantiles: rank-window family covered by hybrid_rrf's
     #   rank fusion + orders_running_revenue's frames; exact
     #   percentile stays locally green.
+    # Round-4 demotion:
+    # vs_ivf_topk: single-query IVF full-probe — the IVF family's
+    #   in-window slot is now held by vs_ivf_batch (same MLlib build,
+    #   same cell pruning, PLUS the per-query probe mask and batched
+    #   GEMM); the single-query TakeOrdered cut stays pinned in-window
+    #   by vs_topk/vs_pq_topk/vs_sq8_topk; stays locally green;
+    "vs_ivf_topk": (q_vs_ivf_topk, ORACLE_VS_IVF_TOPK),
     # mm_audio_windows: md5-fake audio windowing — demoted in favor of
     #   the REAL-codec mm_audio_real (same mapInPandas byte plumbing;
     #   the framing arithmetic also runs inside events_sliding's

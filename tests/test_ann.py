@@ -227,3 +227,97 @@ def test_snapshot_index_round_trip_append_and_time_travel(
         for r in old.search(q, 10, nprobe=8, tie_cols=["vec_id"]).collect()
     ]
     assert old_res == want
+
+
+def test_search_batch_full_probe_equals_knn_join(spark, sf_oracle):
+    """nprobe == n_cells: batch ANN must be EXACTLY the exact batch
+    kNN (same ids, same sims, same ranks) — the oracle contract the
+    vs_ivf_batch registry row rides on."""
+    from nebuia_vector_db_spark.operators.topk import knn_join
+
+    emb = _emb(spark, sf_oracle).cache()
+    index = build_ivf_index(emb, n_cells=8)
+    queries = (
+        emb.where(F.col("vec_id").isin(0, 3, 11))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    want = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 9), r["rk"])
+        for r in knn_join(queries, emb, k=5, tie_cols=["vec_id"]).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 9), r["rk"])
+        for r in index.search_batch(
+            queries, 5, nprobe=index.n_cells, tie_cols=["vec_id"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_search_batch_partial_probe_respects_mask_and_k(spark, sf_oracle):
+    """Partial probe: every returned candidate's cell must have been
+    probed FOR THAT QUERY, each query gets <= k rows, and similarities
+    are the true dots (no approximation in the kernel itself)."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.functions.vector import normalize_query
+
+    emb = _emb(spark, sf_oracle).cache()
+    index = build_ivf_index(emb, n_cells=8)
+    qrows = emb.where(F.col("vec_id").isin(2, 9)).select(
+        "vec_id", "embedding"
+    ).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, query_vec array<double>",
+    )
+    out = index.search_batch(queries, 4, nprobe=2, tie_cols=["vec_id"]).collect()
+    cell_of = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in index.assigned.select("vec_id", "ivf_cell").collect()
+    }
+    qvec_of = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    emb_of = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    per_q: dict[int, int] = {}
+    for r in out:
+        probed = set(index.probe_cells(qvec_of[r["query_id"]], 2))
+        assert cell_of[r["vec_id"]] in probed, "candidate outside probed cells"
+        qn = np.asarray(normalize_query(qvec_of[r["query_id"]]))
+        true_sim = float(emb_of[r["vec_id"]] @ qn)
+        assert abs(r["similarity"] - true_sim) < 1e-9, "kernel must score exactly"
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= 4 for v in per_q.values())
+    assert set(per_q) == {2, 9}
+
+
+def test_deterministic_ivf_build_is_bit_stable(spark, sf_oracle):
+    """Two deterministic builds from the same pinned sample produce
+    identical centroids AND identical recall — the property that makes
+    bench recall rows usable as regression signals."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.operators.ann import (
+        build_ivf_index_deterministic,
+        recall_at_k_batch,
+    )
+
+    emb = _emb(spark, sf_oracle).cache()
+    mat = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float32,
+    )
+    queries = [mat[i].astype(np.float64).tolist() for i in (1, 5, 13)]
+    idx1 = build_ivf_index_deterministic(emb, 8, mat, seed=7)
+    idx2 = build_ivf_index_deterministic(emb, 8, mat, seed=7)
+    assert np.array_equal(idx1.centroids, idx2.centroids)
+    r1 = recall_at_k_batch(idx1, emb, queries, k=10, nprobe=3)
+    r2 = recall_at_k_batch(idx2, emb, queries, k=10, nprobe=3)
+    assert r1 == r2
+    r_full = recall_at_k_batch(idx1, emb, queries, k=10, nprobe=8)
+    assert r_full == 1.0

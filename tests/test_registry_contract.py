@@ -36,9 +36,11 @@ def test_every_recorded_query_has_an_oracle():
 # representative per family; a reorder that drops any of these below
 # position 50 silently loses its driver-green row.
 _REQUIRED_IN_WINDOW = {
-    # reference parity + ANN tiers
+    # reference parity + ANN tiers (vs_ivf_batch supersedes
+    # vs_ivf_topk in-window round 4: same build + pruning, plus the
+    # per-query probe mask — single-query cut stays pinned by vs_topk)
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
-    "vs_ivf_topk", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
+    "vs_ivf_batch", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
     # embedding near-dup (exact + LSH)
     "vs_neardup_cos", "vs_neardup_lsh",
     # dedup family
