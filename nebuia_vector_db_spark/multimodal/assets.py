@@ -668,3 +668,121 @@ def audio_windows_real(
             )
 
     return cols.mapInPandas(_win, schema=_AUDIO_WINDOW_SCHEMA)
+
+
+def attach_jpeg_color_assets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tiles_per_row: int = 8,
+) -> DataFrame:
+    """COLOR (YCbCr 4:2:0) JPEG asset constructed to round-trip
+    EXACTLY: each consecutive byte TRIPLE of the text becomes one flat
+    16×16 RGB tile (missing trailing channel bytes are zero), encoded
+    at quality=100 with 2×2 chroma subsampling. A flat 16×16 tile
+    survives 4:2:0 losslessly — its chroma is constant so the 2×2 box
+    filter is exact, every DCT is a lone integer DC coefficient, and
+    the q=100 tables are all ones — so the stream exercises the FULL
+    color pipeline (RGB↔YCbCr, subsample/upsample, two quantizer +
+    Huffman table pairs, interleaved MCUs) while the decoded image
+    equals the constructed one bit-for-bit. Decoded per-channel stats
+    are replayable from the text column in SQL (registry row
+    ``mm_color_roundtrip``). Arrow-batched mapInPandas, map-side."""
+    import math
+
+    from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_color
+
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    width = tiles_per_row * 16
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, heights = [], [], []
+            for doc, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                if not b:
+                    continue
+                ntri = math.ceil(len(b) / 3)
+                nrows = math.ceil(ntri / tiles_per_row)
+                rgb = np.zeros(nrows * tiles_per_row * 3, dtype=np.uint8)
+                rgb[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                grid = rgb.reshape(nrows, tiles_per_row, 3)
+                img = grid.repeat(16, axis=0).repeat(16, axis=1)
+                ids.append(doc)
+                payloads.append(
+                    encode_jpeg_color(img, quality=100, subsampling="420")
+                )
+                heights.append(nrows * 16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime": ["image/jpeg"] * len(ids),
+                    "declared_width": [width] * len(ids),
+                    "declared_height": heights,
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, payload binary, mime string, "
+            "declared_width int, declared_height int"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.col("declared_width"),
+            F.col("declared_height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
+
+
+_COLOR_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels bigint, "
+    "mean_r double, mean_g double, mean_b double, max_px int"
+)
+
+
+def decode_image_color_real(assets: DataFrame) -> DataFrame:
+    """REAL color decode over Arrow batches: full baseline-JPEG parse
+    (interleaved YCbCr MCUs, chroma upsample, JFIF color convert) via
+    :func:`..multimodal.jpeg.decode_jpeg`, emitting per-image
+    per-CHANNEL stats from the decoded RGB buffer. Grayscale streams
+    decode too (their single plane reports identical channel means).
+    Same scale shape as :func:`decode_image_real`: map-side, payload
+    pruned unless projected, no shuffle."""
+    from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg
+
+    cols = assets.select("doc_id", "payload")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "max_px",
+            )}
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(pay))
+                if px.ndim == 2:
+                    px = np.stack([px, px, px], axis=-1)
+                h, w = px.shape[:2]
+                rows["doc_id"].append(doc)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(h * w)
+                rows["mean_r"].append(float(px[..., 0].mean()))
+                rows["mean_g"].append(float(px[..., 1].mean()))
+                rows["mean_b"].append(float(px[..., 2].mean()))
+                rows["max_px"].append(int(px.max()))
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(_decode, schema=_COLOR_STATS_SCHEMA)

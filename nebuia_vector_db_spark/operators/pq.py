@@ -224,6 +224,7 @@ def train_pq(
     id_col: str = "vec_id",
     cell_centroids: np.ndarray | None = None,
     cell_col: str = "ivf_cell",
+    sample_matrix: np.ndarray | None = None,
 ) -> np.ndarray:
     """(m, k, dsub) codebooks from a bounded driver-side sample.
 
@@ -236,8 +237,23 @@ def train_pq(
     per-subspace k-means run in a thread pool: the kernels are NumPy
     matmul/argmin which release the GIL, so training scales with
     driver cores while results stay bit-identical (each subspace
-    keeps its own ``seed + s``)."""
-    if cell_centroids is not None:
+    keeps its own ``seed + s``).
+
+    ``sample_matrix`` pins the training sample to a caller-supplied
+    (n, d) matrix instead of a distributed ``limit(sample)`` draw
+    (whose row set is not guaranteed stable across runs) — required
+    when the trained codebooks must be bit-reproducible, e.g. the
+    bench recall probes (VERDICT r3 #2). Cell assignment for the
+    residual step is then computed driver-side against
+    ``cell_centroids`` with the same squared-distance argmin the
+    distributed kernel uses."""
+    if sample_matrix is not None:
+        x = np.ascontiguousarray(sample_matrix, dtype=np.float64)[:sample]
+        if cell_centroids is not None:
+            c = np.ascontiguousarray(cell_centroids, dtype=np.float64)
+            scores = x @ c.T * -2.0 + np.einsum("ij,ij->i", c, c)[None, :]
+            x = x - c[np.argmin(scores, axis=1)]
+    elif cell_centroids is not None:
         pdf = df.select(vec_col, cell_col).limit(sample).toPandas()
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         cells = pdf[cell_col].to_numpy().astype(np.int64)

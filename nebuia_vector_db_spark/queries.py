@@ -2375,6 +2375,75 @@ ORDER BY doc_id
 """
 
 
+def q_mm_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec COLOR JPEG row (round 4): byte triples of the text
+    become flat 16×16 RGB tiles encoded as a baseline YCbCr 4:2:0
+    stream at quality=100 — flat tiles survive chroma subsampling
+    exactly (the 2×2 box filter averages a constant; every DCT is a
+    lone integer DC; q=100 tables are all ones), so the row exercises
+    the ENTIRE color pipeline (RGB↔YCbCr, subsample/upsample, dual
+    quantizer + Huffman pairs, interleaved MCUs, byte stuffing) while
+    DuckDB replays the decoded per-channel means from the text bytes
+    — a hash-checked oracle for the lossy color path."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_jpeg_color_assets,
+        decode_image_color_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image_color_real(attach_jpeg_color_assets(docs))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        _r(F.col("mean_r"), 6).alias("mean_r"),
+        _r(F.col("mean_g"), 6).alias("mean_g"),
+        _r(F.col("mean_b"), 6).alias("mean_b"),
+        "max_px",
+    ).orderBy("doc_id")
+
+
+ORACLE_MM_COLOR = f"""
+WITH a AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) >= 1
+),
+b AS (
+  SELECT doc_id, hx, nb,
+         ((nb + 2) // 3 + 7) // 8 AS nrows
+  FROM a
+),
+c AS (
+  SELECT doc_id, nrows,
+         coalesce(list_aggregate(list_transform(
+           list_filter(range(nb), i -> i % 3 = 0), i -> {_HEXVAL_HI}
+         ), 'sum'), 0) AS sr,
+         coalesce(list_aggregate(list_transform(
+           list_filter(range(nb), i -> i % 3 = 1), i -> {_HEXVAL_HI}
+         ), 'sum'), 0) AS sg,
+         coalesce(list_aggregate(list_transform(
+           list_filter(range(nb), i -> i % 3 = 2), i -> {_HEXVAL_HI}
+         ), 'sum'), 0) AS sb,
+         list_aggregate(list_transform(range(nb), i -> {_HEXVAL_HI}),
+                        'max') AS mx
+  FROM b
+)
+SELECT doc_id,
+       CAST(128 AS INT) AS width,
+       CAST(nrows * 16 AS INT) AS height,
+       CAST(nrows * 2048 AS BIGINT) AS n_pixels,
+       {_sql_r('sr / (8.0 * nrows)', 6)} AS mean_r,
+       {_sql_r('sg / (8.0 * nrows)', 6)} AS mean_g,
+       {_sql_r('sb / (8.0 * nrows)', 6)} AS mean_b,
+       CAST(mx AS INT) AS max_px
+FROM c
+ORDER BY doc_id
+"""
+
+
 def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide→long, the inverse of events_pivot): melt three
     lineitem measure columns into (measure, value) rows with
@@ -3890,7 +3959,6 @@ REGISTRY: dict[
     # int8 scalar quantization — distinct from PQ's codebook ADC
     "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
     "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
-    "vs_neardup_lsh": (q_vs_neardup_lsh, ORACLE_VS_NEARDUP_LSH),
     # doc-level late-interaction rollup (max/mean chunk sim + argmax)
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
     # dedup family (extension, SURVEY §2.3)
@@ -3936,6 +4004,11 @@ REGISTRY: dict[
     # temporal multimodal op: consecutive-frame byte-delta scene cuts
     # (exercises the same frame-extraction path as mm_frame_sample)
     "mm_scene_changes": (q_mm_scene_changes, ORACLE_MM_SCENES),
+    # COLOR JPEG (round-4 promotion): YCbCr 4:2:0, dual table pairs,
+    # interleaved MCUs — lossless-by-construction flat tiles make the
+    # lossy color path hash-checkable; displaces vs_neardup_lsh (see
+    # its below-window justification)
+    "mm_color_roundtrip": (q_mm_color_roundtrip, ORACLE_MM_COLOR),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -3989,7 +4062,14 @@ REGISTRY: dict[
     # price_quantiles: rank-window family covered by hybrid_rrf's
     #   rank fusion + orders_running_revenue's frames; exact
     #   percentile stays locally green.
-    # Round-4 demotion:
+    # Round-4 demotions:
+    # vs_neardup_lsh: RP-LSH sketch-bucket equi-join over embeddings —
+    #   the sketch-blocking join family keeps TWO recorded reps
+    #   (dedup_minhash_lsh banded equi-join, dedup_simhash pigeonhole
+    #   blocking) and exact embedding near-dup stays recorded via
+    #   vs_neardup_cos; displaced by mm_color_roundtrip (color JPEG —
+    #   a capability with NO prior representative); stays locally green;
+    "vs_neardup_lsh": (q_vs_neardup_lsh, ORACLE_VS_NEARDUP_LSH),
     # vs_ivf_topk: single-query IVF full-probe — the IVF family's
     #   in-window slot is now held by vs_ivf_batch (same MLlib build,
     #   same cell pruning, PLUS the per-query probe mask and batched

@@ -82,3 +82,49 @@ def test_mutated_valid_streams_fail_closed(cut, flip_to, which):
         assert isinstance(out, (tuple, np.ndarray))
     except errs:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_random_bytes_never_crash_color_decoder(payload):
+    from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg
+
+    try:
+        decode_jpeg(payload)
+    except JpegFormatError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from(["420", "444"]),
+)
+def test_mutated_color_jpeg_fails_closed(cut, flip_to, sub):
+    """Truncations / single-byte flips of a valid COLOR stream either
+    raise JpegFormatError or decode to a well-formed (h, w, 3) array
+    (flips inside entropy data legitimately decode to wrong pixels)."""
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    img = (
+        np.arange(16 * 24 * 3, dtype=np.uint8)
+        .reshape(16, 24, 3)
+    )
+    good = encode_jpeg_color(img, 90, subsampling=sub)
+
+    cut_at = min(cut, len(good) - 1)
+    if cut_at < len(good) - 2:
+        with pytest.raises(JpegFormatError):
+            decode_jpeg(bytes(good[:cut_at]))
+    mutated = bytearray(good)
+    mutated[cut % len(good)] = flip_to
+    try:
+        out = decode_jpeg(bytes(mutated))
+        assert isinstance(out, np.ndarray)
+        assert out.ndim in (2, 3)
+    except JpegFormatError:
+        pass

@@ -170,3 +170,117 @@ def test_restart_markers_round_trip():
     assert dec.shape == noisy.shape
     ref = decode_jpeg_gray(encode_jpeg_gray(noisy, quality=95))
     np.testing.assert_array_equal(dec, ref)  # restarts change nothing
+
+
+# ------------------------------------------------------------------- color
+def test_color_flat_patches_round_trip_exactly():
+    """Flat 16x16 color patches at q=100: every DCT is DC-only and
+    every quant step is 1, and the 2x2 chroma box filter averages a
+    constant — so BOTH 4:2:0 and 4:4:4 round-trip bit-exactly. This is
+    the reference-pixel validation that needs no external decoder."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(42)
+    tiles = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    img = tiles.repeat(16, axis=0).repeat(16, axis=1)
+    for sub in ("420", "444"):
+        dec = decode_jpeg(encode_jpeg_color(img, 100, subsampling=sub))
+        np.testing.assert_array_equal(dec, img)
+
+
+def test_color_gradient_psnr_and_subsampling_tradeoff():
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+
+    def psnr(sub):
+        dec = decode_jpeg(encode_jpeg_color(img, 90, subsampling=sub))
+        mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / mse)
+
+    p420, p444 = psnr("420"), psnr("444")
+    assert p420 > 35.0
+    assert p444 > p420, "4:4:4 must beat 4:2:0 on chroma-detailed input"
+    # 4:2:0 spends fewer bytes on the same image
+    b420 = len(encode_jpeg_color(img, 90, subsampling="420"))
+    b444 = len(encode_jpeg_color(img, 90, subsampling="444"))
+    assert b420 < b444
+
+
+def test_color_odd_dimensions_and_restart_markers():
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    enc_rst = encode_jpeg_color(img, 95, subsampling="420", restart_interval=3)
+    enc = encode_jpeg_color(img, 95, subsampling="420")
+    assert b"\xff\xdd" in enc_rst  # DRI present
+    a, b = decode_jpeg(enc_rst), decode_jpeg(enc)
+    assert a.shape == img.shape
+    np.testing.assert_array_equal(a, b)  # resync path decodes identically
+
+
+def test_color_convert_matches_literal_jfif_formulas():
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    y, cb, cr = rgb_to_ycbcr(x)
+    for i in range(4):
+        for j in range(6):
+            r, g, b = (float(v) for v in x[i, j])
+            assert abs(y[i, j] - (0.299 * r + 0.587 * g + 0.114 * b)) < 1e-9
+            assert (
+                abs(cb[i, j] - (-0.168735892 * r - 0.331264108 * g + 0.5 * b + 128))
+                < 1e-9
+            )
+            assert (
+                abs(cr[i, j] - (0.5 * r - 0.418687589 * g - 0.081312411 * b + 128))
+                < 1e-9
+            )
+    # inverse transform recovers the input (pre-quantization)
+    back = ycbcr_to_rgb(y, cb, cr)
+    assert np.abs(back.astype(int) - x.astype(int)).max() <= 1
+
+
+def test_gray_decode_of_color_stream_returns_luma():
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        rgb_to_ycbcr,
+    )
+
+    img = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+    enc = encode_jpeg_color(img, 100)
+    g = decode_jpeg_gray(enc)
+    assert g.shape == (16, 16)
+    y, _, _ = rgb_to_ycbcr(decode_jpeg(enc))
+    np.testing.assert_array_equal(
+        g, np.clip(np.round(y), 0, 255).astype(np.uint8)
+    )

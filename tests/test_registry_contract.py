@@ -41,8 +41,9 @@ _REQUIRED_IN_WINDOW = {
     # per-query probe mask — single-query cut stays pinned by vs_topk)
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
     "vs_ivf_batch", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
-    # embedding near-dup (exact + LSH)
-    "vs_neardup_cos", "vs_neardup_lsh",
+    # embedding near-dup (exact; the RP-LSH sketch join demoted r4 —
+    # sketch-blocking stays covered by dedup_minhash_lsh/dedup_simhash)
+    "vs_neardup_cos",
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_groups",
@@ -55,9 +56,11 @@ _REQUIRED_IN_WINDOW = {
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_stratified_sample",
     "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
-    # multimodal (mm_png_roundtrip / mm_audio_real = REAL codecs;
-    # supersede the fake-codec mm_image_features / mm_audio_windows)
+    # multimodal (mm_png_roundtrip / mm_audio_real / mm_color_roundtrip
+    # = REAL codecs; supersede fake-codec mm_image_features/
+    # mm_audio_windows)
     "mm_png_roundtrip", "mm_audio_real", "mm_scene_changes",
+    "mm_color_roundtrip",
     # transactional storage (SnapshotTable COW delete — round 3)
     "snap_delete_read",
     # relational (tpch_q4's EXISTS/semi stays pinned by
