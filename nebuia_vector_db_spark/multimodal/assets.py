@@ -194,18 +194,21 @@ _REAL_DECODE_SCHEMA = (
 def decode_image_real(assets: DataFrame) -> DataFrame:
     """REAL image decode over Arrow batches, format-sniffed by magic
     number: PNG (:mod:`..multimodal.png` — zlib inflate, CRC
-    validation, filters 0-4 incl. Paeth) and baseline grayscale JPEG
+    validation, filters 0-4 incl. Paeth) and baseline JPEG
     (:mod:`..multimodal.jpeg` — marker parse, canonical Huffman
-    entropy decode, dequant + IDCT). Emits per-image stats from the
-    ACTUAL decoded pixel buffer: parsed header dims, pixel count
-    (channels collapsed by mean for stats), mean/max pixel value.
+    entropy decode, dequant + IDCT; grayscale AND 3-component YCbCr
+    with subsampling, collapsed to luma here — per-channel stats live
+    in :func:`decode_image_color_real`). Emits per-image stats from
+    the ACTUAL decoded pixel buffer: parsed header dims, pixel count,
+    mean/max pixel value.
 
-    Other container formats (color JPEG, video/audio) still need an
-    executor-side codec install (PIL/ffmpeg) and raise cleanly per
-    payload via the signature check — the mapInPandas plumbing is
-    identical either way, so a deployment swaps only the decode call.
-    Same shape as :func:`decode_image_features`: map-side, payload
-    pruned unless projected, no shuffle."""
+    Other container formats (video/audio containers, progressive
+    JPEG) still need an executor-side codec install (PIL/ffmpeg) and
+    raise cleanly per payload via the signature check — the
+    mapInPandas plumbing is identical either way, so a deployment
+    swaps only the decode call. Same shape as
+    :func:`decode_image_features`: map-side, payload pruned unless
+    projected, no shuffle."""
     from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg_gray
     from nebuia_vector_db_spark.multimodal.png import decode_png
 
