@@ -213,6 +213,139 @@ class PQIndex:
         )
 
 
+def pq_search_batch(
+    index: PQIndex,
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    topk: int,
+    rerank: int = 0,
+    nprobe: int | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batch IVF-PQ search: ONE pass over the codes serves a whole
+    query batch (the PQ tier's twin of ``IVFIndex.search_batch``).
+
+    Driver side: one (B, m, k) stack of ADC tables (an einsum over the
+    codebooks — ~0.5 MB at B=16/m=16/k=256, closure-shipped) plus,
+    on an IVF-PQ index, per-query probed-cell masks whose union
+    bounds the scan. Scan side: per Arrow batch the (n, m) code
+    matrix indexes every query's table (m gathers), the cell term is
+    added per query, non-probed (row, query) pairs mask to -inf, and
+    a per-query local argpartition cuts to ≤ max(topk, rerank) rows
+    per query; the global cut is the bounded row_number window.
+
+    With ``rerank > 0`` the per-query shortlists are re-scored
+    EXACTLY: one inner join of the (query_id, id) shortlist against
+    the raw corpus + a broadcast join of the normalized query vectors
+    — only shortlist×1 rows are ever re-scored. ``rerank >= |corpus|``
+    with full probe degrades to the exact batch kNN (test-pinned)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from nebuia_vector_db_spark.functions.vector import (
+        dot,
+        l2_normalize,
+    )
+    from nebuia_vector_db_spark.operators.topk import topk_per_group
+
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.vstack(
+        [np.asarray(normalize_query(r[1]), dtype=np.float64) for r in qrows]
+    )  # (B, d)
+    b = qmat.shape[0]
+    m, k = index.m, index.k
+    dsub = index.codebooks.shape[2]
+    tables = np.einsum(
+        "skd,bsd->bsk", index.codebooks, qmat.reshape(b, m, dsub)
+    )  # (B, m, k)
+
+    codes_src = index.codes
+    cell_dots = None
+    mask = None
+    if index.cell_centroids is not None:
+        cell_dots = index.cell_centroids @ qmat.T  # (C, B)
+        if nprobe is not None:
+            npb = max(1, min(nprobe, cell_dots.shape[0]))
+            probe_idx = np.argpartition(-cell_dots, npb - 1, axis=0)[:npb]
+            mask = np.zeros(cell_dots.shape, dtype=bool)
+            mask[probe_idx, np.arange(b)[None, :]] = True
+            union_cells = [
+                int(c) for c in np.flatnonzero(mask.any(axis=1))
+            ]
+            codes_src = codes_src.where(
+                F.col(index.cell_col).isin(union_cells)
+            )
+    cut = max(topk, rerank)
+    has_cell = index.cell_centroids is not None
+    cell_col = index.cell_col
+    id_col = index.id_col
+    id_type = dict(codes_src.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, {query_id_col} long, adc_score double"
+    )
+
+    def _score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            codes = np.array(
+                rb.column("codes").to_pylist(), dtype=np.int64
+            )  # (n, m)
+            scores = np.zeros((n, b), dtype=np.float64)
+            for s in range(m):
+                scores += tables[:, s, codes[:, s]].T  # (n, B)
+            if has_cell:
+                cells = np.asarray(rb.column(cell_col)).astype(np.int64)
+                scores += cell_dots[cells]  # (n, B)
+                if mask is not None:
+                    scores = np.where(mask[cells], scores, -np.inf)
+            kk = min(cut, n)
+            idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, B)
+            rows = idx.ravel(order="F")
+            qcol = np.repeat(qids, kk)
+            scol = np.take_along_axis(scores, idx, axis=0).ravel(order="F")
+            live = np.isfinite(scol)
+            if not live.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(id_col).take(pa.array(rows[live])),
+                    pa.array(qcol[live]),
+                    pa.array(scol[live]),
+                ],
+                names=[id_col, query_id_col, "adc_score"],
+            )
+
+    shortlisted = topk_per_group(
+        codes_src.mapInArrow(_score, schema=out_schema),
+        [query_id_col],
+        "adc_score",
+        cut,
+        tie_cols=[id_col],
+    )
+    if not rerank:  # cut == topk: the shortlist IS the answer
+        return shortlisted.select(query_id_col, id_col, "adc_score", "rk")
+    qnorm = queries_df.select(
+        query_id_col, l2_normalize(F.col(query_vec_col)).alias("_qn")
+    )
+    cand = corpus.join(
+        F.broadcast(shortlisted.select(query_id_col, id_col)),
+        id_col,
+        "inner",
+    ).join(F.broadcast(qnorm), query_id_col)
+    exact = cand.withColumn(
+        "similarity", dot(F.col(index.vec_col), F.col("_qn"))
+    )
+    return topk_per_group(
+        exact, [query_id_col], "similarity", topk, tie_cols=tie_cols
+    ).select(query_id_col, id_col, "similarity", "rk")
+
+
 def train_pq(
     df: DataFrame,
     m: int = 8,

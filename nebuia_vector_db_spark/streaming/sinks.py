@@ -82,6 +82,58 @@ def upsert_sink(
     )
 
 
+def transactional_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: int,
+    app: str,
+    retries: int = 6,
+) -> None:
+    """One exactly-once micro-batch append (the per-batch body of
+    :func:`snapshot_sink`, exposed so tests can drive adversarial
+    interleavings directly). The watermark map is read from the EXACT
+    snapshot the commit CAS-es against (``expected_parent``): a
+    commit landing between the read and the append raises
+    CommitConflictError — forcing a re-read — instead of letting a
+    stale marks dict wholesale-overwrite a racing app's freshly
+    advanced lane (which would un-deduplicate its replays)."""
+    from nebuia_vector_db_spark.sources.snapshot import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    tbl = SnapshotTable(spark, path)
+    if not tbl.versions():
+        try:
+            SnapshotTable.create(
+                spark, path, batch,
+                extra_meta={"stream_watermarks": {app: batch_id}},
+            )
+            return
+        except (FileExistsError, CommitConflictError):
+            pass  # another app created the table first; append
+    for _ in range(retries):  # conflict => RE-READ marks (a racing
+        # app may have advanced its own lane; stale marks would
+        # regress it and let its replays duplicate)
+        parent = tbl.current_version()
+        marks = dict(tbl.meta("stream_watermarks", version=parent) or {})
+        last = marks.get(app)
+        if last is not None and batch_id <= last:
+            return  # replay of a committed batch: ack, no write
+        marks[app] = max(batch_id, last if last is not None else -1)
+        try:
+            tbl.append(
+                batch,
+                extra_meta={"stream_watermarks": marks},
+                expected_parent=parent,
+            )
+            return
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(f"could not commit batch {batch_id}")
+
+
 def snapshot_sink(
     stream: DataFrame,
     path: str,
@@ -116,46 +168,7 @@ def snapshot_sink(
     app = app_id if app_id is not None else checkpoint
 
     def _append(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        tbl = SnapshotTable(spark, path)
-        from nebuia_vector_db_spark.sources.snapshot import (
-            CommitConflictError,
-        )
-
-        if not tbl.versions():
-            try:
-                SnapshotTable.create(
-                    spark, path, batch,
-                    extra_meta={"stream_watermarks": {app: batch_id}},
-                )
-                return
-            except (FileExistsError, CommitConflictError):
-                pass  # another app created the table first; append
-        for _ in range(6):  # conflict => RE-READ marks (a racing app
-            # may have advanced its own lane; stale marks would
-            # regress it and let its replays duplicate). The marks are
-            # read from the EXACT snapshot the commit CAS-es against
-            # (expected_parent): a commit landing between the read and
-            # the append raises CommitConflictError instead of letting
-            # a stale marks dict overwrite the rival's watermark.
-            parent = tbl.current_version()
-            marks = dict(
-                tbl.meta("stream_watermarks", version=parent) or {}
-            )
-            last = marks.get(app)
-            if last is not None and batch_id <= last:
-                return  # replay of a committed batch: ack, no write
-            marks[app] = max(batch_id, last if last is not None else -1)
-            try:
-                tbl.append(
-                    batch,
-                    extra_meta={"stream_watermarks": marks},
-                    expected_parent=parent,
-                )
-                return
-            except CommitConflictError:
-                continue
-        raise CommitConflictError(f"could not commit batch {batch_id}")
+        transactional_append(batch.sparkSession, path, batch, batch_id, app)
 
     return (
         stream.writeStream.foreachBatch(_append)

@@ -235,3 +235,136 @@ def test_pq_append_equals_full_reencode(spark, sf_oracle, tmp_path_factory):
     ]
     assert got_inc == got_full
     emb.unpersist()
+
+
+def test_pq_search_batch_matches_per_query_search(spark, sf_oracle):
+    """Batched ADC == per-query ADC scores/ranks for every query in
+    the batch (same tables, same codes, one pass)."""
+    from nebuia_vector_db_spark.operators.pq import (
+        encode_pq,
+        pq_search_batch,
+        train_pq,
+    )
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    books = train_pq(emb, m=16, k=16, sample=1000, seed=1)
+    pq = encode_pq(emb, books)
+    pq.codes = pq.codes.cache()
+    qrows = emb.where(F.col("vec_id").isin(1, 6, 12)).select(
+        "vec_id", "embedding"
+    ).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, query_vec array<double>",
+    )
+    batch = {
+        (r["query_id"], r["vec_id"], round(r["adc_score"], 9))
+        for r in pq_search_batch(pq, emb, queries, topk=5).collect()
+    }
+    single = set()
+    for r in qrows:
+        for s in pq.search(
+            emb, [float(x) for x in r["embedding"]], 5,
+            tie_cols=["vec_id"],
+        ).collect():
+            single.add(
+                (int(r["vec_id"]), s["vec_id"], round(s["adc_score"], 9))
+            )
+    assert batch == single
+
+
+def test_pq_search_batch_full_rerank_is_exact_batch_knn(spark, sf_oracle):
+    """rerank >= |corpus| with full probe: the batch PQ search must
+    return EXACTLY the exact batch kNN (ids, sims, ranks)."""
+    from nebuia_vector_db_spark.operators.ann import (
+        build_ivf_index_deterministic,
+    )
+    from nebuia_vector_db_spark.operators.pq import (
+        encode_pq,
+        pq_search_batch,
+        train_pq,
+    )
+    from nebuia_vector_db_spark.operators.topk import knn_join
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    import numpy as np
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    n = emb.count()
+    mat = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float32,
+    )
+    idx = build_ivf_index_deterministic(emb, 8, mat, seed=5)
+    books = train_pq(
+        idx.assigned, m=16, k=16, sample=1000, seed=2,
+        cell_centroids=idx.centroids, sample_matrix=mat[:1000],
+    )
+    pq = encode_pq(idx.assigned, books, cell_centroids=idx.centroids)
+    qrows = emb.where(F.col("vec_id").isin(2, 9)).select(
+        "vec_id", "embedding"
+    ).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, query_vec array<double>",
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 9), r["rk"])
+        for r in pq_search_batch(
+            pq, emb, queries, topk=5, rerank=n, nprobe=8,
+            tie_cols=["vec_id"],
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 9), r["rk"])
+        for r in knn_join(queries, emb, k=5, tie_cols=["vec_id"]).collect()
+    }
+    assert got == want
+
+
+def test_pq_search_batch_nprobe_respects_probe_mask(spark, sf_oracle):
+    """Partial probe: every ADC hit's cell must have been probed for
+    that query."""
+    from nebuia_vector_db_spark.operators.ann import (
+        build_ivf_index_deterministic,
+    )
+    from nebuia_vector_db_spark.operators.pq import (
+        encode_pq,
+        pq_search_batch,
+        train_pq,
+    )
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    import numpy as np
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    mat = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float32,
+    )
+    idx = build_ivf_index_deterministic(emb, 8, mat, seed=5)
+    books = train_pq(
+        idx.assigned, m=16, k=16, sample=1000, seed=2,
+        cell_centroids=idx.centroids, sample_matrix=mat[:1000],
+    )
+    pq = encode_pq(idx.assigned, books, cell_centroids=idx.centroids)
+    qrows = emb.where(F.col("vec_id").isin(4, 15)).select(
+        "vec_id", "embedding"
+    ).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        "query_id long, query_vec array<double>",
+    )
+    out = pq_search_batch(pq, emb, queries, topk=4, nprobe=2).collect()
+    cell_of = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in idx.assigned.select("vec_id", "ivf_cell").collect()
+    }
+    qvec_of = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows
+    }
+    assert out, "partial probe must still return hits"
+    for r in out:
+        probed = set(idx.probe_cells(qvec_of[r["query_id"]], 2))
+        assert cell_of[r["vec_id"]] in probed

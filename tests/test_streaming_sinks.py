@@ -154,3 +154,45 @@ def test_snapshot_sink_two_independent_streams_do_not_collide(spark, tmp_path):
     assert tbl.read().count() == 40, "second stream's batch 0 must land"
     marks = tbl.meta("stream_watermarks")
     assert set(marks) == {"wa", "wb"}
+
+
+def test_transactional_append_racing_apps_keep_both_lanes(spark, tmp_path):
+    """Two apps drive exactly-once appends CONCURRENTLY, with every
+    batch delivered twice (at-least-once replay). The expected_parent
+    protocol must serialize them without losing either lane's
+    watermark: total rows = one copy of each distinct batch, and each
+    lane's mark is its own max batch id (ADVICE r3 TOCTOU fix)."""
+    import threading
+
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+    from nebuia_vector_db_spark.streaming.sinks import transactional_append
+
+    path = str(tmp_path / "t")
+    errs = []
+
+    def _drive(app, lo):
+        try:
+            for bid in range(3):
+                df = spark.range(lo + bid * 10, lo + bid * 10 + 10).selectExpr(
+                    "id AS k"
+                )
+                transactional_append(spark, path, df, bid, app, retries=20)
+                # at-least-once redelivery of the same batch
+                transactional_append(spark, path, df, bid, app, retries=20)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=_drive, args=("appA", 0))
+    t2 = threading.Thread(target=_drive, args=("appB", 1000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    tbl = SnapshotTable(spark, path)
+    got = tbl.read()
+    assert got.count() == 60, "each distinct batch lands exactly once"
+    marks = tbl.meta("stream_watermarks")
+    assert marks == {"appA": 2, "appB": 2}
+    # a late replay of an old batch still acks without writing
+    transactional_append(
+        spark, path, spark.range(5).selectExpr("id AS k"), 0, "appA"
+    )
+    assert tbl.read().count() == 60
