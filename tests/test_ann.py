@@ -321,3 +321,46 @@ def test_deterministic_ivf_build_is_bit_stable(spark, sf_oracle):
     assert r1 == r2
     r_full = recall_at_k_batch(idx1, emb, queries, k=10, nprobe=8)
     assert r_full == 1.0
+
+
+def test_saved_index_search_batch_prunes_partitions(
+    spark, sf_oracle, tmp_path_factory
+):
+    """Persisted index + BATCH search: the union-of-probed-cells
+    filter must reach the scan as a PartitionFilter — at scale the
+    batch pays for |union| cells' files, not the corpus."""
+    import re
+
+    from nebuia_vector_db_spark.operators.ann import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    emb = _emb(spark, sf_oracle)
+    idx = build_ivf_index(emb, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf_idx_b"))
+    save_ivf_index(idx, path)
+    loaded = load_ivf_index(spark, path)
+    queries = (
+        emb.where(F.col("vec_id").isin(0, 7))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    got = loaded.search_batch(queries, 5, nprobe=2, tie_cols=["vec_id"])
+    plan = explain_str(got)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cell" in m.group(1), plan
+    # and the results agree with the in-memory index's batch search
+    want = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in idx.search_batch(
+            queries, 5, nprobe=2, tie_cols=["vec_id"]
+        ).collect()
+    }
+    assert {
+        (r["query_id"], r["vec_id"], r["rk"]) for r in got.collect()
+    } == want
