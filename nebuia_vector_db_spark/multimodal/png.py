@@ -54,6 +54,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     ihdr: bytes | None = None
     plte: bytes | None = None
     idat: list[bytes] = []
+    saw_iend = False
     while pos + 8 <= len(data):
         length, ctype = struct.unpack(">I4s", data[pos : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
@@ -71,10 +72,16 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if not saw_iend:
+        # a stream that ends without IEND is a truncation, even when
+        # every pixel survived — fail closed rather than pass along a
+        # payload something upstream cut short (fuzz-pinned)
+        raise ValueError("missing IEND (truncated stream)")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
