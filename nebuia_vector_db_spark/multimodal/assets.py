@@ -789,3 +789,151 @@ def decode_image_color_real(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return cols.mapInPandas(_decode, schema=_COLOR_STATS_SCHEMA)
+
+
+def attach_avi_assets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    win_bytes: int = 64,
+    hop_bytes: int = 48,
+    fps: int = 8,
+    blocks_per_row: int = 16,
+) -> DataFrame:
+    """Derive a REAL MJPEG-AVI video asset per document (round 4):
+    sliding ``win_bytes``-byte windows of the text (hop
+    ``hop_bytes``, the STFT framing ``audio_windows_real`` uses for
+    audio) each become one exact-by-construction flat-block JPEG
+    frame (each byte = a constant 8x8 block, quality=100 — see
+    ``attach_jpeg_lossless_assets``), and the frames are muxed into
+    a genuine RIFF/AVI container (multimodal/avi.py: hdrl/strl
+    headers, 00dc movi chunks, keyframe idx1). The whole clip is
+    lossless end to end, so pixel-level per-frame stats and
+    scene-change deltas replay exactly from the text bytes in SQL
+    (registry row `mm_video_frames`). Documents shorter than one
+    window are dropped, mirroring ``audio_windows_real``.
+
+    Arrow-batched mapInPandas, map-side, no shuffle; the payload is
+    an opaque binary column until a query decodes it.
+    """
+    import math
+
+    from nebuia_vector_db_spark.multimodal.avi import encode_avi_mjpeg
+    from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_gray
+
+    if win_bytes % blocks_per_row:
+        raise ValueError("win_bytes must be a multiple of blocks_per_row")
+    width = blocks_per_row * 8
+    height = (win_bytes // blocks_per_row) * 8
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            ids, payloads, n_frames_col = [], [], []
+            for doc, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                if len(b) < win_bytes:
+                    continue
+                n_win = (len(b) - win_bytes) // hop_bytes + 1
+                arr = np.frombuffer(b, dtype=np.uint8)
+                frames = []
+                for k in range(n_win):
+                    w = arr[k * hop_bytes : k * hop_bytes + win_bytes]
+                    grid = w.reshape(-1, blocks_per_row)
+                    frames.append(
+                        encode_jpeg_gray(np.kron(grid, ones), quality=100)
+                    )
+                ids.append(doc)
+                payloads.append(
+                    encode_avi_mjpeg(frames, fps=fps, width=width,
+                                     height=height)
+                )
+                n_frames_col.append(n_win)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime": ["video/x-msvideo"] * len(ids),
+                    "declared_width": [width] * len(ids),
+                    "declared_height": [height] * len(ids),
+                    "duration_ms": [
+                        int(n * 1000 / fps) for n in n_frames_col
+                    ],
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, payload binary, mime string, "
+            "declared_width int, declared_height int, duration_ms long"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            "mime", "declared_width", "declared_height", "duration_ms"
+        ).alias("asset_meta"),
+    )
+
+
+_VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_id int, fps int, width int, height int, "
+    "frame_mean double, frame_max int, delta_mean double"
+)
+
+
+def video_frame_stats(assets: DataFrame) -> DataFrame:
+    """REAL video decode: demux the AVI container, JPEG-decode every
+    frame, and emit per-frame pixel stats plus the pixel-level
+    scene-change signal (mean |frame_k - frame_{k-1}|) — the decoded
+    sibling of the byte-delta ``scene_changes``. frame_mean and
+    delta_mean are integer pixel sums divided by a power of two, so
+    they are bit-exact doubles and SQL replays them with no rounding
+    epsilon. Arrow-batched mapInPandas, map-side, no shuffle; each
+    clip decodes independently, so 100 TB of video partitions like
+    any other binary column."""
+    from nebuia_vector_db_spark.multimodal.avi import decode_avi_mjpeg
+    from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg_gray
+
+    cols = assets.select("doc_id", "payload")
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_id", "fps", "width", "height",
+                "frame_mean", "frame_max", "delta_mean",
+            )}
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                clip = decode_avi_mjpeg(bytes(pay))
+                prev = None
+                for k, fb in enumerate(clip["frames"]):
+                    px = decode_jpeg_gray(fb).astype(np.int64)
+                    n_px = px.size
+                    rows["doc_id"].append(doc)
+                    rows["frame_id"].append(k)
+                    rows["fps"].append(clip["fps"])
+                    rows["width"].append(px.shape[1])
+                    rows["height"].append(px.shape[0])
+                    rows["frame_mean"].append(int(px.sum()) / n_px)
+                    rows["frame_max"].append(int(px.max()))
+                    rows["delta_mean"].append(
+                        0.0 if prev is None
+                        else int(np.abs(px - prev).sum()) / n_px
+                    )
+                    prev = px
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["frame_id"] = pdf_out["frame_id"].astype("int32")
+            pdf_out["fps"] = pdf_out["fps"].astype("int32")
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            pdf_out["frame_max"] = pdf_out["frame_max"].astype("int32")
+            yield pdf_out
+
+    return cols.mapInPandas(_stats, schema=_VIDEO_FRAME_SCHEMA)

@@ -2444,6 +2444,68 @@ ORDER BY doc_id
 """
 
 
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container row (round 4): sliding 64-byte windows
+    of each document become exact-by-construction flat-block JPEG
+    frames muxed into a genuine RIFF/AVI container
+    (multimodal/avi.py — hdrl/strl headers, 00dc movi chunks,
+    keyframe idx1), then the query demuxes the container, JPEG-
+    decodes every frame, and emits per-frame pixel stats plus the
+    pixel-level scene-change delta vs the previous frame. This is
+    container parse + codec + temporal differencing composed — the
+    decoded-pixel supersession of the byte-delta `mm_scene_changes`.
+    frame_mean/delta_mean are integer sums over a power-of-two pixel
+    count, so DuckDB replays them bit-exactly from the text bytes."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_avi_assets,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = video_frame_stats(attach_avi_assets(docs))
+    return stats.select(
+        "doc_id", "frame_id", "fps", "width", "height",
+        "frame_mean", "frame_max", "delta_mean",
+    ).orderBy("doc_id", "frame_id")
+
+
+ORACLE_MM_VIDEO = f"""
+WITH a AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+),
+f AS (
+  SELECT doc_id, hx, unnest(range((nb - 64) // 48 + 1)) AS frame_id
+  FROM a
+),
+w AS (
+  SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+         list_transform(range(frame_id * 48, frame_id * 48 + 64),
+                        i -> {_HEXVAL_HI}) AS cur,
+         CASE WHEN frame_id = 0 THEN NULL
+              ELSE list_transform(range((frame_id - 1) * 48,
+                                        (frame_id - 1) * 48 + 64),
+                                  i -> {_HEXVAL_HI}) END AS prev
+  FROM f
+)
+SELECT doc_id, frame_id,
+       CAST(8 AS INT) AS fps,
+       CAST(128 AS INT) AS width,
+       CAST(32 AS INT) AS height,
+       list_aggregate(cur, 'sum') / 64.0 AS frame_mean,
+       CAST(list_aggregate(cur, 'max') AS INT) AS frame_max,
+       CASE WHEN prev IS NULL THEN 0.0
+            ELSE list_aggregate(
+                   list_transform(range(64),
+                     j -> abs(cur[j + 1] - prev[j + 1])), 'sum') / 64.0
+       END AS delta_mean
+FROM w
+ORDER BY doc_id, frame_id
+"""
+
+
 def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide→long, the inverse of events_pivot): melt three
     lineitem measure columns into (measure, value) rows with
@@ -4001,9 +4063,11 @@ REGISTRY: dict[
     # decoded PCM) — supersedes the md5-fake mm_audio_windows in the
     # window (round-3 swap; windowing mechanics stay locally green)
     "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
-    # temporal multimodal op: consecutive-frame byte-delta scene cuts
-    # (exercises the same frame-extraction path as mm_frame_sample)
-    "mm_scene_changes": (q_mm_scene_changes, ORACLE_MM_SCENES),
+    # REAL video container (round-4 promotion): AVI demux + per-frame
+    # JPEG decode + pixel-level scene deltas — supersedes the
+    # byte-delta mm_scene_changes in-window (same temporal-delta
+    # semantics, now on decoded pixels through a genuine container)
+    "mm_video_frames": (q_mm_video_frames, ORACLE_MM_VIDEO),
     # COLOR JPEG (round-4 promotion): YCbCr 4:2:0, dual table pairs,
     # interleaved MCUs — lossless-by-construction flat tiles make the
     # lossy color path hash-checkable; displaces vs_neardup_lsh (see
@@ -4063,6 +4127,11 @@ REGISTRY: dict[
     #   rank fusion + orders_running_revenue's frames; exact
     #   percentile stays locally green.
     # Round-4 demotions:
+    # mm_scene_changes: byte-delta scene cuts — demoted round 4 for
+    #   mm_video_frames, which runs the same consecutive-frame delta
+    #   on DECODED pixels through a real AVI container + JPEG codec;
+    #   the byte-level frame-extraction arithmetic stays locally green;
+    "mm_scene_changes": (q_mm_scene_changes, ORACLE_MM_SCENES),
     # vs_neardup_lsh: RP-LSH sketch-bucket equi-join over embeddings —
     #   the sketch-blocking join family keeps TWO recorded reps
     #   (dedup_minhash_lsh banded equi-join, dedup_simhash pigeonhole

@@ -57,9 +57,10 @@ _REQUIRED_IN_WINDOW = {
     "pipe_decontaminate", "pipe_stratified_sample",
     "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
     # multimodal (mm_png_roundtrip / mm_audio_real / mm_color_roundtrip
-    # = REAL codecs; supersede fake-codec mm_image_features/
-    # mm_audio_windows)
-    "mm_png_roundtrip", "mm_audio_real", "mm_scene_changes",
+    # / mm_video_frames = REAL codecs+containers; supersede fake-codec
+    # mm_image_features/mm_audio_windows and byte-delta
+    # mm_scene_changes)
+    "mm_png_roundtrip", "mm_audio_real", "mm_video_frames",
     "mm_color_roundtrip",
     # transactional storage (SnapshotTable COW delete — round 3)
     "snap_delete_read",
