@@ -1,4 +1,4 @@
-"""Pure numpy/stdlib baseline JPEG codec — grayscale AND color, 8-bit.
+"""Pure numpy/stdlib JPEG codec — baseline AND progressive, gray + color.
 
 Third REAL codec behind the multimodal surface (with png.py and
 wav.py; the reference engine is text+vector only, main.go:25-75 —
@@ -22,13 +22,25 @@ DCT process of ITU-T T.81:
   MCU order, emitting the exact tables it uses in DQT/DHT (so ANY
   baseline decoder can read the stream).
 
+**Progressive mode (SOF2, T.81 Annex G)** is fully supported in both
+directions (round 4): spectral selection + successive approximation
+scan scripts (libjpeg-style default or caller-provided), EOBn
+end-of-band runs, ZRL-with-correction-bits refinement coding, DC/AC
+refinement scans, per-scan OPTIMIZED Huffman tables built by the
+Annex K.2 procedure (required — the K.3 typical tables lack the EOBn
+symbols), and RSTn restarts inside every scan. The progressive
+encoder shares the baseline's DCT/quantization front end while the
+decoder reconstructs coefficients through the entirely different
+Annex-G entropy layer, so progressive decode ≡ baseline decode
+bit-for-bit on every image — the cross-check the test suite pins on
+random inputs.
+
 The 2-D DCT is exact matrix arithmetic (C · B · Cᵀ with the
 orthonormal DCT-II basis), validated in tests against a literal
 four-loop transcription of the T.81 definition; the color transform
 is validated against a literal per-pixel transcription of the JFIF
-formulas. Progressive mode (SOF2) and sampling factors above 2 are
-out of scope — the decoder rejects them cleanly rather than
-mis-decoding.
+formulas. Sampling factors above 2 are out of scope — the decoder
+rejects them cleanly rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -553,7 +565,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg_impl(payload)
     except JpegFormatError:
         raise
-    except (IndexError, ValueError, struct.error) as e:
+    except (IndexError, ValueError, struct.error, OverflowError) as e:
+        # OverflowError: a corrupt DHT can decode an absurd magnitude
+        # size whose amplitude no longer fits the int64 coefficient
         raise JpegFormatError(f"corrupt JPEG stream: {e}") from e
 
 
@@ -579,13 +593,27 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     restart_interval = 0
+    progressive = False
+    prog_coefs = None  # per-comp (BV, BH, 64) zigzag coefficient arrays
+    prog_dims = None   # per-comp non-interleaved (bv, bh) block dims
+    prog_mcx = prog_mcy = 0
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
         marker = (payload[pos] << 8) | payload[pos + 1]
         pos += 2
         if marker == 0xFFD9:  # EOI
+            if progressive and prog_coefs is not None:
+                qts = []
+                for cid, hs, vs, tq in comps:
+                    if tq not in qtables:
+                        raise JpegFormatError("missing quant table")
+                    qts.append(qtables[tq])
+                return _reconstruct_progressive(
+                    [(cid, hs, vs) for cid, hs, vs, _ in comps],
+                    prog_dims, prog_coefs, qts, h, w,
+                )
             break
         if pos + 2 > len(payload):
             raise JpegFormatError("truncated marker segment")
@@ -606,7 +634,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 raster[_ZIGZAG] = zz
                 qtables[tq] = raster.reshape(8, 8)
                 off += 65
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xFFC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise JpegFormatError("only 8-bit precision supported")
@@ -627,8 +656,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 comps.append((cid, hs, vs, tq))
             if ncomp == 1 and comps[0][1:3] != (1, 1):
                 raise JpegFormatError("subsampled single component")
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise JpegFormatError("only baseline (SOF0) supported")
+        elif marker in (0xFFC1, 0xFFC3):
+            raise JpegFormatError("only SOF0/SOF2 processes supported")
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
@@ -645,6 +674,60 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
             if h is None or not comps:
                 raise JpegFormatError("SOS before SOF")
             ns = body[0]
+            if progressive:
+                if len(body) < 4 + 2 * ns:
+                    raise JpegFormatError("truncated progressive SOS")
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah_, al_ = ahal >> 4, ahal & 0xF
+                if not (0 <= ss_ <= se_ <= 63) or (ss_ == 0) != (se_ == 0):
+                    raise JpegFormatError("invalid spectral band")
+                if ah_ != 0 and ah_ != al_ + 1:
+                    raise JpegFormatError("invalid successive approximation")
+                if ss_ > 0 and ns != 1:
+                    raise JpegFormatError("AC scans must be single-component")
+                if prog_coefs is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    prog_mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                    prog_mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                    prog_coefs, prog_dims = [], []
+                    for cid, hs, vs, tq in comps:
+                        prog_coefs.append(
+                            np.zeros(
+                                (prog_mcy * vs, prog_mcx * hs, 64),
+                                dtype=np.int64,
+                            )
+                        )
+                        ch = (h * vs + vmax - 1) // vmax
+                        cw = (w * hs + hmax - 1) // hmax
+                        prog_dims.append(((ch + 7) // 8, (cw + 7) // 8))
+                frame_cids = [c[0] for c in comps]
+                scan_plan = []
+                for si in range(ns):
+                    scid = body[1 + 2 * si]
+                    td = body[2 + 2 * si] >> 4
+                    ta = body[2 + 2 * si] & 0xF
+                    if scid not in frame_cids:
+                        raise JpegFormatError(f"unknown scan component {scid}")
+                    ci = frame_cids.index(scid)
+                    dc_dec = ac_dec = None
+                    if ss_ == 0 and ah_ == 0:
+                        if td not in huff_dc:
+                            raise JpegFormatError("scan references missing DHT")
+                        dc_dec = huff_dc[td]
+                    elif ss_ > 0:
+                        if ta not in huff_ac:
+                            raise JpegFormatError("scan references missing DHT")
+                        ac_dec = huff_ac[ta]
+                    scan_plan.append((ci, dc_dec, ac_dec))
+                pos = _dec_scan_progressive(
+                    payload, pos + seg_len, scan_plan,
+                    [(cid, hs, vs) for cid, hs, vs, _ in comps],
+                    prog_dims, prog_coefs, ss_, se_, ah_, al_,
+                    restart_interval, prog_mcx, prog_mcy,
+                )
+                continue
             if ns != len(comps):
                 raise JpegFormatError(
                     "scan component count differs from frame "
@@ -794,6 +877,596 @@ def _decode_scan_color(
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
     full = []
     for (hs, vs, _, _, _), plane in zip(plan, planes):
+        if hs < hmax or vs < vmax:
+            plane = plane.repeat(vmax // vs, axis=0).repeat(
+                hmax // hs, axis=1
+            )
+        full.append(plane[:h, :w])
+    return ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ------------------------------------------------ optimized Huffman (K.2)
+def _build_huffman(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """Length-limited (16) canonical Huffman table from symbol
+    frequencies, per the T.81 Annex K.2 procedure (Figures K.1-K.4):
+    pairwise merge of least-frequent symbols tracking code sizes, the
+    BITS length-overflow adjustment, and removal of the reserved
+    all-ones code point. Progressive scans REQUIRE custom tables — the
+    Annex K.3 "typical" AC tables lack the EOBn run symbols
+    (0x10..0xE0) — and the same builder gives optimized tables for
+    any scan."""
+    freq = np.asarray(freq, dtype=np.int64).copy()
+    if freq.shape[0] < 257:
+        freq = np.concatenate(
+            [freq, np.zeros(257 - freq.shape[0], dtype=np.int64)]
+        )
+    freq[256] = 1  # reserved code point: guarantees no all-1s code
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nz = np.nonzero(freq)[0]
+        if len(nz) <= 1:
+            break
+        fmin = freq[nz].min()
+        v1 = int(nz[freq[nz] == fmin].max())
+        nz2 = nz[nz != v1]
+        fmin2 = freq[nz2].min()
+        v2 = int(nz2[freq[nz2] == fmin2].max())
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(60, dtype=np.int64)
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    # Figure K.3: fold code lengths > 16 back into the tree
+    i = int(np.nonzero(bits)[0].max()) if bits.any() else 0
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # drop the reserved code point from the longest used length
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i:
+        bits[i] -= 1
+    vals = [
+        s
+        for s in sorted(range(256), key=lambda s: (codesize[s], s))
+        if codesize[s] > 0
+    ]
+    return [int(b) for b in bits[1:17]], vals
+
+
+# ------------------------------------------------- progressive encoder
+class _FreqSink:
+    """Pass-1 sink: counts Huffman symbol frequencies, ignores bits."""
+
+    def __init__(self):
+        self.freq = np.zeros(256, dtype=np.int64)
+
+    def sym(self, v: int) -> None:
+        self.freq[v] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def rst(self, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Pass-2 sink: entropy-writes symbols through a canonical table."""
+
+    def __init__(self, bw: _BitWriter, codes: dict | None):
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, v: int) -> None:
+        code, length = self.codes[v]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        self.bw.write(v, n)
+
+    def rst(self, n: int) -> None:
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + n % 8])
+
+
+def _ac_point(v: int, al: int) -> int:
+    """AC successive-approximation point transform (T.81 G.1.2.2):
+    sign-magnitude integer divide by 2^Al (NOT an arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _EobRun:
+    """Shared EOB-run accumulator for AC scans: counts end-of-band
+    blocks and (refinement scans) buffers their correction bits so
+    they land immediately after the EOBn code (G.1.2.2-3)."""
+
+    def __init__(self, sink):
+        self.sink = sink
+        self.count = 0
+        self.corr: list[int] = []
+
+    def flush(self) -> None:
+        if self.count == 0:
+            return
+        r = self.count.bit_length() - 1
+        self.sink.sym(r << 4)
+        if r:
+            self.sink.bits(self.count - (1 << r), r)
+        for b in self.corr:
+            self.sink.bits(b, 1)
+        self.count = 0
+        self.corr = []
+
+    def add(self, corr_bits: list[int]) -> None:
+        self.count += 1
+        self.corr.extend(corr_bits)
+        if self.count == 0x7FFF:  # EOB14 ceiling
+            self.flush()
+
+
+def _enc_ac_first(sink, zz: np.ndarray, ss: int, se: int, al: int,
+                  eob: _EobRun) -> None:
+    """First AC scan of a band: magnitude-code the point-transformed
+    coefficients with ZRL + EOBn runs."""
+    band = [_ac_point(int(zz[k]), al) for k in range(ss, se + 1)]
+    if not any(band):
+        eob.add([])
+        return
+    eob.flush()
+    run = 0
+    last_nz = max(i for i, v in enumerate(band) if v)
+    for i, v in enumerate(band[: last_nz + 1]):
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            sink.sym(0xF0)  # ZRL
+            run -= 16
+        size, ampl = _magnitude(v)
+        sink.sym((run << 4) | size)
+        sink.bits(ampl, size)
+        run = 0
+    if last_nz < len(band) - 1:
+        eob.add([])
+
+
+def _enc_ac_refine(sink, zz: np.ndarray, ss: int, se: int, al: int,
+                   eob: _EobRun) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients
+    are coded as (run, 1) + sign; already-significant coefficients
+    contribute one correction bit each, appended after the symbol (or
+    after the EOBn code when inside an end-of-band run)."""
+    cur = [_ac_point(int(zz[k]), al) for k in range(ss, se + 1)]
+    hist = [_ac_point(int(zz[k]), al + 1) != 0 for k in range(ss, se + 1)]
+    newly = [
+        i for i, (v, hh) in enumerate(zip(cur, hist))
+        if not hh and abs(v) == 1
+    ]
+    if not newly:
+        eob.add([abs(v) & 1 for v, hh in zip(cur, hist) if hh])
+        return
+    eob.flush()
+    run = 0
+    corr: list[int] = []
+    last_new = newly[-1]
+    for i in range(last_new + 1):
+        if cur[i] == 0 and not hist[i]:
+            run += 1
+            continue
+        # the ZRL check precedes history-bit buffering at ANY nonzero
+        # position: the decoder's ZRL traversal stops at the 16th
+        # zero-history coefficient, so a history bit past it must be
+        # associated with the NEXT symbol, not this ZRL
+        while run > 15:
+            sink.sym(0xF0)
+            for b in corr:
+                sink.bits(b, 1)
+            corr = []
+            run -= 16
+        if hist[i]:
+            corr.append(abs(cur[i]) & 1)
+            continue
+        sink.sym((run << 4) | 1)
+        sink.bits(1 if cur[i] > 0 else 0, 1)
+        for b in corr:
+            sink.bits(b, 1)
+        corr = []
+        run = 0
+    trailing = [abs(v) & 1 for v, hh in
+                zip(cur[last_new + 1:], hist[last_new + 1:]) if hh]
+    if last_new < len(cur) - 1:
+        # corr is empty here: the loop's final iteration emitted the
+        # last newly-significant coefficient and flushed it
+        eob.add(trailing)
+
+
+def _prog_scan_blocks(comp_sel, frame_comps, dims, interleaved,
+                      mcx, mcy):
+    """Yield (ci, by, bx) in scan order: MCU-interleaved when the
+    scan has several components, plain block raster otherwise
+    (T.81 A.2). One yield per block; the caller indexes the
+    coefficient arrays."""
+    if interleaved:
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci in comp_sel:
+                    hs, vs = frame_comps[ci][1], frame_comps[ci][2]
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            yield ci, my * vs + vy, mx * hs + vx
+    else:
+        ci = comp_sel[0]
+        bv, bh = dims[ci]
+        for by in range(bv):
+            for bx in range(bh):
+                yield ci, by, bx
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "420",
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a 2-D grayscale or (h, w, 3) RGB array as a PROGRESSIVE
+    JPEG (SOF2, T.81 Annex G): spectral selection + successive
+    approximation over a libjpeg-style default scan script, or a
+    caller-provided ``scans`` list of ``(comp_indices, Ss, Se, Ah,
+    Al)``. Every scan gets its own OPTIMIZED Huffman table built by
+    the Annex K.2 procedure (two passes: frequency count, then emit)
+    — progressive streams require custom tables because the K.3
+    typical tables lack the EOBn symbols. ``restart_interval`` > 0
+    emits DRI once and RSTn markers every N MCUs/blocks in every
+    scan, resetting DC predictors and EOB runs.
+
+    The DCT/quantization front end is shared with the baseline
+    encoder, so the quantized coefficients — and therefore the
+    decoded pixels — are IDENTICAL to the baseline stream's; tests
+    pin progressive decode ≡ baseline decode bit-for-bit."""
+    img = np.asarray(img)
+    color = img.ndim == 3
+    if color and img.shape[2] != 3:
+        raise JpegFormatError("color encoder takes an (h, w, 3) array")
+    if not color and img.ndim != 2:
+        raise JpegFormatError("encoder takes 2-D gray or (h, w, 3) RGB")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegFormatError("empty image")
+
+    # ---- coefficient front end (shared with baseline) ----------------
+    if color:
+        if subsampling not in ("420", "444"):
+            raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
+        sub = subsampling == "420"
+        y, cb, cr = rgb_to_ycbcr(img)
+        mcu_px = 16 if sub else 8
+        ph, pw = -h % mcu_px, -w % mcu_px
+        pad = lambda p: np.pad(p, ((0, ph), (0, pw)), mode="edge")  # noqa: E731
+        y, cb, cr = pad(y), pad(cb), pad(cr)
+        if sub:
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+        qt_l, qt_c = quality_qtable(quality), quality_qtable_chroma(quality)
+        zz_y, by_, bx_ = _plane_to_zz(y, qt_l)
+        zz_cb, cby, cbx = _plane_to_zz(cb, qt_c)
+        zz_cr, _, _ = _plane_to_zz(cr, qt_c)
+        planes = [
+            zz_y.reshape(by_, bx_, 64),
+            zz_cb.reshape(cby, cbx, 64),
+            zz_cr.reshape(cby, cbx, 64),
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
+        mcy, mcx = cby, cbx
+        frame_comps = [(i + 1, hs, vs) for i, (hs, vs) in enumerate(samp)]
+        # non-interleaved scans cover ceil(comp_size/8) blocks (T.81
+        # A.2.2), NOT the MCU-padded grid the interleaved DC scan uses
+        hmax = max(hs for hs, _ in samp)
+        vmax = max(vs for _, vs in samp)
+        dims = [
+            (
+                ((h * vs + vmax - 1) // vmax + 7) // 8,
+                ((w * hs + hmax - 1) // hmax + 7) // 8,
+            )
+            for hs, vs in samp
+        ]
+    else:
+        qt_l = quality_qtable(quality)
+        ph, pw = -h % 8, -w % 8
+        padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+        zz, bv, bh = _plane_to_zz(padded, qt_l)
+        planes = [zz.reshape(bv, bh, 64)]
+        frame_comps = [(1, 1, 1)]
+        dims = [(bv, bh)]
+        mcy, mcx = bv, bh
+
+    if scans is None:
+        all_c = list(range(len(planes)))
+        if color:
+            scans = [
+                (all_c, 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                (all_c, 0, 0, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+
+    # ---- headers -----------------------------------------------------
+    out = b"\xff\xd8"
+    out += _seg(
+        0xFFDB, bytes([0x00]) + bytes(int(x) for x in qt_l.reshape(64)[_ZIGZAG])
+    )
+    if color:
+        out += _seg(
+            0xFFDB,
+            bytes([0x01]) + bytes(int(x) for x in qt_c.reshape(64)[_ZIGZAG]),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (cid, hs, vs) in enumerate(frame_comps):
+        sof += bytes([cid, (hs << 4) | vs, 0 if i == 0 else 1])
+    out += _seg(0xFFC2, sof)  # SOF2: progressive DCT
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    # ---- scans -------------------------------------------------------
+    for comp_sel, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise JpegFormatError("DC scan must have Se=0")
+        if ss > 0 and len(comp_sel) != 1:
+            raise JpegFormatError("AC scans are single-component")
+        interleaved = ss == 0 and len(comp_sel) > 1
+        is_dc = ss == 0
+        needs_table = not (is_dc and ah > 0)
+
+        def run_scan(sink):
+            pred = {ci: 0 for ci in comp_sel}
+            eob = _EobRun(sink)
+            rst_n = 0
+            gen = _prog_scan_blocks(
+                comp_sel, frame_comps, dims, interleaved, mcx, mcy
+            )
+            blocks_in_unit = (
+                sum(frame_comps[ci][1] * frame_comps[ci][2]
+                    for ci in comp_sel)
+                if interleaved else 1
+            )
+            bcount = 0
+            for ci, by, bx in gen:
+                if (
+                    restart_interval
+                    and bcount
+                    and bcount % (restart_interval * blocks_in_unit) == 0
+                ):
+                    eob.flush()
+                    sink.rst(rst_n)
+                    rst_n += 1
+                    pred = {c: 0 for c in comp_sel}
+                bcount += 1
+                blk = planes[ci][by, bx]
+                if is_dc and ah == 0:
+                    v = int(blk[0]) >> al  # DC point transform: arith shift
+                    size, ampl = _magnitude(v - pred[ci])
+                    sink.sym(size)
+                    sink.bits(ampl, size)
+                    pred[ci] = v
+                elif is_dc:
+                    sink.bits((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(sink, blk, ss, se, al, eob)
+                else:
+                    _enc_ac_refine(sink, blk, ss, se, al, eob)
+            eob.flush()
+
+        codes = None
+        if needs_table:
+            fs = _FreqSink()
+            run_scan(fs)
+            bits_l, vals_l = _build_huffman(fs.freq)
+            codes = _canonical_codes(bits_l, vals_l)
+            tc = 0x00 if is_dc else 0x10  # redefine table id 0 per scan
+            out += _seg(
+                0xFFC4, bytes([tc]) + bytes(bits_l) + bytes(vals_l)
+            )
+        bw = _BitWriter()
+        run_scan(_WriteSink(bw, codes))
+        bw.flush()
+
+        sos = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            sos += bytes([frame_comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        out += bytes(bw.out)
+
+    out += b"\xff\xd9"
+    return out
+
+
+# ------------------------------------------------- progressive decoder
+def _dec_ac_first(br, ac, blk, ss, se, al, eobrun):
+    """First AC scan of a band (G.2): EOBn runs, ZRL, magnitude-coded
+    coefficients shifted up by Al. Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegFormatError("AC run past spectral band end")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(br, ac, blk, ss, se, al, eobrun):
+    """AC refinement scan (G.2): newly-significant ±1<<Al
+    coefficients plus one correction bit per already-significant
+    coefficient traversed. Returns the updated EOB run."""
+    p1 = 1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if br.read_bit() and (c & p1) == 0:
+            blk[k] = c + p1 if c > 0 else c - p1
+
+    if eobrun > 0:
+        for j in range(ss, se + 1):
+            if blk[j]:
+                correct(j)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                r = 64  # force traversal to band end (corrections only)
+        else:
+            if s != 1:
+                raise JpegFormatError("invalid refinement AC symbol")
+            val = p1 if br.read_bit() else -p1
+        while k <= se:
+            if blk[k]:
+                correct(k)
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    break
+                r -= 1
+            k += 1
+        k += 1
+    return eobrun
+
+
+def _dec_scan_progressive(
+    payload, pos, scan_plan, frame_comps, dims, coefs,
+    ss, se, ah, al, restart_interval, mcx, mcy,
+):
+    """Consume one progressive entropy segment, mutating the
+    per-component zigzag coefficient arrays; returns the byte
+    position after the scan (the next marker). scan_plan is
+    ``[(ci, dc_decoder_or_None, ac_decoder_or_None), ...]``."""
+    br = _BitReader(payload, pos)
+    comp_sel = [ci for ci, _, _ in scan_plan]
+    decs = {ci: (dc, ac) for ci, dc, ac in scan_plan}
+    interleaved = ss == 0 and len(comp_sel) > 1
+    is_dc = ss == 0
+    pred = {ci: 0 for ci in comp_sel}
+    eobrun = 0
+    blocks_in_unit = (
+        sum(frame_comps[ci][1] * frame_comps[ci][2] for ci in comp_sel)
+        if interleaved else 1
+    )
+    bcount = 0
+    for ci, by, bx in _prog_scan_blocks(
+        comp_sel, frame_comps, dims, interleaved, mcx, mcy
+    ):
+        if (
+            restart_interval
+            and bcount
+            and bcount % (restart_interval * blocks_in_unit) == 0
+        ):
+            _resync_rst(br)
+            pred = {c: 0 for c in comp_sel}
+            eobrun = 0
+        bcount += 1
+        blk = coefs[ci][by, bx]
+        dc, ac = decs[ci]
+        if is_dc and ah == 0:
+            size = dc.decode(br)
+            pred[ci] += _extend(br.read_bits(size), size)
+            blk[0] = pred[ci] << al
+        elif is_dc:
+            if br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:
+            eobrun = _dec_ac_first(br, ac, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _dec_ac_refine(br, ac, blk, ss, se, al, eobrun)
+    # the next marker begins at the first unconsumed byte — but skip
+    # entropy padding first: a flush-to-1s pad byte can itself be a
+    # stuffed 0xFF00 pair, and fill 0xFFs may precede the marker
+    p = br.pos
+    while p + 1 < len(payload) and payload[p] == 0xFF and (
+        payload[p + 1] in (0x00, 0xFF)
+    ):
+        p += 2 if payload[p + 1] == 0x00 else 1
+    return p
+
+
+def _reconstruct_progressive(frame_comps, dims, coefs, qts, h, w):
+    """Dequantize + IDCT the accumulated coefficient arrays and
+    assemble the image exactly like the baseline paths (same
+    per-block _idct2 arithmetic, so a progressive stream of the same
+    quantized coefficients decodes bit-identically to its baseline
+    sibling — test-pinned)."""
+    hmax = max(hs for _, hs, _ in frame_comps)
+    vmax = max(vs for _, _, vs in frame_comps)
+    planes = []
+    for (cid, hs, vs), (bv, bh), zz, qt in zip(
+        frame_comps, dims, coefs, qts
+    ):
+        plane = np.empty((bv * 8, bh * 8), dtype=np.float64)
+        for by in range(bv):
+            for bx in range(bh):
+                raster = np.empty(64, dtype=np.int64)
+                raster[_ZIGZAG] = zz[by, bx]
+                block = _idct2(raster.reshape(8, 8) * qt) + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        planes.append(plane)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    full = []
+    for (cid, hs, vs), plane in zip(frame_comps, planes):
         if hs < hmax or vs < vmax:
             plane = plane.repeat(vmax // vs, axis=0).repeat(
                 hmax // hs, axis=1

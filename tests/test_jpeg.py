@@ -103,12 +103,19 @@ def test_rejects_malformed():
         decode_jpeg_gray(b"\x00\x01" + good[2:])  # no SOI
     with pytest.raises(JpegFormatError):
         decode_jpeg_gray(good[:20])  # truncated before SOS
-    # progressive SOF2 is rejected, not mis-decoded
+    # a BASELINE stream relabeled as SOF2 is still rejected (its SOS
+    # carries Ss=0..Se=63, invalid for a progressive scan) — SOF2
+    # itself is now fully supported, see test_jpeg_progressive.py
     prog = bytearray(good)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(JpegFormatError, match="baseline"):
+    with pytest.raises(JpegFormatError, match="spectral"):
         decode_jpeg_gray(bytes(prog))
+    # lossless (SOF3) stays out of scope and fails closed
+    sof3 = bytearray(good)
+    sof3[idx + 1] = 0xC3
+    with pytest.raises(JpegFormatError, match="SOF0/SOF2"):
+        decode_jpeg_gray(bytes(sof3))
     with pytest.raises(JpegFormatError):
         encode_jpeg_gray(np.zeros((0, 4), dtype=np.uint8))
 
