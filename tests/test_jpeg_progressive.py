@@ -187,3 +187,45 @@ def test_mutated_progressive_fails_closed(cut, flip_to):
         assert isinstance(out, np.ndarray)
     except JpegFormatError:
         pass
+
+
+def test_progressive_stream_through_spark_decode(spark):
+    """A progressive stream attached as a binary asset decodes through
+    the same decode_image_real mapInPandas kernel as baseline JPEG
+    (magic-sniffed to decode_jpeg, which dispatches on SOF marker) —
+    and, because both encoders share the quantization front end, the
+    decoded stats are identical to the baseline stream's."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.multimodal.assets import decode_image_real
+
+    imgs = {i: _rand_img(i, 24, 32) for i in range(1, 4)}
+
+    def _assets(encoder):
+        rows = [
+            (i, encoder(img), "image/jpeg")
+            for i, img in imgs.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, mime string"
+        )
+        return df.select(
+            "doc_id", "payload",
+            F.struct(
+                F.col("mime"),
+                F.lit(32).alias("declared_width"),
+                F.lit(24).alias("declared_height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("asset_meta"),
+        )
+
+    base = decode_image_real(
+        _assets(lambda im: encode_jpeg_gray(im, 85))
+    ).orderBy("doc_id").collect()
+    prog = decode_image_real(
+        _assets(lambda im: encode_jpeg_progressive(im, 85))
+    ).orderBy("doc_id").collect()
+    assert len(base) == len(prog) == 3
+    for rb, rp in zip(base, prog):
+        assert rb.asDict() == rp.asDict()
