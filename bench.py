@@ -743,12 +743,15 @@ def main() -> None:
     )
     zroot_xl = _tf.mkdtemp(prefix="nvdb_bench_zxl_")
     t0 = time.perf_counter()
+    # carry the 64-float embedding payload: with only the three long
+    # key columns the whole 9.6M-row scan is ~20 ms of page-cached IO
+    # and both read paths sit at the job-dispatch floor (the r4 lesson
+    # from the first sf0.1 run); a wide payload column makes the scan
+    # volume — exactly what file skipping removes — the dominant cost
     ztbl_xl = SnapshotTable.create(
         spark,
         os.path.join(zroot_xl, "t"),
-        cluster_by_zorder(
-            xl.select("vec_id", "zx", "zy"), ["zx", "zy"], 512, bits=8
-        ),
+        cluster_by_zorder(xl, ["zx", "zy"], 512, bits=8),
         stats_cols=["zx", "zy"],
     )
     timings["b10xl_zorder_snapshot_layout_sec"] = round(
@@ -759,13 +762,18 @@ def main() -> None:
     timings["b10xl_files_scanned_fraction"] = round(
         ztbl_xl.pruned_file_count(box_xl) / ztbl_xl.n_files(), 4
     )
+    # the aggregate reads the payload column on every surviving row
+    # (deterministic long sum, so pruned ≡ full is assertable)
+    payload_sum = F.sum(
+        (F.element_at("embedding", 1) * 1000).cast("long")
+    )
     pruned_xl = ztbl_xl.read(where=box_xl).agg(
-        F.count("*"), F.sum("zx"), F.sum("vec_id")
+        F.count("*"), F.sum("zx"), payload_sum
     )
     full_xl = (
         ztbl_xl.read()
         .where((F.col("zy") >= 0) & (F.col("zy") <= 255))
-        .agg(F.count("*"), F.sum("zx"), F.sum("vec_id"))
+        .agg(F.count("*"), F.sum("zx"), payload_sum)
     )
     assert pruned_xl.collect() == full_xl.collect()  # identical results
     timings["b10xl_pruned_read_sec"] = round(
@@ -831,6 +839,71 @@ def main() -> None:
 
     _release()  # b11 registers one band cache per run
 
+    # ---- B13 (round 4): multimodal container/codec throughput on a
+    # bounded 128-doc sample — AVI mux (sliding text windows -> exact
+    # flat-block JPEG frames -> RIFF container) and demux+per-frame
+    # JPEG decode (the mm_video_frames path), plus a pure-codec
+    # progressive-vs-baseline throughput pair. Bounded so the heavy
+    # Python codec work stays a few seconds; the Spark side is
+    # mapInPandas map-side work that scales with executors.
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_avi_assets,
+        video_frame_stats,
+    )
+
+    b13_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(128)
+        .cache()
+    )
+    b13_docs.count()
+    t0 = time.perf_counter()
+    b13_assets = attach_avi_assets(b13_docs).cache()
+    b13_assets.count()
+    timings["b13_video_mux_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    b13_frames = video_frame_stats(b13_assets).agg(
+        F.count("*").alias("n"), F.sum("frame_max").alias("s")
+    ).head()
+    timings["b13_video_demux_decode_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    timings["b13_video_frames_total"] = int(b13_frames["n"])
+    timings["b13_video_decode_fps"] = round(
+        b13_frames["n"] / max(timings["b13_video_demux_decode_sec"], 1e-9),
+        1,
+    )
+    b13_assets.unpersist()
+    b13_docs.unpersist()
+
+    # pure-codec pair: progressive vs baseline on the same 16 frames
+    # (driver-side, no Spark dispatch — isolates codec throughput)
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg as _dj,
+        encode_jpeg_gray as _ejg,
+        encode_jpeg_progressive as _ejp,
+    )
+
+    _rng13 = np.random.default_rng(13)
+    _frames13 = [
+        _rng13.integers(0, 256, (64, 64), dtype=np.uint8)
+        for _ in range(16)
+    ]
+    t0 = time.perf_counter()
+    _base13 = [_dj(_ejg(f, 85)) for f in _frames13]
+    timings["b13_jpeg_baseline_roundtrip_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    t0 = time.perf_counter()
+    _prog13 = [_dj(_ejp(f, 85)) for f in _frames13]
+    timings["b13_jpeg_progressive_roundtrip_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    assert all(
+        np.array_equal(a, b) for a, b in zip(_base13, _prog13)
+    )  # progressive ≡ baseline, re-proved inside the bench
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -889,6 +962,7 @@ def main() -> None:
                     "b10xl_",
                     "b11_",
                     "b12_",
+                    "b13_",
                 )
             )
         ),

@@ -550,6 +550,7 @@ def attach_jpeg_lossless_assets(
     text_col: str = "text",
     id_col: str = "doc_id",
     blocks_per_row: int = 16,
+    progressive: bool = False,
 ) -> DataFrame:
     """JPEG asset constructed to round-trip EXACTLY: each UTF-8 byte
     of the text becomes one constant 8×8 block, encoded at
@@ -560,11 +561,26 @@ def attach_jpeg_lossless_assets(
     decoded pixel stats are replayable from the text column in SQL
     (registry row `mm_jpeg_roundtrip`) — a hash-checked oracle for a
     codec that is lossy in general. Byte count pads to a full block
-    row with zero blocks."""
+    row with zero blocks.
+
+    ``progressive=True`` emits the same coefficients as a SOF2
+    progressive stream (spectral selection + successive approximation
+    scans, per-scan optimized Huffman tables) — exactness is
+    coefficient-level, so the construction stays lossless through the
+    entirely different Annex-G entropy layer (registry row
+    `mm_jpeg_progressive`)."""
     import math
 
-    from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_gray
+    from nebuia_vector_db_spark.multimodal.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
 
+    enc = (
+        (lambda im: encode_jpeg_progressive(im, quality=100))
+        if progressive
+        else (lambda im: encode_jpeg_gray(im, quality=100))
+    )
     cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -582,7 +598,7 @@ def attach_jpeg_lossless_assets(
                 grid = vals.reshape(n_rows, blocks_per_row)
                 img = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
                 ids.append(doc)
-                payloads.append(encode_jpeg_gray(img, quality=100))
+                payloads.append(enc(img))
                 heights.append(n_rows * 8)
             yield pd.DataFrame(
                 {

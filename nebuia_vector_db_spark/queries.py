@@ -2444,6 +2444,47 @@ ORDER BY doc_id
 """
 
 
+# bounded variant of ORACLE_MM_JPEG for the progressive row: same
+# stats arithmetic over the deterministic doc_id slice
+ORACLE_MM_JPEG_PROG = ORACLE_MM_JPEG.replace(
+    "WHERE octet_length(encode(text)) >= 1",
+    "WHERE octet_length(encode(text)) >= 1 AND doc_id % 5 = 0",
+)
+
+
+def q_mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) row (round 4): the same lossless
+    flat-block construction as `mm_jpeg_roundtrip`, but entropy-coded
+    through the T.81 Annex-G progressive layer — spectral selection +
+    successive approximation scans, EOBn runs, refinement correction
+    bits, per-scan K.2-optimized Huffman tables. Exactness is
+    coefficient-level, so the identical DuckDB oracle replays the
+    decoded stats; a hash match here certifies the whole multi-scan
+    decode path end to end through Spark. Bounded to a fifth of the
+    corpus (deterministic doc_id slice): the 6-scan two-pass entropy
+    coder is ~8× the baseline's Python cost and this row's job is
+    protocol certification, not throughput (b13 carries timing)."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_jpeg_lossless_assets,
+        decode_image_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    decoded = decode_image_real(
+        attach_jpeg_lossless_assets(docs, progressive=True)
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        _r(F.col("mean_px"), 6).alias("mean_px"),
+        "max_px",
+    ).orderBy("doc_id")
+
+
 def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container row (round 4): sliding 64-byte windows
     of each document become exact-by-construction flat-block JPEG
@@ -4171,6 +4212,10 @@ REGISTRY: dict[
     #   construction (flat blocks at q=100) — the real-codec window
     #   slots are held by mm_png_roundtrip/mm_audio_real; locally green;
     "mm_jpeg_roundtrip": (q_mm_jpeg_roundtrip, ORACLE_MM_JPEG),
+    # mm_jpeg_progressive: the same construction through the SOF2
+    #   Annex-G entropy layer (round 4) — in-window codec slots are
+    #   held by mm_png/mm_audio/mm_color/mm_video; locally green;
+    "mm_jpeg_progressive": (q_mm_jpeg_progressive, ORACLE_MM_JPEG_PROG),
     # lineitem_unpivot: wide→long stack/Expand (inverse of
     #   events_pivot); the Expand family's in-window slot is held by
     #   rollup_lineitem; stays locally green;
