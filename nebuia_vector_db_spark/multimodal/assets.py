@@ -953,3 +953,126 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
             yield pdf_out
 
     return cols.mapInPandas(_stats, schema=_VIDEO_FRAME_SCHEMA)
+
+
+def attach_gif_assets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    win_bytes: int = 64,
+    hop_bytes: int = 48,
+    delay_cs: int = 10,
+) -> DataFrame:
+    """Animated-GIF asset per document (round 4): the same sliding
+    byte windows as ``attach_avi_assets``, but each 64-byte window
+    becomes an 8×8 palette-index frame under the identity grayscale
+    palette — GIF is LOSSLESS, so no flat-block construction is
+    needed: the decoded indices ARE the text bytes, LZW-compressed
+    through a genuine variable-width code stream. Documents shorter
+    than one window are dropped. Arrow-batched mapInPandas,
+    map-side, no shuffle."""
+    from nebuia_vector_db_spark.multimodal.gif import encode_gif
+
+    side = int(win_bytes ** 0.5)
+    if side * side != win_bytes:
+        raise ValueError("win_bytes must be a perfect square")
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, n_frames_col = [], [], []
+            for doc, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                if len(b) < win_bytes:
+                    continue
+                n_win = (len(b) - win_bytes) // hop_bytes + 1
+                arr = np.frombuffer(b, dtype=np.uint8)
+                frames = [
+                    arr[k * hop_bytes : k * hop_bytes + win_bytes]
+                    .reshape(side, side)
+                    for k in range(n_win)
+                ]
+                ids.append(doc)
+                payloads.append(encode_gif(frames, delay_cs=delay_cs))
+                n_frames_col.append(n_win)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "mime": ["image/gif"] * len(ids),
+                    "declared_width": [side] * len(ids),
+                    "declared_height": [side] * len(ids),
+                    "duration_ms": [
+                        n * delay_cs * 10 for n in n_frames_col
+                    ],
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _enc,
+        schema=(
+            "doc_id long, payload binary, mime string, "
+            "declared_width int, declared_height int, duration_ms long"
+        ),
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            "mime", "declared_width", "declared_height", "duration_ms"
+        ).alias("asset_meta"),
+    )
+
+
+_GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_id int, width int, height int, delay_cs int, "
+    "frame_mean double, frame_max int, delta_mean double"
+)
+
+
+def gif_frame_stats(assets: DataFrame) -> DataFrame:
+    """Decode animated GIFs and emit per-frame index stats plus the
+    consecutive-frame delta — the lossless sibling of
+    ``video_frame_stats``: decoded palette indices equal the source
+    bytes exactly, so SQL replays every number with no epsilon
+    (integer sums over a power-of-two count). Map-side mapInPandas."""
+    from nebuia_vector_db_spark.multimodal.gif import decode_gif
+
+    cols = assets.select("doc_id", "payload")
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_id", "width", "height", "delay_cs",
+                "frame_mean", "frame_max", "delta_mean",
+            )}
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                clip = decode_gif(bytes(pay))
+                prev = None
+                for k, (fr, delay) in enumerate(
+                    zip(clip["frames"], clip["delays_cs"])
+                ):
+                    px = fr.astype(np.int64)
+                    rows["doc_id"].append(doc)
+                    rows["frame_id"].append(k)
+                    rows["width"].append(px.shape[1])
+                    rows["height"].append(px.shape[0])
+                    rows["delay_cs"].append(delay)
+                    rows["frame_mean"].append(int(px.sum()) / px.size)
+                    rows["frame_max"].append(int(px.max()))
+                    rows["delta_mean"].append(
+                        0.0 if prev is None
+                        else int(np.abs(px - prev).sum()) / px.size
+                    )
+                    prev = px
+            pdf_out = pd.DataFrame(rows)
+            for c in ("frame_id", "width", "height", "delay_cs",
+                      "frame_max"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return cols.mapInPandas(_stats, schema=_GIF_FRAME_SCHEMA)

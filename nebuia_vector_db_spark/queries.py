@@ -2547,6 +2547,65 @@ ORDER BY doc_id, frame_id
 """
 
 
+def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF row (round 4): the LOSSLESS animated container —
+    sliding 64-byte text windows become 8×8 palette-index frames
+    under the identity grayscale palette, LZW-compressed into a
+    GIF89a stream (GCE delays, Netscape loop extension), then the
+    query decodes every frame and emits per-frame index stats + the
+    consecutive-frame delta. Unlike the JPEG/AVI rows no flat-block
+    construction is needed — decoded indices ARE the text bytes, so
+    the DuckDB oracle replays everything exactly."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_gif_assets,
+        gif_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = gif_frame_stats(attach_gif_assets(docs))
+    return stats.select(
+        "doc_id", "frame_id", "width", "height", "delay_cs",
+        "frame_mean", "frame_max", "delta_mean",
+    ).orderBy("doc_id", "frame_id")
+
+
+ORACLE_MM_GIF = f"""
+WITH a AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+),
+f AS (
+  SELECT doc_id, hx, unnest(range((nb - 64) // 48 + 1)) AS frame_id
+  FROM a
+),
+w AS (
+  SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+         list_transform(range(frame_id * 48, frame_id * 48 + 64),
+                        i -> {_HEXVAL_HI}) AS cur,
+         CASE WHEN frame_id = 0 THEN NULL
+              ELSE list_transform(range((frame_id - 1) * 48,
+                                        (frame_id - 1) * 48 + 64),
+                                  i -> {_HEXVAL_HI}) END AS prev
+  FROM f
+)
+SELECT doc_id, frame_id,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(10 AS INT) AS delay_cs,
+       list_aggregate(cur, 'sum') / 64.0 AS frame_mean,
+       CAST(list_aggregate(cur, 'max') AS INT) AS frame_max,
+       CASE WHEN prev IS NULL THEN 0.0
+            ELSE list_aggregate(
+                   list_transform(range(64),
+                     j -> abs(cur[j + 1] - prev[j + 1])), 'sum') / 64.0
+       END AS delta_mean
+FROM w
+ORDER BY doc_id, frame_id
+"""
+
+
 def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide→long, the inverse of events_pivot): melt three
     lineitem measure columns into (measure, value) rows with
@@ -4216,6 +4275,10 @@ REGISTRY: dict[
     #   Annex-G entropy layer (round 4) — in-window codec slots are
     #   held by mm_png/mm_audio/mm_color/mm_video; locally green;
     "mm_jpeg_progressive": (q_mm_jpeg_progressive, ORACLE_MM_JPEG_PROG),
+    # mm_gif_frames: lossless animated container (LZW GIF89a) — the
+    #   animated-container window slot is held by mm_video_frames
+    #   (AVI demux + JPEG decode); locally green;
+    "mm_gif_frames": (q_mm_gif_frames, ORACLE_MM_GIF),
     # lineitem_unpivot: wide→long stack/Expand (inverse of
     #   events_pivot); the Expand family's in-window slot is held by
     #   rollup_lineitem; stays locally green;
