@@ -710,16 +710,23 @@ def main() -> None:
     n_files = ztbl.n_files()
     n_scanned = ztbl.pruned_file_count(box)
     timings["b10_files_scanned_fraction"] = round(n_scanned / n_files, 4)
-    pruned_df = ztbl.read(where=box)  # 6/32-file plan, built once
-    full_df = ztbl.read().where(
-        (F.col("l_partkey") >= box[0][2])
-        & (F.col("l_partkey") <= box[1][2])
-    )
+    # each timed run builds a FRESH DataFrame: re-collecting one plan
+    # object lets Spark 4 AQE reuse the materialized query stages and
+    # the second run times a no-op (~45 ms regardless of data volume)
     timings["b10_pruned_read_sec"] = round(
-        _median_time(lambda: pruned_df.count(), runs=3), 4
+        _median_time(lambda: ztbl.read(where=box).count(), runs=3), 4
     )
     timings["b10_full_scan_read_sec"] = round(
-        _median_time(lambda: full_df.count(), runs=3), 4
+        _median_time(
+            lambda: ztbl.read()
+            .where(
+                (F.col("l_partkey") >= box[0][2])
+                & (F.col("l_partkey") <= box[1][2])
+            )
+            .count(),
+            runs=3,
+        ),
+        4,
     )
     _sh.rmtree(zroot, ignore_errors=True)
 
@@ -763,24 +770,29 @@ def main() -> None:
         ztbl_xl.pruned_file_count(box_xl) / ztbl_xl.n_files(), 4
     )
     # the aggregate reads the payload column on every surviving row
-    # (deterministic long sum, so pruned ≡ full is assertable)
-    payload_sum = F.sum(
-        (F.element_at("embedding", 1) * 1000).cast("long")
-    )
-    pruned_xl = ztbl_xl.read(where=box_xl).agg(
-        F.count("*"), F.sum("zx"), payload_sum
-    )
-    full_xl = (
-        ztbl_xl.read()
-        .where((F.col("zy") >= 0) & (F.col("zy") <= 255))
-        .agg(F.count("*"), F.sum("zx"), payload_sum)
-    )
-    assert pruned_xl.collect() == full_xl.collect()  # identical results
+    # (deterministic long sum, so pruned ≡ full is assertable); fresh
+    # DataFrames per timed run — see the b10 stage-reuse note above
+    def _ps():
+        return F.sum((F.element_at("embedding", 1) * 1000).cast("long"))
+
+    def _pruned_xl():
+        return ztbl_xl.read(where=box_xl).agg(
+            F.count("*"), F.sum("zx"), _ps()
+        )
+
+    def _full_xl():
+        return (
+            ztbl_xl.read()
+            .where((F.col("zy") >= 0) & (F.col("zy") <= 255))
+            .agg(F.count("*"), F.sum("zx"), _ps())
+        )
+
+    assert _pruned_xl().collect() == _full_xl().collect()
     timings["b10xl_pruned_read_sec"] = round(
-        _median_time(lambda: pruned_xl.collect(), runs=3), 4
+        _median_time(lambda: _pruned_xl().collect(), runs=3), 4
     )
     timings["b10xl_full_scan_read_sec"] = round(
-        _median_time(lambda: full_xl.collect(), runs=3), 4
+        _median_time(lambda: _full_xl().collect(), runs=3), 4
     )
     _sh.rmtree(zroot_xl, ignore_errors=True)
 
