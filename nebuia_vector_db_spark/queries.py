@@ -2444,6 +2444,116 @@ ORDER BY doc_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (round 4): per
+    document, the distinct-word ratio and the share of the most
+    frequent word bigram — the filters a pretraining pipeline uses to
+    drop boilerplate/looping text (Rae et al. 2021 §A1.1 use exactly
+    these n-gram fraction thresholds). All higher-order array
+    functions, map-side, ZERO shuffles beyond the final sort: at
+    100 TB this is a pure scan, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),"
+            " i -> concat(w[i], ' ', w[i+1])) ELSE array() END"
+        ).alias("bg"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_words",
+            _r(F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "distinct_word_ratio"
+            ),
+            F.size("bg").alias("n_bigrams"),
+            F.expr(
+                "CASE WHEN size(bg) = 0 THEN 0 ELSE"
+                " array_max(transform(array_distinct(bg),"
+                " x -> size(filter(bg, y -> y = x)))) END"
+            ).alias("top_bigram_n"),
+        )
+        .withColumn(
+            "top_bigram_share",
+            F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+                _r(F.col("top_bigram_n") / F.col("n_bigrams"), 6)
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH a AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+b AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1),
+                                  i -> w[i + 1] || ' ' || w[i + 2])
+              ELSE [] END AS bg
+  FROM a
+),
+c AS (
+  SELECT doc_id, n_words, n_distinct, len(bg) AS n_bigrams,
+         CASE WHEN len(bg) = 0 THEN 0
+              ELSE list_max(list_transform(list_distinct(bg),
+                     x -> len(list_filter(bg, y -> y = x)))) END
+           AS top_bigram_n
+  FROM b
+)
+SELECT doc_id, n_words,
+       {_sql_r('n_distinct * 1.0 / n_words', 6)} AS distinct_word_ratio,
+       n_bigrams, top_bigram_n,
+       CASE WHEN n_bigrams = 0 THEN 0.0
+            ELSE {_sql_r('top_bigram_n * 1.0 / n_bigrams', 6)}
+       END AS top_bigram_share
+FROM c
+ORDER BY doc_id
+"""
+
+
+def q_pipe_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (round 4): cap every source domain
+    at K documents, chosen by a deterministic seedless hash order
+    (md5 of the doc id — the same RNG-free routing the split/epoch
+    ops use, so resampling is reproducible across runs and engines).
+    One shuffle on the domain key; Spark plans WindowGroupLimit, so
+    each partition keeps only K rows before the exchange — at 100 TB
+    the shuffle carries K×domains rows, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_PIPE_DOMAIN_QUOTA = """
+SELECT doc_id, source,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS rk
+FROM documents
+QUALIFY rk <= 10
+ORDER BY source, rk
+"""
+
+
 # bounded variant of ORACLE_MM_JPEG for the progressive row: same
 # stats arithmetic over the deterministic doc_id slice
 ORACLE_MM_JPEG_PROG = ORACLE_MM_JPEG.replace(
@@ -4279,6 +4389,14 @@ REGISTRY: dict[
     #   animated-container window slot is held by mm_video_frames
     #   (AVI demux + JPEG decode); locally green;
     "mm_gif_frames": (q_mm_gif_frames, ORACLE_MM_GIF),
+    # text_repetition: Gopher-style n-gram repetition signals — the
+    #   text-quality window slot is held by text_quality (length/
+    #   punct/stopword) + text_boilerplate; locally green;
+    "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # pipe_domain_quota: per-domain cap via WindowGroupLimit — the
+    #   grouped-limit window slot is held by vs_knn_join, and the
+    #   RNG-free hash routing by pipe_dataset_split/epoch; locally green;
+    "pipe_domain_quota": (q_pipe_domain_quota, ORACLE_PIPE_DOMAIN_QUOTA),
     # lineitem_unpivot: wide→long stack/Expand (inverse of
     #   events_pivot); the Expand family's in-window slot is held by
     #   rollup_lineitem; stays locally green;
