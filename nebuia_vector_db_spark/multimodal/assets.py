@@ -815,6 +815,7 @@ def attach_avi_assets(
     hop_bytes: int = 48,
     fps: int = 8,
     blocks_per_row: int = 16,
+    container: str = "avi",
 ) -> DataFrame:
     """Derive a REAL MJPEG-AVI video asset per document (round 4):
     sliding ``win_bytes``-byte windows of the text (hop
@@ -836,7 +837,14 @@ def attach_avi_assets(
 
     from nebuia_vector_db_spark.multimodal.avi import encode_avi_mjpeg
     from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_gray
+    from nebuia_vector_db_spark.multimodal.mp4 import encode_mp4_mjpeg
 
+    if container not in ("avi", "mp4"):
+        raise ValueError(f"unsupported container {container!r}")
+    mux = encode_avi_mjpeg if container == "avi" else encode_mp4_mjpeg
+    mime = (
+        "video/x-msvideo" if container == "avi" else "video/mp4"
+    )
     if win_bytes % blocks_per_row:
         raise ValueError("win_bytes must be a multiple of blocks_per_row")
     width = blocks_per_row * 8
@@ -864,15 +872,14 @@ def attach_avi_assets(
                     )
                 ids.append(doc)
                 payloads.append(
-                    encode_avi_mjpeg(frames, fps=fps, width=width,
-                                     height=height)
+                    mux(frames, fps=fps, width=width, height=height)
                 )
                 n_frames_col.append(n_win)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "payload": payloads,
-                    "mime": ["video/x-msvideo"] * len(ids),
+                    "mime": [mime] * len(ids),
                     "declared_width": [width] * len(ids),
                     "declared_height": [height] * len(ids),
                     "duration_ms": [
@@ -897,6 +904,27 @@ def attach_avi_assets(
     )
 
 
+def attach_mp4_assets(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    win_bytes: int = 64,
+    hop_bytes: int = 48,
+    fps: int = 8,
+    blocks_per_row: int = 16,
+) -> "DataFrame":
+    """ISO-BMFF twin of :func:`attach_avi_assets`: identical sliding
+    windows and exact flat-block JPEG frames, muxed into an MP4
+    (multimodal/mp4.py — ftyp/mdat/moov with full sample tables)
+    instead of a RIFF AVI. Same frames, second real demuxer — the
+    registry row `mm_mp4_frames` reuses the AVI oracle verbatim."""
+    return attach_avi_assets(
+        docs, text_col=text_col, id_col=id_col, win_bytes=win_bytes,
+        hop_bytes=hop_bytes, fps=fps, blocks_per_row=blocks_per_row,
+        container="mp4",
+    )
+
+
 _VIDEO_FRAME_SCHEMA = (
     "doc_id long, frame_id int, fps int, width int, height int, "
     "frame_mean double, frame_max int, delta_mean double"
@@ -904,19 +932,31 @@ _VIDEO_FRAME_SCHEMA = (
 
 
 def video_frame_stats(assets: DataFrame) -> DataFrame:
-    """REAL video decode: demux the AVI container, JPEG-decode every
-    frame, and emit per-frame pixel stats plus the pixel-level
-    scene-change signal (mean |frame_k - frame_{k-1}|) — the decoded
-    sibling of the byte-delta ``scene_changes``. frame_mean and
-    delta_mean are integer pixel sums divided by a power of two, so
-    they are bit-exact doubles and SQL replays them with no rounding
-    epsilon. Arrow-batched mapInPandas, map-side, no shuffle; each
-    clip decodes independently, so 100 TB of video partitions like
-    any other binary column."""
-    from nebuia_vector_db_spark.multimodal.avi import decode_avi_mjpeg
+    """REAL video decode: demux the container — magic-sniffed, RIFF
+    AVI (``RIFF..AVI ``) or ISO-BMFF MP4 (``ftyp`` at offset 4) —
+    JPEG-decode every frame, and emit per-frame pixel stats plus the
+    pixel-level scene-change signal (mean |frame_k - frame_{k-1}|) —
+    the decoded sibling of the byte-delta ``scene_changes``.
+    frame_mean and delta_mean are integer pixel sums divided by a
+    power of two, so they are bit-exact doubles and SQL replays them
+    with no rounding epsilon. Arrow-batched mapInPandas, map-side, no
+    shuffle; each clip decodes independently, so 100 TB of video
+    partitions like any other binary column."""
+    from nebuia_vector_db_spark.multimodal.avi import (
+        AviFormatError,
+        decode_avi_mjpeg,
+    )
     from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg_gray
+    from nebuia_vector_db_spark.multimodal.mp4 import decode_mp4_mjpeg
 
     cols = assets.select("doc_id", "payload")
+
+    def _demux(raw: bytes) -> dict:
+        if raw[:4] == b"RIFF":
+            return decode_avi_mjpeg(raw)
+        if len(raw) > 8 and raw[4:8] == b"ftyp":
+            return decode_mp4_mjpeg(raw)
+        raise AviFormatError("unrecognized video container magic")
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -927,7 +967,7 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
                 "frame_mean", "frame_max", "delta_mean",
             )}
             for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
-                clip = decode_avi_mjpeg(bytes(pay))
+                clip = _demux(bytes(pay))
                 prev = None
                 for k, fb in enumerate(clip["frames"]):
                     px = decode_jpeg_gray(fb).astype(np.int64)

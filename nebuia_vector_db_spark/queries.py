@@ -2657,6 +2657,27 @@ ORDER BY doc_id, frame_id
 """
 
 
+def q_mm_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) row (round 4): identical sliding-window frames
+    to `mm_video_frames`, muxed through the MP4 box grammar instead
+    of RIFF — ftyp/mdat/moov with the full sample-table suite (stsd
+    fourcc gate, stts timing, stsc/stco chunk arithmetic, stsz
+    sizes). The container-sniffing decode path demuxes it, decodes
+    every JPEG sample, and the AVI oracle replays the stats verbatim
+    — same frames, two real demuxers, one SQL truth."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_mp4_assets,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = video_frame_stats(attach_mp4_assets(docs))
+    return stats.select(
+        "doc_id", "frame_id", "fps", "width", "height",
+        "frame_mean", "frame_max", "delta_mean",
+    ).orderBy("doc_id", "frame_id")
+
+
 def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-GIF row (round 4): the LOSSLESS animated container —
     sliding 64-byte text windows become 8×8 palette-index frames
@@ -4389,6 +4410,10 @@ REGISTRY: dict[
     #   animated-container window slot is held by mm_video_frames
     #   (AVI demux + JPEG decode); locally green;
     "mm_gif_frames": (q_mm_gif_frames, ORACLE_MM_GIF),
+    # mm_mp4_frames: ISO-BMFF demux (box walk + sample tables) — the
+    #   video-container window slot is held by mm_video_frames (RIFF);
+    #   same frames, same oracle, second demuxer; locally green;
+    "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
     # text_repetition: Gopher-style n-gram repetition signals — the
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
