@@ -306,3 +306,29 @@ def test_ivf_cell_assignment_is_map_side_only(spark, sf_oracle):
     cents = np.zeros((8, 64), dtype=np.float64)
     cents[np.arange(8), np.arange(8)] = 1.0
     assert shuffle_count(assign_to_cells(emb, cents)) == 0
+
+
+def test_domain_quota_partial_group_limit_before_exchange(spark, sf_oracle):
+    """pipe_domain_quota's scale property: the Partial WindowGroupLimit
+    sits BELOW the hash exchange, so every map task forwards at most K
+    rows per domain — the shuffle carries K x domains rows, not the
+    corpus — and the scan prunes to exactly (doc_id, source)."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_pipe_domain_quota(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "row_number(), 10, Partial" in plan, "no map-side group limit"
+    assert "row_number(), 10, Final" in plan, "no final group limit"
+    schemas = scan_read_schema(df)
+    assert any(
+        "doc_id" in s and "source" in s and "text" not in s for s in schemas
+    ), f"scan not pruned: {schemas}"
+    assert shuffle_count(df) <= 2  # domain hash + final presentation sort
+
+
+def test_text_repetition_is_map_side_only(spark, sf_oracle):
+    """All repetition signals are higher-order array expressions over
+    one scan; the only exchange is the presentation sort."""
+    df = Q.q_text_repetition(spark, sf_oracle)
+    assert shuffle_count(df) <= 1
+    assert not has_broadcast_join(df)
