@@ -11,18 +11,18 @@ mandated multimodal extension surface. Design per the north star:
   arriving as zero-copy bytes. That shape (iterator of pandas
   DataFrames in, iterator out) is exactly what a real PIL/ffmpeg
   decoder plugs into;
-- codecs: PNG, baseline grayscale JPEG, and WAV are REAL —
-  ``attach_png_assets`` / ``attach_jpeg_assets`` / ``attach_wav_assets``
-  and ``decode_image_real`` (magic-sniffed) / ``decode_audio_real``
-  run pure-stdlib/numpy codecs (png.py: zlib DEFLATE + CRC + Paeth
-  unfiltering; jpeg.py: DCT + Annex-K quant + canonical Huffman;
-  wav.py: RIFF chunk walk + PCM-16), so the registry round-trip rows
-  exercise genuine compressed/container bytes. Color JPEG and
-  video/audio container formats still need an executor-side codec
-  install (PIL/ffmpeg); ``decode_image_features`` additionally keeps
-  a *deterministic fake decode* (dims from md5, pixel stats = byte
-  stats) whose arithmetic any SQL engine can replay — the
-  fully-hash-checkable variant.
+- codecs and containers are REAL: PNG (zlib DEFLATE + CRC + Paeth),
+  JPEG (baseline + progressive SOF2, grayscale + YCbCr color), WAV
+  (RIFF chunk walk + PCM-16), MJPEG-AVI (RIFF mux/demux + idx1),
+  ISO-BMFF MP4 (box grammar + full sample tables), and animated GIF
+  (variable-width LZW + GCE + interlacing) — all pure stdlib/numpy,
+  so the registry round-trip rows exercise genuine compressed/
+  container bytes end to end. ``decode_image_real`` magic-sniffs
+  PNG vs JPEG; ``video_frame_stats`` sniffs RIFF vs ftyp. MKV/EBML
+  and lossy-audio codecs remain executor-install points (PIL/ffmpeg);
+  ``decode_image_features`` additionally keeps a *deterministic fake
+  decode* (dims from md5, pixel stats = byte stats) whose arithmetic
+  any SQL engine can replay — the fully-hash-checkable variant.
 
 Scale: payload columns dominate storage; keep them in their own
 parquet column (columnar pruning makes metadata-only queries cheap)
