@@ -17,9 +17,12 @@ mandated multimodal extension surface. Design per the north star:
   ISO-BMFF MP4 (box grammar + full sample tables), and animated GIF
   (variable-width LZW + GCE + interlacing) — all pure stdlib/numpy,
   so the registry round-trip rows exercise genuine compressed/
-  container bytes end to end. ``decode_image_real`` magic-sniffs
-  PNG vs JPEG; ``video_frame_stats`` sniffs RIFF vs ftyp. MKV/EBML
-  and lossy-audio codecs remain executor-install points (PIL/ffmpeg);
+  container bytes end to end — plus lossy IMA-ADPCM audio (WAV
+  format 0x11, 4 bits/sample). ``decode_image_real`` magic-sniffs
+  PNG vs JPEG; ``video_frame_stats`` sniffs RIFF vs ftyp;
+  ``decode_audio_real`` sniffs the fmt codec id (PCM vs ADPCM).
+  MKV/EBML and perceptual codecs (MP3/AAC/Opus) remain
+  executor-install points (PIL/ffmpeg);
   ``decode_image_features`` additionally keeps a *deterministic fake
   decode* (dims from md5, pixel stats = byte stats) whose arithmetic
   any SQL engine can replay — the fully-hash-checkable variant.
@@ -437,10 +440,29 @@ def decode_audio_real(assets: DataFrame) -> DataFrame:
     deployment swaps the codec call for libsndfile/ffmpeg only.
     """
     import math
+    import struct as _struct
 
-    from nebuia_vector_db_spark.multimodal.wav import decode_wav
+    from nebuia_vector_db_spark.multimodal.wav import (
+        decode_wav,
+        decode_wav_adpcm,
+    )
 
     cols = assets.select("doc_id", "payload")
+
+    def _sniff_decode(raw: bytes):
+        # fmt codec id sits at a fixed offset only if fmt is the first
+        # chunk; sniff properly: walk to the fmt chunk's codec field
+        off = 12
+        while off + 8 <= len(raw):
+            cid = raw[off : off + 4]
+            size = _struct.unpack_from("<I", raw, off + 4)[0]
+            if cid == b"fmt " and size >= 2:
+                codec = _struct.unpack_from("<H", raw, off + 8)[0]
+                if codec == 0x11:
+                    return decode_wav_adpcm(raw)
+                break
+            off += 8 + size + (size % 2)
+        return decode_wav(raw)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -450,7 +472,7 @@ def decode_audio_real(assets: DataFrame) -> DataFrame:
                 [], [], [], [], [], [], []
             )
             for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
-                rate, frames = decode_wav(bytes(pay))
+                rate, frames = _sniff_decode(bytes(pay))
                 s = frames[:, 0].astype(np.int64)  # mono stats
                 n = len(s)
                 ids.append(doc)

@@ -2520,6 +2520,62 @@ ORDER BY doc_id
 """
 
 
+def q_rcte_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 `WITH RECURSIVE`, round 4): walk the
+    implicit binary tree doc i → children 2i/2i+1 from the root,
+    accumulating path character counts, then profile per depth — the
+    iterative/hierarchical query family (org charts, BOM roll-ups,
+    graph reachability) that previously required driver-side loops
+    (operators/components.py does pointer-jumping by hand; this is
+    the declarative sibling). Catalyst plans a UnionLoop whose per-
+    iteration step is an equi-join against the previous frontier —
+    each iteration is one bounded shuffle, depth ≈ log₂(N) rounds at
+    any scale. DuckDB replays the identical recursion."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_documents"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
+          SELECT doc_id, 0, n_chars FROM v_documents WHERE doc_id = 1
+          UNION ALL
+          SELECT d.doc_id, t.depth + 1, t.path_chars + d.n_chars
+          FROM v_documents d
+          JOIN tree t
+            ON d.doc_id = t.doc_id * 2 OR d.doc_id = t.doc_id * 2 + 1
+        )
+        SELECT depth,
+               count(*) AS n_docs,
+               sum(path_chars) AS sum_path_chars,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM tree
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+ORACLE_RCTE_DOC_TREE = """
+WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
+  SELECT doc_id, 0, n_chars FROM documents WHERE doc_id = 1
+  UNION ALL
+  SELECT d.doc_id, t.depth + 1, t.path_chars + d.n_chars
+  FROM documents d
+  JOIN tree t
+    ON d.doc_id = t.doc_id * 2 OR d.doc_id = t.doc_id * 2 + 1
+)
+SELECT depth,
+       count(*) AS n_docs,
+       sum(path_chars) AS sum_path_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM tree
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 def q_pipe_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling (round 4): cap every source domain
     at K documents, chosen by a deterministic seedless hash order
@@ -4418,6 +4474,10 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # rcte_doc_tree: WITH RECURSIVE (Spark 4 UnionLoop) — the
+    #   iterative family's scale rep stays dedup_groups' distributed
+    #   pointer-jumping (in-window); this pins the declarative form;
+    "rcte_doc_tree": (q_rcte_doc_tree, ORACLE_RCTE_DOC_TREE),
     # pipe_domain_quota: per-domain cap via WindowGroupLimit — the
     #   grouped-limit window slot is held by vs_knn_join, and the
     #   RNG-free hash routing by pipe_dataset_split/epoch; locally green;
