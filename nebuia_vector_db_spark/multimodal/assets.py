@@ -19,9 +19,10 @@ mandated multimodal extension surface. Design per the north star:
   so the registry round-trip rows exercise genuine compressed/
   container bytes end to end — plus lossy IMA-ADPCM audio (WAV
   format 0x11, 4 bits/sample). ``decode_image_real`` magic-sniffs
-  PNG vs JPEG; ``video_frame_stats`` sniffs RIFF vs ftyp;
+  PNG vs JPEG; ``video_frame_stats`` sniffs RIFF vs ftyp vs EBML
+  (Matroska, multimodal/mkv.py — all three video containers real);
   ``decode_audio_real`` sniffs the fmt codec id (PCM vs ADPCM).
-  MKV/EBML and perceptual codecs (MP3/AAC/Opus) remain
+  Perceptual codecs (MP3/AAC/Opus/H.264) remain
   executor-install points (PIL/ffmpeg);
   ``decode_image_features`` additionally keeps a *deterministic fake
   decode* (dims from md5, pixel stats = byte stats) whose arithmetic
@@ -859,14 +860,17 @@ def attach_avi_assets(
 
     from nebuia_vector_db_spark.multimodal.avi import encode_avi_mjpeg
     from nebuia_vector_db_spark.multimodal.jpeg import encode_jpeg_gray
+    from nebuia_vector_db_spark.multimodal.mkv import encode_mkv_mjpeg
     from nebuia_vector_db_spark.multimodal.mp4 import encode_mp4_mjpeg
 
-    if container not in ("avi", "mp4"):
+    muxers = {
+        "avi": (encode_avi_mjpeg, "video/x-msvideo"),
+        "mp4": (encode_mp4_mjpeg, "video/mp4"),
+        "mkv": (encode_mkv_mjpeg, "video/x-matroska"),
+    }
+    if container not in muxers:
         raise ValueError(f"unsupported container {container!r}")
-    mux = encode_avi_mjpeg if container == "avi" else encode_mp4_mjpeg
-    mime = (
-        "video/x-msvideo" if container == "avi" else "video/mp4"
-    )
+    mux, mime = muxers[container]
     if win_bytes % blocks_per_row:
         raise ValueError("win_bytes must be a multiple of blocks_per_row")
     width = blocks_per_row * 8
@@ -926,6 +930,28 @@ def attach_avi_assets(
     )
 
 
+def attach_mkv_assets(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    win_bytes: int = 64,
+    hop_bytes: int = 48,
+    fps: int = 8,
+    blocks_per_row: int = 16,
+) -> "DataFrame":
+    """Matroska twin of :func:`attach_avi_assets`: identical sliding
+    windows and exact flat-block JPEG frames, muxed through the EBML
+    grammar (multimodal/mkv.py — VINT ids/sizes, Tracks/Cluster/
+    SimpleBlock) instead of RIFF or ISO-BMFF. Registry row
+    `mm_mkv_frames` reuses the AVI oracle verbatim — same frames,
+    third real demuxer."""
+    return attach_avi_assets(
+        docs, text_col=text_col, id_col=id_col, win_bytes=win_bytes,
+        hop_bytes=hop_bytes, fps=fps, blocks_per_row=blocks_per_row,
+        container="mkv",
+    )
+
+
 def attach_mp4_assets(
     docs: "DataFrame",
     text_col: str = "text",
@@ -969,6 +995,7 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
         decode_avi_mjpeg,
     )
     from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg_gray
+    from nebuia_vector_db_spark.multimodal.mkv import decode_mkv_mjpeg
     from nebuia_vector_db_spark.multimodal.mp4 import decode_mp4_mjpeg
 
     cols = assets.select("doc_id", "payload")
@@ -978,6 +1005,8 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
             return decode_avi_mjpeg(raw)
         if len(raw) > 8 and raw[4:8] == b"ftyp":
             return decode_mp4_mjpeg(raw)
+        if raw[:4] == b"\x1aE\xdf\xa3":
+            return decode_mkv_mjpeg(raw)
         raise AviFormatError("unrecognized video container magic")
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

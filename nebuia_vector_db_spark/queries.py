@@ -2734,6 +2734,27 @@ def q_mm_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_id")
 
 
+def q_mm_mkv_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska (EBML) row (round 4): the same sliding-window frames,
+    muxed through the third distinct container grammar — EBML VINT
+    ids/sizes, Tracks/TrackEntry with the V_MJPEG codec id, one
+    keyframe SimpleBlock per Cluster. The container-sniffing decode
+    path demuxes it and the AVI oracle replays the stats verbatim —
+    same frames, three real demuxers (RIFF, ISO-BMFF, EBML), one SQL
+    truth."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_mkv_assets,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = video_frame_stats(attach_mkv_assets(docs))
+    return stats.select(
+        "doc_id", "frame_id", "fps", "width", "height",
+        "frame_mean", "frame_max", "delta_mean",
+    ).orderBy("doc_id", "frame_id")
+
+
 def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated-GIF row (round 4): the LOSSLESS animated container —
     sliding 64-byte text windows become 8×8 palette-index frames
@@ -4474,6 +4495,10 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # mm_mkv_frames: Matroska/EBML demux (third container grammar) —
+    #   the video-container window slot stays mm_video_frames; same
+    #   frames, same oracle; locally green;
+    "mm_mkv_frames": (q_mm_mkv_frames, ORACLE_MM_VIDEO),
     # rcte_doc_tree: WITH RECURSIVE (Spark 4 UnionLoop) — the
     #   iterative family's scale rep stays dedup_groups' distributed
     #   pointer-jumping (in-window); this pins the declarative form;
