@@ -2520,6 +2520,48 @@ ORDER BY doc_id
 """
 
 
+def q_fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>`, round 4): the TPC-H Q1 pricing
+    summary re-expressed as a pipe chain — FROM |> WHERE |> EXTEND |>
+    AGGREGATE |> ORDER BY. Pipes lower to the exact relational plan
+    the keyword form produces (same scan/partial-agg/exchange), so
+    this row certifies the surface, not a new engine path; all sums
+    are exact integer micro-units, so the plain-SQL DuckDB oracle
+    hash-matches with zero float ambiguity."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM v_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)
+             AS qty_micro,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
+                      + 0.5) AS BIGINT) AS disc_micro
+        |> AGGREGATE count(*) AS n_items,
+             sum(qty_micro) AS sum_qty_micro,
+             sum(disc_micro) AS revenue_micro
+             GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+ORACLE_FN_PIPE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_qty_micro,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
+                      + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micro
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_rcte_doc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE (Spark 4 `WITH RECURSIVE`, round 4): walk the
     implicit binary tree doc i → children 2i/2i+1 from the root,
@@ -2567,7 +2609,7 @@ WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
 )
 SELECT depth,
        count(*) AS n_docs,
-       sum(path_chars) AS sum_path_chars,
+       CAST(sum(path_chars) AS BIGINT) AS sum_path_chars,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM tree
@@ -4503,6 +4545,9 @@ REGISTRY: dict[
     #   iterative family's scale rep stays dedup_groups' distributed
     #   pointer-jumping (in-window); this pins the declarative form;
     "rcte_doc_tree": (q_rcte_doc_tree, ORACLE_RCTE_DOC_TREE),
+    # fn_pipe_syntax: Spark 4 |> pipe SQL lowering to the identical
+    #   relational plan (agg family in-window rep: tpch_q1);
+    "fn_pipe_syntax": (q_fn_pipe_syntax, ORACLE_FN_PIPE),
     # pipe_domain_quota: per-domain cap via WindowGroupLimit — the
     #   grouped-limit window slot is held by vs_knn_join, and the
     #   RNG-free hash routing by pipe_dataset_split/epoch; locally green;
