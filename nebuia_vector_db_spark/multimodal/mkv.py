@@ -176,9 +176,13 @@ def _walk(payload: bytes, pos: int, end: int):
         eid, p = _vint_decode(payload, pos, strip_marker=False)
         size, p = _vint_decode(payload, p, strip_marker=True)
         if size is _UNKNOWN:
-            if eid not in (_SEGMENT, _CLUSTER):
+            # only the Segment may be unknown-size here: an unknown-
+            # size CLUSTER ends at the next cluster id, and treating
+            # it as extending to the region end would silently swallow
+            # every later cluster's frames — fail closed instead
+            if eid != _SEGMENT:
                 raise MkvFormatError(
-                    f"unknown-size element 0x{eid:X} not allowed"
+                    f"unknown-size element 0x{eid:X} unsupported"
                 )
             yield eid, p, end
             return

@@ -175,3 +175,19 @@ def test_spark_mkv_pipeline_matches_avi(spark):
     assert len(avi) == len(mkv) > 0
     for ra, rm in zip(avi, mkv):
         assert ra.asDict() == rm.asDict()
+
+
+def test_unknown_size_cluster_fails_closed():
+    """An unknown-size Cluster ends at the NEXT cluster id; a walker
+    that extended it to the region end would silently swallow every
+    later cluster's frames — the decoder must reject it instead of
+    returning a truncated frame list."""
+    frames = _jpeg_frames(3)
+    good = encode_mkv_mjpeg(frames, 8, 128, 32)
+    cluster_id = b"\x1f\x43\xb6\x75"
+    i = good.find(cluster_id)
+    size, after = _vint_decode(good, i + 4, strip_marker=True)
+    unknown = b"\x01" + b"\xff" * 7
+    patched = good[: i + 4] + unknown + good[after:]
+    with pytest.raises(MkvFormatError, match="unknown-size"):
+        decode_mkv_mjpeg(patched)
