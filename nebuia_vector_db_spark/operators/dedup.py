@@ -780,3 +780,54 @@ def embedding_neardup_lsh(
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    k: int = 32,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level EXACT-substring dedup (round 4): find document
+    pairs sharing verbatim character spans of length ``k`` — the
+    "exact substring deduplication" of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", §3.1), which doc-level
+    MinHash misses when only a paragraph is copied.
+
+    Spark-first shape, never all-pairs: every doc emits its k-grams,
+    a WINNOWING rule keeps ~1/16 of them as anchors (a gram is an
+    anchor iff its md5 starts with '0' — deterministic, engine-pure,
+    no RNG), and an inverted-index self-join on the anchor STRING
+    (collision-free by construction) yields candidate pairs with
+    their shared-anchor counts. At 100 TB: anchors ≈ n_chars/16 rows
+    into one equi-join shuffle — the same posting-list scaling as the
+    MinHash/SimHash tiers, with exactness doc-level sketches can't
+    give. All expressions are codegen'd higher-order functions; the
+    DuckDB oracle replays gram extraction, winnowing and join
+    verbatim (registry row `dedup_substring`)."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN length({text_col}) >= {k} THEN "
+            f"filter(transform(sequence(1, length({text_col}) - {k} + 1),"
+            f" i -> substring({text_col}, i, {k})),"
+            f" g -> substring(md5(g), 1, 1) = '0')"
+            f" ELSE array() END"
+        ).alias("grams"),
+    )
+    anchors = grams.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).distinct()
+    a = anchors.alias("a")
+    b = anchors.alias("b")
+    return (
+        a.join(b, on="gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -2520,6 +2520,46 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (round 4): pairs of documents
+    sharing verbatim 32-char spans, found via winnowed k-gram anchors
+    (md5-prefix rule, ~1/16 keep) and an inverted-index equi-join —
+    the Lee et al. 2022 exact-substring pass that doc-level MinHash
+    misses when only a paragraph is copied. Never all-pairs; the
+    oracle replays extraction, winnowing and join verbatim."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_substring_pairs(docs, k=32, min_shared=2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           CASE WHEN length(text) >= 32
+                THEN list_transform(range(1, length(text) - 32 + 2),
+                                    i -> substring(text, i, 32))
+                ELSE [] END,
+           g -> substring(md5(g), 1, 1) = '0')) AS gram
+  FROM documents
+),
+anchors AS (SELECT DISTINCT doc_id, gram FROM g)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM anchors a JOIN anchors b USING (gram)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4 `|>`, round 4): the TPC-H Q1 pricing
     summary re-expressed as a pipe chain — FROM |> WHERE |> EXTEND |>
@@ -4548,6 +4588,10 @@ REGISTRY: dict[
     # fn_pipe_syntax: Spark 4 |> pipe SQL lowering to the identical
     #   relational plan (agg family in-window rep: tpch_q1);
     "fn_pipe_syntax": (q_fn_pipe_syntax, ORACLE_FN_PIPE),
+    # dedup_substring: span-level exact-substring pass (winnowed
+    #   anchors + posting-list join) — the dedup family's in-window
+    #   reps stay dedup_exact/minhash/simhash; locally green;
+    "dedup_substring": (q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
     # pipe_domain_quota: per-domain cap via WindowGroupLimit — the
     #   grouped-limit window slot is held by vs_knn_join, and the
     #   RNG-free hash routing by pipe_dataset_split/epoch; locally green;

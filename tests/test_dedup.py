@@ -162,3 +162,53 @@ def test_minhash_arrow_kernel_equals_expression_path(corpus):
     a = {r["_id"]: r["sig"] for r in minhash_signatures(corpus, method="arrow").collect()}
     b = {r["_id"]: r["sig"] for r in minhash_signatures(corpus, method="expr").collect()}
     assert a == b
+
+
+def test_exact_substring_pairs_catch_copied_paragraph(spark):
+    """Span-level dedup finds a verbatim copied paragraph between
+    otherwise-different documents — the case doc-level MinHash (low
+    overall Jaccard) legitimately misses — and stays silent for
+    unrelated docs. Winnowing is deterministic (md5-prefix rule), so
+    results are stable across runs."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    para = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "zebras watch from a distance in complete astonishment today."
+    )
+    filler_a = "alpha " * 60
+    filler_b = "omega " * 60
+    docs = spark.createDataFrame(
+        [
+            (1, filler_a + para),
+            (2, para + filler_b),          # shares ONLY the paragraph
+            (3, "entirely unrelated content " * 12),
+            (4, "more disjoint text without overlap " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in exact_substring_pairs(docs, k=32, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs), pairs
+    # determinism
+    pairs2 = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in exact_substring_pairs(docs, k=32, min_shared=1).collect()
+    }
+    assert pairs == pairs2
+
+
+def test_exact_substring_short_docs_emit_nothing(spark):
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    assert exact_substring_pairs(docs, k=32).count() == 0
