@@ -332,3 +332,16 @@ def test_text_repetition_is_map_side_only(spark, sf_oracle):
     df = Q.q_text_repetition(spark, sf_oracle)
     assert shuffle_count(df) <= 1
     assert not has_broadcast_join(df)
+
+
+def test_substring_dedup_is_equi_join_no_cartesian(spark, sf_oracle):
+    """The span-dedup self-join must hash-join on the anchor string —
+    a BroadcastNestedLoopJoin/cartesian here would be the O(N²) plan
+    the winnowing exists to avoid."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_dedup_substring(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # a real equi-join is present
