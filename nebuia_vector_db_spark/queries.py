@@ -4419,11 +4419,15 @@ REGISTRY: dict[
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
+    # span-level exact-substring dedup (round-4 promotion): the Lee
+    # et al. 2022 pass — a DISTINCT capability (span granularity) no
+    # doc-level row covers; displaces text_fingerprint (see its
+    # below-window justification)
+    "dedup_substring": (q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
     # text analysis (extension, SURVEY §2.3)
     "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
-    "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
@@ -4588,10 +4592,12 @@ REGISTRY: dict[
     # fn_pipe_syntax: Spark 4 |> pipe SQL lowering to the identical
     #   relational plan (agg family in-window rep: tpch_q1);
     "fn_pipe_syntax": (q_fn_pipe_syntax, ORACLE_FN_PIPE),
-    # dedup_substring: span-level exact-substring pass (winnowed
-    #   anchors + posting-list join) — the dedup family's in-window
-    #   reps stay dedup_exact/minhash/simhash; locally green;
-    "dedup_substring": (q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
+    # text_fingerprint: rolling-hash document fingerprint — demoted
+    #   round 4 for dedup_substring (span-level dedup, a new
+    #   capability); its shingle-hash machinery stays recorded via
+    #   dedup_minhash_lsh and tokenization via text_tokens; the
+    #   in-window text family keeps 6 reps; locally green;
+    "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
     # pipe_domain_quota: per-domain cap via WindowGroupLimit — the
     #   grouped-limit window slot is held by vs_knn_join, and the
     #   RNG-free hash routing by pipe_dataset_split/epoch; locally green;

@@ -44,11 +44,13 @@ _REQUIRED_IN_WINDOW = {
     # embedding near-dup (exact; the RP-LSH sketch join demoted r4 —
     # sketch-blocking stays covered by dedup_minhash_lsh/dedup_simhash)
     "vs_neardup_cos",
-    # dedup family
+    # dedup family (dedup_substring = span-level pass, promoted r4;
+    # text_fingerprint demoted — shingle hashing stays recorded via
+    # dedup_minhash_lsh, tokenization via text_tokens)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_groups",
+    "dedup_simhash", "dedup_groups", "dedup_substring",
     # text analysis
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_tokens", "text_quality", "text_langid",
     "text_boilerplate", "text_tfidf_neardup", "text_minhash_mllib",
     # hybrid retrieval
     "hybrid_search", "hybrid_rrf",
