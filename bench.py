@@ -887,6 +887,26 @@ def main() -> None:
         1,
     )
     b13_assets.unpersist()
+
+    # the same 128-doc sample through the other two container
+    # grammars (ISO-BMFF, EBML): identical frames, so the fps deltas
+    # isolate pure demux cost across the three parsers
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_mkv_assets,
+        attach_mp4_assets,
+    )
+
+    for label, attach in (
+        ("mp4", attach_mp4_assets), ("mkv", attach_mkv_assets)
+    ):
+        a = attach(b13_docs).cache()
+        a.count()
+        t0 = time.perf_counter()
+        n = video_frame_stats(a).agg(F.count("*")).head()[0]
+        dt = time.perf_counter() - t0
+        timings[f"b13_{label}_demux_decode_sec"] = round(dt, 4)
+        timings[f"b13_{label}_decode_fps"] = round(n / max(dt, 1e-9), 1)
+        a.unpersist()
     b13_docs.unpersist()
 
     # pure-codec pair: progressive vs baseline on the same 16 frames
