@@ -2445,13 +2445,28 @@ ORDER BY doc_id
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals (round 4): per
-    document, the distinct-word ratio and the share of the most
-    frequent word bigram — the filters a pretraining pipeline uses to
-    drop boilerplate/looping text (Rae et al. 2021 §A1.1 use exactly
-    these n-gram fraction thresholds). All higher-order array
-    functions, map-side, ZERO shuffles beyond the final sort: at
-    100 TB this is a pure scan, embarrassingly parallel."""
+    """Gopher-style repetition quality signals: per document, the
+    distinct-word ratio and the share of the most frequent word
+    bigram — the filters a pretraining pipeline uses to drop
+    boilerplate/looping text (Rae et al. 2021 §A1.1 use exactly these
+    n-gram fraction thresholds).
+
+    Round 6 (VERDICT r5 task #1): the top-bigram count is LINEAR —
+    explode bigrams → ``groupBy(doc_id, bigram).count()`` →
+    ``max`` per doc. The previous ``array_max(transform(
+    array_distinct(bg), x -> size(filter(bg, y -> y = x))))`` HOF was
+    O(distinct_bigrams × n_bigrams) PER ROW: correct at sf0.1, a
+    genuine scale killer on book-length documents (a 50k-word doc with
+    40k distinct bigrams is 2×10⁹ comparisons in one task). Now each
+    doc contributes n_bigrams explode rows into one partial-agg
+    shuffle (map-side combine collapses repeats before the exchange);
+    the per-doc max is a second, tiny shuffle over distinct-bigram
+    rows. The doc-constant columns ride along in the grouping key —
+    functionally dependent on doc_id, so they add no cardinality and
+    no join-back is needed. ``explode_outer`` keeps zero-bigram docs
+    (count of the NULL bigram is 0, matching the old CASE arm). The
+    DuckDB oracle keeps the quadratic spec shape — at sf0.01 it is the
+    independent semantics check, not the scale path."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
     base = docs.select("doc_id", w.alias("w")).select(
@@ -2463,25 +2478,32 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(w[i], ' ', w[i+1])) ELSE array() END"
         ).alias("bg"),
     )
-    return (
+    per_bigram = (
         base.select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.size("bg").alias("n_bigrams"),
+            F.explode_outer("bg").alias("bigram"),
+        )
+        # count(bigram) skips NULL → zero-bigram docs report 0
+        .groupBy("doc_id", "n_words", "n_distinct", "n_bigrams", "bigram")
+        .agg(F.count("bigram").alias("cnt"))
+    )
+    return (
+        per_bigram.groupBy("doc_id", "n_words", "n_distinct", "n_bigrams")
+        .agg(F.max("cnt").cast("int").alias("top_bigram_n"))
+        .select(
             "doc_id",
             "n_words",
             _r(F.col("n_distinct") / F.col("n_words"), 6).alias(
                 "distinct_word_ratio"
             ),
-            F.size("bg").alias("n_bigrams"),
-            F.expr(
-                "CASE WHEN size(bg) = 0 THEN 0 ELSE"
-                " array_max(transform(array_distinct(bg),"
-                " x -> size(filter(bg, y -> y = x)))) END"
-            ).alias("top_bigram_n"),
-        )
-        .withColumn(
-            "top_bigram_share",
-            F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
-                _r(F.col("top_bigram_n") / F.col("n_bigrams"), 6)
-            ),
+            "n_bigrams",
+            "top_bigram_n",
+            F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+            .otherwise(_r(F.col("top_bigram_n") / F.col("n_bigrams"), 6))
+            .alias("top_bigram_share"),
         )
         .orderBy("doc_id")
     )

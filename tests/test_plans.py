@@ -326,11 +326,20 @@ def test_domain_quota_partial_group_limit_before_exchange(spark, sf_oracle):
     assert shuffle_count(df) <= 2  # domain hash + final presentation sort
 
 
-def test_text_repetition_is_map_side_only(spark, sf_oracle):
-    """All repetition signals are higher-order array expressions over
-    one scan; the only exchange is the presentation sort."""
+def test_text_repetition_linear_shape(spark, sf_oracle):
+    """Round 6 (VERDICT r5 task #1): the top-bigram count must be the
+    LINEAR explode → partial-agg → max shape, not the O(distinct ×
+    n_bigrams) per-row HOF. Pin: the quadratic `array_max(transform(
+    array_distinct(bg), ...))` is gone from the plan, aggregation is
+    hash-based (map-side combine before the exchange), and the shuffle
+    budget is bigram-agg + doc-agg + presentation sort."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
     df = Q.q_text_repetition(spark, sf_oracle)
-    assert shuffle_count(df) <= 1
+    plan = explain_str(df)
+    assert "array_max" not in plan, "quadratic per-row HOF is back"
+    assert "HashAggregate" in plan
+    assert shuffle_count(df) <= 3
     assert not has_broadcast_join(df)
 
 

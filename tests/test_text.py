@@ -100,3 +100,38 @@ def test_boilerplate_stats(spark):
         assert got[d]["n_shingles"] == 4
         assert got[d]["n_boiler"] == 1
         assert abs(got[d]["boiler_ratio_raw"] - 0.25) < 1e-12
+
+
+def test_text_repetition_long_doc_bounded_time(spark, tmp_path):
+    """Round 6 (VERDICT r5 task #1): a 50k-word document with ~all-
+    distinct bigrams must complete in bounded time. The pre-round-6
+    per-row HOF was O(distinct_bigrams x n_bigrams) ~ 2.5e9 string
+    comparisons for this doc (minutes in one task); the linear
+    explode/groupBy/max shape is one partial-agg pass."""
+    import time
+
+    from nebuia_vector_db_spark.queries import q_text_repetition
+
+    n = 50_000
+    # all words distinct -> 49_999 distinct bigrams (worst case for
+    # the old HOF), then a planted hot bigram repeated 100 times
+    words = [f"w{i}" for i in range(n)] + ["hot", "pair"] * 100
+    rows = [(1, " ".join(words)), (2, "solo")]
+    sf_dir = str(tmp_path / "sf_longdoc")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    t0 = time.monotonic()
+    got = {r["doc_id"]: r for r in q_text_repetition(spark, sf_dir).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"long-doc repetition took {elapsed:.1f}s"
+
+    d = got[1]
+    assert d["n_words"] == n + 200
+    assert d["n_bigrams"] == n + 200 - 1
+    # "hot pair" occurs 100x, "pair hot" 99x, everything else once
+    assert d["top_bigram_n"] == 100
+    # zero-bigram doc still reports a 0 (explode_outer path)
+    assert got[2]["n_bigrams"] == 0
+    assert got[2]["top_bigram_n"] == 0
+    assert got[2]["top_bigram_share"] == 0.0
