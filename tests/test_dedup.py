@@ -212,3 +212,107 @@ def test_exact_substring_short_docs_emit_nothing(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
     )
     assert exact_substring_pairs(docs, k=32).count() == 0
+
+
+def test_substring_segmented_equals_unsegmented_anchors(spark):
+    """Round 6 (VERDICT r5 task #3): segmented gram extraction must
+    produce the IDENTICAL (doc_id, gram) anchor set as one-shot
+    extraction — hypothesis over random texts, tiny segments (so every
+    doc straddles many boundaries) vs a segment larger than any doc."""
+    import random
+
+    from nebuia_vector_db_spark.operators.dedup import _substring_anchors
+
+    rng = random.Random(1234)
+    alphabet = "ab "
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 400)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    # boundary-exact lengths: k-1, k, k+1, step multiples around 64
+    k = 16
+    for j, n in enumerate((15, 16, 17, 49, 50, 98, 99, 100)):
+        rows.append((100 + j, "x" * (n // 2) + "".join(
+            random.Random(j).choice("cd") for _ in range(n - n // 2))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = _substring_anchors(docs, k, "text", "doc_id", segment_chars=64)
+    one = _substring_anchors(docs, k, "text", "doc_id", segment_chars=10**6)
+    assert set(map(tuple, seg.collect())) == set(map(tuple, one.collect()))
+
+
+def test_substring_hot_anchor_df_cap_bounds_pairs(spark):
+    """Round 6 (VERDICT r5 task #2): one 32-char boilerplate string
+    shared by 10k docs must NOT produce the ~5x10^7-pair quadratic
+    blowup — the df-cap drops it before the self-join, while a genuine
+    copied span between two docs is still found."""
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    boiler = "SHARED-BOILERPLATE-FOOTER-0123456"[:32]
+    assert len(boiler) == 32
+    copied = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "zebras watch from a distance in complete astonishment today."
+    )
+    # md5(id) on BOTH sides of the boilerplate: grams bridging into or
+    # out of it carry per-doc-unique hex (df=1), grams fully inside it
+    # have df=10000 (> cap, dropped) — so the only multi-doc spans are
+    # genuinely copied content
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(boiler),
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("x"))),
+            # plant the copied paragraph in docs 7 and 4242 only
+            F.when(F.col("id").isin(7, 4242), F.lit(" " + copied)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    pairs = exact_substring_pairs(
+        docs, k=32, min_shared=1, max_anchor_df=100
+    )
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in pairs.collect()}
+    # the planted copy is found...
+    assert (7, 4242) in got
+    # ...and the boilerplate anchor (df=10000) did NOT go quadratic:
+    # uncapped it alone yields C(10000,2) ~ 5.0e7 pairs. Residual
+    # pairs are docs coincidentally sharing an md5-hex suffix next to
+    # the boilerplate — genuine 32-char shared spans (correct output),
+    # each worth only 1-2 anchors, bounded by the cap.
+    assert len(got) < 1_000_000, len(got)
+    assert got[(7, 4242)] == max(got.values())
+
+
+def test_substring_book_length_row_bounded(spark):
+    """Round 6 (VERDICT r5 task #3): a multi-megabyte document runs
+    through segmented extraction without one task materializing the
+    ~32x full-gram array (4 MB doc -> ~128 MB transient pre-fix;
+    bounded to segment_chars*k = 128 KB now)."""
+    import random
+    import time
+
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    rng = random.Random(7)
+    words = ("lorem", "ipsum", "dolor", "sit", "amet", "consectetur")
+    book = " ".join(rng.choice(words) for _ in range(800_000))  # ~4.5 MB
+    shared = "an exactly copied paragraph that both books contain verbatim"
+    docs = spark.createDataFrame(
+        [(1, book + " " + shared), (2, shared + " " + book[: 10_000])],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in exact_substring_pairs(docs, k=32, min_shared=1).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert (1, 2) in got
+    assert elapsed < 120, f"book-length substring dedup took {elapsed:.0f}s"
