@@ -316,3 +316,66 @@ def test_substring_book_length_row_bounded(spark):
     elapsed = time.monotonic() - t0
     assert (1, 2) in got
     assert elapsed < 120, f"book-length substring dedup took {elapsed:.0f}s"
+
+
+def test_drop_shared_spans_keep_first_and_merge(spark):
+    """Round 6 (VERDICT r5 task #6): the removal pass keeps the owner
+    (lowest doc_id) intact, excises the copied span from the later
+    doc (overlapping k-char cuts merged into one contiguous hole),
+    and passes unrelated docs through verbatim."""
+    from nebuia_vector_db_spark.operators.dedup import drop_shared_spans
+
+    para = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "zebras watch from a distance in complete astonishment today."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "owner head " + para + " owner tail"),
+            (2, "copycat intro " + para + " copycat outro"),
+            (3, "completely unrelated filler text " * 8),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in drop_shared_spans(docs, k=32).collect()}
+
+    # owner keeps everything
+    assert got[1]["text_clean"] == "owner head " + para + " owner tail"
+    assert got[1]["n_spans_removed"] == 0
+    # copycat loses the anchored parts of the paragraph but keeps its
+    # own framing; overlapping 32-char cuts merged (cleaned text is a
+    # subsequence of the original, strictly shorter, and the paragraph
+    # is no longer present verbatim)
+    c = got[2]
+    assert c["n_spans_removed"] >= 1
+    assert len(c["text_clean"]) < c["n_chars_before"]
+    assert para not in c["text_clean"]
+    assert c["text_clean"].startswith("copycat intro ")
+    # untouched docs are verbatim, including the sub-k one
+    assert got[3]["text_clean"].startswith("completely unrelated")
+    assert got[3]["n_spans_removed"] == 0
+    assert got[4]["text_clean"] == "tiny"
+
+    # cut-fold invariant: removed char count == union of the k-char
+    # spans (recompute naively from the occurrence rule)
+    import hashlib
+
+    text2 = "copycat intro " + para + " copycat outro"
+    text1 = "owner head " + para + " owner tail"
+    def grams(t):
+        return {
+            t[i : i + 32]: i
+            for i in range(len(t) - 31)
+            if hashlib.md5(t[i : i + 32].encode()).hexdigest()[0] == "0"
+        }
+    g1, g2 = grams(text1), grams(text2)
+    covered = set()
+    for i in range(len(text2) - 31):
+        g = text2[i : i + 32]
+        if hashlib.md5(g.encode()).hexdigest()[0] == "0" and g in g1:
+            covered.update(range(i, i + 32))
+    expect = "".join(
+        ch for j, ch in enumerate(text2) if j not in covered
+    )
+    assert c["text_clean"] == expect

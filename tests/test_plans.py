@@ -354,3 +354,16 @@ def test_substring_dedup_is_equi_join_no_cartesian(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # a real equi-join is present
+
+
+def test_drop_spans_linear_no_self_join_blowup(spark, sf_oracle):
+    """Round 6: span REMOVAL has no pair join at all — occurrences
+    equi-join the per-gram owner (one row per gram), so output is
+    linear in anchor volume; the cut itself is an aggregate HOF."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_dedup_drop_spans(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "aggregate(" in plan  # the interval-fold HOF survived

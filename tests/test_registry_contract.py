@@ -44,11 +44,17 @@ _REQUIRED_IN_WINDOW = {
     # embedding near-dup (exact; the RP-LSH sketch join demoted r4 —
     # sketch-blocking stays covered by dedup_minhash_lsh/dedup_simhash)
     "vs_neardup_cos",
-    # dedup family (dedup_substring = span-level pass, promoted r4;
-    # text_fingerprint demoted — shingle hashing stays recorded via
-    # dedup_minhash_lsh, tokenization via text_tokens)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # dedup family (dedup_substring = span-level diagnosis, promoted
+    # r4; dedup_drop_spans = span REMOVAL, promoted r6 displacing
+    # dedup_ngram_jaccard — whose recorded output was byte-identical
+    # to dedup_minhash_lsh's: both verify with exact Jaccard against
+    # the shared _JACCARD_SQL oracle, so the exact scorer stays pinned
+    # by the recorded minhash row. text_fingerprint demoted r4 —
+    # shingle hashing stays recorded via dedup_minhash_lsh,
+    # tokenization via text_tokens)
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_groups", "dedup_substring",
+    "dedup_drop_spans",
     # text analysis
     "text_tokens", "text_quality", "text_langid",
     "text_boilerplate", "text_tfidf_neardup", "text_minhash_mllib",
