@@ -182,9 +182,10 @@ def _decode_impl(payload: bytes) -> dict:
 
     fps = width = height = None
     n_declared = None
+    vid_stream = None
     frames: list[bytes] = []
     frame_offsets: list[int] = []  # offset of chunk header within movi
-    movi_size = None
+    movi = None  # (body_of_LIST, size) — frames collected after the walk
     idx1_raw = None
 
     for cid, body, size in _walk(payload, 12, 8 + riff_size):
@@ -193,23 +194,31 @@ def _decode_impl(payload: bytes) -> dict:
                 raise AviFormatError("LIST chunk too small")
             ltype = payload[body : body + 4]
             if ltype == b"hdrl":
-                fps, width, height, n_declared = _parse_hdrl(
+                fps, width, height, n_declared, vid_stream = _parse_hdrl(
                     payload, body + 4, body + size
                 )
             elif ltype == b"movi":
-                movi_size = size
-                _collect_frames(
-                    payload, body + 4, body + size, body, frames,
-                    frame_offsets,
-                )
+                movi = (body, size)
         elif cid == b"idx1":
             idx1_raw = payload[body : body + size]
         # JUNK / foreign chunks: skipped, like the WAV parser
 
     if fps is None:
         raise AviFormatError("missing hdrl header list")
-    if movi_size is None:
+    if movi is None:
         raise AviFormatError("missing movi list")
+    # the video stream's chunk ids carry its strl index (round 6,
+    # ADVICE r4: '00dc' was hardcoded — a file whose video is stream
+    # 01 decoded to "no video frames")
+    vid_ids = (
+        b"%02ddc" % vid_stream,
+        b"%02ddb" % vid_stream,
+    )
+    movi_body, movi_size = movi
+    _collect_frames(
+        payload, movi_body + 4, movi_body + movi_size, movi_body,
+        frames, frame_offsets, vid_ids,
+    )
     if not frames:
         raise AviFormatError("movi list holds no video frames")
     if n_declared is not None and n_declared != len(frames):
@@ -217,7 +226,10 @@ def _decode_impl(payload: bytes) -> dict:
             f"header declares {n_declared} frames, movi holds {len(frames)}"
         )
     if idx1_raw is not None:
-        _check_idx1(idx1_raw, frames, frame_offsets, movi_size)
+        _check_idx1(
+            idx1_raw, frames, frame_offsets, movi_size,
+            movi_abs=movi_body, vid_ids=vid_ids,
+        )
 
     return {
         "fps": fps,
@@ -230,6 +242,8 @@ def _decode_impl(payload: bytes) -> dict:
 
 def _parse_hdrl(payload: bytes, off: int, end: int):
     fps = width = height = n_frames = None
+    vid_stream = None
+    strl_idx = -1
     for cid, body, size in _walk(payload, off, end):
         if cid == b"avih":
             if size < 40:
@@ -237,12 +251,14 @@ def _parse_hdrl(payload: bytes, off: int, end: int):
             vals = struct.unpack_from("<10I", payload, body)
             n_frames, width, height = vals[4], vals[8], vals[9]
         elif cid == b"LIST" and payload[body : body + 4] == b"strl":
+            strl_idx += 1
             f = _parse_strl(payload, body + 4, body + size)
             if f is not None:
                 fps = f
+                vid_stream = strl_idx
     if fps is None or width is None:
         raise AviFormatError("hdrl missing avih or a vids strl")
-    return fps, width, height, n_frames
+    return fps, width, height, n_frames, vid_stream
 
 
 def _parse_strl(payload: bytes, off: int, end: int):
@@ -275,15 +291,16 @@ def _collect_frames(
     movi_body: int,
     frames: list[bytes],
     frame_offsets: list[int],
+    vid_ids: tuple[bytes, bytes],
 ) -> None:
     for cid, body, size in _walk(payload, off, end):
-        if cid in (b"00dc", b"00db"):
+        if cid in vid_ids:
             frames.append(payload[body : body + size])
             frame_offsets.append(body - 8 - movi_body)
         elif cid == b"LIST" and payload[body : body + 4] == b"rec ":
             _collect_frames(
                 payload, body + 4, body + size, movi_body, frames,
-                frame_offsets,
+                frame_offsets, vid_ids,
             )
 
 
@@ -292,27 +309,41 @@ def _check_idx1(
     frames: list[bytes],
     frame_offsets: list[int],
     movi_size: int,
+    movi_abs: int,
+    vid_ids: tuple[bytes, bytes],
 ) -> None:
+    """Cross-check the idx1 index against the frames found in movi.
+
+    Offsets come in TWO conventions in the wild (round 6, ADVICE r4 —
+    the old check rejected the second one): relative to the 'movi'
+    fourCC (Microsoft's documented form; offset 4 = first chunk
+    header) or absolute from the file start (what many muxers,
+    including old VfW, actually write). Detect the convention from
+    the first entry — the only two values consistent with the movi
+    layout are ``foff`` and ``foff + movi_abs`` — then enforce it
+    uniformly; a mixed or shifted index still fails."""
     if len(raw) % 16:
         raise AviFormatError("idx1 size is not a multiple of 16")
     entries = [
         struct.unpack_from("<4sIII", raw, i) for i in range(0, len(raw), 16)
     ]
-    vid = [e for e in entries if e[0] in (b"00dc", b"00db")]
+    vid = [e for e in entries if e[0] in vid_ids]
     if len(vid) != len(frames):
         raise AviFormatError(
             f"idx1 indexes {len(vid)} frames, movi holds {len(frames)}"
         )
+    delta = 0
+    if vid and vid[0][2] == frame_offsets[0] + movi_abs:
+        delta = movi_abs  # absolute-offset convention
     for (cid, _flags, offset, size), foff, frame in zip(
         vid, frame_offsets, frames
     ):
-        # offsets are relative to the 'movi' fourCC (offset 4 = first
-        # chunk header inside the list body), as is foff
-        if offset != foff:
+        if offset != foff + delta:
             raise AviFormatError(
-                f"idx1 offset {offset} disagrees with movi layout ({foff})"
+                f"idx1 offset {offset} disagrees with movi layout "
+                f"({foff + delta})"
             )
-        if offset + 8 + size > movi_size:
+        if (offset - delta) + 8 + size > movi_size:
             raise AviFormatError("idx1 entry points outside the movi list")
         if size != len(frame):
             raise AviFormatError(

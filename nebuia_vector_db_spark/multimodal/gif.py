@@ -258,11 +258,14 @@ def encode_gif(
 
 # ----------------------------------------------------------------- decode
 def decode_gif(payload: bytes) -> dict:
-    """Decode a GIF -> ``{width, height, palette, frames, delays_cs,
-    offsets}`` where ``frames`` are 2-D uint8 palette-index arrays
-    (losslessly identical to what was encoded), ``delays_cs`` the GCE
-    delay (centiseconds, 0 when absent) per frame, and ``offsets``
-    the (left, top) placement of each frame on the logical screen."""
+    """Decode a GIF -> ``{width, height, palette, palettes, frames,
+    delays_cs, offsets}`` where ``frames`` are 2-D uint8 palette-index
+    arrays (losslessly identical to what was encoded), ``palettes``
+    the per-frame color table (local table when present, else the
+    global one; ``palette`` = frame 0's for the single-palette common
+    case), ``delays_cs`` the GCE delay (centiseconds, 0 when absent)
+    per frame, and ``offsets`` the (left, top) placement of each frame
+    on the logical screen."""
     try:
         return _decode_impl(payload)
     except GifFormatError:
@@ -289,8 +292,8 @@ def _decode_impl(payload: bytes) -> dict:
     frames: list[np.ndarray] = []
     delays: list[int] = []
     offsets: list[tuple[int, int]] = []
+    palettes: list[np.ndarray] = []
     pending_delay = 0
-    palette_used = global_palette
 
     while True:
         if pos >= len(payload):
@@ -346,7 +349,7 @@ def _decode_impl(payload: bytes) -> dict:
             delays.append(pending_delay)
             offsets.append((left, top))
             pending_delay = 0
-            palette_used = palette
+            palettes.append(palette)
         else:
             raise GifFormatError(f"unknown block 0x{block:02X}")
 
@@ -355,7 +358,13 @@ def _decode_impl(payload: bytes) -> dict:
     return {
         "width": int(w),
         "height": int(h),
-        "palette": palette_used,
+        # round 6 (ADVICE r4): per-frame palettes — a frame with a
+        # local color table previously overwrote the single "palette"
+        # slot, so multi-palette GIFs reported only the LAST frame's
+        # colors. "palette" stays as frame 0's table for callers of
+        # the single-palette common case.
+        "palette": palettes[0],
+        "palettes": palettes,
         "frames": frames,
         "delays_cs": delays,
         "offsets": offsets,

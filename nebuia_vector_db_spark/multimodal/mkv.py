@@ -74,16 +74,23 @@ def _id_encode(eid: int) -> bytes:
     return eid.to_bytes(length, "big")
 
 
-def _vint_decode(payload: bytes, pos: int, strip_marker: bool = True):
+def _vint_decode(
+    payload: bytes, pos: int, strip_marker: bool = True, end: int | None = None
+):
     """Return (value, next_pos); size VINTs strip the marker, ids keep
-    the whole bytes as the id value."""
-    if pos >= len(payload):
+    the whole bytes as the id value. ``end`` bounds the read to the
+    enclosing element's region (round 6, ADVICE r4): without it a
+    VINT starting near a child element's end could consume sibling
+    bytes before any overrun check fired — fail closed instead."""
+    if end is None:
+        end = len(payload)
+    if pos >= end:
         raise MkvFormatError("truncated VINT")
     first = payload[pos]
     if first == 0:
         raise MkvFormatError("invalid VINT leading byte 0x00")
     width = 8 - first.bit_length() + 1
-    if pos + width > len(payload):
+    if pos + width > end:
         raise MkvFormatError("truncated VINT body")
     raw = int.from_bytes(payload[pos : pos + width], "big")
     if strip_marker:
@@ -173,8 +180,8 @@ def _walk(payload: bytes, pos: int, end: int):
     unknown-size element extends to the region's end (legal only for
     Segment/Cluster — enforced by the caller's grammar)."""
     while pos < end:
-        eid, p = _vint_decode(payload, pos, strip_marker=False)
-        size, p = _vint_decode(payload, p, strip_marker=True)
+        eid, p = _vint_decode(payload, pos, strip_marker=False, end=end)
+        size, p = _vint_decode(payload, p, strip_marker=True, end=end)
         if size is _UNKNOWN:
             # only the Segment may be unknown-size here: an unknown-
             # size CLUSTER ends at the next cluster id, and treating
@@ -273,7 +280,7 @@ def _decode_impl(payload: bytes) -> dict:
             for ceid, cb, ce in _walk(payload, b, e):
                 if ceid != _SIMPLE_BLOCK:
                     continue
-                tnum, p = _vint_decode(payload, cb, strip_marker=True)
+                tnum, p = _vint_decode(payload, cb, strip_marker=True, end=ce)
                 if tnum is _UNKNOWN:
                     raise MkvFormatError("invalid block track VINT")
                 if p + 3 > ce:

@@ -2806,11 +2806,18 @@ ORDER BY source, rk
 
 
 # bounded variant of ORACLE_MM_JPEG for the progressive row: same
-# stats arithmetic over the deterministic doc_id slice
-ORACLE_MM_JPEG_PROG = ORACLE_MM_JPEG.replace(
-    "WHERE octet_length(encode(text)) >= 1",
-    "WHERE octet_length(encode(text)) >= 1 AND doc_id % 5 = 0",
+# stats arithmetic over the deterministic doc_id slice. The replace
+# is asserted (round 6, ADVICE r4): if ORACLE_MM_JPEG's WHERE text
+# drifts, the derived oracle must fail loudly at import, not silently
+# compare the wrong row set.
+_MM_JPEG_WHERE = "WHERE octet_length(encode(text)) >= 1"
+assert _MM_JPEG_WHERE in ORACLE_MM_JPEG, (
+    "ORACLE_MM_JPEG WHERE clause drifted; update _MM_JPEG_WHERE"
 )
+ORACLE_MM_JPEG_PROG = ORACLE_MM_JPEG.replace(
+    _MM_JPEG_WHERE, _MM_JPEG_WHERE + " AND doc_id % 5 = 0"
+)
+assert ORACLE_MM_JPEG_PROG != ORACLE_MM_JPEG
 
 
 def q_mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:

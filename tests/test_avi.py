@@ -245,3 +245,75 @@ def test_spark_video_pipeline_end_to_end(spark):
         assert row.frame_mean == exp[5]      # exact: /2^k arithmetic
         assert row.frame_max == exp[6]
         assert row.delta_mean == exp[7]
+
+
+def test_absolute_offset_idx1_accepted():
+    """Round 6 (ADVICE r4): many muxers (old VfW included) write idx1
+    offsets absolute from the file start rather than relative to the
+    'movi' fourCC; the decoder must accept both conventions — and
+    still reject an index that matches neither."""
+    frames, _ = _jpeg_frames(n=3)
+    good = encode_avi_mjpeg(frames, 8, 128, 32)
+    baseline = decode_avi_mjpeg(good)
+
+    movi_fcc = good.find(b"movi")
+    idx_pos = good.rfind(b"idx1")
+    n_entries = struct.unpack_from("<I", good, idx_pos + 4)[0] // 16
+    avi = bytearray(good)
+    for i in range(n_entries):
+        off_pos = idx_pos + 8 + 16 * i + 8
+        rel = struct.unpack_from("<I", avi, off_pos)[0]
+        avi[off_pos:off_pos + 4] = struct.pack("<I", rel + movi_fcc)
+    out = decode_avi_mjpeg(bytes(avi))
+    assert out["frames"] == baseline["frames"]
+
+    # a uniform shift that is NEITHER convention still fails
+    bad = bytearray(good)
+    for i in range(n_entries):
+        off_pos = idx_pos + 8 + 16 * i + 8
+        rel = struct.unpack_from("<I", bad, off_pos)[0]
+        bad[off_pos:off_pos + 4] = struct.pack("<I", rel + movi_fcc + 2)
+    with pytest.raises(AviFormatError, match="idx1 offset"):
+        decode_avi_mjpeg(bytes(bad))
+
+
+def test_nonzero_video_stream_decodes():
+    """Round 6 (ADVICE r4): an AVI whose video is stream 01 (e.g. an
+    audio strl declared first) used to decode to 'no video frames' —
+    chunk ids were hardcoded to 00dc/00db. Hand-mux an audio+video
+    file with the video as stream 1."""
+    frames, _ = _jpeg_frames(n=2)
+    avih = struct.pack("<IIIIIIIIIIIIII", 125000, 0, 0, 0, 2, 0, 2, 0,
+                       128, 32, 0, 0, 0, 0)
+    strh_aud = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\0\0\0\0",
+                           0, 0, 0, 0, 1, 8000, 0, 16000, 0, 0xFFFFFFFF,
+                           1, 0, 0, 0, 0)
+    strf_aud = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)  # PCM fmt
+    strh_vid = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0,
+                           0, 0, 0, 1, 8, 0, 2, 0, 0xFFFFFFFF, 0, 0, 0,
+                           128, 32)
+    strf_vid = struct.pack("<IiiHH4sIiiII", 40, 128, 32, 1, 24, b"MJPG",
+                           128 * 32 * 3, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_aud) + _chunk(b"strf", strf_aud))
+        + _list(b"strl", _chunk(b"strh", strh_vid) + _chunk(b"strf", strf_vid)),
+    )
+    movi_payload = b"movi"
+    idx_entries = []
+    for i, f in enumerate(frames):
+        # interleave a fake audio chunk before each video frame
+        audio = _chunk(b"00wb", b"\x80" * 100)
+        idx_entries.append(struct.pack("<4sIII", b"00wb", 0,
+                                       len(movi_payload), 100))
+        movi_payload += audio
+        idx_entries.append(struct.pack("<4sIII", b"01dc", 0x10,
+                                       len(movi_payload), len(f)))
+        movi_payload += _chunk(b"01dc", f)
+    movi = _chunk(b"LIST", movi_payload)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    avi = _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+    out = decode_avi_mjpeg(avi)
+    assert out["frames"] == frames
+    assert out["fps"] == 8 and out["n_frames"] == 2

@@ -178,3 +178,36 @@ def test_spark_gif_pipeline_end_to_end(spark):
         assert row.frame_mean == exp[5]
         assert row.frame_max == exp[6]
         assert row.delta_mean == exp[7]
+
+
+def test_per_frame_local_palettes_reported():
+    """Round 6 (ADVICE r4): a frame with a local color table used to
+    overwrite the single "palette" slot, so multi-palette GIFs
+    reported only the LAST frame's colors. decode_gif now returns
+    per-frame ``palettes`` (and ``palette`` = frame 0's)."""
+    import struct
+
+    f1 = (np.arange(8, dtype=np.uint8) % 4).reshape(2, 4)
+    f2 = ((np.arange(8, dtype=np.uint8) + 1) % 4).reshape(2, 4)
+    p_global = np.array(
+        [[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]],
+        np.uint8,
+    )
+    p_local = p_global[::-1].copy()
+    gif = bytearray(encode_gif([f1, f2], palette=p_global))
+    # splice a local color table into the SECOND image descriptor:
+    # set its local-table flag (depth bits) and insert the palette
+    h, w = f1.shape
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    pos = gif.rfind(desc)
+    assert pos > gif.find(desc) >= 0  # found the second frame's
+    depth = 2  # 4 colors
+    gif[pos + 9] = 0x80 | (depth - 1)
+    gif[pos + 10 : pos + 10] = p_local.tobytes()
+    out = decode_gif(bytes(gif))
+    assert np.array_equal(out["palette"], p_global)
+    assert np.array_equal(out["palettes"][0], p_global)
+    assert np.array_equal(out["palettes"][1], p_local)
+    # frames themselves are untouched index data
+    assert np.array_equal(out["frames"][0], f1)
+    assert np.array_equal(out["frames"][1], f2)

@@ -191,3 +191,52 @@ def test_unknown_size_cluster_fails_closed():
     patched = good[: i + 4] + unknown + good[after:]
     with pytest.raises(MkvFormatError, match="unknown-size"):
         decode_mkv_mjpeg(patched)
+
+
+def test_vint_decode_respects_region_end():
+    """Round 6 (ADVICE r4): a VINT whose width extends past its parent
+    element's end must fail closed, not silently consume the sibling's
+    bytes (the overrun check used to fire only against the whole
+    payload)."""
+    from nebuia_vector_db_spark.multimodal.mkv import (
+        MkvFormatError,
+        _vint_decode,
+    )
+
+    # 0x01 leading byte = 8-byte-wide VINT; bytes 8.. belong to a sibling
+    payload = b"\x01" + b"\x00" * 7 + b"\xff" * 4
+    v, p = _vint_decode(payload, 0, strip_marker=False)
+    assert p == 8  # unbounded parse is fine
+    with pytest.raises(MkvFormatError, match="truncated VINT"):
+        _vint_decode(payload, 0, strip_marker=False, end=4)
+    with pytest.raises(MkvFormatError, match="truncated VINT"):
+        _vint_decode(payload, 4, end=4)  # starts AT the region end
+
+
+def test_simpleblock_track_vint_bounded_by_block():
+    """A SimpleBlock whose track-number VINT claims more bytes than
+    the block holds must raise, not read the next element's bytes —
+    the exact decode-path call (`_vint_decode(..., end=ce)`) on a
+    crafted 1-byte block followed by a sibling element."""
+    from nebuia_vector_db_spark.multimodal.mkv import (
+        _SIMPLE_BLOCK,
+        MkvFormatError,
+        _element,
+        _vint_decode,
+        _walk,
+    )
+
+    # cluster region: 1-byte SimpleBlock (body 0x01 = "8-byte VINT
+    # follows") then a sibling Timecode element whose bytes the old
+    # unbounded decode would silently consume
+    region = _element(_SIMPLE_BLOCK, b"\x01") + _element(0xE7, b"\x00" * 16)
+    elems = list(_walk(region, 0, len(region)))
+    eid, cb, ce = elems[0]
+    assert eid == _SIMPLE_BLOCK and ce - cb == 1
+    # pre-fix behavior: the unbounded parse happily crosses into the
+    # sibling element...
+    _, p = _vint_decode(region, cb, strip_marker=True)
+    assert p > ce
+    # ...the bounded decode-path call fails closed instead
+    with pytest.raises(MkvFormatError, match="truncated VINT"):
+        _vint_decode(region, cb, strip_marker=True, end=ce)
