@@ -292,3 +292,208 @@ class InMemoryCommitBackend(CommitBackend):
     def read_pointer(self) -> str | None:
         with self._lock:
             return self._pointer
+
+
+def _http_status(exc: Exception) -> int | None:
+    """Duck-typed botocore ClientError status extraction — the adapter
+    must not import boto3 (the client is INJECTED), so error shape is
+    probed structurally: ``exc.response["ResponseMetadata"]
+    ["HTTPStatusCode"]`` and ``exc.response["Error"]["Code"]``."""
+    resp = getattr(exc, "response", None)
+    if not isinstance(resp, dict):
+        return None
+    meta = resp.get("ResponseMetadata") or {}
+    code = meta.get("HTTPStatusCode")
+    if isinstance(code, int):
+        return code
+    err = (resp.get("Error") or {}).get("Code")
+    if err in ("PreconditionFailed", "412"):
+        return 412
+    if err in ("ConditionalRequestConflict", "OperationAborted", "409"):
+        return 409
+    if err in ("NoSuchKey", "NotFound", "404"):
+        return 404
+    return None
+
+
+class ObjectStoreCommitBackend(CommitBackend):
+    """S3-shaped object-store log (round 6, VERDICT r5 task #5).
+
+    The client is INJECTED and boto3-shaped — any object with
+    ``put_object / get_object / head_object / list_objects_v2 /
+    delete_object`` accepting the standard kwargs works (a real
+    ``boto3.client("s3")``, an S3-compatible store's SDK, or a test
+    fake). No AWS SDK import happens here; errors are recognized
+    structurally (see :func:`_http_status`), so the module stays
+    importable in this container.
+
+    The CAS is S3 conditional write: ``PutObject`` with
+    ``IfNoneMatch="*"`` (generally available on S3 since 2024; the
+    same header works on GCS's XML API and most S3-compatibles).
+    Outcomes:
+
+    - 2xx → we won the race;
+    - 412 PreconditionFailed → the version exists: lost race, False;
+    - 409 ConditionalRequestConflict → a RIVAL conditional write to
+      the same key is in flight; retried a bounded number of times
+      (the rival either lands → our retry sees 412 → False, or aborts
+      → our retry wins). After the retry budget, False is returned —
+      safe either way: the caller's optimistic-retry loop re-resolves
+      the head version with read-after-write point reads
+      (``version_exists``), so a spurious False only costs one extra
+      round trip, never a lost or duplicated commit.
+
+    LIST staleness: S3 proper is strongly consistent, but many
+    S3-compatibles (and GCS's list) lag writes. The snapshot protocol
+    only uses listings to SEED the head probe (SnapshotTable.
+    current_version probes forward with point reads past both the
+    checkpoint pointer and any listing), so a lagging
+    ``list_objects_v2`` affects nothing but audit/vacuum breadth —
+    pinned by the lagging-list fake in tests/test_snapshot_log.py.
+    """
+
+    def __init__(
+        self,
+        client,
+        bucket: str,
+        prefix: str = "",
+        conflict_retries: int = 8,
+        sleep=None,
+    ):
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.conflict_retries = conflict_retries
+        import time as _time
+
+        self._sleep = sleep if sleep is not None else _time.sleep
+
+    def _key(self, name: str) -> str:
+        return f"{self.prefix}/{name}" if self.prefix else name
+
+    # ---- the CAS ----------------------------------------------------
+    def _conditional_put(self, key: str, body: bytes) -> bool:
+        for attempt in range(self.conflict_retries + 1):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=key,
+                    Body=body,
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as e:  # noqa: BLE001 — shape-probed below
+                status = _http_status(e)
+                if status == 412:
+                    return False  # version landed: lost the race
+                if status == 409 and attempt < self.conflict_retries:
+                    self._sleep(min(0.05 * (2**attempt), 1.0))
+                    continue
+                if status == 409:
+                    return False  # budget exhausted; caller re-resolves
+                raise
+        return False  # unreachable; loop always returns
+
+    def try_commit(self, version: int, payload: str) -> bool:
+        return self._conditional_put(
+            self._key(_vname(version)), payload.encode("utf-8")
+        )
+
+    # ---- reads ------------------------------------------------------
+    def _get(self, key: str) -> bytes:
+        try:
+            obj = self.client.get_object(Bucket=self.bucket, Key=key)
+        except Exception as e:  # noqa: BLE001
+            if _http_status(e) == 404:
+                raise FileNotFoundError(key) from e
+            raise
+        body = obj["Body"]
+        return body.read() if hasattr(body, "read") else bytes(body)
+
+    def _exists(self, key: str) -> bool:
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=key)
+            return True
+        except Exception as e:  # noqa: BLE001
+            if _http_status(e) == 404:
+                return False
+            raise
+
+    def _list(self, name_prefix: str) -> list[str]:
+        keys: list[str] = []
+        token = None
+        prefix = self._key(name_prefix)
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            page = self.client.list_objects_v2(**kw)
+            for item in page.get("Contents") or []:
+                keys.append(item["Key"].rsplit("/", 1)[-1])
+            if not page.get("IsTruncated"):
+                return keys
+            token = page.get("NextContinuationToken")
+
+    def read_version(self, version: int) -> str:
+        return self._get(self._key(_vname(version))).decode("utf-8")
+
+    def version_exists(self, version: int) -> bool:
+        return self._exists(self._key(_vname(version)))
+
+    def list_versions(self) -> list[int]:
+        out = []
+        for name in self._list("v"):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def delete_version(self, version: int) -> None:
+        self.client.delete_object(
+            Bucket=self.bucket, Key=self._key(_vname(version))
+        )
+
+    # ---- checkpoints -------------------------------------------------
+    def write_checkpoint(self, version: int, data: bytes) -> None:
+        # checkpoints are immutable + content-deterministic: first
+        # writer wins, a lost conditional race is a no-op like the
+        # LocalFS EEXIST path
+        self._conditional_put(self._key(_ckpt_name(version)), data)
+
+    def read_checkpoint(self, version: int) -> bytes:
+        return self._get(self._key(_ckpt_name(version)))
+
+    def checkpoint_exists(self, version: int) -> bool:
+        return self._exists(self._key(_ckpt_name(version)))
+
+    def list_checkpoints(self) -> list[int]:
+        out = []
+        for name in self._list("ckpt-v"):
+            if name.startswith("ckpt-v") and name.endswith(".parquet"):
+                try:
+                    out.append(int(name[6:-8]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def delete_checkpoint(self, version: int) -> None:
+        self.client.delete_object(
+            Bucket=self.bucket, Key=self._key(_ckpt_name(version))
+        )
+
+    def write_pointer(self, payload: str) -> None:
+        # last-writer-wins overwrite (the pointer is a hint): a plain
+        # unconditional PUT, atomic per object
+        self.client.put_object(
+            Bucket=self.bucket,
+            Key=self._key("_last_checkpoint"),
+            Body=payload.encode("utf-8"),
+        )
+
+    def read_pointer(self) -> str | None:
+        try:
+            return self._get(self._key("_last_checkpoint")).decode("utf-8")
+        except FileNotFoundError:
+            return None

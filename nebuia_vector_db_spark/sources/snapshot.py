@@ -115,12 +115,19 @@ class SnapshotTable:
         if ptr is not None and self.backend.version_exists(ptr):
             v = ptr
         else:
+            # probe past the listing too (round 6): object-store
+            # listings may lag writes (GCS/S3-compatible stores with
+            # eventual LIST), while point reads are read-after-write —
+            # so the listing only SEEDS the probe (and an empty lagging
+            # listing on a fresh table seeds it at 0: versions start
+            # at 1 and the log is gapless, so forward probing finds
+            # every committed head)
             vs = self.versions()
-            if not vs:
-                raise FileNotFoundError(f"no snapshots at {self.path}")
-            return vs[-1]
+            v = vs[-1] if vs else 0
         while self.backend.version_exists(v + 1):
             v += 1
+        if v == 0:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
         return v
 
     def _read_pointer(self) -> int | None:
