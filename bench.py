@@ -438,6 +438,91 @@ def main() -> None:
     timings["b6_pq_adc_recall_at_10"] = round(sum(adc_rec) / len(adc_rec), 4)
     timings["b6_pq_rerank_recall_at_10"] = round(sum(rr_rec) / len(rr_rec), 4)
 
+    # ---- B6o/B6x: OPQ rotation (round 6) — codes-only ADC recall at
+    # the SAME 16-byte budget, paired PQ-vs-OPQ with identical
+    # training samples so the rotation is the only variable.
+    # B6o = the clustered corpus: IVF residuals there are NEAR-
+    # ISOTROPIC (unit Gaussian noise), so theory predicts a modest
+    # gain — reported honestly as the unfavorable case.
+    # B6x = a rotated anisotropic spectrum (exp eigendecay, basis NOT
+    # axis-aligned — the shape of real transformer embeddings), where
+    # subspace misallocation is the binding constraint: this is the
+    # case OPQ exists for (driver-measured 0.56 -> 0.74 at 150k).
+    from nebuia_vector_db_spark.operators.pq import (
+        pq_search_batch,
+        train_opq,
+    )
+
+    def _paired_adc_recall(corpus_df, smat, queries, prefix, m_=16,
+                           cell_index=None):
+        cc = cell_index.centroids if cell_index is not None else None
+        src = cell_index.assigned if cell_index is not None else corpus_df
+        t0 = time.monotonic()
+        books_p = train_pq(
+            src, m=m_, k=256, sample=len(smat), iters=10,
+            cell_centroids=cc, sample_matrix=smat,
+        )
+        rot, books_o = train_opq(
+            src, m=m_, k=256, sample=len(smat), iters=10, opq_iters=4,
+            cell_centroids=cc, sample_matrix=smat,
+        )
+        timings[f"{prefix}_train_sec"] = round(time.monotonic() - t0, 4)
+        timings[f"{prefix}_rotation_orth_err"] = float(
+            np.abs(rot @ rot.T - np.eye(rot.shape[0])).max()
+        )
+        qdf = spark.createDataFrame(
+            [(int(i), list(map(float, q))) for i, q in enumerate(queries)],
+            "query_id long, query_vec array<double>",
+        ).cache()
+        qdf.count()
+        exact = knn_join(
+            qdf, corpus_df, k=10, tie_cols=["vec_id"], method="arrow"
+        ).collect()
+        want = {}
+        for r in exact:
+            want.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for tag, books, r_ in (("pq", books_p, None), ("opq", books_o, rot)):
+            enc = encode_pq(src, books, cell_centroids=cc, rotation=r_)
+            enc.codes = enc.codes.cache()
+            enc.codes.count()
+            got = {}
+            for r in pq_search_batch(
+                enc, corpus_df, qdf, topk=10, tie_cols=["vec_id"]
+            ).collect():
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            rec = [
+                len(got.get(qid, set()) & w) / 10 for qid, w in want.items()
+            ]
+            timings[f"{prefix}_{tag}_adc_recall_at_10"] = round(
+                sum(rec) / len(rec), 4
+            )
+            enc.codes.unpersist()
+        qdf.unpersist()
+
+    _paired_adc_recall(
+        clustered, cmat[:30_000],
+        [np.asarray(q, dtype=np.float64) for q in c_queries[:6]],
+        "b6o", cell_index=det_c_index,
+    )
+    an_d, an_n = SYNTH_D, 200_000
+    an_rng = np.random.default_rng(5)
+    an_scales = np.exp(-np.arange(an_d) / 12.0)
+    an_basis = np.linalg.qr(an_rng.normal(size=(an_d, an_d)))[0]
+    an_mat = (
+        (an_rng.normal(size=(an_n, an_d)) * an_scales) @ an_basis.T
+    ).astype(np.float64)
+    import pandas as _pd
+
+    an_df = spark.createDataFrame(
+        _pd.DataFrame(
+            {"vec_id": np.arange(an_n), "embedding": list(an_mat)}
+        )
+    ).cache()
+    an_df.count()
+    an_queries = (an_rng.normal(size=(6, an_d)) * an_scales) @ an_basis.T
+    _paired_adc_recall(an_df, an_mat[:40_000], list(an_queries), "b6x")
+    an_df.unpersist()
+
     # ---- B7: SQ8 (int8 + per-vector scale, 4×, no training) on the
     # same 600k corpus — the middle rung of the storage ladder.
     from nebuia_vector_db_spark.operators.sq import sq8_encode, sq8_topk
@@ -615,7 +700,10 @@ def main() -> None:
         "query_id long, query_vec array<double>",
     ).cache()
     sweep_queries.count()
-    sweep_sizes = [600_000, 2_400_000, 9_600_000]
+    # round 6 (VERDICT r5 task #4): extended 4x past the round-4
+    # top — 38.4M x 64-dim float32 ~ 9.8 GB cached, the order-
+    # of-magnitude point the 100 TB linearity claim was missing
+    sweep_sizes = [600_000, 2_400_000, 9_600_000, 38_400_000]
     sweep_times: list[float] = []
     for n_rows in sweep_sizes:
         if n_rows == SYNTH_N:
@@ -801,8 +889,10 @@ def main() -> None:
     # -> exact-Jaccard verify) at 5k / 20k / 80k synthetic docs with
     # a fixed 2% near-dup rate. b8 sweeps the GEMM family; this
     # sweeps the shuffle/join family — the other half of the 100 TB
-    # claim. Slope = t(next) / (t(prev) * 4); ~1.0 is linear. Small
-    # sizes keep the quadratic-free pipeline under a few minutes.
+    # claim. Slope = t(next) / (t(prev) * 4); ~1.0 is linear.
+    # Round 6 (VERDICT r5 task #4): the sweep now tops out at 320k
+    # docs — an order of magnitude past the round-4 80k point, so
+    # the join-family linearity claim is measured, not extrapolated.
     from nebuia_vector_db_spark.operators.dedup import minhash_lsh_pairs
 
     def _synth_docs(n_docs: int):
@@ -829,7 +919,7 @@ def main() -> None:
         )
 
     prev_t = None
-    b11_sizes = [5_000, 20_000, 80_000]
+    b11_sizes = [5_000, 20_000, 80_000, 320_000]
     for n_docs in b11_sizes:
         docs_n = _synth_docs(n_docs).cache()
         docs_n.count()

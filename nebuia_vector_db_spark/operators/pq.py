@@ -102,6 +102,7 @@ class PQIndex:
         id_col: str,
         cell_centroids: np.ndarray | None = None,  # (n_cells, d)
         cell_col: str = "ivf_cell",
+        rotation: np.ndarray | None = None,  # (d, d) orthogonal (OPQ)
     ):
         self.codes = codes
         self.codebooks = codebooks
@@ -109,6 +110,7 @@ class PQIndex:
         self.id_col = id_col
         self.cell_centroids = cell_centroids
         self.cell_col = cell_col
+        self.rotation = rotation
 
     @property
     def m(self) -> int:
@@ -120,8 +122,16 @@ class PQIndex:
 
     def adc_table(self, qvec: Sequence[float]) -> np.ndarray:
         """(m, k) inner products of the normalized query's subspace
-        slices against every codeword — the whole query-side work."""
+        slices against every codeword — the whole query-side work.
+
+        With an OPQ ``rotation`` R the codes quantize y = rR (the
+        rotated residual), and ``dot(q, r) = dot(qR, rR)`` since R is
+        orthogonal — so the query is rotated HERE, once, and the scan
+        side is untouched (the cell term stays unrotated: it scores
+        against raw-space centroids)."""
         qn = np.asarray(normalize_query(qvec), dtype=np.float64)
+        if self.rotation is not None:
+            qn = qn @ self.rotation
         dsub = self.codebooks.shape[2]
         return np.stack(
             [
@@ -259,8 +269,11 @@ def pq_search_batch(
     b = qmat.shape[0]
     m, k = index.m, index.k
     dsub = index.codebooks.shape[2]
+    # OPQ: tables score rotated residuals, so rotate the queries; the
+    # cell term below stays in raw space (see PQIndex.adc_table)
+    qrot = qmat @ index.rotation if index.rotation is not None else qmat
     tables = np.einsum(
-        "skd,bsd->bsk", index.codebooks, qmat.reshape(b, m, dsub)
+        "skd,bsd->bsk", index.codebooks, qrot.reshape(b, m, dsub)
     )  # (B, m, k)
 
     codes_src = index.codes
@@ -380,20 +393,38 @@ def train_pq(
     residual step is then computed driver-side against
     ``cell_centroids`` with the same squared-distance argmin the
     distributed kernel uses."""
+    x = _training_residuals(
+        df, sample, vec_col, cell_col, cell_centroids, sample_matrix
+    )
+    return _fit_books(x, m, k, iters, seed)
+
+
+def _training_residuals(
+    df, sample, vec_col, cell_col, cell_centroids, sample_matrix
+) -> np.ndarray:
+    """The bounded (n, d) training matrix — raw vectors or IVF
+    residuals — shared by train_pq and train_opq."""
     if sample_matrix is not None:
         x = np.ascontiguousarray(sample_matrix, dtype=np.float64)[:sample]
         if cell_centroids is not None:
             c = np.ascontiguousarray(cell_centroids, dtype=np.float64)
             scores = x @ c.T * -2.0 + np.einsum("ij,ij->i", c, c)[None, :]
             x = x - c[np.argmin(scores, axis=1)]
-    elif cell_centroids is not None:
+        return x
+    if cell_centroids is not None:
         pdf = df.select(vec_col, cell_col).limit(sample).toPandas()
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         cells = pdf[cell_col].to_numpy().astype(np.int64)
-        x = x - cell_centroids[cells]
-    else:
-        pdf = df.select(vec_col).limit(sample).toPandas()
-        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return x - cell_centroids[cells]
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
+def _fit_books(
+    x: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means in a thread pool (GIL-free NumPy kernels);
+    deterministic per (input, seed) — each subspace keeps seed + s."""
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -412,6 +443,78 @@ def train_pq(
     return np.stack(books)
 
 
+def _encode_np(y: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) codes for a driver-side matrix — the same argmin the
+    distributed Arrow kernel runs (shared by OPQ training)."""
+    m, _, dsub = books.shape
+    c_norm2 = np.einsum("skd,skd->sk", books, books)
+    codes = np.empty((y.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        xs = y[:, s * dsub : (s + 1) * dsub]
+        codes[:, s] = (c_norm2[s][None, :] - 2.0 * (xs @ books[s].T)).argmin(
+            axis=1
+        )
+    return codes
+
+
+def _reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    m = books.shape[0]
+    return np.concatenate(
+        [books[s][codes[:, s]] for s in range(m)], axis=1
+    )
+
+
+def train_opq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 100_000,
+    iters: int = 15,
+    opq_iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_centroids: np.ndarray | None = None,
+    cell_col: str = "ivf_cell",
+    sample_matrix: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ (Ge et al., CVPR 2013, non-parametric variant): learn an
+    orthogonal rotation R so the PRODUCT structure of the codebooks
+    fits the data — plain PQ quantizes each dsub-dim slice
+    independently, so correlated/variance-skewed dimensions waste code
+    budget; rotating first decorrelates and balances the subspaces.
+    Round 6 (VERDICT r5 task #7): lifts codes-only (ADC) recall at the
+    SAME bytes/vector — at 100 TB the codes-only path is what scans.
+
+    Alternating minimization on the same bounded driver-side sample
+    train_pq uses (deterministic per seed):
+      1. fix R → train per-subspace codebooks on Y = X·R;
+      2. fix codebooks → encode Y, reconstruct Ŷ, and solve the
+         orthogonal Procrustes problem min_R ‖X·R − Ŷ‖_F via one SVD
+         of XᵀŶ (R = U·Vᵀ).
+    Query side: dot(q, x̂) = dot(q·R, ŷ) since R is orthogonal — the
+    rotation is applied to the QUERY once per search, never to the
+    scan (PQIndex.adc_table / pq_search_batch).
+
+    Returns ``(rotation, codebooks)`` — feed both to
+    :func:`encode_pq`."""
+    x = _training_residuals(
+        df, sample, vec_col, cell_col, cell_centroids, sample_matrix
+    )
+    d = x.shape[1]
+    rot = np.eye(d, dtype=np.float64)
+    books = None
+    for _ in range(max(1, opq_iters)):
+        y = x @ rot
+        books = _fit_books(y, m, k, iters, seed)
+        y_hat = _reconstruct_np(_encode_np(y, books), books)
+        u, _, vt = np.linalg.svd(x.T @ y_hat, full_matrices=False)
+        rot = u @ vt
+    # final codebook fit against the converged rotation
+    books = _fit_books(x @ rot, m, k, iters, seed)
+    return rot, books
+
+
 def encode_pq(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -419,12 +522,16 @@ def encode_pq(
     id_col: str = "vec_id",
     cell_centroids: np.ndarray | None = None,
     cell_col: str = "ivf_cell",
+    rotation: np.ndarray | None = None,
 ) -> PQIndex:
     """Map-side Arrow encoding: per batch, one GEMM + argmin per
     subspace; output is (id[, cell], codes array<int>) — at rest this
     is the 32× compressed representation (write it partitioned/bucketed
     like any table; raw vectors are only needed for re-rank). With
-    ``cell_centroids`` the codes quantize residuals (IVF-PQ)."""
+    ``cell_centroids`` the codes quantize residuals (IVF-PQ); with an
+    OPQ ``rotation`` the (residual) vectors are rotated before the
+    subspace split (one extra (b,d)·(d,d) GEMM per batch — still
+    map-side, no shuffle)."""
     from collections.abc import Iterator
 
     import pyarrow as pa
@@ -450,6 +557,8 @@ def encode_pq(
             if residual:
                 cells = rb.column(cell_col).to_numpy(zero_copy_only=False)
                 mat = mat - cell_centroids[cells.astype(np.int64)]
+            if rotation is not None:
+                mat = mat @ rotation
             codes = np.empty((mat.shape[0], m), dtype=np.int64)
             for s in range(m):
                 xs = mat[:, s * dsub : (s + 1) * dsub]
@@ -475,6 +584,7 @@ def encode_pq(
     return PQIndex(
         codes_df, codebooks, vec_col, id_col,
         cell_centroids=cell_centroids, cell_col=cell_col,
+        rotation=rotation,
     )
 
 
@@ -513,6 +623,15 @@ def save_pq_index(index: PQIndex, path: str) -> None:
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "centroids")
         )
+    if index.rotation is not None:
+        rows = [
+            (i, [float(x) for x in v]) for i, v in enumerate(index.rotation)
+        ]
+        spark.createDataFrame(
+            rows, "i int, row array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "rotation")
+        )
 
 
 def append_to_pq_index(
@@ -550,6 +669,7 @@ def append_to_pq_index(
     new_codes = encode_pq(
         src, idx.codebooks, vec_col, id_col,
         cell_centroids=idx.cell_centroids, cell_col=cell_col,
+        rotation=idx.rotation,
     ).codes
     w = new_codes.write.mode("append")
     if idx.cell_centroids is not None:
@@ -590,7 +710,17 @@ def load_pq_index(
         )
     except Exception:
         cents = None  # flat-PQ index: no centroid table written
+    rot = None
+    try:
+        rrows = spark.read.parquet(
+            os.path.join(path, "rotation")
+        ).orderBy("i").collect()
+        rot = np.vstack(
+            [np.asarray(r["row"], dtype=np.float64) for r in rrows]
+        )
+    except Exception:
+        rot = None  # plain-PQ index: no rotation written
     return PQIndex(
         codes, books, vec_col, id_col,
-        cell_centroids=cents, cell_col=cell_col,
+        cell_centroids=cents, cell_col=cell_col, rotation=rot,
     )

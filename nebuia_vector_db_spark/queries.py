@@ -3877,6 +3877,69 @@ def q_events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_stream_join_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN driven end-to-end as a real streaming query
+    (round 6, VERDICT r5 task #9): clicks and purchases arrive as two
+    watermarked file streams, join on user within a 30-minute event-
+    time gap, Trigger.AvailableNow drains the source into a memory
+    sink, and the SINK TABLE is the row's output — the first recorded
+    row that executes through the streaming engine (micro-batch
+    planner, watermark tracking, symmetric join state store) rather
+    than the batch planner. The DuckDB oracle is the plain batch range
+    join, so the hash match certifies the streaming execution path
+    end-to-end against batch semantics (the AvailableNow ≡ batch
+    equivalence the tests pin, promoted to the driver-checked
+    registry). Inner join + single-file source ⇒ one micro-batch, no
+    late-drop ambiguity: deterministic. Streaming scale notes: both
+    sides watermarked so join state is bounded by the gap, not the
+    stream (streaming/events.py::join_streams docstring)."""
+    from nebuia_vector_db_spark.streaming.events import (
+        join_streams,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    left = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("ts_r"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = join_streams(
+        left, right, watermark="10 hours", max_gap="30 minutes"
+    )
+    got = run_to_memory(out, "reg_stream_join_mirror")
+    return got.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_r").alias("ts_r_us"),
+        "purchase_value",
+    ).orderBy("event_id", "ts_r_us")
+
+
+ORACLE_STREAM_JOIN_MIRROR = """
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS ts_r_us,
+       r.value AS purchase_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+ORDER BY event_id, ts_r_us
+"""
+
+
 ORACLE_EVENTS_ASOF = """
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
      s AS (SELECT * FROM events WHERE event_type = 'signup')
@@ -4613,12 +4676,20 @@ REGISTRY: dict[
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
     # events (batch mirrors of the streaming surface)
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
-    # sliding-window agg (batch mirror of sliding_counts_stream)
-    "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
+    # STREAMING execution path (round-6 promotion): watermarked
+    # stream-stream join run through the micro-batch engine
+    # (AvailableNow → memory sink) and hash-matched against the batch
+    # range-join oracle — the first recorded row that exercises the
+    # streaming planner/state store at all. Displaces events_sliding:
+    # a sliding-window agg is the same window-agg path events_hourly
+    # pins (tumbling = sliding with step == width), while streaming
+    # execution had NO recorded representative; see the below-window
+    # justification.
+    "stream_join_mirror": (q_stream_join_mirror, ORACLE_STREAM_JOIN_MIRROR),
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
@@ -4653,7 +4724,15 @@ REGISTRY: dict[
     #   on DECODED pixels through a real AVI container + JPEG codec;
     #   the byte-level frame-extraction arithmetic stays locally green;
     "mm_scene_changes": (q_mm_scene_changes, ORACLE_MM_SCENES),
-    # Round-6 demotion:
+    # Round-6 demotions:
+    # events_sliding: sliding-window agg — demoted for
+    #   stream_join_mirror (the streaming execution path, a capability
+    #   with NO prior recorded representative). The window-agg family
+    #   stays recorded via events_hourly (tumbling = sliding with
+    #   step == width; both lower to the same window-bucket Expand +
+    #   hash agg), and the sliding Expand shape specifically stays
+    #   locally green here;
+    "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     # dedup_ngram_jaccard: exact shingle-Jaccard pairs — demoted for
     #   dedup_drop_spans (span removal, a capability with NO prior
     #   representative). Redundant in-window: it shares _JACCARD_SQL

@@ -368,3 +368,128 @@ def test_pq_search_batch_nprobe_respects_probe_mask(spark, sf_oracle):
     for r in out:
         probed = set(idx.probe_cells(qvec_of[r["query_id"]], 2))
         assert cell_of[r["vec_id"]] in probed
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotation (round 6, VERDICT r5 task #7)
+# ---------------------------------------------------------------------------
+
+
+def test_opq_identity_rotation_equals_plain_pq(spark, sf_oracle):
+    """encode/search with rotation=I must be bit-identical to plain PQ
+    — the rotation path adds no numeric drift when it is a no-op."""
+    from nebuia_vector_db_spark.operators.pq import train_pq
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    books = train_pq(emb, m=8, k=64, sample=1000, iters=10)
+    eye = np.eye(books.shape[0] * books.shape[2])
+    plain = encode_pq(emb, books)
+    rotated = encode_pq(emb, books, rotation=eye)
+    a = {r["vec_id"]: list(r["codes"]) for r in plain.codes.collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in rotated.codes.collect()}
+    assert a == b
+    q = [0.1] * 64
+    ra = [tuple(r) for r in plain.search(emb, q, 5, tie_cols=["vec_id"]).collect()]
+    rb = [tuple(r) for r in rotated.search(emb, q, 5, tie_cols=["vec_id"]).collect()]
+    assert ra == rb
+
+
+def test_train_opq_deterministic_and_orthogonal(spark, sf_oracle):
+    from nebuia_vector_db_spark.operators.pq import train_opq
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    r1, b1 = train_opq(emb, m=8, k=32, sample=500, iters=8, opq_iters=3)
+    r2, b2 = train_opq(emb, m=8, k=32, sample=500, iters=8, opq_iters=3)
+    assert np.array_equal(r1, r2) and np.array_equal(b1, b2)
+    assert np.allclose(r1 @ r1.T, np.eye(r1.shape[0]), atol=1e-10)
+
+
+def test_opq_full_rerank_recovers_exact_topk(spark, sf_oracle):
+    """The exactness invariant survives the rotation: full shortlist +
+    exact re-rank == brute-force top-k (re-rank reads RAW vectors, so
+    the rotation must never leak into the exact path)."""
+    from nebuia_vector_db_spark.operators.pq import train_opq
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    n = emb.count()
+    rot, books = train_opq(
+        emb, m=8, k=64, sample=1000, iters=10, opq_iters=3
+    )
+    idx = encode_pq(emb, books, rotation=rot)
+    q = [0.3, -0.1] * 32
+    want = [
+        (r["vec_id"], round(r["similarity"], 9))
+        for r in topk_search(emb, q, 10, tie_cols=["vec_id"]).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["similarity"], 9))
+        for r in idx.search(
+            emb, q, 10, rerank=n, tie_cols=["vec_id"]
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_opq_beats_pq_on_anisotropic_corpus(spark):
+    """The capability claim: on a rotated anisotropic spectrum (the
+    shape of real transformer embeddings — eigendecay NOT aligned to
+    the subspace split), OPQ's learned rotation must materially lift
+    codes-only ADC recall at the same byte budget. Driver-measured
+    at 150k/64d: 0.56 -> 0.74; asserted loosely here at 20k."""
+    import numpy.linalg as la
+
+    from nebuia_vector_db_spark.operators.pq import train_opq, train_pq
+
+    D, N, m, k = 64, 20_000, 16, 64
+    rng = np.random.default_rng(5)
+    scales = np.exp(-np.arange(D) / 12.0)
+    basis, _ = la.qr(rng.normal(size=(D, D)))
+    X = ((rng.normal(size=(N, D)) * scales) @ basis.T).astype(np.float64)
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(N), "embedding": list(X)})
+    ).cache()
+    books_pq = train_pq(df, m=m, k=k, sample=N, sample_matrix=X)
+    rot, books_opq = train_opq(
+        df, m=m, k=k, sample=N, opq_iters=6, sample_matrix=X
+    )
+    idx_pq = encode_pq(df, books_pq)
+    idx_opq = encode_pq(df, books_opq, rotation=rot)
+    qs = (rng.normal(size=(6, D)) * scales) @ basis.T
+    rec = {"pq": [], "opq": []}
+    for q in qs:
+        want = {
+            r["vec_id"]
+            for r in topk_search(df, q.tolist(), 10, tie_cols=["vec_id"]).collect()
+        }
+        for name, idx in (("pq", idx_pq), ("opq", idx_opq)):
+            got = {
+                r["vec_id"]
+                for r in idx.search(df, q.tolist(), 10, tie_cols=["vec_id"]).collect()
+            }
+            rec[name].append(len(got & want) / 10)
+    mean_pq = sum(rec["pq"]) / len(rec["pq"])
+    mean_opq = sum(rec["opq"]) / len(rec["opq"])
+    assert mean_opq > mean_pq + 0.05, (mean_pq, mean_opq)
+
+
+def test_opq_save_load_roundtrip_preserves_rotation(spark, sf_oracle, tmp_path):
+    from nebuia_vector_db_spark.operators.pq import (
+        load_pq_index,
+        save_pq_index,
+        train_opq,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings").cache()
+    rot, books = train_opq(emb, m=8, k=32, sample=500, opq_iters=2)
+    idx = encode_pq(emb, books, rotation=rot)
+    idx.codes.cache().count()
+    save_pq_index(idx, str(tmp_path / "opq"))
+    back = load_pq_index(spark, str(tmp_path / "opq"))
+    assert back.rotation is not None
+    assert np.allclose(back.rotation, rot)
+    q = [0.2] * 64
+    a = [tuple(r) for r in idx.search(emb, q, 5, tie_cols=["vec_id"]).collect()]
+    b = [tuple(r) for r in back.search(emb, q, 5, tie_cols=["vec_id"]).collect()]
+    assert a == b

@@ -77,9 +77,13 @@ _REQUIRED_IN_WINDOW = {
     "tpch_q1", "tpch_q3", "tpch_q10", "rollup_lineitem",
     "approx_cardinality", "orders_running_revenue",
     "fuzzy_name_match", "skew_salted_join",
-    # events
-    "events_hourly", "events_sliding", "events_sessions",
+    # events (events_sliding demoted r6 — tumbling/sliding share the
+    # window-bucket Expand + hash-agg path pinned by events_hourly)
+    "events_hourly", "events_sessions",
     "events_asof_signup", "events_funnel", "events_retention",
+    # streaming execution path (promoted r6): stream-stream join via
+    # the micro-batch engine, hash-matched to the batch range join
+    "stream_join_mirror",
 }
 
 
