@@ -99,8 +99,41 @@ def numpy_topk(mat: np.ndarray, q: np.ndarray, k: int = 10):
     return idx[np.argsort(-sims[idx])]
 
 
+def _parse_mem_gb(spec: str) -> float:
+    """Parse a JVM memory spec ('8g', '8192m', '64G') to GiB."""
+    s = spec.strip().lower()
+    try:
+        if s.endswith("g"):
+            return float(s[:-1])
+        if s.endswith("m"):
+            return float(s[:-1]) / 1024
+        if s.endswith("k"):
+            return float(s[:-1]) / (1024 * 1024)
+        return float(s) / (1 << 30)
+    except ValueError:
+        return 8.0
+
+
+def _default_driver_memory_gb() -> int:
+    """Size the bench driver JVM to the box (VERDICT r6 #2: the 38.4M
+    b8 sweep point's ~9.8 GB cached corpus + 32 concurrent cache-build
+    tasks OOMed session.py's 8g default ~23 min in, so BENCH_r06
+    recorded no numbers at all). Half of physical RAM, clamped to
+    [8, 64] GiB — 64g is the verified-complete config (16.7 min,
+    rc=0, all gates pass)."""
+    try:
+        total_b = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        half_gb = int(total_b / (1 << 30) // 2)
+    except (ValueError, OSError):
+        half_gb = 8
+    return max(8, min(64, half_gb))
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_MASTER", f"local[{CPUS}]")
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", f"{_default_driver_memory_gb()}g"
+    )
     from pyspark.sql import functions as F
 
     from nebuia_vector_db_spark import queries as Q
@@ -711,7 +744,22 @@ def main() -> None:
         else:
             path = f"/tmp/nebuia_bench_sweep_{n_rows}.parquet"
             _ensure_scaled(n_rows, path)
-            corpus = spark.read.parquet(path).cache()
+            corpus = spark.read.parquet(path)
+            # VERDICT r6 #2: a deserialized in-memory cache of the
+            # 38.4M x 64-d corpus (~10 GB columnar) OOMs small driver
+            # heaps. Memory-cache only when the heap comfortably fits
+            # it (est. ~280 B/row cached); otherwise DISK_ONLY — the
+            # GEMM is compute-bound, so the re-read is noise.
+            heap_gb = _parse_mem_gb(
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+            )
+            est_gb = n_rows * 280 / (1 << 30)
+            if est_gb < heap_gb * 0.4:
+                corpus = corpus.cache()
+            else:
+                from pyspark import StorageLevel
+
+                corpus = corpus.persist(StorageLevel.DISK_ONLY)
             corpus.count()
         t = _median_time(
             lambda: knn_join(

@@ -3936,7 +3936,7 @@ FROM events l JOIN events r
  AND r.ts >= l.ts
  AND r.ts <= l.ts + INTERVAL 30 MINUTE
 WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-ORDER BY event_id, ts_r_us
+ORDER BY l.event_id, ts_r_us
 """
 
 
