@@ -810,6 +810,11 @@ def _substring_anchors(
     and every segment holds ≥ k chars. ``distinct()`` makes the
     result identical to unsegmented extraction (hypothesis-pinned in
     tests/test_dedup.py)."""
+    if segment_chars <= k:
+        raise ValueError(
+            f"segment_chars ({segment_chars}) must exceed k ({k}): "
+            "the segment step is segment_chars - k + 1 and must be >= 1"
+        )
     step = segment_chars - k + 1
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -949,6 +954,11 @@ def drop_shared_spans(
     occurrence). The DuckDB oracle replays the semantics through the
     naive per-char spec (a char survives iff no removed span covers
     it), so the differential check also proves the fold correct."""
+    if segment_chars <= k:
+        raise ValueError(
+            f"segment_chars ({segment_chars}) must exceed k ({k}): "
+            "the segment step is segment_chars - k + 1 and must be >= 1"
+        )
     step = segment_chars - k + 1
     segs = docs.select(
         F.col(id_col).alias("doc_id"),

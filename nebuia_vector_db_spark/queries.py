@@ -2811,13 +2811,17 @@ ORDER BY source, rk
 # drifts, the derived oracle must fail loudly at import, not silently
 # compare the wrong row set.
 _MM_JPEG_WHERE = "WHERE octet_length(encode(text)) >= 1"
-assert _MM_JPEG_WHERE in ORACLE_MM_JPEG, (
-    "ORACLE_MM_JPEG WHERE clause drifted; update _MM_JPEG_WHERE"
-)
+# explicit raise, not assert: the guard must survive `python -O`
+# (assert statements are stripped under optimized mode — ADVICE r6)
+if _MM_JPEG_WHERE not in ORACLE_MM_JPEG:
+    raise RuntimeError(
+        "ORACLE_MM_JPEG WHERE clause drifted; update _MM_JPEG_WHERE"
+    )
 ORACLE_MM_JPEG_PROG = ORACLE_MM_JPEG.replace(
     _MM_JPEG_WHERE, _MM_JPEG_WHERE + " AND doc_id % 5 = 0"
 )
-assert ORACLE_MM_JPEG_PROG != ORACLE_MM_JPEG
+if ORACLE_MM_JPEG_PROG == ORACLE_MM_JPEG:
+    raise RuntimeError("ORACLE_MM_JPEG_PROG derivation was a no-op")
 
 
 def q_mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:

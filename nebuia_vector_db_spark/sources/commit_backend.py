@@ -385,7 +385,22 @@ class ObjectStoreCommitBackend(CommitBackend):
             except Exception as e:  # noqa: BLE001 — shape-probed below
                 status = _http_status(e)
                 if status == 412:
-                    return False  # version landed: lost the race
+                    # An object exists — but it may be OURS: transport-
+                    # level retries (boto3 "standard" mode replays PUTs
+                    # on connection loss / 5xx) can re-send a PUT whose
+                    # first attempt landed, and the replay 412s against
+                    # our own object. Payloads are writer-distinguishing
+                    # (commit manifests embed uuid4 data-file paths), so
+                    # read back and compare: identical body → we won.
+                    # Without this, a False here would send the snapshot
+                    # layer's optimistic retry to re-append the same
+                    # rows on top of our own commit (duplicated data).
+                    try:
+                        return self._get(key) == body
+                    except FileNotFoundError:
+                        # landed object vanished between PUT and GET
+                        # (concurrent vacuum); treat as lost
+                        return False
                 if status == 409 and attempt < self.conflict_retries:
                     self._sleep(min(0.05 * (2**attempt), 1.0))
                     continue
@@ -459,8 +474,19 @@ class ObjectStoreCommitBackend(CommitBackend):
     def write_checkpoint(self, version: int, data: bytes) -> None:
         # checkpoints are immutable + content-deterministic: first
         # writer wins, a lost conditional race is a no-op like the
-        # LocalFS EEXIST path
-        self._conditional_put(self._key(_ckpt_name(version)), data)
+        # LocalFS EEXIST path. But a False can ALSO mean the 409 retry
+        # budget ran out with NO object written — and vacuum deletes
+        # all snapshots below the checkpoint it just wrote, so a
+        # silently dropped checkpoint would leave that version
+        # unreconstructible. Verify one actually exists before
+        # treating False as benign.
+        key = self._key(_ckpt_name(version))
+        if not self._conditional_put(key, data) and not self._exists(key):
+            raise RuntimeError(
+                f"checkpoint v{version} could not be written and none "
+                f"exists at {key} (conditional-put retry budget "
+                f"exhausted); retry before any vacuum of older versions"
+            )
 
     def read_checkpoint(self, version: int) -> bytes:
         return self._get(self._key(_ckpt_name(version)))

@@ -127,6 +127,20 @@ class SnapshotTable:
         while self.backend.version_exists(v + 1):
             v += 1
         if v == 0:
+            # vacuum deletes versions below the oldest retained
+            # checkpoint, so after vacuum the log no longer starts at
+            # v1 — a missing/stale pointer plus a lagging (empty)
+            # listing would seed the probe at 0 and find nothing even
+            # though newer committed versions exist. Before concluding
+            # the table is empty, re-seed from the oldest surviving
+            # checkpoint (checkpointed versions are always retained).
+            for c in sorted(self.backend.list_checkpoints()):
+                if self.backend.version_exists(c):
+                    v = c
+                    while self.backend.version_exists(v + 1):
+                        v += 1
+                    break
+        if v == 0:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         return v
 

@@ -379,3 +379,21 @@ def test_drop_shared_spans_keep_first_and_merge(spark):
         ch for j, ch in enumerate(text2) if j not in covered
     )
     assert c["text_clean"] == expect
+
+
+def test_substring_segment_chars_must_exceed_k(spark):
+    """ADVICE r6: segment_chars <= k makes the segment step
+    non-positive — fail fast with a clear message instead of an
+    opaque Spark runtime sequence() error."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        drop_shared_spans,
+        exact_substring_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must exceed k"):
+        exact_substring_pairs(docs, k=32, segment_chars=32)
+    with pytest.raises(ValueError, match="must exceed k"):
+        drop_shared_spans(docs, k=32, segment_chars=16)

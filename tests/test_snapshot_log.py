@@ -475,3 +475,102 @@ def test_objectstore_full_stack_with_lagging_list(spark, tmp_path):
     # the strong view catches up once the lag horizon passes
     be.client.list_lag = 0
     assert be.list_versions() == [1, 2, 3]  # paginated (MaxKeys=2) list
+
+
+class ReplayingS3Client(FakeS3Client):
+    """Models boto3's transport-level retry: the FIRST conditional PUT
+    to each key LANDS server-side but the response is 'lost', so the
+    client's internal retry layer replays the PUT — which now 412s
+    against the caller's OWN object. The backend must not report a
+    lost race for a commit that actually succeeded."""
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        if IfNoneMatch is not None and Key not in self._objects:
+            super().put_object(Bucket, Key, Body)  # first attempt lands
+            # ...response lost; internal retry replays conditionally:
+        return super().put_object(Bucket, Key, Body, IfNoneMatch=IfNoneMatch)
+
+
+def test_objectstore_412_from_own_replayed_put_is_a_win(tmp_path):
+    """ADVICE r6: on 412, read back and compare — identical body means
+    the PUT that 412'd was our own transport-retried write, so the
+    commit SUCCEEDED; returning False would make the snapshot layer's
+    optimistic retry duplicate the append on top of its own commit."""
+    from nebuia_vector_db_spark.sources.commit_backend import (
+        ObjectStoreCommitBackend,
+    )
+
+    be = ObjectStoreCommitBackend(
+        ReplayingS3Client(), bucket="b", prefix="t/_snapshots",
+        sleep=lambda _s: None,
+    )
+    assert be.try_commit(1, '{"writer": "me"}') is True
+    assert be.read_version(1) == '{"writer": "me"}'
+    # a GENUINE rival object still reads as a lost race
+    assert be.try_commit(1, '{"writer": "rival"}') is False
+    assert be.read_version(1) == '{"writer": "me"}'
+
+
+def test_objectstore_write_checkpoint_raises_when_dropped(tmp_path):
+    """ADVICE r6: write_checkpoint must not swallow a False that left
+    NO object behind — vacuum deletes the delta chain below the
+    checkpoint it believes it just wrote, so a silently dropped
+    checkpoint makes that version unreconstructible."""
+    be = _objectstore_backend(tmp_path, conflict_409s=10**9)
+    be.conflict_retries = 2
+    with pytest.raises(RuntimeError, match="checkpoint v5"):
+        be.write_checkpoint(5, b"manifest-bytes")
+    # ...but a rival's already-landed checkpoint IS a benign no-op,
+    # even when our own conditional put cannot get through
+    be.client.conflict_409s = 0
+    be.write_checkpoint(6, b"rival-manifest")
+    be.client.conflict_409s = 10**9
+    be.write_checkpoint(6, b"other-bytes-same-version")  # no raise
+    assert be.read_checkpoint(6) == b"rival-manifest"
+
+
+class VersionListLagS3Client(FakeS3Client):
+    """LIST staleness is per-prefix in real stores (listing shards are
+    keyed by prefix): model a version listing that lags to EMPTY while
+    the checkpoint listing stays fresh. Point reads remain strong."""
+
+    lag_versions = False  # flipped on post-vacuum by the test
+
+    def list_objects_v2(self, Bucket, Prefix="", ContinuationToken=None):
+        if self.lag_versions and Prefix.rsplit("/", 1)[-1] == "v":
+            return {"Contents": [], "IsTruncated": False}
+        return super().list_objects_v2(Bucket, Prefix, ContinuationToken)
+
+
+def test_current_version_after_vacuum_with_stale_pointer_and_empty_list(
+    spark, tmp_path
+):
+    """ADVICE r6: after vacuum the log starts at the oldest retained
+    checkpoint, not v1 — a missing pointer plus a lagging (empty)
+    version listing must re-seed the head probe from the surviving
+    checkpoints instead of raising 'no snapshots'."""
+    be = ObjectStoreCommitBackend(
+        VersionListLagS3Client(), bucket="b",
+        prefix="tables/t/_snapshots", sleep=lambda _s: None,
+    )
+    df = spark.range(0, 40).selectExpr("id k", "id % 4 bucket")
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), df, backend=be, checkpoint_interval=2
+    )
+    for lo in range(40, 100, 20):
+        tbl.append(
+            spark.range(lo, lo + 20).selectExpr("id k", "id % 4 bucket")
+        )
+    head = tbl.current_version()
+    tbl.vacuum(keep_last=2)
+    # stale/missing pointer + a version listing lagged to empty
+    be.client.lag_versions = True
+    be.client.delete_object(
+        Bucket="b", Key=be._key("_last_checkpoint")
+    )
+    assert be.read_pointer() is None  # the fallback path is live
+    assert be.list_versions() == []  # ...and the listing really lags
+    assert be.list_checkpoints() != []  # ...but checkpoints survive
+    tbl._cache.clear()
+    assert tbl.current_version() == head
+    assert tbl.read().count() == 100
