@@ -464,6 +464,43 @@ def _reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     )
 
 
+def _eigen_allocation_rotation(x: np.ndarray, m: int) -> np.ndarray:
+    """Parametric OPQ init (Ge et al., CVPR 2013 §4, 'OPQ-P' under a
+    Gaussian assumption): R = PCA rotation with its eigenvectors
+    PERMUTED so each of the m subspaces receives an (almost) equal
+    product of eigenvalues — the allocation that minimizes the
+    rate-distortion bound when each subspace gets the same code
+    budget. Greedy balancing: walk eigenvalues in descending order,
+    assign each to the not-yet-full subspace with the smallest
+    running log-eigenvalue sum. Deterministic (no RNG)."""
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    xc = x - x.mean(axis=0, keepdims=True)
+    cov = (xc.T @ xc) / max(1, xc.shape[0] - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    log_e = np.log(np.maximum(evals, 1e-12))
+    # Balanced-partition greedy (LPT): every bucket ends with exactly
+    # dsub items, so the balance objective is invariant to a uniform
+    # shift of the logs — shift them non-negative first. (Without the
+    # shift, all-negative logs make the min-sum bucket monotonically
+    # MORE minimal as it receives items, so it hoards the whole top of
+    # the spectrum — the worst possible allocation.)
+    shifted = log_e - log_e.min()
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = np.zeros(m)
+    for i in np.argsort(shifted)[::-1]:  # largest shifted log first
+        open_b = [j for j in range(m) if len(buckets[j]) < dsub]
+        j = min(open_b, key=lambda b: sums[b])
+        buckets[j].append(int(i))
+        sums[j] += shifted[i]
+    perm = [i for b in buckets for i in b]
+    return np.ascontiguousarray(evecs[:, perm])
+
+
 def train_opq(
     df: DataFrame,
     m: int = 8,
@@ -477,6 +514,7 @@ def train_opq(
     cell_centroids: np.ndarray | None = None,
     cell_col: str = "ivf_cell",
     sample_matrix: np.ndarray | None = None,
+    init: str = "eigen",
 ) -> tuple[np.ndarray, np.ndarray]:
     """OPQ (Ge et al., CVPR 2013, non-parametric variant): learn an
     orthogonal rotation R so the PRODUCT structure of the codebooks
@@ -496,13 +534,30 @@ def train_opq(
     rotation is applied to the QUERY once per search, never to the
     scan (PQIndex.adc_table / pq_search_batch).
 
+    ``init`` seeds the alternating minimization: ``"eigen"``
+    (default) or ``"identity"`` (the original non-parametric start).
+    ``"eigen"`` is
+    Ge et al. §4's PARAMETRIC init: eigendecompose the sample
+    covariance and allocate eigenvectors to the m subspaces balancing
+    the per-subspace PRODUCT of eigenvalues (greedy on log-eigenvalue
+    sums), so no subspace hoards variance. On strong-eigendecay data
+    (real transformer embeddings) identity init can converge to a
+    local optimum that misallocates code budget; the eigen init
+    starts decorrelated-and-balanced, which both speeds convergence
+    and lifts final ADC recall (round 7, VERDICT r6 task #3).
+
     Returns ``(rotation, codebooks)`` — feed both to
     :func:`encode_pq`."""
     x = _training_residuals(
         df, sample, vec_col, cell_col, cell_centroids, sample_matrix
     )
     d = x.shape[1]
-    rot = np.eye(d, dtype=np.float64)
+    if init == "eigen":
+        rot = _eigen_allocation_rotation(x, m)
+    elif init == "identity":
+        rot = np.eye(d, dtype=np.float64)
+    else:
+        raise ValueError(f"unknown OPQ init {init!r}")
     books = None
     for _ in range(max(1, opq_iters)):
         y = x @ rot
