@@ -4625,8 +4625,6 @@ REGISTRY: dict[
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
-    # MLlib MinHashLSH approxSimilarityJoin path (vs hand-rolled LSH)
-    "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
     "hybrid_search": (q_hybrid_search, ORACLE_HYBRID),
     # rank-based hybrid fusion (RRF) — score-scale-free counterpart
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
@@ -4656,6 +4654,15 @@ REGISTRY: dict[
     # byte-delta mm_scene_changes in-window (same temporal-delta
     # semantics, now on decoded pixels through a genuine container)
     "mm_video_frames": (q_mm_video_frames, ORACLE_MM_VIDEO),
+    # SECOND container grammar recorded (round-7 promotion): ISO-BMFF
+    # demux — length-prefixed box walk + stts/stsc/stsz/stco sample
+    # tables — over the SAME frames and oracle as the RIFF row above,
+    # so a hash match certifies a structurally different demuxer
+    # end-to-end. Displaces text_minhash_mllib: its MinHash+LSH
+    # banding semantics stay recorded via dedup_minhash_lsh (same
+    # family, hand-rolled path); the MLlib row's distinct surface is
+    # API interop, which stays locally oracle-green + pytest-pinned.
+    "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
     # COLOR JPEG (round-4 promotion): YCbCr 4:2:0, dual table pairs,
     # interleaved MCUs — lossless-by-construction flat tiles make the
     # lossy color path hash-checkable; displaces vs_neardup_lsh (see
@@ -4794,10 +4801,11 @@ REGISTRY: dict[
     #   animated-container window slot is held by mm_video_frames
     #   (AVI demux + JPEG decode); locally green;
     "mm_gif_frames": (q_mm_gif_frames, ORACLE_MM_GIF),
-    # mm_mp4_frames: ISO-BMFF demux (box walk + sample tables) — the
-    #   video-container window slot is held by mm_video_frames (RIFF);
-    #   same frames, same oracle, second demuxer; locally green;
-    "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
+    # text_minhash_mllib: MLlib MinHashLSH approxSimilarityJoin —
+    #   demoted r7 for mm_mp4_frames: MinHash+LSH banding stays
+    #   recorded via dedup_minhash_lsh; this row's distinct surface
+    #   is MLlib API interop; locally green + pytest-pinned;
+    "text_minhash_mllib": (q_text_minhash_mllib, ORACLE_MINHASH_MLLIB),
     # text_repetition: Gopher-style n-gram repetition signals — the
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;

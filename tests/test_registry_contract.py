@@ -55,9 +55,11 @@ _REQUIRED_IN_WINDOW = {
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_groups", "dedup_substring",
     "dedup_drop_spans",
-    # text analysis
+    # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
+    # banding stays recorded via dedup_minhash_lsh; the MLlib row's
+    # distinct surface is API interop, locally green)
     "text_tokens", "text_quality", "text_langid",
-    "text_boilerplate", "text_tfidf_neardup", "text_minhash_mllib",
+    "text_boilerplate", "text_tfidf_neardup",
     # hybrid retrieval
     "hybrid_search", "hybrid_rrf",
     # training-data pipeline
@@ -68,8 +70,10 @@ _REQUIRED_IN_WINDOW = {
     # / mm_video_frames = REAL codecs+containers; supersede fake-codec
     # mm_image_features/mm_audio_windows and byte-delta
     # mm_scene_changes)
+    # mm_mp4_frames promoted r7: second recorded container grammar
+    # (ISO-BMFF box walk vs mm_video_frames' RIFF), same oracle
     "mm_png_roundtrip", "mm_audio_real", "mm_video_frames",
-    "mm_color_roundtrip",
+    "mm_color_roundtrip", "mm_mp4_frames",
     # transactional storage (SnapshotTable COW delete — round 3)
     "snap_delete_read",
     # relational (tpch_q4's EXISTS/semi stays pinned by
