@@ -2544,14 +2544,16 @@ ORDER BY doc_id
 
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup: pairs of documents sharing
-    verbatim 32-char spans, found via sampled k-gram anchors
-    (md5-prefix rule, ~1/16 keep; recall bound documented on the
-    operator) and an inverted-index equi-join — the Lee et al. 2022
+    verbatim 32-char spans, found via WINNOWED k-gram anchors (round
+    7, VERDICT r6 task #6 — per-window min-md5 selection, w = 32,
+    which GUARANTEES an anchor for every shared span >= 63 chars;
+    supersedes the round 4-6 1/16 sampling and its (15/16)^L miss
+    bound) and an inverted-index equi-join — the Lee et al. 2022
     exact-substring pass that doc-level MinHash misses when only a
-    paragraph is copied. Round 6: extraction is segment-bounded and
-    anchors above the doc-frequency cap are dropped before the
-    self-join (operators/dedup.py). Never all-pairs; the oracle
-    replays extraction, sampling, df-cap and join verbatim."""
+    paragraph is copied. Extraction is segment-bounded and anchors
+    above the doc-frequency cap are dropped before the self-join
+    (operators/dedup.py). Never all-pairs; the oracle replays
+    extraction, winnowing, df-cap and join verbatim."""
     from nebuia_vector_db_spark.operators.dedup import (
         exact_substring_pairs,
     )
@@ -2569,19 +2571,35 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirrored between q_dedup_substring and its DuckDB oracle — the
 # df-cap is part of the operator's semantics, so both sides apply it
 _SUBSTRING_ANCHOR_DF_CAP = 1024
+# winnowing parameters, mirrored between the Spark operator and both
+# DuckDB oracles (round 7: true positional winnowing)
+_SUBSTRING_K = 32
+_SUBSTRING_W = 32
 
 ORACLE_DEDUP_SUBSTRING = f"""
-WITH g AS (
-  SELECT doc_id,
-         unnest(list_filter(
-           CASE WHEN length(text) >= 32
-                THEN list_transform(range(1, length(text) - 32 + 2),
-                                    i -> substring(text, i, 32))
-                ELSE [] END,
-           g -> substring(md5(g), 1, 1) = '0')) AS gram
-  FROM documents
+WITH d AS (
+  SELECT doc_id, text, length(text) - {_SUBSTRING_K} + 1 AS n
+  FROM documents WHERE length(text) >= {_SUBSTRING_K}
 ),
-anchors AS (SELECT DISTINCT doc_id, gram FROM g),
+h AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1),
+                        i -> substring(text, i, {_SUBSTRING_K})) AS gs,
+         list_transform(range(1, n + 1),
+                        i -> md5(substring(text, i, {_SUBSTRING_K}))) AS hs
+  FROM d
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(n - {_SUBSTRING_W} + 1, 1) + 1),
+           i -> gs[list_position(
+                     hs[i : i + least({_SUBSTRING_W}, n) - 1],
+                     list_min(hs[i : i + least({_SUBSTRING_W}, n) - 1]))
+                   + i - 1]))) AS gram
+  FROM h
+),
+anchors AS (SELECT DISTINCT doc_id, gram FROM sel),
 kept AS (
   SELECT doc_id, gram FROM anchors
   WHERE gram IN (SELECT gram FROM anchors
@@ -2604,12 +2622,13 @@ def q_dedup_drop_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored span (keep-first by doc_id; owner doc keeps all its
     occurrences) and emit the cleaned corpus, Lee et al. 2022 §4.2.
     The Spark side cuts spans with a linear aggregate-HOF interval
-    fold (operators/dedup.py::drop_shared_spans); the DuckDB oracle
-    replays the semantics through the naive per-char spec (a char
-    survives iff no removed span covers it) — the hash match proves
-    the fold against the specification, not just against itself.
-    Text is reported as length + md5 so the row stays atomic and
-    hash-friendly."""
+    fold (operators/dedup.py::drop_shared_spans); anchors are WINNOWED
+    (round 7 — per-window min-md5, same guarantee as dedup_substring).
+    The DuckDB oracle replays winnowed selection plus the naive
+    per-char spec (a char survives iff no removed span covers it) —
+    the hash match proves the fold against the specification, not
+    just against itself. Text is reported as length + md5 so the row
+    stays atomic and hash-friendly."""
     from nebuia_vector_db_spark.operators.dedup import drop_shared_spans
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2626,14 +2645,31 @@ def q_dedup_drop_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_DROP_SPANS = """
-WITH g AS (
-  SELECT doc_id, t.pos, substring(text, t.pos, 32) AS gram
-  FROM documents,
-       unnest(CASE WHEN length(text) >= 32
-                   THEN range(1, length(text) - 32 + 2)
-                   ELSE [] END) AS t(pos)
-  WHERE substring(md5(substring(text, t.pos, 32)), 1, 1) = '0'
+ORACLE_DEDUP_DROP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) - {_SUBSTRING_K} + 1 AS n
+  FROM documents WHERE length(text) >= {_SUBSTRING_K}
+),
+h AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1),
+                        i -> md5(substring(text, i, {_SUBSTRING_K}))) AS hs
+  FROM d
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(n - {_SUBSTRING_W} + 1, 1) + 1),
+           i -> list_position(
+                  hs[i : i + least({_SUBSTRING_W}, n) - 1],
+                  list_min(hs[i : i + least({_SUBSTRING_W}, n) - 1]))
+                + i - 1))) AS pos
+  FROM h
+),
+g AS (
+  SELECT s.doc_id, s.pos,
+         substring(dd.text, CAST(s.pos AS INT), {_SUBSTRING_K}) AS gram
+  FROM sel s JOIN documents dd USING (doc_id)
 ),
 own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
 rem AS (
@@ -2643,7 +2679,7 @@ rem AS (
 nsp AS (SELECT doc_id, count(*) AS n_spans_removed FROM rem GROUP BY doc_id),
 cov AS (
   SELECT DISTINCT rem.doc_id, rem.pos + t.o AS c
-  FROM rem, unnest(range(0, 32)) AS t(o)
+  FROM rem, unnest(range(0, {_SUBSTRING_K})) AS t(o)
 ),
 chars AS (
   SELECT d.doc_id, t.c

@@ -168,8 +168,8 @@ def test_exact_substring_pairs_catch_copied_paragraph(spark):
     """Span-level dedup finds a verbatim copied paragraph between
     otherwise-different documents — the case doc-level MinHash (low
     overall Jaccard) legitimately misses — and stays silent for
-    unrelated docs. Winnowing is deterministic (md5-prefix rule), so
-    results are stable across runs."""
+    unrelated docs. Winnowing is deterministic (per-window min-md5
+    selection, round 7), so results are stable across runs."""
     from nebuia_vector_db_spark.operators.dedup import (
         exact_substring_pairs,
     )
@@ -357,28 +357,134 @@ def test_drop_shared_spans_keep_first_and_merge(spark):
     assert got[3]["n_spans_removed"] == 0
     assert got[4]["text_clean"] == "tiny"
 
-    # cut-fold invariant: removed char count == union of the k-char
-    # spans (recompute naively from the occurrence rule)
-    import hashlib
-
+    # cut-fold invariant: the cleaned text equals the naive per-char
+    # replay of the WINNOWED occurrence rule (round 7)
     text2 = "copycat intro " + para + " copycat outro"
     text1 = "owner head " + para + " owner tail"
-    def grams(t):
-        return {
-            t[i : i + 32]: i
-            for i in range(len(t) - 31)
-            if hashlib.md5(t[i : i + 32].encode()).hexdigest()[0] == "0"
-        }
-    g1, g2 = grams(text1), grams(text2)
+    w1 = {g for _, g in _ref_winnow(text1, 32, 32)}
     covered = set()
-    for i in range(len(text2) - 31):
-        g = text2[i : i + 32]
-        if hashlib.md5(g.encode()).hexdigest()[0] == "0" and g in g1:
-            covered.update(range(i, i + 32))
+    for pos, g in _ref_winnow(text2, 32, 32):
+        if g in w1:
+            covered.update(range(pos - 1, pos - 1 + 32))
     expect = "".join(
         ch for j, ch in enumerate(text2) if j not in covered
     )
     assert c["text_clean"] == expect
+
+
+def _ref_winnow(text, k, w):
+    """Reference winnowing (Schleimer et al. 2003): for every window
+    of w consecutive k-gram md5s keep the leftmost minimum; docs with
+    fewer than w grams keep the single global min. Returns the set of
+    (1-based pos, gram)."""
+    import hashlib
+
+    n = len(text) - k + 1
+    if n < 1:
+        return set()
+    grams = [text[i : i + k] for i in range(n)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if n < w:
+        j = hs.index(min(hs))
+        return {(j + 1, grams[j])}
+    sel = set()
+    for i in range(n - w + 1):
+        window = hs[i : i + w]
+        j = i + window.index(min(window))
+        sel.add((j + 1, grams[j]))
+    return sel
+
+
+def test_winnowed_anchors_match_reference(spark):
+    """Round 7 (VERDICT r6 task #6): Spark's segmented winnowed
+    extraction must equal the reference implementation exactly — both
+    the content-anchor set and the positional occurrence set — over
+    random texts with tiny segments (every doc straddles boundaries)
+    and boundary-exact lengths around n = w."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.operators.dedup import (
+        _substring_anchors,
+        _winnow_segments,
+        _winnow_select_expr,
+    )
+
+    k, w = 16, 8
+    rng = random.Random(99)
+    rows = [
+        (i, "".join(rng.choice("ab ") for _ in range(rng.randrange(0, 400))))
+        for i in range(40)
+    ]
+    for j, n in enumerate((15, 16, 17, 22, 23, 24, 46, 47, 48, 100)):
+        rows.append(
+            (100 + j, "".join(random.Random(j).choice("cde") for _ in range(n)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = set(
+        map(tuple, _substring_anchors(
+            docs, k, "text", "doc_id", segment_chars=32, winnow_w=w
+        ).collect())
+    )
+    want = {(i, g) for i, t in rows for _, g in _ref_winnow(t, k, w)}
+    assert got == want
+    sel = _winnow_select_expr(
+        32 - k - w + 2, w,
+        "named_struct('pos', CAST(ss + j - 1 AS INT),"
+        " 'gram', element_at(g_arr, CAST(j AS INT)))",
+    )
+    occ = (
+        _winnow_segments(docs, k, "text", "doc_id", 32, w)
+        .select("doc_id", F.explode(F.expr(sel)).alias("o"))
+        .select("doc_id", F.col("o.pos"), F.col("o.gram"))
+        .distinct()
+    )
+    gotp = set(map(tuple, occ.collect()))
+    wantp = {(i, pos, g) for i, t in rows for pos, g in _ref_winnow(t, k, w)}
+    assert gotp == wantp
+
+
+def test_winnowing_catches_span_the_old_sampling_missed(spark):
+    """The recall test VERDICT r6 task #6 asked for: a shared span of
+    length >= w + k - 1 whose grams ALL fail the old 1/16 md5-prefix
+    rule (so round 4-6 sampling finds zero anchors for it) must still
+    pair under winnowing — the guarantee is positional, not
+    content-probabilistic."""
+    import hashlib
+
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    k = w = 32
+    span = None
+    for seed in range(200):
+        import random as _r
+
+        cand = "".join(
+            _r.Random(1000 + seed).choice("abcdefgh ") for _ in range(k + w - 1)
+        )
+        grams = [cand[i : i + k] for i in range(len(cand) - k + 1)]
+        if all(
+            hashlib.md5(g.encode()).hexdigest()[0] != "0" for g in grams
+        ):
+            span = cand
+            break
+    assert span is not None, "no sampling-invisible span found in 200 seeds"
+    docs = spark.createDataFrame(
+        [
+            (1, "first document header " + span + " first trailer"),
+            (2, "another doc entirely! " + span + " other ending!"),
+            (3, "unrelated filler content with no overlap at all " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in exact_substring_pairs(docs, k=k, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs, pairs
 
 
 def test_substring_segment_chars_must_exceed_k(spark):
