@@ -22,8 +22,11 @@ mandated multimodal extension surface. Design per the north star:
   PNG vs JPEG; ``video_frame_stats`` sniffs RIFF vs ftyp vs EBML
   (Matroska, multimodal/mkv.py — all three video containers real);
   ``decode_audio_real`` sniffs the fmt codec id (PCM vs ADPCM).
-  Perceptual codecs (MP3/AAC/Opus/H.264) remain
-  executor-install points (PIL/ffmpeg);
+  Round 7 adds a REAL lossy perceptual codec: MPEG-1 Audio Layer II
+  (multimodal/mpegaudio.py — full bitstream layer per ISO 11172-3
+  Table B.2a, designed near-PR filterbank; `mm_mp2_audio` row).
+  The remaining perceptual codecs (MP3 Layer III, AAC, Opus, H.264)
+  stay executor-install points (PIL/ffmpeg);
   ``decode_image_features`` additionally keeps a *deterministic fake
   decode* (dims from md5, pixel stats = byte stats) whose arithmetic
   any SQL engine can replay — the fully-hash-checkable variant.
@@ -1167,3 +1170,159 @@ def gif_frame_stats(assets: DataFrame) -> DataFrame:
             yield pdf_out
 
     return cols.mapInPandas(_stats, schema=_GIF_FRAME_SCHEMA)
+
+
+def _mp2_frame_plan(doc_id: int, n_frames: int):
+    """The deterministic MP2 construction shared by the encoder kernel
+    and (replayed in SQL) ORACLE_MM_MP2 — every quantity is integer
+    modular arithmetic over (doc_id, frame, subband, sample):
+
+      alloc_idx(f, sb)  = (doc_id + f + sb) % cap(sb)
+          cap = 8 for sb < 11, 7 for 11 <= sb < 23, 3 for sb >= 23
+          (caps keep the worst-case frame inside the 256 kbps budget)
+      scfsi(sb)         = (doc_id + sb) % 4
+      base_scf(sb, p)   = (doc_id * 7 + sb * 5 + p * 11) % 63
+      code(f, sb, s)    = (doc_id * 13 + f * 17 + sb * 7 + s) % steps
+
+    The per-part EFFECTIVE scalefactor applies the scfsi sharing
+    pattern to the base indices (only transmitted ones survive)."""
+    from nebuia_vector_db_spark.multimodal import mpegaudio as M
+
+    frames = []
+    for f in range(n_frames):
+        allocation, coded = [], []
+        for sb in range(M.SBLIMIT):
+            _, ladder = M.alloc_table(sb)
+            cap = 8 if sb < 11 else (7 if sb < 23 else 3)
+            steps = ladder[(doc_id + f + sb) % cap]
+            allocation.append(steps)
+            if steps:
+                coded.append(sb)
+        scfsi, scf_idx, codes = [], [], []
+        for sb in coded:
+            pat = (doc_id + sb) % 4
+            base = [(doc_id * 7 + sb * 5 + p * 11) % 63 for p in range(3)]
+            scfsi.append(pat)
+            scf_idx.append(
+                M._scf_expand(pat, M._scf_transmitted(pat, base))
+            )
+            steps = allocation[sb]
+            codes.append(
+                [
+                    (doc_id * 13 + f * 17 + sb * 7 + s) % steps
+                    for s in range(36)
+                ]
+            )
+        frames.append(
+            M.Mp2Frame(
+                bitrate_kbps=256,
+                sample_rate=48000,
+                allocation=allocation,
+                scfsi=scfsi,
+                scf_idx=scf_idx,
+                codes=codes,
+            )
+        )
+    return frames
+
+
+def attach_mp2_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a REAL MPEG-1 Layer II asset per document: the
+    deterministic frame plan above, packed through the genuine Layer
+    II bitstream encoder (multimodal/mpegaudio.py — header, Table
+    B.2a allocation, scfsi, scalefactors, grouped/plain codes).
+    Arrow-batched mapInPandas, map-side, no shuffle.
+
+    n_frames(doc) = doc_id % 3 + 1."""
+    from nebuia_vector_db_spark.multimodal.mpegaudio import encode_mp2
+
+    cols = docs.select(F.col(id_col).alias("doc_id"))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc in pdf["doc_id"]:
+                n_frames = int(doc) % 3 + 1
+                ids.append(doc)
+                payloads.append(
+                    encode_mp2(_mp2_frame_plan(int(doc), n_frames))
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    flat = cols.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/mpeg").alias("mime"),
+            F.lit(None).cast("int").alias("declared_width"),
+            F.lit(None).cast("int").alias("declared_height"),
+            ((F.col("doc_id") % 3 + 1) * 24).alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
+
+
+_MP2_DECODE_SCHEMA = (
+    "doc_id long, n_frames int, bitrate_kbps int, sample_rate int, "
+    "total_bytes long, n_samples long, n_coded int, sum_steps long, "
+    "sum_codes long, max_code int, sum_scf long"
+)
+
+
+def decode_audio_mp2(assets: DataFrame) -> DataFrame:
+    """REAL perceptual-codec decode over Arrow batches: parse the
+    Layer II stream (sync/header validation, Table B.2a allocation,
+    scfsi expansion, grouped-code unpacking) and emit per-doc stats
+    computed from the DECODED frames — exact integers throughout, so
+    the SQL oracle that replays the frame plan proves the whole
+    bitstream layer (a packing or parsing bug anywhere shifts a sum).
+    ``sum_scf`` sums the per-part EFFECTIVE scalefactor indices, so
+    the scfsi sharing patterns are hash-checked too. Map-side, no
+    shuffle; the dequantized float path is pinned by
+    tests/test_mpegaudio.py (SNR + grid identities)."""
+    from nebuia_vector_db_spark.multimodal.mpegaudio import decode_mp2
+
+    cols = assets.select("doc_id", "payload")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(pay)
+                frames = decode_mp2(raw)
+                n_coded = sum_steps = sum_codes = sum_scf = 0
+                max_code = 0
+                for fr in frames:
+                    coded = [sb for sb in range(27) if fr.allocation[sb]]
+                    n_coded += len(coded)
+                    for pos, sb in enumerate(coded):
+                        sum_steps += fr.allocation[sb]
+                        sum_scf += sum(fr.scf_idx[pos])
+                        for v in fr.codes[pos]:
+                            sum_codes += v
+                            max_code = max(max_code, v)
+                rows.append(
+                    (
+                        doc,
+                        len(frames),
+                        frames[0].bitrate_kbps,
+                        frames[0].sample_rate,
+                        len(raw),
+                        len(frames) * 1152,
+                        n_coded,
+                        sum_steps,
+                        sum_codes,
+                        max_code,
+                        sum_scf,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+                    "total_bytes", "n_samples", "n_coded", "sum_steps",
+                    "sum_codes", "max_code", "sum_scf",
+                ],
+            )
+
+    return cols.mapInPandas(_decode, schema=_MP2_DECODE_SCHEMA)
