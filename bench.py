@@ -1105,6 +1105,58 @@ def main() -> None:
         np.array_equal(a, b) for a, b in zip(_base13, _prog13)
     )  # progressive ≡ baseline, re-proved inside the bench
 
+    # ---- B14: MPEG-1 Layer II perceptual-codec throughput (round 7):
+    # distributed bitstream encode+decode over the documents table
+    # (the mm_mp2_audio code path), plus a driver-side full lossy
+    # PCM round trip (filterbank + quantizer) with its measured SNR —
+    # the codec's quality-vs-rate artifact.
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_mp2_assets,
+        decode_audio_mp2,
+    )
+
+    b14_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    b14_docs.count()
+    t0 = time.perf_counter()
+    b14_assets = attach_mp2_assets(b14_docs).cache()
+    b14_assets.count()
+    timings["b14_mp2_encode_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    b14_row = decode_audio_mp2(b14_assets).agg(
+        F.sum("n_frames").alias("nf"), F.sum("total_bytes").alias("nb")
+    ).head()
+    dt = time.perf_counter() - t0
+    timings["b14_mp2_decode_sec"] = round(dt, 4)
+    timings["b14_mp2_frames_total"] = int(b14_row["nf"])
+    timings["b14_mp2_decode_frames_per_sec"] = round(
+        b14_row["nf"] / max(dt, 1e-9), 1
+    )
+    b14_assets.unpersist()
+    b14_docs.unpersist()
+    from nebuia_vector_db_spark.multimodal.mpegaudio import (
+        decode_mp2_pcm as _dmp,
+        encode_pcm_mp2 as _epm,
+    )
+
+    _t14 = np.arange(1152 * 16)
+    _x14 = sum(
+        0.15 * np.sin(2 * np.pi * f * _t14 / 48000 + p)
+        for f, p in [(440, 0.0), (2000, 1.0), (5500, 2.0)]
+    )
+    t0 = time.perf_counter()
+    _bytes14 = _epm(_x14, 48000, 192)
+    _, _y14 = _dmp(_bytes14)
+    timings["b14_mp2_pcm_roundtrip_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    _a14, _b14 = _x14[2000:16000], _y14[2000:16000]
+    timings["b14_mp2_roundtrip_snr_db"] = round(
+        10 * np.log10(np.sum(_a14**2) / np.sum((_a14 - _b14) ** 2)), 2
+    )
+    timings["b14_mp2_compression_x"] = round(
+        (len(_x14) * 2) / len(_bytes14), 2
+    )
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile

@@ -128,3 +128,69 @@ def test_mutated_color_jpeg_fails_closed(cut, flip_to, sub):
         assert out.ndim in (2, 3)
     except JpegFormatError:
         pass
+
+
+# ---------------------------------------------------------------- MP2
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_random_bytes_never_crash_mp2_decoder(payload):
+    from nebuia_vector_db_spark.multimodal.mpegaudio import (
+        Mp2FormatError,
+        decode_mp2,
+    )
+
+    try:
+        decode_mp2(payload)
+    except Mp2FormatError:
+        pass  # clean rejection is the contract
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=0, max_value=255),
+)
+def test_mutated_valid_mp2_stream_fails_closed(pos, flip_to):
+    """Flip one byte anywhere in a valid Layer II stream (or truncate
+    there): the decoder must raise Mp2FormatError or return decoded
+    frames with in-range fields — flips inside the sample-code region
+    legitimately decode to different codes, but never crash or emit a
+    code outside its class range (the range checks are part of the
+    parse)."""
+    import random as _random
+
+    from nebuia_vector_db_spark.multimodal.mpegaudio import (
+        Mp2FormatError,
+        decode_mp2,
+    )
+    from tests.test_mpegaudio import _random_frame
+
+    rng = _random.Random(11)
+    data = bytearray(
+        b"".join(
+            __import__(
+                "nebuia_vector_db_spark.multimodal.mpegaudio",
+                fromlist=["encode_mp2_frame"],
+            ).encode_mp2_frame(_random_frame(rng))
+            for _ in range(2)
+        )
+    )
+    pos = pos % len(data)
+    # truncation
+    try:
+        decode_mp2(bytes(data[:pos]))
+    except Mp2FormatError:
+        pass
+    # single-byte flip
+    data[pos] = flip_to
+    try:
+        frames = decode_mp2(bytes(data))
+    except Mp2FormatError:
+        return
+    for fr in frames:
+        coded = [sb for sb in range(27) if fr.allocation[sb]]
+        assert len(fr.codes) == len(coded)
+        for pos_, sb in enumerate(coded):
+            steps = fr.allocation[sb]
+            assert all(0 <= v < steps for v in fr.codes[pos_])
+            assert all(0 <= i < 63 for i in fr.scf_idx[pos_])

@@ -367,3 +367,17 @@ def test_drop_spans_linear_no_self_join_blowup(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "aggregate(" in plan  # the interval-fold HOF survived
+
+
+def test_mp2_audio_row_is_map_side_only(spark, sf_oracle):
+    """The Layer II codec row (round 7) is attach -> decode through
+    two chained mapInPandas kernels: zero exchanges before the final
+    presentation sort — the 100 TB shape for opaque-payload decode."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_mm_mp2_audio(spark, sf_oracle)
+    plan = explain_str(df)
+    # the only exchange allowed is the orderBy's range partitioning
+    assert shuffle_count(df) <= 1
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
