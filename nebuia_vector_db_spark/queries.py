@@ -451,6 +451,42 @@ LIMIT 10
 )
 
 
+def q_vs_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ top-k (round 7): the same 16 B/vector ADC scan
+    as `vs_pq_topk`, but codes quantize the EIGEN-INIT-OPQ-rotated
+    vectors (operators/pq.py::train_opq — Ge et al. 2013 with the
+    parametric eigenvalue-allocation start; bench b6x measures the
+    rotation's recall/MSE lift directly). The query is rotated once
+    driver-side (dot(q, x_hat) = dot(qR, y_hat), R orthogonal); the
+    exact re-rank of the ADC shortlist then recovers the true top-k,
+    so the plain exact-similarity oracle is a full value-hash check
+    of the rotated encode -> ADC -> re-rank pipeline."""
+    from nebuia_vector_db_spark.operators.pq import encode_pq, train_opq
+
+    emb = _emb(spark, sf_dir)
+    rot, books = train_opq(
+        emb, m=16, k=256, sample=100_000, seed=42, opq_iters=2
+    )
+    pq = encode_pq(emb, books, rotation=rot)
+    q = _qvec(spark, sf_dir, 3)
+    return pq.search(emb, q, 10, rerank=128, tie_cols=["vec_id"]).select(
+        "vec_id",
+        F.round("similarity", 6).alias(SIM6),
+    )
+
+
+ORACLE_VS_OPQ_TOPK = (
+    _ORACLE_QN.format(vid=3)
+    + """
+SELECT e.vec_id,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v), 6) AS similarity
+FROM embeddings e, qn
+ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v) DESC, e.vec_id
+LIMIT 10
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # vs_sq8_topk — scalar-quantized (int8) top-k (operators/sq.py). Codes
 # and the dequantized similarity are plain float64 arithmetic with
@@ -4900,6 +4936,12 @@ REGISTRY: dict[
     #   GEMM); the single-query TakeOrdered cut stays pinned in-window
     #   by vs_topk/vs_pq_topk/vs_sq8_topk; stays locally green;
     "vs_ivf_topk": (q_vs_ivf_topk, ORACLE_VS_IVF_TOPK),
+    # vs_opq_topk: OPQ-rotated 16 B/vector ADC + exact re-rank
+    #   (round 7) — the PQ window slot stays vs_pq_topk (same scan/
+    #   re-rank shape; the rotation's lift is bench-measured b6o/b6x);
+    #   the exact-similarity oracle value-hash-checks the rotated
+    #   encode -> ADC -> re-rank pipeline end to end; locally green;
+    "vs_opq_topk": (q_vs_opq_topk, ORACLE_VS_OPQ_TOPK),
     # mm_audio_windows: md5-fake audio windowing — demoted in favor of
     #   the REAL-codec mm_audio_real (same mapInPandas byte plumbing;
     #   the framing arithmetic also runs inside events_sliding's
