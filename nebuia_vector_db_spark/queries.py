@@ -2155,6 +2155,62 @@ ORDER BY doc_id
 """
 
 
+def q_pipe_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round trip (round 7): the documents corpus is
+    exported as gzip-compressed JSON Lines — the de-facto exchange
+    format for LLM training data (web-crawl dumps, HF datasets) — and
+    read back with an explicit schema; the row aggregates per-lang
+    stats INCLUDING content-sensitive md5 extrema computed from the
+    RE-READ text, so any escaping/unicode/null-handling defect in the
+    serialization round trip breaks the hash against the oracle (which
+    reads the original table directly). Uses Spark's built-in JSON
+    source both ways (distributed write, schema-pinned read — no
+    inference scan at 100 TB)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        docs.write.mode("overwrite").option("compression", "gzip").json(
+            out_dir
+        )
+        back = spark.read.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).json(out_dir)
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_text_chars"),
+                F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+                F.min(F.md5("text")).alias("min_md5"),
+                F.max(F.md5("text")).alias("max_md5"),
+            )
+            .orderBy("lang")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+ORACLE_PIPE_JSONL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       min(md5(text)) AS min_md5,
+       max(md5(text)) AS max_md5
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_snap_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACID storage row: load documents into a SnapshotTable
     (sources/snapshot.py — immutable data files + exclusive-create
@@ -4942,6 +4998,12 @@ REGISTRY: dict[
     #   the exact-similarity oracle value-hash-checks the rotated
     #   encode -> ADC -> re-rank pipeline end to end; locally green;
     "vs_opq_topk": (q_vs_opq_topk, ORACLE_VS_OPQ_TOPK),
+    # pipe_jsonl_roundtrip: gzip-JSONL export/import of the corpus
+    #   (round 7) — the LLM-interchange serialization surface, with
+    #   content-sensitive md5 extrema from the RE-READ text; the
+    #   pipeline window slots stay with the nine pipe_* rows (this is
+    #   a format round trip, not a new transform); locally green;
+    "pipe_jsonl_roundtrip": (q_pipe_jsonl_roundtrip, ORACLE_PIPE_JSONL),
     # mm_audio_windows: md5-fake audio windowing — demoted in favor of
     #   the REAL-codec mm_audio_real (same mapInPandas byte plumbing;
     #   the framing arithmetic also runs inside events_sliding's
