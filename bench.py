@@ -103,6 +103,8 @@ def _parse_mem_gb(spec: str) -> float:
     """Parse a JVM memory spec ('8g', '8192m', '64G') to GiB."""
     s = spec.strip().lower()
     try:
+        if s.endswith("t"):
+            return float(s[:-1]) * 1024
         if s.endswith("g"):
             return float(s[:-1])
         if s.endswith("m"):
@@ -1194,33 +1196,14 @@ def main() -> None:
     timings["b4_ingest_docs_per_sec"] = round(n_docs / t_ingest, 1)
     shutil.rmtree(wh, ignore_errors=True)
 
-    total = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if not k.startswith(
-                (
-                    "b4",
-                    "b5_ivf_build",
-                    "b5_ivf_recall",
-                    "b5c_ivf_build",
-                    "b5c_ivf_recall",
-                    "b6_pq_train_encode",
-                    "b6_pq_adc_recall",
-                    "b6_pq_rerank_recall",
-                    "b7_sq8_recall",
-                    "b8_",
-                    "b9_",
-                    "b10_",
-                    "b10xl_",
-                    "b11_",
-                    "b12_",
-                    "b13_",
-                )
-            )
-        ),
-        4,
-    )
+    # headline total sums EXACTLY the registry-query wall times — a
+    # whitelist, not the old startswith-blacklist, which silently
+    # admitted every new non-time B-row (round 7: the committed
+    # round-6-era artifact's 'sec' value included 57.05 of pure
+    # reconstruction-MSE from the b6o/b6x rows, and the new b14
+    # frame counts/rates would have inflated it by orders of
+    # magnitude).
+    total = round(sum(timings[k] for k in headline), 4)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -1230,6 +1213,10 @@ def main() -> None:
         "cpus": int(CPUS),
     }
     notes = {
+                    "value": "sum of the headline registry-query wall "
+                    "times ONLY (round 7 redefinition: the previous "
+                    "blacklist admitted non-time B-rows — recall/MSE/"
+                    "fps — into the 'sec' total)",
                     "b1/b2": "sec/query warm, median of 5 (BASELINE.md §3)",
                     "b2_batched": "64 queries in one job, sec/query amortized",
                     "b4": "docs/sec (recorded, no gate)",

@@ -1280,7 +1280,10 @@ def decode_audio_mp2(assets: DataFrame) -> DataFrame:
     the scfsi sharing patterns are hash-checked too. Map-side, no
     shuffle; the dequantized float path is pinned by
     tests/test_mpegaudio.py (SNR + grid identities)."""
-    from nebuia_vector_db_spark.multimodal.mpegaudio import decode_mp2
+    from nebuia_vector_db_spark.multimodal.mpegaudio import (
+        SBLIMIT,
+        decode_mp2,
+    )
 
     cols = assets.select("doc_id", "payload")
 
@@ -1293,7 +1296,9 @@ def decode_audio_mp2(assets: DataFrame) -> DataFrame:
                 n_coded = sum_steps = sum_codes = sum_scf = 0
                 max_code = 0
                 for fr in frames:
-                    coded = [sb for sb in range(27) if fr.allocation[sb]]
+                    coded = [
+                        sb for sb in range(SBLIMIT) if fr.allocation[sb]
+                    ]
                     n_coded += len(coded)
                     for pos, sb in enumerate(coded):
                         sum_steps += fr.allocation[sb]

@@ -240,6 +240,14 @@ def encode_mp2_frame(frame: Mp2Frame) -> bytes:
             coded.append(sb)
     if len(frame.scfsi) != len(coded) or len(frame.scf_idx) != len(coded):
         raise Mp2FormatError("scfsi/scf_idx must match coded subbands")
+    if len(frame.codes) != len(coded) or any(
+        len(c) != 36 for c in frame.codes
+    ) or any(len(s3) != 3 for s3 in frame.scf_idx):
+        raise Mp2FormatError(
+            "codes must be 36 samples per coded subband and scf_idx "
+            "3 per-part indices — a short list would silently "
+            "under-pack the frame and shift every later field"
+        )
     # scfsi
     for pos in range(len(coded)):
         w.write(frame.scfsi[pos], 2)

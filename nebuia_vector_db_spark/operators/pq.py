@@ -492,10 +492,13 @@ def _eigen_allocation_rotation(x: np.ndarray, m: int) -> np.ndarray:
     shifted = log_e - log_e.min()
     buckets: list[list[int]] = [[] for _ in range(m)]
     sums = np.zeros(m)
-    for i in np.argsort(shifted)[::-1]:  # largest shifted log first
+    # eigenvalues are already sorted descending, so descending shifted
+    # log IS index order — iterate directly (an argsort here would
+    # reorder ties nondeterministically across numpy versions)
+    for i in range(d):
         open_b = [j for j in range(m) if len(buckets[j]) < dsub]
         j = min(open_b, key=lambda b: sums[b])
-        buckets[j].append(int(i))
+        buckets[j].append(i)
         sums[j] += shifted[i]
     perm = [i for b in buckets for i in b]
     return np.ascontiguousarray(evecs[:, perm])

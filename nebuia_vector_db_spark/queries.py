@@ -2653,8 +2653,9 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         exact_substring_pairs(
-            docs, k=32, min_shared=2,
+            docs, k=_SUBSTRING_K, min_shared=2,
             max_anchor_df=_SUBSTRING_ANCHOR_DF_CAP,
+            winnow_w=_SUBSTRING_W,
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -2725,7 +2726,7 @@ def q_dedup_drop_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        drop_shared_spans(docs, k=32)
+        drop_shared_spans(docs, k=_SUBSTRING_K, winnow_w=_SUBSTRING_W)
         .select(
             "doc_id",
             "n_chars_before",

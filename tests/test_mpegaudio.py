@@ -173,3 +173,18 @@ def test_full_lossy_roundtrip_snr_and_compression():
     snr2 = 10 * np.log10(np.sum(a**2) / np.sum((a - b2) ** 2))
     assert snr2 > 40.0, snr2
     assert snr2 > snr + 10.0
+
+
+def test_encoder_rejects_short_codes_and_scf_lists():
+    """Review round 7: a codes list shorter than 36 (or scf_idx not
+    3-per-part) must raise Mp2FormatError up front — silently
+    under-packing would shift every later field and emit a corrupt
+    but valid-looking frame."""
+    f = _random_frame(random.Random(5))
+    f.codes[0] = f.codes[0][:34]
+    with pytest.raises(M.Mp2FormatError, match="36 samples"):
+        M.encode_mp2_frame(f)
+    f = _random_frame(random.Random(6))
+    f.scf_idx[0] = f.scf_idx[0][:2]
+    with pytest.raises(M.Mp2FormatError, match="3 per-part"):
+        M.encode_mp2_frame(f)

@@ -587,6 +587,7 @@ def test_bench_driver_memory_sizing_helpers():
     assert bench._parse_mem_gb("64G") == 64.0
     assert bench._parse_mem_gb("8192m") == 8.0
     assert bench._parse_mem_gb("1048576k") == 1.0
+    assert bench._parse_mem_gb("1t") == 1024.0
     assert bench._parse_mem_gb("junk") == 8.0
     gb = bench._default_driver_memory_gb()
     assert 8 <= gb <= 64
