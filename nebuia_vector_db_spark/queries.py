@@ -4788,6 +4788,288 @@ ORDER BY s_suppkey
 """
 
 
+def q_vs_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY QUANTIZATION top-k (round 7): 1-bit sign codes packed
+    into one int64 word per 64 dims, scored with XOR + bit_count —
+    the 32× bottom rung of the storage ladder (float → SQ8 → PQ/OPQ
+    → BQ, operators/bq.py). The ±1 dot product ``d − 2·hamming`` is
+    replayed exactly by the oracle (sign rule ``x > 0`` in both
+    engines), so this is a full value-hash check of the packed-word
+    encode AND the popcount scorer. Plan: scan → one codegen'd
+    projection → TakeOrderedAndProject, 0 shuffles."""
+    from nebuia_vector_db_spark.operators.bq import bq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 4)
+    return bq_topk(emb, q, 10, tie_cols=["vec_id"]).select(
+        "vec_id", "label", "sim_bits"
+    )
+
+
+ORACLE_VS_BQ_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 4
+),
+e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT e.vec_id, e.label,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> CASE WHEN (e.v[i] > 0) = (q.qe[i] > 0)
+                 THEN 1 ELSE -1 END)) AS INT) AS sim_bits
+FROM e, q
+ORDER BY sim_bits DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_vs_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BQ search: Hamming shortlist of 50 on the packed
+    sign words (8 bytes/vector scanned), exact normalized-dot re-rank
+    of the survivors on the raw column — the standard
+    compressed-shortlist design. Both stages TakeOrderedAndProject;
+    the oracle replays shortlist AND re-rank, so the hash certifies
+    the exact two-stage pipeline, not just the final scores."""
+    from nebuia_vector_db_spark.operators.bq import bq_topk_rerank
+
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 4)
+    return bq_topk_rerank(emb, q, 10, rerank_k=50, tie_cols=["vec_id"]).select(
+        "vec_id", "label", F.round("similarity", 6).alias(SIM6)
+    )
+
+
+ORACLE_VS_BQ_RERANK = (
+    _ORACLE_QN.format(vid=4)
+    + """
+, e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+short AS (
+  SELECT e.vec_id, e.label, e.ev,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN (e.ev[i] > 0) = (qn.v[i] > 0)
+                   THEN 1 ELSE -1 END)) AS INT) AS sim_bits
+  FROM e, qn
+  ORDER BY sim_bits DESC, e.vec_id
+  LIMIT 50
+)
+SELECT s.vec_id, s.label,
+       round(list_dot_product(qn.v, s.ev), 6) AS similarity
+FROM short s, qn
+ORDER BY list_dot_product(qn.v, s.ev) DESC, s.vec_id
+LIMIT 10
+"""
+)
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), adapted to the slim testdata
+    schema (nations are NATION_*; no l_commitdate). Revenue between
+    the two nation groups by ship year — a 5-way join where the three
+    dimension sides (supplier, customer, nation×2) broadcast and only
+    the lineitem⋈orders join shuffles on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") <= "1996-12-31 23:59:59")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r(_dsum(vol), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sql_r(_sql_dsum("volume"), 2)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 23:59:59'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    spec's o_comment NOT LIKE filter becomes an o_orderpriority
+    filter (the column the slim schema has). LEFT OUTER join keeps
+    zero-order customers; count(o_orderkey) counts matches only.
+    One shuffle on custkey, one on the (tiny) count key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share), adapted: p_type is a single
+    word in the testdata, so the LIKE 'PROMO%' becomes equality; the
+    spec month widens to 1996Q1 for row volume at small SF. Part
+    broadcasts; the conditional-sum ratio uses the quantized-sum
+    discipline so both engines agree to the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _r(F.lit(100.0) * _dsum(promo_vol) / _dsum(vol), 4).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+ORACLE_TPCH_Q14 = f"""
+SELECT {_sql_r(
+    "100.0 * " + _sql_dsum(
+        "CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+    ) + " / " + _sql_dsum("l_extendedprice * (1 - l_discount)"), 4)}
+       AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the max. The max filter is an equality on a quantized (long-
+    backed) sum, so it is exact cross-engine. The revenue agg
+    shuffles once on suppkey; the scalar max broadcasts back."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _r(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)}
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): lineitems of one brand
+    whose quantity is under 20% of that part's average quantity.
+    The correlated scalar subquery decorrelates to a per-part avg agg
+    joined back on partkey — one shuffle on partkey, part broadcasts.
+    The threshold uses the quantized avg so the strict `<` boundary
+    is identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        _davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(_r(_dsum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+ORACLE_TPCH_Q17 = f"""
+SELECT {_sql_r(_sql_dsum("l_extendedprice") + " / 7.0", 2)} AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS ap_key, {_sql_davg("l_quantity")} AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON l_partkey = ap_key
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5126,6 +5408,18 @@ REGISTRY: dict[
     "cube_orders": (q_cube_orders, ORACLE_CUBE_ORDERS),
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
     "text_top_ngrams": (q_text_top_ngrams, ORACLE_TOP_NGRAMS),
+    # Round-7 additions (below-window; capabilities distilled into the
+    # window by existing rows): vs_bq_topk/vs_bq_rerank — binary
+    # quantization tier (operators/bq.py; ANN-compression family
+    # recorded via vs_pq_topk/vs_sq8_topk); tpch_q7/q13/q14/q15/q17 —
+    # SQL-breadth joins/aggs, families recorded via tpch_q1/q3/q10/q18.
+    "vs_bq_topk": (q_vs_bq_topk, ORACLE_VS_BQ_TOPK),
+    "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
+    "tpch_q7": (q_tpch_q7, ORACLE_TPCH_Q7),
+    "tpch_q13": (q_tpch_q13, ORACLE_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, ORACLE_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, ORACLE_TPCH_Q15),
+    "tpch_q17": (q_tpch_q17, ORACLE_TPCH_Q17),
 }
 
 
