@@ -623,6 +623,68 @@ def main() -> None:
     timings["b7_sq8_recall_at_10"] = round(sum(sq_rec) / len(sq_rec), 4)
     sq_codes.unpersist()
 
+    # ---- B15: BINARY QUANTIZATION (round 7, operators/bq.py) — the
+    # 32× rung under SQ8: one int64 word per vector at d=64, scored
+    # with XOR+POPCNT inside codegen. Encode cost is one projection;
+    # the scan row shows the 8-byte/vector shortlist pass; recall
+    # rows use ALL 16 seeded queries (the b6 OPQ lesson: 4-6 queries
+    # is sampling noise) — raw sign-cosine recall is the SimHash
+    # estimator's, and the rerank row shows the two-stage design
+    # (Hamming shortlist 100 → exact re-rank) recovering it.
+    from nebuia_vector_db_spark.operators.bq import (
+        bq_encode,
+        bq_similarity_bits,
+        bq_topk_rerank,
+        encode_query_bits,
+    )
+
+    def _build_b15():
+        packed = bq_encode(clustered, dim=SYNTH_D).select(
+            "vec_id", "embedding", "bq_w0"
+        ).cache()
+        packed.count()
+        return packed, lambda: packed.unpersist()
+
+    t_b15, bq_packed = _median_build(_build_b15, runs=3)
+    timings["b15_bq_encode_sec"] = round(t_b15, 4)
+
+    def _bq_query(q):
+        qw = encode_query_bits(q)
+        return (
+            bq_packed.select(
+                "vec_id", bq_similarity_bits(qw, SYNTH_D).alias("sim_bits")
+            )
+            .orderBy(F.desc("sim_bits"), "vec_id")
+            .limit(10)
+            .collect()
+        )
+
+    timings["b15_bq_topk_600k"] = round(
+        _median_time(lambda: _bq_query(c_queries[0]), runs=5), 4
+    )
+    bq_raw_rec, bq_rr_rec = [], []
+    for q in c_queries:
+        want = {
+            r["vec_id"]
+            for r in topk_search(
+                clustered, q, 10, tie_cols=["vec_id"]
+            ).collect()
+        }
+        raw = {r["vec_id"] for r in _bq_query(q)}
+        rr = {
+            r["vec_id"]
+            for r in bq_topk_rerank(
+                bq_packed, q, 10, rerank_k=100, tie_cols=["vec_id"]
+            ).collect()
+        }
+        bq_raw_rec.append(len(raw & want) / 10)
+        bq_rr_rec.append(len(rr & want) / 10)
+    timings["b15_bq_recall_at_10"] = round(sum(bq_raw_rec) / len(bq_raw_rec), 4)
+    timings["b15_bq_rerank100_recall_at_10"] = round(
+        sum(bq_rr_rec) / len(bq_rr_rec), 4
+    )
+    bq_packed.unpersist()
+
     # ---- B12: BATCH ANN (round 4, IVFIndex.search_batch) — 16 queries
     # through per-query probed cells in ONE masked-GEMM corpus pass,
     # vs the exact batch kNN full scan. On the clustered corpus the
@@ -1269,6 +1331,13 @@ def main() -> None:
                     "b10xl files": "512-file layout: the pruned win "
                     "is per-file overhead (open/footer/schedule) — "
                     "exactly what snapshot skipping removes at 100 TB",
+                    "b15": "binary quantization (1 bit/dim, one int64 "
+                    "word per vector at d=64 — 32x vs float32): "
+                    "XOR+POPCNT Hamming top-k on the packed column, "
+                    "recall over ALL 16 seeded queries; raw row = "
+                    "SimHash sign-cosine estimator, rerank row = "
+                    "Hamming-100 shortlist + exact re-rank (the "
+                    "two-stage design that makes BQ usable)",
                     "recall determinism": "ALL recall rows (b5/b5c/"
                     "b6/b12) run on the seeded deterministic index "
                     "(pinned sample + driver-side Lloyd's) with fixed "

@@ -381,3 +381,32 @@ def test_mp2_audio_row_is_map_side_only(spark, sf_oracle):
     assert shuffle_count(df) <= 1
     assert "mapInPandas" in plan or "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bq_topk_zero_shuffle_take_ordered(spark, sf_oracle):
+    """BQ scan must be the 8-byte/vector plan shape: one codegen'd
+    projection (pack + XOR/popcount), TakeOrderedAndProject, no
+    exchange — the shortlist pass a 100 TB corpus scan relies on."""
+    df = Q.q_vs_bq_topk(spark, sf_oracle)
+    plan_asserts(df, max_shuffles=0, contains=("TakeOrderedAndProject",))
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_bq_rerank_zero_shuffle_two_stage(spark, sf_oracle):
+    """Shortlist + re-rank both resolve to TakeOrderedAndProject —
+    the re-rank's input is the driver-merged shortlist, never a
+    global sort of the corpus."""
+    df = Q.q_vs_bq_rerank(spark, sf_oracle)
+    plan_asserts(df, max_shuffles=0, contains=("TakeOrderedAndProject",))
+
+
+def test_tpch_q7_dims_broadcast(spark, sf_oracle):
+    """supplier/customer/nation×2 all broadcast; only the
+    lineitem⋈orders fact join (and the final agg) may shuffle."""
+    df = Q.q_tpch_q7(spark, sf_oracle)
+    assert has_broadcast_join(df)
+
+
+def test_tpch_q15_max_filter_broadcasts(spark, sf_oracle):
+    df = Q.q_tpch_q15(spark, sf_oracle)
+    assert has_broadcast_join(df)
