@@ -662,7 +662,15 @@ def main() -> None:
     timings["b15_bq_topk_600k"] = round(
         _median_time(lambda: _bq_query(c_queries[0]), runs=5), 4
     )
-    bq_raw_rec, bq_rr_rec = [], []
+    # Recall curve vs shortlist size. On the CLUSTERED corpus the
+    # 64-bit code resolves BETWEEN clusters but barely WITHIN one
+    # (every member shares the center's sign pattern, so the true
+    # top-10 scatter across the ~4.7k-member cluster's Hamming
+    # ranks — measured worst needed rank 4670). The honest numbers:
+    # raw sign-cosine ≈ 0, shortlist-100 ≈ 0.04, and a 1%-of-corpus
+    # shortlist (6000) is EXACT (recall 1.0) while the corpus scan
+    # still reads 8 B/vector and the float column is fetched for 1%.
+    bq_raw_rec, bq_rr100_rec, bq_rr6k_rec = [], [], []
     for q in c_queries:
         want = {
             r["vec_id"]
@@ -671,17 +679,37 @@ def main() -> None:
             ).collect()
         }
         raw = {r["vec_id"] for r in _bq_query(q)}
-        rr = {
+        rr100 = {
             r["vec_id"]
             for r in bq_topk_rerank(
                 bq_packed, q, 10, rerank_k=100, tie_cols=["vec_id"]
             ).collect()
         }
+        rr6k = {
+            r["vec_id"]
+            for r in bq_topk_rerank(
+                bq_packed, q, 10, rerank_k=6000, tie_cols=["vec_id"]
+            ).collect()
+        }
         bq_raw_rec.append(len(raw & want) / 10)
-        bq_rr_rec.append(len(rr & want) / 10)
+        bq_rr100_rec.append(len(rr100 & want) / 10)
+        bq_rr6k_rec.append(len(rr6k & want) / 10)
     timings["b15_bq_recall_at_10"] = round(sum(bq_raw_rec) / len(bq_raw_rec), 4)
     timings["b15_bq_rerank100_recall_at_10"] = round(
-        sum(bq_rr_rec) / len(bq_rr_rec), 4
+        sum(bq_rr100_rec) / len(bq_rr100_rec), 4
+    )
+    timings["b15_bq_rerank6000_recall_at_10"] = round(
+        sum(bq_rr6k_rec) / len(bq_rr6k_rec), 4
+    )
+    timings["b15_bq_rerank6000_topk_sec"] = round(
+        _median_time(
+            lambda: bq_topk_rerank(
+                bq_packed, c_queries[0], 10, rerank_k=6000,
+                tie_cols=["vec_id"],
+            ).collect(),
+            runs=5,
+        ),
+        4,
     )
     bq_packed.unpersist()
 
@@ -1334,10 +1362,15 @@ def main() -> None:
                     "b15": "binary quantization (1 bit/dim, one int64 "
                     "word per vector at d=64 — 32x vs float32): "
                     "XOR+POPCNT Hamming top-k on the packed column, "
-                    "recall over ALL 16 seeded queries; raw row = "
-                    "SimHash sign-cosine estimator, rerank row = "
-                    "Hamming-100 shortlist + exact re-rank (the "
-                    "two-stage design that makes BQ usable)",
+                    "recall over ALL 16 seeded queries as a CURVE in "
+                    "shortlist size. On the clustered corpus 64-bit "
+                    "codes resolve between clusters, not within one "
+                    "(members share the center's signs; measured "
+                    "worst needed Hamming rank 4670 of 600k), so raw "
+                    "and rerank-100 recall are honestly ~0 while the "
+                    "1%-shortlist rerank-6000 row is EXACT (1.0) — "
+                    "the operating point: 8 B/vector corpus scan, "
+                    "floats fetched for 1% of rows",
                     "recall determinism": "ALL recall rows (b5/b5c/"
                     "b6/b12) run on the seeded deterministic index "
                     "(pinned sample + driver-side Lloyd's) with fixed "

@@ -143,7 +143,16 @@ def bq_topk_rerank(
     and the re-rank touches only ``rerank_k`` rows — the float column
     is fetched for a constant number of rows regardless of corpus
     size. Both stages are TakeOrderedAndProject (shortlist is a
-    global top-N merge, re-rank sorts ≤ rerank_k driver-merged rows)."""
+    global top-N merge, re-rank sorts ≤ rerank_k driver-merged rows).
+
+    Sizing ``rerank_k``: a d-bit code must cover the AMBIGUITY SET —
+    the rows whose codes the estimator cannot separate from the true
+    neighbors. On clustered data that set is the query's cluster
+    (members share the center's sign pattern; bench B15 measured the
+    worst true-top-10 Hamming rank at 4670 of 600k), so ``rerank_k``
+    ≈ 1% of the corpus makes the two-stage search exact there, while
+    ``rerank_k=100`` recalls almost nothing. Rule of thumb: set it to
+    the expected cluster/tie mass, not a small constant."""
     from nebuia_vector_db_spark.functions.vector import (
         dot,
         normalize_query,
