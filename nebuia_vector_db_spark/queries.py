@@ -5070,6 +5070,92 @@ WHERE p_brand = 'Brand#3'
 """
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates),
+    adapted to the slim schema (no p_container/l_shipmode): three
+    OR'd brand/size/quantity bands. The join key is shared across
+    branches, so Catalyst keeps ONE broadcast hash join on partkey
+    and evaluates the disjunction as a post-join filter — no union
+    of three scans, lineitem read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(_r(_dsum(vol), 2).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q19 = f"""
+SELECT {_sql_r(_sql_dsum("l_extendedprice * (1 - l_discount)"), 2)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: no c_phone, so
+    the country-code grouping becomes c_nationkey and "no orders"
+    (empty at this SF — every customer orders) becomes "no URGENT
+    orders". Shape preserved: scalar avg subquery (quantized, exact
+    cross-engine) → selective filter → ANTI join → group/sort.
+    The avg broadcasts as a 1-row join; the anti join shuffles on
+    custkey only."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(_davg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rich = cust.join(
+        F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r(_dsum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_TPCH_Q22 = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       {_sql_r(_sql_dsum("c_acctbal"), 2)} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT {_sql_davg("c_acctbal")} FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5420,6 +5506,8 @@ REGISTRY: dict[
     "tpch_q14": (q_tpch_q14, ORACLE_TPCH_Q14),
     "tpch_q15": (q_tpch_q15, ORACLE_TPCH_Q15),
     "tpch_q17": (q_tpch_q17, ORACLE_TPCH_Q17),
+    "tpch_q19": (q_tpch_q19, ORACLE_TPCH_Q19),
+    "tpch_q22": (q_tpch_q22, ORACLE_TPCH_Q22),
 }
 
 
