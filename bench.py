@@ -910,6 +910,52 @@ def main() -> None:
     )
     sweep_queries.unpersist()
 
+    # ---- B15 scale pair: the BQ scan-bytes story measured. Pack the
+    # 600k and 9.6M sweep corpora ONCE each to a words-only parquet
+    # (vec_id + one int64 word — what a 100 TB deployment stores
+    # beside the floats), then time the Hamming top-k on the PACKED
+    # table: the scan reads ~16 B/row instead of 260+, and the slope
+    # row shows the XOR/POPCNT pass staying linear across the 16×.
+    from nebuia_vector_db_spark.operators.bq import (
+        bq_encode as _bq_enc,
+        bq_similarity_bits as _bq_sim,
+        encode_query_bits as _bq_qbits,
+    )
+
+    b15_scan_times = {}
+    for n_rows in (600_000, 9_600_000):
+        src = (
+            SYNTH_PATH
+            if n_rows == SYNTH_N
+            else f"/tmp/nebuia_bench_sweep_{n_rows}.parquet"
+        )
+        packed_path = f"/tmp/nebuia_bench_bqwords_{n_rows}.parquet"
+        if not os.path.exists(packed_path):
+            t0 = time.perf_counter()
+            _bq_enc(spark.read.parquet(src), dim=SYNTH_D).select(
+                "vec_id", "bq_w0"
+            ).write.mode("overwrite").parquet(packed_path)
+            timings[f"b15_bq_pack_{n_rows // 1000}k_sec"] = round(
+                time.perf_counter() - t0, 4
+            )
+        qw = _bq_qbits(mat[qids[0]].astype(np.float64).tolist())
+
+        def _bq_packed_scan():
+            return (
+                spark.read.parquet(packed_path)
+                .select("vec_id", _bq_sim(qw, SYNTH_D).alias("sim_bits"))
+                .orderBy(F.desc("sim_bits"), "vec_id")
+                .limit(10)
+                .collect()
+            )
+
+        t = _median_time(_bq_packed_scan, runs=5)
+        b15_scan_times[n_rows] = t
+        timings[f"b15_bq_packed_topk_{n_rows // 1000}k"] = round(t, 4)
+    timings["b15_bq_packed_scan_slope_9600k"] = round(
+        (b15_scan_times[9_600_000] / b15_scan_times[600_000]) / 16.0, 4
+    )
+
     # ---- B9: the blocked (above-cap) exact-cosine scale path with a
     # measured number (VERDICT r2 #5): 240k vectors forced onto
     # _cosine_pairs_blocked (max_broadcast_rows below N, 6 blocks ->
@@ -1370,7 +1416,12 @@ def main() -> None:
                     "and rerank-100 recall are honestly ~0 while the "
                     "1%-shortlist rerank-6000 row is EXACT (1.0) — "
                     "the operating point: 8 B/vector corpus scan, "
-                    "floats fetched for 1% of rows",
+                    "floats fetched for 1% of rows. The packed rows "
+                    "(b15_bq_packed_topk_*) time the Hamming pass on "
+                    "a words-only parquet (vec_id + int64 — what a "
+                    "deployment stores beside the floats) at 600k "
+                    "and 9.6M with a fresh plan per run; the slope "
+                    "row is t(9.6M)/(16*t(600k)), ~1.0 = linear",
                     "recall determinism": "ALL recall rows (b5/b5c/"
                     "b6/b12) run on the seeded deterministic index "
                     "(pinned sample + driver-side Lloyd's) with fixed "

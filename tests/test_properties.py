@@ -80,3 +80,41 @@ def test_union_of_collections_equals_filtered_table(spark, seed):
     assert [(r["vec_id"], round(r["similarity"], 9)) for r in unified] == [
         (r["vec_id"], round(r["similarity"], 9)) for r in unioned
     ]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    dim=st.integers(min_value=1, max_value=130),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bq_pack_and_score_invariants(spark, n, dim, seed):
+    """For random n/dim (incl. multi-word and partial-tail dims) the
+    packed-word ±1 score must equal the NumPy sign-dot exactly, obey
+    |s| <= dim, and satisfy the parity invariant s ≡ dim (mod 2)."""
+    from nebuia_vector_db_spark.operators.bq import (
+        bq_encode,
+        bq_similarity_bits,
+        encode_query_bits,
+    )
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    q = rng.normal(size=dim)
+    qwords = encode_query_bits(q)
+    rows = (
+        bq_encode(_corpus_df(spark, mat), dim=dim)
+        .withColumn("sim_bits", bq_similarity_bits(qwords, dim))
+        .orderBy("vec_id")
+        .collect()
+    )
+    qs = np.where(q > 0, 1, -1)
+    for r in rows:
+        ref = int(np.where(mat[r["vec_id"]] > 0, 1, -1) @ qs)
+        assert r["sim_bits"] == ref
+        assert abs(r["sim_bits"]) <= dim
+        assert (r["sim_bits"] - dim) % 2 == 0
