@@ -5156,6 +5156,233 @@ ORDER BY c_nationkey
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted to the slim schema
+    (single-word p_type, synthetic nation names): the volume share of
+    NATION_12 suppliers in the ASIA PROMO-part market by order year.
+    Plan shape: lineitem is the only large input — part, supplier,
+    customer, nation (twice) and region all broadcast; the orders
+    join shuffles on orderkey. Numerator and denominator are two
+    CASE-sums in ONE aggregation pass (no second scan for the
+    denominator), and the ratio of the two quantized sums is exact
+    cross-engine before the final floor-round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nat.alias("n1")
+    n2 = nat.alias("n2")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year(orders.o_orderdate).cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    num = F.when(F.col("nation") == "NATION_12", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(_r(_dsum(num) / _dsum(F.col("volume")), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+_Q8_CASE = "CASE WHEN nation = 'NATION_12' THEN volume ELSE 0.0 END"
+ORACLE_TPCH_Q8 = f"""
+SELECT o_year,
+       {_sql_r(f"({_sql_dsum(_Q8_CASE)} / {_sql_dsum('volume')})", 6)} AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority pivot), adapted: the slim
+    schema has no l_shipmode / commit / receipt dates, so the mode
+    becomes a ship-lag band — datediff(shipdate, orderdate) ≤ 90 days
+    is 'FAST', else 'SLOW'. Shape preserved: one orderkey join + a
+    CASE-sum pivot on o_orderpriority. The two counts ride one
+    aggregation; low = count(*) − high avoids a second CASE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = F.when(lag <= 90, "FAST").otherwise("SLOW")
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(band.alias("band"), high.alias("high"))
+        .groupBy("band")
+        .agg(
+            F.sum("high").alias("high_line_count"),
+            (F.count("*") - F.sum("high")).alias("low_line_count"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT band,
+       CAST(sum(high) AS BIGINT) AS high_line_count,
+       CAST(count(*) - sum(high) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 90
+              THEN 'FAST' ELSE 'SLOW' END AS band,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS high
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+GROUP BY band
+ORDER BY band
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier count by part attributes), adapted: no
+    partsupp table, so lineitem is the part↔supplier relation, and
+    the 'customer complaints' exclusion becomes suppliers with a
+    negative account balance. Shape preserved: NOT-IN exclusion
+    (broadcast anti-join — the excluded set is tiny) → distinct
+    supplier count grouped by (brand, type, size). The distinct-count
+    shuffles once on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#25")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#25'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: 'late'
+    is ship lag > 365 days (no commit/receipt dates). The textbook
+    double correlated EXISTS / NOT-EXISTS over lineitem self-joins is
+    rewritten scale-first as per-order distinct-supplier sets over a
+    WINDOW on orderkey: a late line qualifies when its order has ≥2
+    distinct suppliers (the EXISTS) but exactly ONE distinct late
+    supplier (the NOT EXISTS — the late line's own supplier is then
+    the unique offender). The window reuses the lineitem⋈orders
+    join's hash partitioning, so lineitem is scanned ONCE and the
+    whole qualification adds zero extra shuffles (orders have
+    bounded line counts, so the collect_set state is tiny); the
+    oracle replays the literal EXISTS form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late", F.datediff("l_shipdate", "o_orderdate") > 365
+    )
+    w = Window.partitionBy("o_orderkey")
+    qualified = (
+        lines.withColumn(
+            "nsupp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "nlate",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .where(
+            F.col("late") & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+        )
+    )
+    waiting = qualified.join(
+        F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND datediff('day', o_orderdate, l1.l_shipdate) > 365
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND datediff('day', o3.o_orderdate, l3.l_shipdate) > 365)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5508,6 +5735,15 @@ REGISTRY: dict[
     "tpch_q17": (q_tpch_q17, ORACLE_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, ORACLE_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, ORACLE_TPCH_Q22),
+    # Round-7 session 3: the remaining TPC-H shapes expressible on the
+    # slim schema — q8 market-share ratio-of-CASE-sums, q12 lag-band
+    # priority pivot, q16 NOT-IN exclusion + distinct count, q21
+    # double-correlated EXISTS/NOT-EXISTS rewritten as one per-order
+    # aggregation. (q2/q9/q11/q20 need partsupp — out of schema.)
+    "tpch_q8": (q_tpch_q8, ORACLE_TPCH_Q8),
+    "tpch_q12": (q_tpch_q12, ORACLE_TPCH_Q12),
+    "tpch_q16": (q_tpch_q16, ORACLE_TPCH_Q16),
+    "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
 }
 
 

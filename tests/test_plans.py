@@ -410,3 +410,52 @@ def test_tpch_q7_dims_broadcast(spark, sf_oracle):
 def test_tpch_q15_max_filter_broadcasts(spark, sf_oracle):
     df = Q.q_tpch_q15(spark, sf_oracle)
     assert has_broadcast_join(df)
+
+
+def test_tpch_q8_dims_broadcast_single_agg_pass(spark, sf_oracle):
+    """Q8's market-share ratio is two CASE-sums in ONE aggregation —
+    no second scan for the denominator; part/supplier/customer/
+    nation(x2)/region all broadcast, lineitem pruned to 5 columns."""
+    df = Q.q_tpch_q8(spark, sf_oracle)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3  # fact join + agg + order
+    li_schema = next(
+        s for s in scan_read_schema(df) if "l_extendedprice" in s
+    )
+    assert "l_discount" in li_schema and "l_quantity" not in li_schema
+
+
+def test_tpch_q12_pivot_one_agg_two_shuffles(spark, sf_oracle):
+    """The lag-band priority pivot rides one aggregation pass; the
+    lineitem scan reads only (orderkey, shipdate)."""
+    df = Q.q_tpch_q12(spark, sf_oracle)
+    assert shuffle_count(df) <= 2
+    li_schema = next(s for s in scan_read_schema(df) if "l_shipdate" in s)
+    assert "l_orderkey" in li_schema and "l_quantity" not in li_schema
+
+
+def test_tpch_q16_not_in_is_broadcast_anti_join(spark, sf_oracle):
+    """The complaints exclusion (NOT IN) must be a broadcast anti-join
+    of the tiny supplier set, never a shuffle of lineitem for it."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_tpch_q16(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_single_fact_scan_window_reuses_partitioning(
+    spark, sf_oracle
+):
+    """The EXISTS / NOT-EXISTS rewrite must NOT re-scan lineitem for
+    the per-order qualification: one fact scan, the distinct-supplier
+    window rides the join's orderkey partitioning, and only the fact
+    join + final group-by exchange remain."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_tpch_q21(spark, sf_oracle)
+    plan = explain_str(df)
+    assert plan.count("lineitem") == 1  # exactly one fact scan
+    assert "Window" in plan
+    assert shuffle_count(df) <= 2
