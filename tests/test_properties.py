@@ -118,3 +118,80 @@ def test_bq_pack_and_score_invariants(spark, n, dim, seed):
         assert r["sim_bits"] == ref
         assert abs(r["sim_bits"]) <= dim
         assert (r["sim_bits"] - dim) % 2 == 0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_tpch_q21_window_rewrite_matches_exists_replay(
+    spark, tmp_path_factory, seed
+):
+    """The q21 windowed rewrite (≥2 distinct suppliers, exactly one
+    distinct LATE supplier) must equal the textbook correlated
+    EXISTS / NOT-EXISTS semantics on random order/line/supplier data —
+    covering edge cases the fixed fixture can't reach (all-late
+    orders, single-supplier orders, no 'F' orders at all)."""
+    import pandas as pd
+
+    from nebuia_vector_db_spark import queries as Q
+
+    rng = np.random.default_rng(seed)
+    n_supp, n_ord, n_li = 6, 25, 120
+    supp = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp),
+            "s_name": [f"S{i:03d}" for i in range(n_supp)],
+            "s_nationkey": np.zeros(n_supp, dtype=np.int64),
+            "s_acctbal": np.zeros(n_supp),
+        }
+    )
+    base = pd.Timestamp("1995-01-01")
+    odate = [
+        base + pd.Timedelta(days=int(d))
+        for d in rng.integers(0, 1000, n_ord)
+    ]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord),
+            "o_orderdate": odate,
+            "o_orderstatus": rng.choice(["F", "O", "P"], n_ord),
+        }
+    )
+    ok = rng.integers(0, n_ord, n_li)
+    li = pd.DataFrame(
+        {
+            "l_orderkey": ok,
+            "l_suppkey": rng.integers(0, n_supp, n_li),
+            # day-aligned so Spark's datediff (date-truncating) and the
+            # pandas replay agree exactly
+            "l_shipdate": [
+                odate[k] + pd.Timedelta(days=int(d))
+                for k, d in zip(ok, rng.integers(0, 800, n_li))
+            ],
+        }
+    )
+    d = tmp_path_factory.mktemp("q21prop")
+    supp.to_parquet(d / "supplier.parquet", coerce_timestamps="us")
+    orders.to_parquet(d / "orders.parquet", coerce_timestamps="us")
+    li.to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+
+    got = {
+        (r["s_name"], r["numwait"])
+        for r in Q.q_tpch_q21(spark, str(d)).collect()
+    }
+
+    # brute-force correlated EXISTS / NOT-EXISTS replay
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[j.o_orderstatus == "F"].copy()
+    j["late"] = (j.l_shipdate - j.o_orderdate).dt.days > 365
+    counts: dict[int, int] = {}
+    for _, r in j[j.late].iterrows():
+        grp = j[j.l_orderkey == r.l_orderkey]
+        others = grp[grp.l_suppkey != r.l_suppkey]
+        if len(others) and not others.late.any():
+            counts[r.l_suppkey] = counts.get(r.l_suppkey, 0) + 1
+    expect = {(f"S{k:03d}", v) for k, v in counts.items()}
+    assert got == expect
