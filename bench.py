@@ -131,6 +131,68 @@ def _default_driver_memory_gb() -> int:
     return max(8, min(64, half_gb))
 
 
+#: metrics carried by the final compact gate line: a handful of
+#: representative wall-times plus every explicit gate ratio.
+GATE_QUERY_KEYS = (
+    "vs_topk",
+    "tpch_q1",
+    "dedup_minhash_lsh",
+    "events_sessions",
+    "pipe_curate",
+    "b2_spark_batched_per_query",
+    "b2_numpy_loop_per_query",
+)
+GATE_RATIO_KEYS = (
+    "b8_slope_38400k",
+    "b8_slope_overall",
+    "b11_slope_320k",
+    "b10xl_files_scanned_fraction",
+    "b12_batch_recall_at_10",
+    "b15_bq_packed_scan_slope_9600k",
+)
+
+
+def gate_line(
+    timings: dict[str, float], total: float, sf: float, cpus: int
+) -> str:
+    """The LAST stdout line: an ultra-compact gate summary.
+
+    The grading driver keeps only a ~2,000-char stdout tail; the full
+    139-metric compact line is ~7,800 chars, so its head is cut and the
+    driver has recorded ``parsed: null`` since round 2. This line keeps
+    the {metric, value, unit, queries, sf} shape, carries the headline
+    total + the gate ratios, and is asserted < 1,000 chars so it always
+    survives the tail whole (with room for log noise after it).
+    """
+    gates = {k: timings[k] for k in GATE_RATIO_KEYS if k in timings}
+    if timings.get("b2_numpy_loop_per_query") and (
+        "b2_spark_batched_per_query" in timings
+    ):
+        gates["b2_ratio"] = round(
+            timings["b2_spark_batched_per_query"]
+            / timings["b2_numpy_loop_per_query"],
+            4,
+        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {
+                k: timings[k] for k in GATE_QUERY_KEYS if k in timings
+            },
+            "gates": gates,
+            "n_metrics": len(timings),
+            "full_payload": "BENCH_SELF.json",
+            "sf": sf,
+            "cpus": cpus,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1000, len(line)
+    return line
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_MASTER", f"local[{CPUS}]")
     os.environ.setdefault(
@@ -1428,14 +1490,31 @@ def main() -> None:
                     "query sets — bit-identical across runs (r3 #2); "
                     "build/latency timings stay on the MLlib path",
                 }
-    # The grading driver captures only the TAIL of stdout (BENCH_r02
-    # recorded parsed: None because the long pretty line's head was cut).
-    # stdout therefore carries ONE COMPACT line; the full pretty payload
-    # incl. methodology notes goes to BENCH_SELF.json next to the repo.
+    # The grading driver captures only a ~2,000-char TAIL of stdout
+    # (BENCH_r02..r07 recorded parsed: null). The round-4 fix printed
+    # ONE compact line, but at 139 metrics that line is now ~7,800
+    # chars — the tail starts mid-line and nothing parses. Round-8 fix
+    # (VERDICT r7 task #1): the LAST stdout line is an ultra-compact
+    # gate summary (< 1,000 chars) in the same {metric, value, unit,
+    # queries, sf} shape, so it always survives the tail whole; the
+    # full payload goes to BENCH_SELF.json (and, for humans scrolling,
+    # the full compact line is still printed FIRST).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SELF.json"), "w") as fh:
         json.dump({**payload, "notes": notes}, fh, indent=1)
     print(json.dumps(payload, separators=(",", ":")))
+
+    # regression line vs the last committed BENCH_SELF.json (r7 task #4)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    try:
+        from bench_compare import compare_line
+
+        print(compare_line(payload))
+    except Exception as exc:  # the diff must never kill the bench
+        print(json.dumps({"bench_diff": f"comparator failed: {exc}"}))
+
+    print(gate_line(timings, total, payload["sf"], payload["cpus"]))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""Bench regression comparator (round-8, VERDICT r7 task #4).
+
+Diffs a fresh bench payload against the last *committed* BENCH_SELF.json
+(``git show HEAD:BENCH_SELF.json``) and reports, in ONE compact line:
+
+- ``timed_moved``: any wall-clock/throughput row whose new/old ratio
+  leaves [1/1.5, 1.5] — the threshold the round-7 manual diff used to
+  spot the single cross-run mover (b5_ivf_build_sec 6.0 -> 9.7 s).
+- ``pinned_moved``: any determinism-pinned ratio (recall@k / *_fraction
+  rows, all computed on the seeded deterministic index with fixed query
+  sets — bit-identical across runs by design, VERDICT r3 #2 / r7) that
+  changed AT ALL. A pinned move means the seeded build or the query set
+  changed, never benign variance.
+
+Usable standalone (``python tools/bench_compare.py [new.json [old.json]]``)
+and from bench.py via :func:`compare_line`, which prints before the
+final gate line so the driver's stdout tail carries the verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Rows where run-to-run variance is expected (timings, throughputs, and
+# the slopes/ratios derived from them). Everything matching PINNED is
+# seeded-deterministic and must not move at all.
+_PINNED_MARKERS = ("recall", "fraction", "snr", "compression", "mse")
+_TIMED_FLAG = 1.5
+
+
+def _is_pinned(key: str) -> bool:
+    return any(m in key for m in _PINNED_MARKERS)
+
+
+def load_committed(path: str = "BENCH_SELF.json") -> dict | None:
+    """The last committed payload, or None (first run / no git)."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "show", f"HEAD:{path}"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode != 0:
+            return None
+        return json.loads(out.stdout)
+    except Exception:
+        return None
+
+
+def diff(new_q: dict, old_q: dict) -> dict:
+    """Compare metric dicts; see module docstring for the two buckets."""
+    timed_moved: dict[str, list[float]] = {}
+    pinned_moved: dict[str, list[float]] = {}
+    for key in sorted(set(new_q) & set(old_q)):
+        a, b = old_q[key], new_q[key]
+        if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+            continue
+        if _is_pinned(key):
+            if a != b:
+                pinned_moved[key] = [a, b]
+        else:
+            lo, hi = sorted([abs(a), abs(b)])
+            # sub-50ms rows sit at the dispatch floor; noise, not signal
+            if hi >= 0.05 and (lo == 0 or hi / lo > _TIMED_FLAG):
+                timed_moved[key] = [a, b]
+    return {
+        "compared": len(set(new_q) & set(old_q)),
+        "timed_moved": timed_moved,
+        "pinned_moved": pinned_moved,
+    }
+
+
+def compare_line(new_payload: dict) -> str:
+    """One compact printable line vs the committed baseline payload."""
+    old = load_committed()
+    if old is None:
+        return '{"bench_diff":"no committed BENCH_SELF.json to compare"}'
+    d = diff(new_payload.get("queries", {}), old.get("queries", {}))
+    # bound the line: the driver tail is 2,000 chars total
+    for bucket in ("timed_moved", "pinned_moved"):
+        items = list(d[bucket].items())
+        if len(items) > 8:
+            d[bucket] = dict(items[:8])
+            d[bucket + "_truncated"] = len(items) - 8
+    return json.dumps({"bench_diff": d}, separators=(",", ":"))
+
+
+def main() -> int:
+    new_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "BENCH_SELF.json"
+    )
+    with open(new_path) as fh:
+        new_payload = json.load(fh)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2]) as fh:
+            old = json.load(fh)
+        d = diff(new_payload.get("queries", {}), old.get("queries", {}))
+        print(json.dumps({"bench_diff": d}, separators=(",", ":")))
+        return 1 if (d["timed_moved"] or d["pinned_moved"]) else 0
+    line = compare_line(new_payload)
+    print(line)
+    parsed = json.loads(line)["bench_diff"]
+    moved = isinstance(parsed, dict) and (
+        parsed["timed_moved"] or parsed["pinned_moved"]
+    )
+    return 1 if moved else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
