@@ -5418,6 +5418,14 @@ REGISTRY: dict[
     "vs_pq_topk": (q_vs_pq_topk, ORACLE_VS_PQ_TOPK),
     # int8 scalar quantization — distinct from PQ's codebook ADC
     "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
+    # binary quantization + exact re-rank (round-9 promotion): 32×
+    # compression to packed int64, XOR+POPCNT Hamming shortlist inside
+    # codegen, then exact-cosine re-rank of the shortlist — the
+    # coarsest ANN-compression tier (1 bit/dim vs PQ's 16 B and SQ8's
+    # int8) and the only recorded row exercising the two-phase
+    # shortlist→re-rank pattern on bit codes. Displaces rollup_lineitem
+    # (see its below-window justification).
+    "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
     "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
     # doc-level late-interaction rollup (max/mean chunk sim + argmax)
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
@@ -5470,20 +5478,29 @@ REGISTRY: dict[
     # decoded PCM) — supersedes the md5-fake mm_audio_windows in the
     # window (round-3 swap; windowing mechanics stay locally green)
     "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
-    # REAL video container (round-4 promotion): AVI demux + per-frame
-    # JPEG decode + pixel-level scene deltas — supersedes the
-    # byte-delta mm_scene_changes in-window (same temporal-delta
-    # semantics, now on decoded pixels through a genuine container)
-    "mm_video_frames": (q_mm_video_frames, ORACLE_MM_VIDEO),
-    # SECOND container grammar recorded (round-7 promotion): ISO-BMFF
-    # demux — length-prefixed box walk + stts/stsc/stsz/stco sample
-    # tables — over the SAME frames and oracle as the RIFF row above,
-    # so a hash match certifies a structurally different demuxer
-    # end-to-end. Displaces text_minhash_mllib: its MinHash+LSH
-    # banding semantics stay recorded via dedup_minhash_lsh (same
-    # family, hand-rolled path); the MLlib row's distinct surface is
-    # API interop, which stays locally oracle-green + pytest-pinned.
+    # ISO-BMFF container (round-7 promotion): length-prefixed box walk
+    # + stts/stsc/stsz/stco sample tables → per-frame JPEG decode +
+    # pixel-level scene deltas. Displaced text_minhash_mllib (r7) and,
+    # in round 9, supersedes mm_video_frames as the video-container
+    # representative (the AVI row's oracle was shared verbatim with
+    # this one — two window slots, one hash; see its below-window
+    # justification).
     "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
+    # THIRD container grammar recorded (round-9 promotion): Matroska/
+    # EBML demux — vint-coded element walk, cluster/SimpleBlock frame
+    # extraction — over the same frames and oracle as mm_mp4_frames,
+    # so a hash match certifies a structurally different demuxer
+    # end-to-end (the value of the slot is the independent decode
+    # path, not a new oracle). Takes the slot freed by the AVI
+    # demotion.
+    "mm_mkv_frames": (q_mm_mkv_frames, ORACLE_MM_VIDEO),
+    # REAL lossy perceptual audio codec (round-9 promotion): MPEG-1
+    # Layer II (ISO 11172-3) bitstream — subband QMF synthesis,
+    # scalefactors, bit allocation — decoded executor-side via
+    # mapInPandas; hash-checks the Layer II bitstream layer the
+    # lossless WAV row (mm_audio_real) cannot reach. Displaces
+    # events_retention (see its below-window justification).
+    "mm_mp2_audio": (q_mm_mp2_audio, ORACLE_MM_MP2),
     # COLOR JPEG (round-4 promotion): YCbCr 4:2:0, dual table pairs,
     # interleaved MCUs — lossless-by-construction flat tiles make the
     # lossy color path hash-checkable; displaces vs_neardup_lsh (see
@@ -5498,9 +5515,14 @@ REGISTRY: dict[
     # in-window by pipe_decontaminate's anti-join and vs_pq_topk's
     # re-rank semi-join; q4 itself stays locally green below)
     "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
-    # returned-item revenue report (agg-before-dim-join, 4 tables)
-    "tpch_q10": (q_tpch_q10, ORACLE_TPCH_Q10),
-    "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
+    # hardest TPC-H shape on the slim schema (round-9 promotion):
+    # double-correlated EXISTS / NOT-EXISTS over lineitem rewritten as
+    # ONE per-order aggregation + window pass (no self-join storm;
+    # property-tested against the literal correlated semantics in
+    # tests/test_properties.py). Displaces tpch_q10: agg-before-dim-
+    # join is pinned in-window by tpch_q3 and the per-order
+    # conditional-count pattern here; see its below-window note.
+    "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
     "approx_cardinality": (q_approx_cardinality, ORACLE_APPROX_CARDINALITY),
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
     "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
@@ -5511,7 +5533,6 @@ REGISTRY: dict[
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
-    "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
     # STREAMING execution path (round-6 promotion): watermarked
     # stream-stream join run through the micro-batch engine
     # (AvailableNow → memory sink) and hash-matched against the batch
@@ -5525,6 +5546,34 @@ REGISTRY: dict[
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
+    # Round-9 demotions (VERDICT r8 task #1 rotation):
+    # mm_video_frames: RIFF/AVI demux + JPEG decode — its oracle was
+    #   shared VERBATIM with the recorded mm_mp4_frames (two window
+    #   slots certified one hash); the container-grammar slots now
+    #   hold mm_mp4_frames (ISO-BMFF) + mm_mkv_frames (EBML), each a
+    #   structurally different demuxer over the same frames; the RIFF
+    #   chunk-walk grammar itself stays recorded via mm_audio_real
+    #   (WAV is RIFF); locally green;
+    "mm_video_frames": (q_mm_video_frames, ORACLE_MM_VIDEO),
+    # tpch_q10: returned-item revenue (agg-before-dim-join, 4 tables)
+    #   — join+agg+sort+limit stays pinned in-window by tpch_q3, the
+    #   multi-table dim chain by tpch_q1/q3 + the promoted tpch_q21's
+    #   supplier/orders/lineitem join; locally green;
+    "tpch_q10": (q_tpch_q10, ORACLE_TPCH_Q10),
+    # rollup_lineitem: ROLLUP grouping sets — the Expand-based
+    #   multi-grouping physical shape; partial+final hash aggregation
+    #   stays recorded via tpch_q1 and the Expand operator itself
+    #   stays locally green here and in cube_orders /
+    #   profile_documents / lineitem_unpivot; displaced by
+    #   vs_bq_rerank (binary-quantization tier, a capability with NO
+    #   prior recorded representative);
+    "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
+    # events_retention: cohort-triangle retention — sum(CASE WHEN)
+    #   conditional aggregation, pinned in-window by the promoted
+    #   tpch_q21's per-order conditional counts; cohort/window
+    #   mechanics stay recorded via events_sessions/events_hourly;
+    #   locally green;
+    "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
     # Round-3 demotions:
     # tpch_q18: join+agg+HAVING-key pre-agg, covered by tpch_q3
     #   (broadcast dims) + tpch_q10 (agg-before-dim-join, 4 tables);
@@ -5643,15 +5692,7 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
-    # mm_mkv_frames: Matroska/EBML demux (third container grammar) —
-    #   the video-container window slot stays mm_video_frames; same
-    #   frames, same oracle; locally green;
-    "mm_mkv_frames": (q_mm_mkv_frames, ORACLE_MM_VIDEO),
-    # mm_mp2_audio: REAL lossy perceptual codec (MPEG-1 Layer II
-    #   bitstream, round 7) — the audio window slot stays
-    #   mm_audio_real (lossless WAV, full-content hash); this row
-    #   hash-checks the Layer II bitstream layer; locally green;
-    "mm_mp2_audio": (q_mm_mp2_audio, ORACLE_MM_MP2),
+    # (mm_mkv_frames and mm_mp2_audio promoted into the window r9.)
     # rcte_doc_tree: WITH RECURSIVE (Spark 4 UnionLoop) — the
     #   iterative family's scale rep stays dedup_groups' distributed
     #   pointer-jumping (in-window); this pins the declarative form;
@@ -5722,12 +5763,12 @@ REGISTRY: dict[
     "vs_topk_fixedq": (q_vs_topk_fixedq, ORACLE_VS_TOPK_FIXEDQ),
     "text_top_ngrams": (q_text_top_ngrams, ORACLE_TOP_NGRAMS),
     # Round-7 additions (below-window; capabilities distilled into the
-    # window by existing rows): vs_bq_topk/vs_bq_rerank — binary
-    # quantization tier (operators/bq.py; ANN-compression family
-    # recorded via vs_pq_topk/vs_sq8_topk); tpch_q7/q13/q14/q15/q17 —
-    # SQL-breadth joins/aggs, families recorded via tpch_q1/q3/q10/q18.
+    # window by existing rows): vs_bq_topk — Hamming-only BQ shortlist
+    # (the BQ tier's recorded rep is vs_bq_rerank, promoted r9, which
+    # runs this same packed-XOR scan PLUS the exact re-rank);
+    # tpch_q7/q13/q14/q15/q17 — SQL-breadth joins/aggs, families
+    # recorded via tpch_q1/q3/q18/q21.
     "vs_bq_topk": (q_vs_bq_topk, ORACLE_VS_BQ_TOPK),
-    "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
     "tpch_q7": (q_tpch_q7, ORACLE_TPCH_Q7),
     "tpch_q13": (q_tpch_q13, ORACLE_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, ORACLE_TPCH_Q14),
@@ -5737,13 +5778,12 @@ REGISTRY: dict[
     "tpch_q22": (q_tpch_q22, ORACLE_TPCH_Q22),
     # Round-7 session 3: the remaining TPC-H shapes expressible on the
     # slim schema — q8 market-share ratio-of-CASE-sums, q12 lag-band
-    # priority pivot, q16 NOT-IN exclusion + distinct count, q21
-    # double-correlated EXISTS/NOT-EXISTS rewritten as one per-order
-    # aggregation. (q2/q9/q11/q20 need partsupp — out of schema.)
+    # priority pivot, q16 NOT-IN exclusion + distinct count.
+    # (tpch_q21 promoted into the window r9; q2/q9/q11/q20 need
+    # partsupp — out of schema.)
     "tpch_q8": (q_tpch_q8, ORACLE_TPCH_Q8),
     "tpch_q12": (q_tpch_q12, ORACLE_TPCH_Q12),
     "tpch_q16": (q_tpch_q16, ORACLE_TPCH_Q16),
-    "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
 }
 
 

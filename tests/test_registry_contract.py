@@ -38,9 +38,13 @@ def test_every_recorded_query_has_an_oracle():
 _REQUIRED_IN_WINDOW = {
     # reference parity + ANN tiers (vs_ivf_batch supersedes
     # vs_ivf_topk in-window round 4: same build + pruning, plus the
-    # per-query probe mask — single-query cut stays pinned by vs_topk)
+    # per-query probe mask — single-query cut stays pinned by vs_topk;
+    # vs_bq_rerank promoted r9: binary-quantization tier — packed
+    # XOR+POPCNT Hamming shortlist + exact re-rank, the coarsest
+    # compression level, previously unrecorded)
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
     "vs_ivf_batch", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
+    "vs_bq_rerank",
     # embedding near-dup (exact; the RP-LSH sketch join demoted r4 —
     # sketch-blocking stays covered by dedup_minhash_lsh/dedup_simhash)
     "vs_neardup_cos",
@@ -67,24 +71,35 @@ _REQUIRED_IN_WINDOW = {
     "pipe_decontaminate", "pipe_stratified_sample",
     "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
     # multimodal (mm_png_roundtrip / mm_audio_real / mm_color_roundtrip
-    # / mm_video_frames = REAL codecs+containers; supersede fake-codec
-    # mm_image_features/mm_audio_windows and byte-delta
-    # mm_scene_changes)
-    # mm_mp4_frames promoted r7: second recorded container grammar
-    # (ISO-BMFF box walk vs mm_video_frames' RIFF), same oracle
-    "mm_png_roundtrip", "mm_audio_real", "mm_video_frames",
-    "mm_color_roundtrip", "mm_mp4_frames",
+    # = REAL codecs; supersede fake-codec mm_image_features/
+    # mm_audio_windows and byte-delta mm_scene_changes)
+    # mm_mp4_frames promoted r7 (ISO-BMFF box walk); mm_mkv_frames
+    # promoted r9 (Matroska/EBML vint walk) — same frames+oracle, each
+    # slot certifies a structurally different demuxer. mm_video_frames
+    # (RIFF/AVI) demoted r9: oracle shared verbatim with mm_mp4_frames
+    # and RIFF grammar stays recorded via mm_audio_real (WAV is RIFF).
+    # mm_mp2_audio promoted r9: MPEG-1 Layer II lossy perceptual
+    # bitstream — a decode layer the lossless WAV row cannot reach.
+    "mm_png_roundtrip", "mm_audio_real", "mm_mkv_frames",
+    "mm_color_roundtrip", "mm_mp4_frames", "mm_mp2_audio",
     # transactional storage (SnapshotTable COW delete — round 3)
     "snap_delete_read",
     # relational (tpch_q4's EXISTS/semi stays pinned by
-    # pipe_decontaminate's anti-join; demoted round 3)
-    "tpch_q1", "tpch_q3", "tpch_q10", "rollup_lineitem",
+    # pipe_decontaminate's anti-join; demoted round 3. tpch_q21
+    # promoted r9: double-correlated EXISTS/NOT-EXISTS rewritten as
+    # one per-order aggregation — displaces tpch_q10, whose
+    # agg-before-dim-join stays pinned by tpch_q3; rollup_lineitem
+    # demoted r9 for vs_bq_rerank — partial/final hash agg stays
+    # pinned by tpch_q1, Expand shape locally green)
+    "tpch_q1", "tpch_q3", "tpch_q21",
     "approx_cardinality", "orders_running_revenue",
     "fuzzy_name_match", "skew_salted_join",
     # events (events_sliding demoted r6 — tumbling/sliding share the
-    # window-bucket Expand + hash-agg path pinned by events_hourly)
+    # window-bucket Expand + hash-agg path pinned by events_hourly;
+    # events_retention demoted r9 — sum(CASE WHEN) conditional agg
+    # stays pinned by tpch_q21's per-order conditional counts)
     "events_hourly", "events_sessions",
-    "events_asof_signup", "events_funnel", "events_retention",
+    "events_asof_signup", "events_funnel",
     # streaming execution path (promoted r6): stream-stream join via
     # the micro-batch engine, hash-matched to the batch range join
     "stream_join_mirror",
