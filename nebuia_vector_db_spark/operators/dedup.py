@@ -961,20 +961,36 @@ def exact_substring_pairs(
     anchors = _substring_anchors(
         docs, k, text_col, id_col, segment_chars, winnow_w
     )
-    # df-cap via a window count over gram (round 7): one exchange by
-    # gram feeds the count, the filter, AND both sides of the
-    # self-join below (ReusedExchange) — the round-6 anti-join shape
-    # re-executed the whole winnowed extraction (the dominant cost,
-    # O(n·w) md5+min work over every char) once per consumer.
-    from pyspark.sql import Window
+    # df-cap via partial-aggregated groupBy + broadcast anti-join
+    # (round 9, VERDICT r8 "what's wrong" #2). The round-7 shape —
+    # count().over(Window.partitionBy(gram)) — shuffled EVERY posting
+    # of a gram into one window task *before* the cap filter could
+    # drop it: exactly the boilerplate-gram skew max_anchor_df exists
+    # to guard against (a gram shared by 10⁶ docs = 10⁶ rows into one
+    # task at 100×). groupBy gets a map-side partial aggregate, so
+    # the df shuffle carries at most one row per (task, gram); only
+    # the tiny over-cap gram set (boilerplate by definition) survives
+    # the filter and is BROADCAST, so hot postings are dropped
+    # map-side and never cross the wire at all. The self-join below
+    # remains the single full exchange of (kept) anchors by gram —
+    # and every gram reaching it has ≤ max_anchor_df postings, so no
+    # join task can be skewed. The winnowed extraction (the dominant
+    # cost — O(n·w) md5+min HOF work over every char) is PERSISTED so
+    # it runs exactly once: the broadcast side is necessarily a
+    # separate job (hot grams must reach the driver before the main
+    # join executes), and that job populates the cache the join-side
+    # evaluation then reads. MEMORY_AND_DISK: anchors ≈ n_chars/16
+    # rows — spills rather than recomputes on big corpora.
+    from pyspark import StorageLevel
 
-    kept = (
-        anchors.withColumn(
-            "df", F.count("*").over(Window.partitionBy("gram"))
-        )
-        .where(F.col("df") <= max_anchor_df)
-        .drop("df")
+    anchors = anchors.persist(StorageLevel.MEMORY_AND_DISK)
+    hot_grams = (
+        anchors.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_anchor_df)
+        .select("gram")
     )
+    kept = anchors.join(F.broadcast(hot_grams), "gram", "left_anti")
     a = kept.alias("a")
     b = kept.alias("b")
     return (

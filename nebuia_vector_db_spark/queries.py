@@ -2165,14 +2165,20 @@ def q_pipe_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization round trip breaks the hash against the oracle (which
     reads the original table directly). Uses Spark's built-in JSON
     source both ways (distributed write, schema-pinned read — no
-    inference scan at 100 TB)."""
-    import shutil
-    import tempfile
+    inference scan at 100 TB). The export lands on CLUSTER-SHARED
+    scratch (shared_scratch_dir: NVDB_SCRATCH_DIR or the warehouse
+    dir), never a driver-local mkdtemp — executors on a real cluster
+    write to their own disks, so a /tmp path would scatter shards
+    across machines and the re-read would see partial data."""
+    from nebuia_vector_db_spark.session import (
+        remove_scratch,
+        shared_scratch_dir,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out_dir = tempfile.mkdtemp(prefix="jsonl_")
+    out_dir = shared_scratch_dir(spark, "jsonl")
     try:
         docs.write.mode("overwrite").option("compression", "gzip").json(
             out_dir
@@ -2194,7 +2200,7 @@ def q_pipe_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        remove_scratch(spark, out_dir)
     return out
 
 
@@ -2221,16 +2227,19 @@ def q_snap_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain WHERE NOT — verifying that the transactional rewrite is
     value-exact. Retires the round-2 'ACID path never executed here'
     gap (deviation D-6) with an executable, hash-checked transaction.
+    The table root lives on cluster-shared scratch (shared_scratch_dir),
+    not a driver-local mkdtemp — executors write the data files.
     """
-    import shutil
-    import tempfile
-
+    from nebuia_vector_db_spark.session import (
+        remove_scratch,
+        shared_scratch_dir,
+    )
     from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    root = tempfile.mkdtemp(prefix="snaptbl_")
+    root = shared_scratch_dir(spark, "snaptbl")
     try:
         tbl = SnapshotTable.create(
             spark, root, docs.repartitionByRange(4, "doc_id")
@@ -2249,7 +2258,7 @@ def q_snap_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        remove_scratch(spark, root)
     return out
 
 

@@ -71,3 +71,55 @@ def get_spark(
     elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
         builder = builder.master("local[*]")
     return builder.getOrCreate()
+
+
+def shared_scratch_dir(spark: SparkSession, prefix: str = "scratch") -> str:
+    """Allocate a unique directory on CLUSTER-SHARED storage for
+    intermediate distributed writes (interchange exports, snapshot
+    tables materialized inside a query).
+
+    A driver-local ``tempfile.mkdtemp()`` is wrong for anything an
+    *executor* writes: on a real cluster each executor has its own
+    local ``/tmp``, so a distributed ``df.write`` under a mkdtemp path
+    scatters shards across 1000 machines and a schema-pinned re-read
+    on the driver sees an empty or partial directory. Resolution
+    order:
+
+    1. ``NVDB_SCRATCH_DIR`` — point at HDFS/S3/NFS scratch in
+       production (``hdfs://nn/tmp/nvdb``, ``s3://bucket/scratch``);
+    2. ``spark.sql.warehouse.dir`` — shared storage by definition on
+       any multi-node deployment, a repo-local dir in local mode.
+
+    ``file:`` URIs are returned as plain OS paths so POSIX-only
+    consumers (SnapshotTable's fsync+link commit backend) can use the
+    same location. Pair with :func:`remove_scratch` for cleanup.
+    """
+    import uuid
+
+    base = os.environ.get("NVDB_SCRATCH_DIR") or spark.conf.get(
+        "spark.sql.warehouse.dir"
+    )
+    if base.startswith("file:"):
+        # file:/p, file:///p → /p
+        base = "/" + base.split(":", 1)[1].lstrip("/")
+    return f"{base.rstrip('/')}/_scratch/{prefix}_{uuid.uuid4().hex}"
+
+
+def remove_scratch(spark: SparkSession, path: str) -> None:
+    """Recursively delete a :func:`shared_scratch_dir` allocation.
+
+    Goes through the Hadoop FileSystem API so it works for any scheme
+    the cluster can write to (HDFS, S3A, local file), not just the
+    driver's local disk.
+    """
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        # cleanup is best-effort; scratch under _scratch/ is safe to
+        # sweep out-of-band
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)

@@ -356,6 +356,26 @@ def test_substring_dedup_is_equi_join_no_cartesian(spark, sf_oracle):
     assert "Join" in plan  # a real equi-join is present
 
 
+def test_substring_df_cap_is_partial_agg_not_window(spark, sf_oracle):
+    """Round 9 (VERDICT r8 'what's wrong' #2): the anchor df-cap must
+    be a map-side partial aggregate + broadcast anti-join, NOT a
+    count().over(Window.partitionBy(gram)) — the window shape shipped
+    every posting of a boilerplate gram into one task *before* the
+    cap filter, the exact skew max_anchor_df guards against. Pin:
+    no Window node anywhere in the plan, the df count carries a
+    partial_count (map-side combine), and the hot-gram filter is a
+    broadcast anti-join."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_dedup_substring(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "Window" not in plan, "unbounded per-gram window is back"
+    assert "partial_count" in plan, "df count lost its map-side combine"
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), "hot-gram filter is not a broadcast anti-join"
+
+
 def test_drop_spans_linear_no_self_join_blowup(spark, sf_oracle):
     """Round 6: span REMOVAL has no pair join at all — occurrences
     equi-join the per-gram owner (one row per gram), so output is
