@@ -165,31 +165,45 @@ def gate_line(
     survives the tail whole (with room for log noise after it).
     """
     gates = {k: timings[k] for k in GATE_RATIO_KEYS if k in timings}
-    if timings.get("b2_numpy_loop_per_query") and (
-        "b2_spark_batched_per_query" in timings
+    if "b2_spark_batched_per_query" in timings and (
+        "b2_numpy_loop_per_query" in timings
     ):
-        gates["b2_ratio"] = round(
-            timings["b2_spark_batched_per_query"]
-            / timings["b2_numpy_loop_per_query"],
-            4,
+        denom = timings["b2_numpy_loop_per_query"]
+        # distinguish missing from zero (ADVICE r8): a denominator that
+        # rounds to 0.0 emits null rather than silently dropping the
+        # ratio on a very fast machine
+        gates["b2_ratio"] = (
+            round(timings["b2_spark_batched_per_query"] / denom, 4)
+            if denom
+            else None
         )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": {
-                k: timings[k] for k in GATE_QUERY_KEYS if k in timings
+
+    def _dump(queries: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "gates": gates,
+                "n_metrics": len(timings),
+                "full_payload": "BENCH_SELF.json",
+                "sf": sf,
+                "cpus": cpus,
             },
-            "gates": gates,
-            "n_metrics": len(timings),
-            "full_payload": "BENCH_SELF.json",
-            "sf": sf,
-            "cpus": cpus,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1000, len(line)
+            separators=(",", ":"),
+        )
+
+    # keep the line under the budget by shedding query entries, never by
+    # crashing a completed bench run (the old assert would strip under
+    # python -O and, if it fired, leave the 7,800-char full-payload line
+    # as the last stdout line — the exact tail-parse failure this line
+    # exists to fix)
+    queries = {k: timings[k] for k in GATE_QUERY_KEYS if k in timings}
+    line = _dump(queries)
+    while len(line) >= 1000 and queries:
+        queries.pop(next(reversed(queries)))
+        line = _dump(queries)
     return line
 
 

@@ -591,3 +591,32 @@ def test_bench_driver_memory_sizing_helpers():
     assert bench._parse_mem_gb("junk") == 8.0
     gb = bench._default_driver_memory_gb()
     assert 8 <= gb <= 64
+
+
+def test_bench_gate_line_sheds_queries_never_crashes():
+    """Round 9 (VERDICT r8 #7 + ADVICE): gate_line must keep its
+    <1,000-char stdout-tail contract by dropping query entries, not by
+    assert-crashing a completed bench run (the assert was stripped
+    under -O and, when it fired, left the 7,800-char full-payload line
+    as the stdout tail). Also: a zero b2 denominator emits an explicit
+    null ratio instead of silently omitting the key."""
+    import json
+
+    import bench
+
+    # 200 metrics, every one matching the recorded-query prefix sets
+    timings = {k: 1.2345678 for k in bench.GATE_QUERY_KEYS}
+    timings.update({f"b99_extra_metric_{i}_sec": 0.123 for i in range(200)})
+    timings["b2_spark_batched_per_query"] = 0.01
+    timings["b2_numpy_loop_per_query"] = 0.0  # very fast machine
+    line = bench.gate_line(timings, total=9.9, sf=0.1, cpus=32)
+    assert len(line) < 1000
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert parsed["gates"]["b2_ratio"] is None  # explicit, not omitted
+    assert parsed["n_metrics"] == len(timings)
+
+    # normal machine: ratio computed
+    timings["b2_numpy_loop_per_query"] = 0.32
+    parsed = json.loads(bench.gate_line(timings, 9.9, 0.1, 32))
+    assert parsed["gates"]["b2_ratio"] == round(0.01 / 0.32, 4)

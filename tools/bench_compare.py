@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -28,13 +29,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Rows where run-to-run variance is expected (timings, throughputs, and
 # the slopes/ratios derived from them). Everything matching PINNED is
-# seeded-deterministic and must not move at all.
-_PINNED_MARKERS = ("recall", "fraction", "snr", "compression", "mse")
+# seeded-deterministic and must not move at all. Suffix-anchored
+# (ADVICE r8): a bare substring match would hard-flag any future
+# timing row whose NAME contains a marker (e.g. *_compression_sec)
+# while letting deterministic count rows (*_total) drift silently.
+_PINNED_RE = re.compile(
+    r"(recall_at_\d+(_nprobe\d+)?$)"  # recall@k incl. nprobe variants
+    r"|(_fraction$)"                  # files/cells/candidate fractions
+    r"|(_snr_db$)|(_mse$)"            # codec / quantizer fidelity
+    r"|(_total$)"                     # deterministic count rows
+    r"|(_orth_err$)"                  # OPQ rotation orthogonality
+    r"|(_compression_x$)"             # deterministic compression ratio
+)
 _TIMED_FLAG = 1.5
 
 
 def _is_pinned(key: str) -> bool:
-    return any(m in key for m in _PINNED_MARKERS)
+    return _PINNED_RE.search(key) is not None
 
 
 def load_committed(path: str = "BENCH_SELF.json") -> dict | None:
@@ -76,19 +87,37 @@ def diff(new_q: dict, old_q: dict) -> dict:
     }
 
 
-def compare_line(new_payload: dict) -> str:
-    """One compact printable line vs the committed baseline payload."""
+def compare_line(new_payload: dict, budget: int = 900) -> str:
+    """One compact printable line vs the committed baseline payload.
+
+    Total length is bounded by ``budget`` chars (ADVICE r8: the
+    driver keeps a ~2,000-char stdout tail shared with the ≤999-char
+    gate line and log noise — a fixed 8-items-per-bucket cap could
+    still clip this line's head). Degrades progressively: fewer items
+    per bucket, then key-only lists, each step keeping an explicit
+    *_truncated count."""
     old = load_committed()
     if old is None:
         return '{"bench_diff":"no committed BENCH_SELF.json to compare"}'
-    d = diff(new_payload.get("queries", {}), old.get("queries", {}))
-    # bound the line: the driver tail is 2,000 chars total
-    for bucket in ("timed_moved", "pinned_moved"):
-        items = list(d[bucket].items())
-        if len(items) > 8:
-            d[bucket] = dict(items[:8])
-            d[bucket + "_truncated"] = len(items) - 8
-    return json.dumps({"bench_diff": d}, separators=(",", ":"))
+    full = diff(new_payload.get("queries", {}), old.get("queries", {}))
+
+    def _render(cap: int, keys_only: bool) -> str:
+        d = dict(full)
+        for bucket in ("timed_moved", "pinned_moved"):
+            items = list(full[bucket].items())
+            kept = items[:cap]
+            d[bucket] = (
+                [k for k, _ in kept] if keys_only else dict(kept)
+            )
+            if len(items) > cap:
+                d[bucket + "_truncated"] = len(items) - cap
+        return json.dumps({"bench_diff": d}, separators=(",", ":"))
+
+    for cap, keys_only in ((8, False), (4, False), (8, True), (2, True)):
+        line = _render(cap, keys_only)
+        if len(line) <= budget:
+            return line
+    return _render(0, True)
 
 
 def main() -> int:
