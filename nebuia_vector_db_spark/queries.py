@@ -2275,6 +2275,111 @@ ORDER BY lang
 """
 
 
+def q_snap_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VectorEngine lifecycle on the ACID warehouse
+    (round 9, VERDICT r8 task #5): store → search → transactional
+    delete_collection → multi-collection search, ALL through the
+    engine facade with ``table_format="snapshot"`` (engine.py store/
+    delete seams) — the composition seam SnapshotTable tests pin
+    directly but no recorded row drove. The embeddings table is
+    ingested as documents (deterministic doc_ids, collection =
+    ``col_{label mod 4}``, one chunk per doc) via store_dataframe
+    (snapshot CREATE commit); phase ``before`` is the reference-parity
+    top-10 over one collection (snapshot stats-pruned read); then
+    delete_collection runs the copy-on-write DELETE commit and phase
+    ``after`` multi-searches every collection (union read path). The
+    oracle replays both phases relationally on the raw embeddings
+    table, so one hash certifies ingest, snapshot scan, similarity,
+    ACID delete visibility, and the multi-collection union. The
+    warehouse lives on cluster-shared scratch (shared_scratch_dir)."""
+    from nebuia_vector_db_spark.engine import VectorEngine
+    from nebuia_vector_db_spark.session import (
+        remove_scratch,
+        shared_scratch_dir,
+    )
+
+    name = F.format_string("emb_%08d", "vec_id")
+    docs = _emb(spark, sf_dir).select(
+        F.concat(F.lit("col_"), (F.col("label") % 4).cast("string")).alias(
+            "collection"
+        ),
+        F.format_string("doc_%08d", "vec_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.struct(
+            F.lit(None).cast("string").alias("source"), name.alias("name")
+        ).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("text"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.struct(
+                    F.lit(None).cast("string").alias("source"),
+                    name.alias("name"),
+                ).alias("metadata"),
+                F.lit(0.0).alias("semantic_score"),
+            )
+        ).alias("chunks"),
+    )
+    q = _qvec(spark, sf_dir, 0)
+    root = shared_scratch_dir(spark, "engsnap")
+
+    def _phase(df: DataFrame, phase: str) -> list:
+        return df.select(
+            F.lit(phase).alias("phase"),
+            "embedding_id",
+            _r(F.col("similarity"), 6).alias("similarity"),
+            "collection_name",
+        ).collect()
+
+    try:
+        eng = VectorEngine(
+            spark, root, dim=len(q), table_format="snapshot"
+        )
+        eng.store_dataframe(docs)
+        rows = _phase(eng.search("col_1", q, 10), "before")
+        eng.delete_collection("col_1")
+        rows += _phase(
+            eng.multi_search(
+                ["col_0", "col_1", "col_2", "col_3"], q, 10
+            ),
+            "after",
+        )
+    finally:
+        remove_scratch(spark, root)
+    return spark.createDataFrame(
+        rows,
+        "phase string, embedding_id string, similarity double,"
+        " collection_name string",
+    )
+
+
+ORACLE_SNAP_ENGINE = (
+    _ORACLE_QN.format(vid=0)
+    + f"""
+, scored AS (
+  SELECT printf('emb_%08d', vec_id) AS embedding_id,
+         'col_' || CAST(label % 4 AS VARCHAR) AS collection_name,
+         vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qn.v) AS sim
+  FROM embeddings, qn
+)
+SELECT * FROM (
+  SELECT 'before' AS phase, embedding_id,
+         {_sql_r('sim', 6)} AS similarity, collection_name
+  FROM scored WHERE collection_name = 'col_1'
+  ORDER BY sim DESC, vec_id LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'after' AS phase, embedding_id,
+         {_sql_r('sim', 6)} AS similarity, collection_name
+  FROM scored WHERE collection_name <> 'col_1'
+  ORDER BY sim DESC, vec_id LIMIT 10
+)
+"""
+)
+
+
 def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout row: Morton-interleave (l_orderkey, l_partkey)
     at 8 bits each (operators/zorder.py — pure codegen'd integer
@@ -5463,8 +5568,10 @@ REGISTRY: dict[
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
-    "hybrid_search": (q_hybrid_search, ORACLE_HYBRID),
-    # rank-based hybrid fusion (RRF) — score-scale-free counterpart
+    # rank-based hybrid fusion (RRF) — the hybrid family's recorded
+    # rep since r9 (hybrid_search's weighted score fusion shares the
+    # keyword-scorer + vector-scorer + join spine; see its
+    # below-window justification)
     "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
@@ -5524,6 +5631,14 @@ REGISTRY: dict[
     # in-window by pipe_decontaminate's anti-join and vs_pq_topk's
     # re-rank semi-join; q4 itself stays locally green below)
     "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
+    # engine-facade lifecycle on the ACID warehouse (round-9
+    # promotion, VERDICT r8 task #5): store → search → transactional
+    # delete_collection → multi-search driven END-TO-END through
+    # VectorEngine(table_format="snapshot") — snap_delete_read pins
+    # SnapshotTable directly; this row pins the engine composition
+    # seam on top of it. Takes the slot freed by hybrid_search's
+    # demotion.
+    "snap_engine_lifecycle": (q_snap_engine_lifecycle, ORACLE_SNAP_ENGINE),
     # hardest TPC-H shape on the slim schema (round-9 promotion):
     # double-correlated EXISTS / NOT-EXISTS over lineitem rewritten as
     # ONE per-order aggregation + window pass (no self-join storm;
@@ -5583,6 +5698,13 @@ REGISTRY: dict[
     #   mechanics stay recorded via events_sessions/events_hourly;
     #   locally green;
     "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
+    # hybrid_search: weighted keyword+vector score fusion — shares
+    #   the keyword-scorer + vector-scorer + full-outer-join spine
+    #   with the recorded hybrid_rrf (rank fusion); the fusion
+    #   formula is the only delta and both stay locally green.
+    #   Displaced by snap_engine_lifecycle (engine-facade ACID
+    #   lifecycle, a composition seam with NO prior recorded row);
+    "hybrid_search": (q_hybrid_search, ORACLE_HYBRID),
     # Round-3 demotions:
     # tpch_q18: join+agg+HAVING-key pre-agg, covered by tpch_q3
     #   (broadcast dims) + tpch_q10 (agg-before-dim-join, 4 tables);

@@ -64,8 +64,10 @@ _REQUIRED_IN_WINDOW = {
     # distinct surface is API interop, locally green)
     "text_tokens", "text_quality", "text_langid",
     "text_boilerplate", "text_tfidf_neardup",
-    # hybrid retrieval
-    "hybrid_search", "hybrid_rrf",
+    # hybrid retrieval (hybrid_search demoted r9 — weighted score
+    # fusion shares the keyword+vector scorer spine with the recorded
+    # rank-fusion row; displaced by snap_engine_lifecycle)
+    "hybrid_rrf",
     # training-data pipeline
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_stratified_sample",
@@ -82,8 +84,10 @@ _REQUIRED_IN_WINDOW = {
     # bitstream — a decode layer the lossless WAV row cannot reach.
     "mm_png_roundtrip", "mm_audio_real", "mm_mkv_frames",
     "mm_color_roundtrip", "mm_mp4_frames", "mm_mp2_audio",
-    # transactional storage (SnapshotTable COW delete — round 3)
-    "snap_delete_read",
+    # transactional storage (SnapshotTable COW delete — round 3;
+    # snap_engine_lifecycle promoted r9: the VectorEngine facade
+    # driving store → search → ACID delete → multi-search end-to-end)
+    "snap_delete_read", "snap_engine_lifecycle",
     # relational (tpch_q4's EXISTS/semi stays pinned by
     # pipe_decontaminate's anti-join; demoted round 3. tpch_q21
     # promoted r9: double-correlated EXISTS/NOT-EXISTS rewritten as
