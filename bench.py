@@ -148,6 +148,8 @@ GATE_RATIO_KEYS = (
     "b11_slope_320k",
     "b10xl_files_scanned_fraction",
     "b12_batch_recall_at_10",
+    "b12_fine_union_cells_fraction",
+    "b12_fine_batch_recall_at_10",
     "b15_bq_packed_scan_slope_9600k",
 )
 
@@ -890,6 +892,59 @@ def main() -> None:
         ),
         4,
     )
+    # ---- B12-FINE (round 9, VERDICT r8 task #3): same diverse
+    # 16-component batch, FINER geometry + two-level router. The
+    # 64-cell union saturation above is pigeonhole (16 disjoint
+    # queries x 8 probes >= 84% of 64 cells), not a routing defect:
+    # at C=512 the same batch unions ~23% of cells at recall 1.0.
+    # The router (16 coarse over the 512 fine centroids, width 4)
+    # keeps driver routing sublinear in C — its fine GEMM touches
+    # ~25% of the centroid matrix per query — so C can track corpus
+    # growth (C ~ sqrt(N)) without the routing matvec becoming the
+    # driver bottleneck.
+    det_fine_index = build_ivf_index_deterministic(
+        clustered, 512, cmat[:100_000], seed=42
+    ).build_router(n_coarse=16, route_width=4)
+    det_fine_index.assigned = det_fine_index.assigned.cache()
+    det_fine_index.assigned.count()
+    timings["b12_fine_batch_ann_nprobe8_sec"] = round(
+        _median_time(
+            lambda: det_fine_index.search_batch(
+                b12_qdf, 10, nprobe=8, tie_cols=["vec_id"]
+            ).collect(),
+            runs=3,
+        ),
+        4,
+    )
+    fine_union = set()
+    routed_rows = 0
+    coarse, parent, width = det_fine_index._router
+    for q in c_queries:
+        fine_union.update(det_fine_index.probe_cells(q, 8))
+        qn = np.asarray(q) / np.linalg.norm(q)
+        topc = np.argsort(-(coarse @ qn), kind="stable")[:width]
+        routed_rows += int(np.isin(parent, topc).sum())
+    timings["b12_fine_union_cells_fraction"] = round(
+        len(fine_union) / det_fine_index.n_cells, 4
+    )
+    timings["b12_fine_router_rows_fraction"] = round(
+        routed_rows / (len(c_queries) * det_fine_index.n_cells), 4
+    )
+    timings["b12_fine_candidate_rows_fraction"] = round(
+        det_fine_index.assigned.where(
+            F.col("ivf_cell").isin(sorted(fine_union))
+        ).count()
+        / SYNTH_N,
+        4,
+    )
+    timings["b12_fine_batch_recall_at_10"] = round(
+        recall_at_k_batch(
+            det_fine_index, clustered, c_queries, k=10, nprobe=8
+        ),
+        4,
+    )
+    det_fine_index.assigned.unpersist()
+
     loc_qdf.unpersist()
     b12_qdf.unpersist()
     det_c_index.assigned.unpersist()
