@@ -1020,7 +1020,12 @@ def main() -> None:
                 sweep_queries, corpus, k=10, tie_cols=["vec_id"],
                 method="arrow",
             ).collect(),
-            runs=3,
+            # round 9 (VERDICT r8 #8): the 38.4M point sits close to
+            # the <=1.3 slope bar (r7 0.87, r8 1.32 on identical
+            # code — box-load variance); median-of-5 at the largest
+            # size tightens the estimate where one outlier run moves
+            # the gate. See BASELINE.md's slope tolerance note.
+            runs=5 if n_rows == sweep_sizes[-1] else 3,
         )
         sweep_times.append(t)
         timings[f"b8_scale_sweep_{n_rows // 1000}k"] = round(t, 4)
