@@ -25,8 +25,15 @@ mandated multimodal extension surface. Design per the north star:
   Round 7 adds a REAL lossy perceptual codec: MPEG-1 Audio Layer II
   (multimodal/mpegaudio.py — full bitstream layer per ISO 11172-3
   Table B.2a, designed near-PR filterbank; `mm_mp2_audio` row).
-  The remaining perceptual codecs (MP3 Layer III, AAC, Opus, H.264)
-  stay executor-install points (PIL/ffmpeg);
+  Round 9 adds H.264 baseline INTRA (multimodal/h264.py — Annex-B
+  NAL + emulation prevention, exp-Golomb SPS/PPS/IDR headers, I_PCM,
+  I_16x16 V/H/DC intra prediction, CAVLC zero-block nC contexts;
+  `mm_h264_iframes` row). The general CAVLC residual tables are a
+  DOCUMENTED scope cut (h264.py SCOPE NOTE: no conformance vectors
+  in this container — a mistranscribed VLC table round-trips against
+  itself, so in-repo tests cannot certify it; I_PCM carries content
+  losslessly instead). The remaining perceptual codecs (MP3 Layer
+  III, AAC, Opus) stay executor-install points (PIL/ffmpeg);
   ``decode_image_features`` additionally keeps a *deterministic fake
   decode* (dims from md5, pixel stats = byte stats) whose arithmetic
   any SQL engine can replay — the fully-hash-checkable variant.
@@ -1331,3 +1338,165 @@ def decode_audio_mp2(assets: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(_decode, schema=_MP2_DECODE_SCHEMA)
+
+
+# ----------------------------------------------------------- H.264 intra
+def _h264_plan(doc_id: int):
+    """The deterministic H.264 I-frame construction shared by the
+    encoder kernel and (replayed in SQL) ORACLE_MM_H264 — every
+    quantity is integer modular arithmetic over (doc_id, mbx, i, j):
+
+      w_mbs = 2 + doc_id % 3,  h_mbs = 2 + doc_id % 2
+      mb row 0 = I_PCM:
+        luma(mbx, i, j) = (doc_id*31 + mbx*17 + i*5 + j*3) % 200 + 20
+        cb(mbx, i, j)   = (doc_id*7  + mbx*13 + i*11 + j)  % 200 + 20
+        cr(mbx, i, j)   = (doc_id*5  + mbx*19 + i*3 + j*7) % 200 + 20
+      mb rows >= 1 = I_16x16 Vertical prediction (CBP 0): each luma
+      column inherits the PCM bottom-row sample above it — pixel
+      reconstruction is exact integer math the oracle replays.
+
+    The 20..219 sample range keeps PCM payloads free of zero bytes so
+    emulation prevention stays out of the CLOSED-FORM replay (the EP
+    path itself is pinned by tests/test_h264.py with planted 00 00 01
+    runs)."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.h264 import PRED_V, H264Plan
+
+    w_mbs = 2 + doc_id % 3
+    h_mbs = 2 + doc_id % 2
+    i16 = np.arange(16, dtype=np.int64)
+    i8 = np.arange(8, dtype=np.int64)
+    mbs = []
+    for mbx in range(w_mbs):
+        y = (
+            doc_id * 31 + mbx * 17 + i16[:, None] * 5 + i16[None, :] * 3
+        ) % 200 + 20
+        cb = (
+            doc_id * 7 + mbx * 13 + i8[:, None] * 11 + i8[None, :]
+        ) % 200 + 20
+        cr = (
+            doc_id * 5 + mbx * 19 + i8[:, None] * 3 + i8[None, :] * 7
+        ) % 200 + 20
+        mbs.append(
+            (
+                "pcm",
+                y.astype(np.uint8),
+                cb.astype(np.uint8),
+                cr.astype(np.uint8),
+            )
+        )
+    mbs.extend([("i16", PRED_V)] * (w_mbs * (h_mbs - 1)))
+    return H264Plan(w_mbs, h_mbs, mbs)
+
+
+def attach_h264_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a REAL H.264 baseline I-frame asset per document: the
+    deterministic plan above through the genuine Annex-B encoder
+    (multimodal/h264.py — SPS/PPS/IDR NALs, exp-Golomb headers, I_PCM
+    samples with emulation prevention, I_16x16 mb syntax with the
+    CAVLC zero-coefficient luma-DC block). Arrow-batched mapInPandas,
+    map-side, no shuffle."""
+    from nebuia_vector_db_spark.multimodal.h264 import encode_h264_iframe
+
+    cols = docs.select(F.col(id_col).alias("doc_id"))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc in pdf["doc_id"]:
+                ids.append(doc)
+                payloads.append(encode_h264_iframe(_h264_plan(int(doc))))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    flat = cols.mapInPandas(_enc, schema="doc_id long, payload binary")
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/h264").alias("mime"),
+            ((F.col("doc_id") % 3 + 2) * 16).cast("int").alias(
+                "declared_width"
+            ),
+            ((F.col("doc_id") % 2 + 2) * 16).cast("int").alias(
+                "declared_height"
+            ),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
+
+
+_H264_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_mbs int, n_pcm_mbs int, "
+    "n_i16_mbs int, sum_luma long, max_luma int, sum_pcm_luma long, "
+    "sum_pcm_chroma long"
+)
+
+
+def decode_video_h264(assets: DataFrame) -> DataFrame:
+    """REAL H.264 decode over Arrow batches: parse the Annex-B stream
+    (NAL split, emulation-byte removal, SPS/PPS/slice headers,
+    macroblock layer incl. the always-present CAVLC luma-DC block
+    under real nC contexts — I_PCM tops force the nC >= 8 FLC path)
+    and reconstruct every pixel via the spec's intra prediction. Stats
+    are exact integers over the RECONSTRUCTED frame, so the SQL oracle
+    replaying the plan certifies headers, PCM passthrough, emulation
+    handling, AND the prediction arithmetic end to end. Map-side, no
+    shuffle."""
+    from nebuia_vector_db_spark.multimodal.h264 import decode_h264
+
+    cols = assets.select("doc_id", "payload")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                frame = decode_h264(bytes(pay))
+                w_mbs = frame.sps.width_mbs
+                y = frame.y.astype(np.int64)
+                sum_pcm_luma = sum_pcm_chroma = 0
+                n_pcm = 0
+                for idx, kind in enumerate(frame.mb_types):
+                    if kind != "pcm":
+                        continue
+                    n_pcm += 1
+                    mbx, mby = idx % w_mbs, idx // w_mbs
+                    sum_pcm_luma += int(
+                        y[
+                            mby * 16 : mby * 16 + 16,
+                            mbx * 16 : mbx * 16 + 16,
+                        ].sum()
+                    )
+                    for plane in (frame.cb, frame.cr):
+                        sum_pcm_chroma += int(
+                            plane[
+                                mby * 8 : mby * 8 + 8,
+                                mbx * 8 : mbx * 8 + 8,
+                            ].astype(np.int64).sum()
+                        )
+                rows.append(
+                    (
+                        doc,
+                        y.shape[1],
+                        y.shape[0],
+                        len(frame.mb_types),
+                        n_pcm,
+                        len(frame.mb_types) - n_pcm,
+                        int(y.sum()),
+                        int(y.max()),
+                        sum_pcm_luma,
+                        sum_pcm_chroma,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_mbs", "n_pcm_mbs",
+                    "n_i16_mbs", "sum_luma", "max_luma", "sum_pcm_luma",
+                    "sum_pcm_chroma",
+                ],
+            )
+
+    return cols.mapInPandas(_decode, schema=_H264_DECODE_SCHEMA)

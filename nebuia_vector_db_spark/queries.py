@@ -2275,6 +2275,76 @@ ORDER BY lang
 """
 
 
+def q_mm_h264_iframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 baseline intra row (round 9, VERDICT r8 task #4):
+    a deterministic I-frame plan per document (PCM top row, vertical-
+    prediction rows below — assets._h264_plan) is packed through the
+    genuine Annex-B encoder (multimodal/h264.py: SPS/PPS/IDR NALs,
+    exp-Golomb headers, I_PCM samples, I_16x16 syntax with the CAVLC
+    zero-coefficient luma-DC block under real nC contexts) and decoded
+    back by the real parser with spec intra prediction; the row
+    reports exact-integer stats over the RECONSTRUCTED pixels. The
+    DuckDB oracle replays the plan from first principles, so a header,
+    macroblock-syntax, nC-derivation, or prediction defect anywhere
+    shifts a sum and fails the hash. The emulation-prevention path and
+    H/DC prediction modes are pinned by tests/test_h264.py; the CAVLC
+    residual tables are a documented scope cut (h264.py SCOPE NOTE)."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_h264_assets,
+        decode_video_h264,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_h264(attach_h264_assets(docs)).orderBy("doc_id")
+
+
+# Replays assets._h264_plan: PCM sample grids, the vertical-prediction
+# copy of each PCM macroblock's bottom row down (h_mbs - 1) rows.
+ORACLE_MM_H264 = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS w_mbs, 2 + doc_id % 2 AS h_mbs
+  FROM documents
+),
+luma AS (
+  SELECT doc_id, w_mbs, h_mbs, i.i AS i,
+         (doc_id*31 + mbx.mbx*17 + i.i*5 + j.j*3) % 200 + 20 AS yv
+  FROM d, unnest(range(w_mbs)) AS mbx(mbx),
+       unnest(range(16)) AS i(i), unnest(range(16)) AS j(j)
+),
+chroma AS (
+  SELECT doc_id,
+         (doc_id*7 + mbx.mbx*13 + i.i*11 + j.j) % 200 + 20 AS cbv,
+         (doc_id*5 + mbx.mbx*19 + i.i*3 + j.j*7) % 200 + 20 AS crv
+  FROM d, unnest(range(w_mbs)) AS mbx(mbx),
+       unnest(range(8)) AS i(i), unnest(range(8)) AS j(j)
+),
+lsum AS (
+  SELECT doc_id,
+         sum(yv) AS sum_pcm_luma,
+         max(yv) AS max_luma,
+         sum(CASE WHEN i = 15 THEN yv ELSE 0 END) AS bottom_sum
+  FROM luma GROUP BY doc_id
+),
+csum AS (
+  SELECT doc_id, sum(cbv) + sum(crv) AS sum_pcm_chroma
+  FROM chroma GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(16 * w_mbs AS INT) AS width,
+       CAST(16 * h_mbs AS INT) AS height,
+       CAST(w_mbs * h_mbs AS INT) AS n_mbs,
+       CAST(w_mbs AS INT) AS n_pcm_mbs,
+       CAST(w_mbs * (h_mbs - 1) AS INT) AS n_i16_mbs,
+       CAST(sum_pcm_luma + (h_mbs - 1) * 16 * bottom_sum AS BIGINT)
+         AS sum_luma,
+       CAST(max_luma AS INT) AS max_luma,
+       CAST(sum_pcm_luma AS BIGINT) AS sum_pcm_luma,
+       CAST(sum_pcm_chroma AS BIGINT) AS sum_pcm_chroma
+FROM d JOIN lsum USING (doc_id) JOIN csum USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_snap_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end VectorEngine lifecycle on the ACID warehouse
     (round 9, VERDICT r8 task #5): store → search → transactional
@@ -5824,6 +5894,14 @@ REGISTRY: dict[
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     # (mm_mkv_frames and mm_mp2_audio promoted into the window r9.)
+    # mm_h264_iframes: REAL H.264 baseline intra (round 9 — Annex-B
+    #   NAL + emulation prevention, exp-Golomb SPS/PPS/IDR, I_PCM,
+    #   I_16x16 intra prediction, CAVLC zero-block nC contexts; CAVLC
+    #   residual tables a documented scope cut, h264.py SCOPE NOTE).
+    #   The video-codec window slots are held by mm_mp4_frames /
+    #   mm_mkv_frames (container grammars + JPEG frames) and the
+    #   lossy-bitstream slot by mm_mp2_audio; locally green;
+    "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
     # rcte_doc_tree: WITH RECURSIVE (Spark 4 UnionLoop) — the
     #   iterative family's scale rep stays dedup_groups' distributed
     #   pointer-jumping (in-window); this pins the declarative form;

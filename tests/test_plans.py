@@ -403,6 +403,19 @@ def test_mp2_audio_row_is_map_side_only(spark, sf_oracle):
     assert "CartesianProduct" not in plan
 
 
+def test_h264_row_is_map_side_only(spark, sf_oracle):
+    """The H.264 intra row (round 9) is attach -> decode through two
+    chained mapInPandas kernels: zero exchanges before the final
+    presentation sort — the 100 TB shape for opaque-payload decode."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_mm_h264_iframes(spark, sf_oracle)
+    plan = explain_str(df)
+    assert shuffle_count(df) <= 1
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bq_topk_zero_shuffle_take_ordered(spark, sf_oracle):
     """BQ scan must be the 8-byte/vector plan shape: one codegen'd
     projection (pack + XOR/popcount), TakeOrderedAndProject, no
