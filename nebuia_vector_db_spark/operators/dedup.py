@@ -37,17 +37,21 @@ from nebuia_vector_db_spark.functions.text import (
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id document per exact (normalized) fingerprint.
+    """Keep the lowest-id document per exact (normalized) fingerprint
+    (ids assumed unique — the corpus contract).
 
-    One hash-shuffle on the md5 key; partial aggregation map-side.
-    """
-    w = Window.partitionBy("fp").orderBy(id_col)
-    return (
-        df.withColumn("fp", fingerprint(text_col))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk")
-    )
+    Round 9 (same skew class as the substring df-cap fix): winners
+    come from ``groupBy(fp).min(id)`` — map-side partial min, so the
+    winner shuffle carries one row per (task, fp) — and survivors are
+    selected by a semi-join on the COMPOSITE (fp, id) key, which hash-
+    partitions by both columns. A pathologically mass-duplicated
+    content (one fingerprint on millions of rows — dedup's reason to
+    exist) therefore never funnels into a single task. The previous
+    ``row_number().over(partitionBy(fp))`` shipped AND sorted every
+    duplicate of a hot fingerprint in one window task."""
+    with_fp = df.withColumn("fp", fingerprint(text_col))
+    keep = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, on=["fp", id_col], how="leftsemi")
 
 
 # ----------------------------------------------------- exact n-gram Jaccard

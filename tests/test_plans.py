@@ -492,3 +492,18 @@ def test_tpch_q21_single_fact_scan_window_reuses_partitioning(
     assert plan.count("lineitem") == 1  # exactly one fact scan
     assert "Window" in plan
     assert shuffle_count(df) <= 2
+
+
+def test_exact_dedup_winner_is_partial_agg_not_window(spark, sf_oracle):
+    """Round 9: exact dedup's keep-first winner must be a map-side
+    partial min aggregation + composite-key semi-join — not a
+    row_number window over fp, which shipped and sorted every
+    duplicate of a hot fingerprint in one task (the mass-duplicate
+    skew dedup exists to handle)."""
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    df = Q.q_dedup_exact(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "Window" not in plan, "per-fp row_number window is back"
+    assert "partial_min" in plan, "winner lost its map-side combine"
+    assert "LeftSemi" in plan
