@@ -5664,21 +5664,22 @@ REGISTRY: dict[
     # decoded PCM) — supersedes the md5-fake mm_audio_windows in the
     # window (round-3 swap; windowing mechanics stay locally green)
     "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
-    # ISO-BMFF container (round-7 promotion): length-prefixed box walk
-    # + stts/stsc/stsz/stco sample tables → per-frame JPEG decode +
-    # pixel-level scene deltas. Displaced text_minhash_mllib (r7) and,
-    # in round 9, supersedes mm_video_frames as the video-container
-    # representative (the AVI row's oracle was shared verbatim with
-    # this one — two window slots, one hash; see its below-window
-    # justification).
-    "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
-    # THIRD container grammar recorded (round-9 promotion): Matroska/
-    # EBML demux — vint-coded element walk, cluster/SimpleBlock frame
-    # extraction — over the same frames and oracle as mm_mp4_frames,
-    # so a hash match certifies a structurally different demuxer
-    # end-to-end (the value of the slot is the independent decode
-    # path, not a new oracle). Takes the slot freed by the AVI
-    # demotion.
+    # REAL H.264 baseline intra codec (round-9 promotion): Annex-B
+    # NAL walk with emulation prevention, exp-Golomb SPS/PPS/slice
+    # headers, I_PCM + I_16x16 V/H/DC intra prediction, CAVLC
+    # zero-block nC contexts — a true VIDEO CODEC layer, not a third
+    # container walk. Takes mm_mp4_frames' slot: the mp4 row's oracle
+    # is shared VERBATIM with the recorded mm_mkv_frames (two window
+    # slots, one hash — the exact redundancy that demoted the AVI row
+    # this round), while the ISO-BMFF box grammar stays locally green
+    # below; see mm_mp4_frames' below-window justification.
+    "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
+    # Matroska/EBML container (round-9 promotion): vint-coded element
+    # walk, cluster/SimpleBlock frame extraction → per-frame JPEG
+    # decode + pixel-level scene deltas. Holds the video-CONTAINER
+    # slot (the structurally hardest of the three demuxers: AVI and
+    # MP4 stay locally green on the same oracle). Takes the slot
+    # freed by the AVI demotion.
     "mm_mkv_frames": (q_mm_mkv_frames, ORACLE_MM_VIDEO),
     # REAL lossy perceptual audio codec (round-9 promotion): MPEG-1
     # Layer II (ISO 11172-3) bitstream — subband QMF synthesis,
@@ -5893,15 +5894,16 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
-    # (mm_mkv_frames and mm_mp2_audio promoted into the window r9.)
-    # mm_h264_iframes: REAL H.264 baseline intra (round 9 — Annex-B
-    #   NAL + emulation prevention, exp-Golomb SPS/PPS/IDR, I_PCM,
-    #   I_16x16 intra prediction, CAVLC zero-block nC contexts; CAVLC
-    #   residual tables a documented scope cut, h264.py SCOPE NOTE).
-    #   The video-codec window slots are held by mm_mp4_frames /
-    #   mm_mkv_frames (container grammars + JPEG frames) and the
-    #   lossy-bitstream slot by mm_mp2_audio; locally green;
-    "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
+    # (mm_mkv_frames, mm_mp2_audio and mm_h264_iframes promoted into
+    # the window r9.)
+    # mm_mp4_frames: ISO-BMFF box walk (stts/stsc/stsz/stco sample
+    #   tables) — demoted r9 for mm_h264_iframes: its oracle is shared
+    #   VERBATIM with the recorded mm_mkv_frames (two window slots,
+    #   one hash — the same redundancy that demoted the AVI row),
+    #   while the H.264 row records a decode layer (entropy coding +
+    #   intra prediction) no container walk reaches. The box grammar
+    #   stays pinned here, locally green;
+    "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
     # rcte_doc_tree: WITH RECURSIVE (Spark 4 UnionLoop) — the
     #   iterative family's scale rep stays dedup_groups' distributed
     #   pointer-jumping (in-window); this pins the declarative form;

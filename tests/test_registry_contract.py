@@ -75,15 +75,18 @@ _REQUIRED_IN_WINDOW = {
     # multimodal (mm_png_roundtrip / mm_audio_real / mm_color_roundtrip
     # = REAL codecs; supersede fake-codec mm_image_features/
     # mm_audio_windows and byte-delta mm_scene_changes)
-    # mm_mp4_frames promoted r7 (ISO-BMFF box walk); mm_mkv_frames
-    # promoted r9 (Matroska/EBML vint walk) — same frames+oracle, each
-    # slot certifies a structurally different demuxer. mm_video_frames
-    # (RIFF/AVI) demoted r9: oracle shared verbatim with mm_mp4_frames
-    # and RIFF grammar stays recorded via mm_audio_real (WAV is RIFF).
-    # mm_mp2_audio promoted r9: MPEG-1 Layer II lossy perceptual
-    # bitstream — a decode layer the lossless WAV row cannot reach.
+    # mm_mkv_frames promoted r9 (Matroska/EBML vint walk) holds the
+    # video-CONTAINER slot. mm_video_frames (RIFF/AVI) demoted r9:
+    # oracle shared verbatim with the other demuxers and RIFF grammar
+    # stays recorded via mm_audio_real (WAV is RIFF). mm_mp4_frames
+    # (ISO-BMFF) demoted r9 for mm_h264_iframes by the same
+    # shared-verbatim-oracle rule: the H.264 row records a true video
+    # CODEC layer (exp-Golomb + CAVLC + intra prediction) no container
+    # walk reaches. mm_mp2_audio promoted r9: MPEG-1 Layer II lossy
+    # perceptual bitstream — a decode layer the lossless WAV row
+    # cannot reach.
     "mm_png_roundtrip", "mm_audio_real", "mm_mkv_frames",
-    "mm_color_roundtrip", "mm_mp4_frames", "mm_mp2_audio",
+    "mm_color_roundtrip", "mm_h264_iframes", "mm_mp2_audio",
     # transactional storage (SnapshotTable COW delete — round 3;
     # snap_engine_lifecycle promoted r9: the VectorEngine facade
     # driving store → search → ACID delete → multi-search end-to-end)
