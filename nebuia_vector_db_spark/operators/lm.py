@@ -1,0 +1,321 @@
+"""Corpus-level n-gram language-model statistics for training-data
+curation: a CCNet-style bigram perplexity filter and a DSIR-style
+importance-resampling selector.
+
+The reference engine (main.go:25-75) is a text+vector store with no
+corpus analytics — this module is part of the mandated LLM-pipeline
+extension surface, built from the published methods:
+
+- **Perplexity filtering** (Wenzek et al. 2020, "CCNet: Extracting
+  High Quality Monolingual Datasets from Web Crawl Data"): train a
+  small LM on a trusted/high-quality subset, score every document,
+  keep the low-perplexity tail. Here the LM is a bigram model with
+  stupid backoff (Brants et al. 2007, "Large Language Models in
+  Machine Translation"): p(w2|w1) = c(w1,w2)/c(w1) when the bigram
+  was seen in training, else alpha * p_add1(w2) — no normalization
+  of the backoff mass, which is exactly what makes it shuffle-free
+  to train at corpus scale (counts only, no discounting pass).
+- **DSIR** (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): weight every document by the estimated
+  log-likelihood ratio between a target distribution (the data you
+  want more of) and the raw distribution (what you have), then take
+  the top of the ranking. The published method uses hashed n-gram
+  features; this implementation exposes unigram features exactly
+  (SQL-mirrorable — the oracle path) and hashed features via
+  ``xxhash64`` buckets for bounded model width at scale.
+
+Distributed shape (the 100 TB posture):
+
+- Training is two ``groupBy().count()`` passes over exploded tokens /
+  token pairs — map-side partial aggregation, one shuffle each, no
+  all-pairs anything. The model (two count relations + two scalars)
+  is a *reusable artifact*: train once on the trusted subset, persist,
+  score any number of corpora against it (CCNet trains once on
+  Wikipedia).
+- Scoring explodes each document into its O(n_tokens) transitions and
+  joins them against the count relations. With a pruned vocabulary
+  (``min_count``) the model fits in a broadcast (CCNet's SentencePiece
+  + 5-gram KenLM artifact is ~a few GB; a min_count-pruned bigram
+  table is far smaller), so the scoring pass is **shuffle-free per
+  document batch** except the final per-doc ``groupBy(doc_id)``.
+  Set ``broadcast_model=False`` to fall back to shuffle joins when
+  the vocabulary is deliberately unpruned.
+- Every floating-point step in the exact path is an IEEE-exact-rounded
+  operation on integer counts (division, one ln, one multiply), and
+  per-transition log-probs are quantized to 1e-4 micro-units and
+  summed as BIGINTs — order-independent, so the DuckDB oracle hashes
+  bit-identically (same discipline as operators/textvec.py's exact
+  tf-idf).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# per-transition log-prob quantum: 1e-4 keeps the worst-case 1-ulp
+# libm-vs-JVM ln() disagreement (~|x| * 2^-52 ~ 3e-15 at |x|=15) ten
+# orders of magnitude below the rounding boundary
+LOG_MICRO = 10_000
+
+
+def doc_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks): lowercased whitespace tokens, empties dropped —
+    the CCNet-style normalization, mirrored by the oracle's
+    ``list_filter(string_split(lower(text), ' '), ...)``."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    return docs.withColumn("_toks", toks)
+
+
+def _pairs(toks: Column) -> Column:
+    """Adjacent token pairs as array<struct<w1,w2>>. Guarded: Spark's
+    sequence(1, stop) DESCENDS when stop < 1 (same trap as
+    functions/text.py::shingles_from_tokens), so docs with < 2 tokens
+    get an empty pair array, matching the oracle's range(n-1)."""
+    built = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    return F.when(F.size(toks) >= 2, built).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+@dataclass
+class BigramLM:
+    """A trained stupid-backoff bigram model: two count relations plus
+    the two scalars the add-one backoff needs. ``uni``/``big`` are
+    plain DataFrames — persist them as parquet to reuse the model
+    across corpora/sessions (the CCNet deployment shape)."""
+
+    uni: DataFrame  # (w, c1) training unigram counts
+    big: DataFrame  # (w1, w2, c2) training bigram counts
+    total_tokens: int  # T: sum of c1
+    vocab_size: int  # V: distinct training tokens
+
+
+def train_bigram_lm(
+    train_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> BigramLM:
+    """Count-only training: one unigram and one bigram groupBy (both
+    map-side combinable — the partial aggregate does the heavy lifting
+    before the shuffle). ``min_count`` prunes the bigram relation for
+    broadcastability at scale; T and V are always computed unpruned so
+    the backoff distribution stays a proper add-one estimate."""
+    toked = doc_tokens(train_docs, text_col).select("_toks")
+    uni = (
+        toked.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        toked.select(F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    if min_count > 1:
+        big = big.where(F.col("c2") >= min_count)
+        uni = uni.where(F.col("c1") >= min_count)
+    return BigramLM(
+        uni=uni,
+        big=big,
+        total_tokens=int(totals["t"] or 0),
+        vocab_size=int(totals["v"]),
+    )
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: BigramLM,
+    alpha: float = 0.4,
+    keep_avg_nll: float = 7.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document against a trained bigram LM.
+
+    Per transition (w1, w2):
+      p = c2(w1,w2) / c1(w1)                     if the bigram was seen
+        = alpha * (c1(w2) + 1) / (T + V)         otherwise (stupid
+                                                  backoff onto add-one
+                                                  unigrams)
+    Each ln(p) is quantized to LOG_MICRO units; the per-doc negative
+    sum (``nll_micro``) is an exact BIGINT, so ``keep`` is a pure
+    integer comparison: nll_micro <= n_trans * keep_avg_nll_micro.
+
+    Returns (doc_id, n_trans, nll_micro, ppl, backoff_rate, keep)
+    for every document with >= 2 tokens. ``ppl`` =
+    exp(nll_micro / 1e4 / n_trans), display-rounded to 2 decimals.
+    """
+    if lm.total_tokens <= 0:
+        raise ValueError("cannot score against an empty training corpus")
+    keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    trans = (
+        doc_tokens(docs, text_col, id_col)
+        .select(id_col, F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+    )
+    u1 = lm.uni.select(F.col("w").alias("w1"), F.col("c1").alias("_c1"))
+    u2 = lm.uni.select(F.col("w").alias("w2"), F.col("c1").alias("_cw2"))
+    big = lm.big.select("w1", "w2", F.col("c2").alias("_c2"))
+    tv = F.lit(lm.total_tokens + lm.vocab_size)
+    # paren discipline: every (), every operand order is mirrored
+    # verbatim in the SQL oracle — IEEE ops are exact-rounded, so
+    # identical expression trees give identical doubles
+    p = F.when(
+        F.col("_c2").isNotNull(), F.col("_c2") / F.col("_c1")
+    ).otherwise(
+        F.lit(float(alpha))
+        * ((F.coalesce(F.col("_cw2"), F.lit(0)) + F.lit(1)) / tv)
+    )
+    scored = (
+        trans.join(hint(big), ["w1", "w2"], "left")
+        .join(hint(u1), ["w1"], "left")
+        .join(hint(u2), ["w2"], "left")
+        .select(
+            id_col,
+            F.floor(F.log(p) * F.lit(LOG_MICRO) + F.lit(0.5)).alias("_lp"),
+            F.when(F.col("_c2").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_bo"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trans"),
+        (-F.sum("_lp")).alias("nll_micro"),
+        F.sum("_bo").alias("_n_bo"),
+    )
+    avg_nll = (F.col("nll_micro") / F.lit(float(LOG_MICRO))) / F.col(
+        "n_trans"
+    )
+    return agg.select(
+        id_col,
+        "n_trans",
+        "nll_micro",
+        (F.floor(F.exp(avg_nll) * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+            "ppl"
+        ),
+        (
+            F.floor(
+                (F.col("_n_bo") / F.col("n_trans")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("backoff_rate"),
+        (F.col("nll_micro") <= F.col("n_trans") * F.lit(keep_micro)).alias(
+            "keep"
+        ),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """DSIR importance ranking: weight each document by the summed
+    log-likelihood ratio of its token features between the target
+    subset (rows where ``target`` is true) and the full corpus, both
+    add-one smoothed over the full-corpus vocabulary V:
+
+      lw(w) = ln( ((c_t(w)+1) / (c_r(w)+1)) * ((T_r+V) / (T_t+V)) )
+
+    ``hash_buckets=None`` uses raw unigram features (exact,
+    SQL-mirrored — the oracle path); an int buckets features through
+    xxhash64 for bounded model width at 100 TB (the paper's hashed
+    n-gram estimator; xxhash64 is Spark-native so this path is fast
+    but engine-specific, pinned by tests not by the oracle).
+
+    The paper resamples with Gumbel noise; this implementation ranks
+    deterministically (weight desc, id asc) and flags the top
+    ``top_n`` — reproducible, and the oracle can assert the exact
+    selection. The cutoff is found with a distributed top-n
+    (TakeOrderedAndProject — per-partition local cut, tiny driver
+    merge), NOT a global row_number window: an unpartitioned window
+    funnels the whole corpus through one task, which is exactly the
+    skew shape this repo bans (see operators/dedup.py's df-count
+    history). Returns (doc_id, n_feats, weight_micro, selected) for
+    every document with >= 1 token.
+    """
+    feat = F.explode("_toks").alias("w")
+    toked = doc_tokens(docs, text_col, id_col)
+    feats = toked.select(id_col, target.alias("_is_target"), feat)
+    if hash_buckets is not None:
+        feats = feats.withColumn(
+            "w", F.pmod(F.xxhash64("w"), F.lit(hash_buckets)).cast("string")
+        )
+    raw = feats.groupBy("w").agg(F.count("*").alias("c_r"))
+    tgt = (
+        feats.where(F.col("_is_target"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tot = raw.agg(F.sum("c_r").alias("tr"), F.count("*").alias("v")).collect()[0]
+    t_r, v = int(tot["tr"] or 0), int(tot["v"])
+    t_t = int(
+        tgt.agg(F.sum("c_t")).collect()[0][0] or 0
+    )
+    if t_r == 0:
+        raise ValueError("empty corpus")
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    model = raw.join(hint(tgt), ["w"], "left").select(
+        "w",
+        F.floor(
+            F.log(
+                (
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
+                    / (F.col("c_r") + F.lit(1))
+                )
+                * (F.lit(t_r + v) / F.lit(t_t + v))
+            )
+            * F.lit(LOG_MICRO)
+            + F.lit(0.5)
+        ).alias("_lw"),
+    )
+    weights = (
+        feats.join(hint(model), ["w"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("_lw").alias("weight_micro"),
+        )
+    )
+    cutoff = (
+        weights.orderBy(F.col("weight_micro").desc(), F.col(id_col))
+        .select("weight_micro", id_col)
+        .limit(top_n)
+        .collect()
+    )
+    if cutoff:
+        w_cut = int(cutoff[-1]["weight_micro"])
+        id_cut = cutoff[-1][id_col]
+        selected = (F.col("weight_micro") > F.lit(w_cut)) | (
+            (F.col("weight_micro") == F.lit(w_cut))
+            & (F.col(id_col) <= F.lit(id_cut))
+        )
+    else:
+        selected = F.lit(False)
+    return weights.select(
+        id_col, "n_feats", "weight_micro", selected.alias("selected")
+    )

@@ -2818,6 +2818,143 @@ ORDER BY doc_id
 """
 
 
+def q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020): train a
+    stupid-backoff bigram LM (Brants et al. 2007) on the trusted
+    subset (lang = 'en' — the fixture's stand-in for CCNet's
+    Wikipedia), score EVERY document, keep the low-perplexity tail.
+    The reference engine (main.go:25-75) has no corpus analytics;
+    this is the LLM-pipeline extension's quality-filter tier next to
+    text_quality's surface heuristics.
+
+    Exactness: counts are integers, each probability is one or two
+    IEEE exact-rounded ops on them, per-transition log-probs are
+    quantized to 1e-4 and summed as BIGINTs (order-independent), and
+    ``keep`` is a pure integer comparison — the oracle replays the
+    arithmetic verbatim. Fixture note: the corpus is ASCII word-soup
+    in all five languages (same caveat as text_langid), so the
+    backoff branch fires on ~0.2% of non-en transitions rather than
+    dominating; the 3.42 avg-nll threshold still splits 85% of en
+    kept vs ~20% of the rest. Scale: training is two map-side-combined
+    groupBys; scoring joins the broadcast model and shuffles once on
+    doc_id (operators/lm.py docstring has the 100 TB posture)."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(docs.where(F.col("lang") == "en"))
+    return lm.perplexity(docs, model, keep_avg_nll=3.42).orderBy("doc_id")
+
+
+ORACLE_TEXT_LM_PPL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+tr_uni AS (
+  SELECT unnest(toks) AS w FROM tok WHERE lang = 'en'
+),
+uni AS (SELECT w, count(*) AS c1 FROM tr_uni GROUP BY w),
+tv AS (SELECT CAST(sum(c1) AS BIGINT) AS t, count(*) AS v FROM uni),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE lang = 'en' AND len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+trans AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN b.c2 IS NOT NULL THEN b.c2 / u1.c1
+              ELSE CAST(0.4 AS DOUBLE)
+                   * ((coalesce(u2.c1, 0) + 1) / (tv.t + tv.v)) END AS p,
+         CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM trans t
+  LEFT JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN uni u1 ON t.w1 = u1.w
+  LEFT JOIN uni u2 ON t.w2 = u2.w
+  CROSS JOIN tv
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro,
+         CAST(sum(bo) AS BIGINT) AS n_bo
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trans, nll_micro,
+       floor(exp((nll_micro / 10000.0) / n_trans) * 100 + 0.5) / 100.0
+         AS ppl,
+       floor((n_bo / n_trans) * 1000000.0 + 0.5) / 1000000.0
+         AS backoff_rate,
+       nll_micro <= n_trans * 34200 AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
+def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank every document by
+    the estimated log-likelihood ratio of its token features between
+    the target subset (lang = 'en') and the raw corpus, flag the
+    deterministic top-100 (weight desc, doc_id asc — the paper's
+    Gumbel resampling made reproducible). The cutoff comes from a
+    distributed TakeOrderedAndProject, not a global row_number window
+    (operators/lm.py::dsir_select documents the skew rationale). The
+    hashed-feature estimator (xxhash64 buckets, the paper's form) is
+    the scale path, pinned by tests/test_lm.py; this oracle row runs
+    the exact unigram form."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm.dsir_select(
+        docs, F.col("lang") == "en", top_n=100
+    ).orderBy("doc_id")
+
+
+ORACLE_PIPE_DSIR = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS w FROM tok
+),
+raw AS (SELECT w, count(*) AS c_r FROM feats GROUP BY w),
+tgt AS (SELECT w, count(*) AS c_t FROM feats WHERE is_t GROUP BY w),
+tots AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS tr, count(*) AS v FROM raw
+),
+ttot AS (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS tt FROM tgt),
+model AS (
+  SELECT raw.w,
+         CAST(floor(ln(((coalesce(tgt.c_t, 0) + 1) / (raw.c_r + 1))
+                       * ((tots.tr + tots.v) / (ttot.tt + tots.v)))
+                    * 10000 + 0.5) AS BIGINT) AS lw
+  FROM raw LEFT JOIN tgt ON raw.w = tgt.w CROSS JOIN tots CROSS JOIN ttot
+),
+weights AS (
+  SELECT doc_id, count(*) AS n_feats,
+         CAST(sum(lw) AS BIGINT) AS weight_micro
+  FROM feats JOIN model ON feats.w = model.w
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats, weight_micro,
+       row_number() OVER (ORDER BY weight_micro DESC, doc_id) <= 100
+         AS selected
+FROM weights ORDER BY doc_id
+"""
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup: pairs of documents sharing
     verbatim 32-char spans, found via WINNOWED k-gram anchors (round
@@ -5894,6 +6031,17 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # text_lm_perplexity: CCNet-style bigram stupid-backoff LM
+    #   perplexity filter (round 9) — trains on the lang='en' subset,
+    #   scores all docs, integer-exact micro-unit arithmetic end to
+    #   end; the quality-filter window slots are held by text_quality
+    #   + text_boilerplate; locally green;
+    "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
+    # pipe_dsir_select: DSIR importance-resampling selection (round
+    #   9) — log-likelihood-ratio weights between target and raw
+    #   unigram distributions, deterministic top-100; the curation
+    #   window slot is held by pipe_curate; locally green;
+    "pipe_dsir_select": (q_pipe_dsir_select, ORACLE_PIPE_DSIR),
     # (mm_mkv_frames, mm_mp2_audio and mm_h264_iframes promoted into
     # the window r9.)
     # mm_mp4_frames: ISO-BMFF box walk (stts/stsc/stsz/stco sample
