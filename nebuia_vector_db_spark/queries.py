@@ -5774,7 +5774,15 @@ REGISTRY: dict[
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
-    "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
+    # MODEL-BASED quality filter (round-9 promotion): CCNet-style
+    # bigram stupid-backoff LM trained on the lang='en' subset,
+    # scoring every doc with integer-exact micro-unit arithmetic —
+    # a capability family (train a model, score the corpus against
+    # it) none of the heuristic text rows reach. Takes
+    # text_tfidf_neardup's slot: the tf-idf weight relation and its
+    # inverted-index join stay recorded via hybrid_rrf (same scorer
+    # spine), and the near-dup family keeps five recorded reps.
+    "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
     # rank-based hybrid fusion (RRF) — the hybrid family's recorded
     # rep since r9 (hybrid_search's weighted score fusion shares the
     # keyword-scorer + vector-scorer + join spine; see its
@@ -5785,7 +5793,13 @@ REGISTRY: dict[
     "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
     "pipe_pack_sequences": (q_pipe_pack_sequences, ORACLE_PIPE_PACK),
     "pipe_decontaminate": (q_pipe_decontaminate, ORACLE_PIPE_DECON),
-    "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
+    # DSIR importance selection (round-9 promotion): targeted data
+    # selection by distributional log-likelihood ratio — the sampling
+    # family's strongest representative. Takes
+    # pipe_stratified_sample's slot: md5-uniform per-stratum gating
+    # stays recorded inside pipe_curate's split stage and
+    # pipe_epoch_shuffle's deterministic ordering.
+    "pipe_dsir_select": (q_pipe_dsir_select, ORACLE_PIPE_DSIR),
     # deterministic epoch shuffle/sharding for training dataloaders
     "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
     "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
@@ -6031,17 +6045,18 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
-    # text_lm_perplexity: CCNet-style bigram stupid-backoff LM
-    #   perplexity filter (round 9) — trains on the lang='en' subset,
-    #   scores all docs, integer-exact micro-unit arithmetic end to
-    #   end; the quality-filter window slots are held by text_quality
-    #   + text_boilerplate; locally green;
-    "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
-    # pipe_dsir_select: DSIR importance-resampling selection (round
-    #   9) — log-likelihood-ratio weights between target and raw
-    #   unigram distributions, deterministic top-100; the curation
-    #   window slot is held by pipe_curate; locally green;
-    "pipe_dsir_select": (q_pipe_dsir_select, ORACLE_PIPE_DSIR),
+    # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
+    #   for text_lm_perplexity (model-based quality filtering, a new
+    #   capability family): its tf-idf weight relation + norm spine
+    #   runs recorded inside hybrid_rrf, and the near-dup family
+    #   keeps five recorded reps (minhash/simhash/substring/spans/
+    #   embedding-cosine); locally green;
+    "text_tfidf_neardup": (q_text_tfidf_neardup, ORACLE_TFIDF_NEARDUP),
+    # pipe_stratified_sample: md5-uniform per-stratum sampling —
+    #   demoted r9 for pipe_dsir_select (importance resampling, the
+    #   sampling family's strongest form); the md5-order gating runs
+    #   recorded inside pipe_curate's split stage; locally green;
+    "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
     # (mm_mkv_frames, mm_mp2_audio and mm_h264_iframes promoted into
     # the window r9.)
     # mm_mp4_frames: ISO-BMFF box walk (stts/stsc/stsz/stco sample

@@ -61,16 +61,23 @@ _REQUIRED_IN_WINDOW = {
     "dedup_drop_spans",
     # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
     # banding stays recorded via dedup_minhash_lsh; the MLlib row's
-    # distinct surface is API interop, locally green)
+    # distinct surface is API interop, locally green.
+    # text_tfidf_neardup demoted r9 for text_lm_perplexity — the
+    # model-based quality filter is a new capability family, while
+    # the tf-idf weight/norm spine runs recorded inside hybrid_rrf
+    # and the near-dup family keeps five recorded reps)
     "text_tokens", "text_quality", "text_langid",
-    "text_boilerplate", "text_tfidf_neardup",
+    "text_boilerplate", "text_lm_perplexity",
     # hybrid retrieval (hybrid_search demoted r9 — weighted score
     # fusion shares the keyword+vector scorer spine with the recorded
     # rank-fusion row; displaced by snap_engine_lifecycle)
     "hybrid_rrf",
-    # training-data pipeline
+    # training-data pipeline (pipe_stratified_sample demoted r9 for
+    # pipe_dsir_select — importance resampling is the sampling
+    # family's strongest form; the md5-uniform stratum gate runs
+    # recorded inside pipe_curate's split stage)
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
-    "pipe_decontaminate", "pipe_stratified_sample",
+    "pipe_decontaminate", "pipe_dsir_select",
     "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
     # multimodal (mm_png_roundtrip / mm_audio_real / mm_color_roundtrip
     # = REAL codecs; supersede fake-codec mm_image_features/
