@@ -1431,6 +1431,43 @@ def main() -> None:
         (len(_x14) * 2) / len(_bytes14), 2
     )
 
+    # ---- B16: corpus LM tier (operators/lm.py) — count-only bigram
+    # training on the lang='en' subset, broadcast-model perplexity
+    # scoring of the whole corpus, DSIR top-N selection. Recorded, no
+    # gate: the scale-relevant property (broadcast joins + single
+    # doc_id shuffle, no SinglePartition) is plan-pinned in
+    # tests/test_lm.py; these rows track absolute throughput.
+    from nebuia_vector_db_spark.operators import lm as _lm
+
+    b16_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    b16_n = b16_docs.count()
+    t0 = time.perf_counter()
+    b16_model = _lm.train_bigram_lm(b16_docs.where(F.col("lang") == "en"))
+    b16_model.uni.cache().count()
+    b16_model.big.cache().count()
+    timings["b16_lm_train_sec"] = round(time.perf_counter() - t0, 4)
+
+    def _b16_score():
+        _lm.perplexity(b16_docs, b16_model, keep_avg_nll=3.42).agg(
+            F.sum("nll_micro"), F.sum(F.col("keep").cast("long"))
+        ).head()
+
+    dt = _median_time(_b16_score, runs=3)
+    timings["b16_lm_score_sec"] = round(dt, 4)
+    timings["b16_lm_score_docs_per_sec"] = round(b16_n / max(dt, 1e-9), 1)
+
+    def _b16_dsir():
+        _lm.dsir_select(b16_docs, F.col("lang") == "en", top_n=500).agg(
+            F.sum(F.col("selected").cast("long"))
+        ).head()
+
+    timings["b16_dsir_select_sec"] = round(
+        _median_time(_b16_dsir, runs=3), 4
+    )
+    b16_model.uni.unpersist()
+    b16_model.big.unpersist()
+    b16_docs.unpersist()
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile

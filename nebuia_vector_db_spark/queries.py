@@ -2955,6 +2955,23 @@ FROM weights ORDER BY doc_id
 """
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    learn 24 merges over the documents corpus — one corpus-scale
+    word-count shuffle, then per-merge pair-count aggregations over
+    the distinct-word relation only (operators/bpe.py has the 100 TB
+    posture). Deterministic end to end (tie-breaks on (count desc,
+    left, right)); rows-only driver check — the iterative
+    argmax-and-resegment loop is the registry's sanctioned
+    non-SQL-expressible case, certified instead by tests/test_bpe.py
+    against a from-scratch pure-Python reference."""
+    from nebuia_vector_db_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=24)
+    return bpe.merges_df(spark, merges).orderBy("rank")
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup: pairs of documents sharing
     verbatim 32-char spans, found via WINNOWED k-gram anchors (round
@@ -6045,6 +6062,16 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # text_bpe_train: REAL distributed BPE tokenizer training (round
+    #   9, Sennrich et al. 2016) — one corpus-scale word-count
+    #   shuffle, then every merge iteration runs over the distinct-
+    #   word relation with a JVM-side fold resegmentation; the real
+    #   form of text_tokens' BPE-ish regex estimate. Rows-only check
+    #   (iterative argmax + resegmentation is not one SQL statement —
+    #   the sanctioned non-SQL-expressible case); tests/test_bpe.py
+    #   certifies the merge table and encoder against a from-scratch
+    #   pure-Python Sennrich reference instead.
+    "text_bpe_train": (q_text_bpe_train, None),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
