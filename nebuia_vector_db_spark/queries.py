@@ -2955,6 +2955,44 @@ FROM weights ORDER BY doc_id
 """
 
 
+def q_stream_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of text_lm_perplexity — the CCNet deployment
+    shape: the bigram LM is trained batch-side on the lang='en'
+    subset, collected into a broadcast artifact, and documents arrive
+    as a file stream scored row-locally (no joins, no state store —
+    append-safe on an unbounded stream). Trigger.AvailableNow drains
+    the source into a memory sink whose table is the row's output;
+    the oracle is the SAME first-principles SQL as the batch row, so
+    the hash match certifies streaming ≡ batch ≡ SQL through the
+    micro-batch planner (the established stream_join_mirror pattern;
+    ln here is evaluated by the Python worker rather than the JVM —
+    the 1e-4 micro-unit quantization absorbs the engines' ≤1-ulp
+    libm differences, same argument as operators/lm.py)."""
+    import os
+
+    from nebuia_vector_db_spark.operators import lm
+    from nebuia_vector_db_spark.streaming.events import run_to_memory
+    from nebuia_vector_db_spark.streaming.quality import (
+        lm_artifact,
+        perplexity_filter_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(docs.where(F.col("lang") == "en"))
+    art = lm_artifact(model)
+    phys = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = perplexity_filter_stream(stream, art, keep_avg_nll=3.42)
+    got = run_to_memory(out, "reg_stream_ppl_filter")
+    return got.orderBy("doc_id")
+
+
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016):
     learn 24 merges over the documents corpus — one corpus-scale
@@ -6062,6 +6100,12 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # stream_ppl_filter: streaming twin of text_lm_perplexity (round
+    #   9) — broadcast LM artifact, row-local scoring, no state store;
+    #   same oracle as the batch row, so the hash match certifies
+    #   streaming ≡ batch ≡ SQL (the streaming window slot is held by
+    #   stream_join_mirror's stateful join); locally green;
+    "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
     # text_bpe_train: REAL distributed BPE tokenizer training (round
     #   9, Sennrich et al. 2016) — one corpus-scale word-count
     #   shuffle, then every merge iteration runs over the distinct-

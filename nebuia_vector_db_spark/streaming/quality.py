@@ -1,0 +1,127 @@
+"""Streaming corpus-quality filtering — the CCNet deployment shape.
+
+Batch training (operators/lm.py) produces the model; deployment
+scores documents AS THEY ARRIVE (a crawl frontier, a firehose) and
+routes the low-perplexity tail into the corpus. CCNet itself ships
+the trained KenLM as a read-only artifact to every worker; the twin
+here collects the (optionally min_count-pruned) count relations into
+a broadcast-sized artifact and scores each document entirely within
+its own row — one Arrow-batched projection, no joins, no shuffle, no
+state store. That makes it append-mode safe on an unbounded stream
+and bit-identical between Trigger.AvailableNow and the batch scorer
+(pinned by tests/test_streaming_quality.py): the per-transition
+arithmetic replays operators/lm.py::perplexity exactly, micro-unit
+quantization included.
+
+Scale note: the artifact must fit in executor memory — that is the
+point (CCNet's artifact is a few GB; a min_count-pruned bigram table
+is far smaller). For an unpruned web-scale vocabulary use the batch
+scorer's broadcast/shuffle joins instead; this module is the
+low-latency deployment path, not a replacement.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nebuia_vector_db_spark.operators.lm import LOG_MICRO, BigramLM
+
+
+@dataclass
+class LmArtifact:
+    """Driver-collected, broadcast-ready model: plain dicts + the two
+    backoff scalars. Built once, shipped to executors by closure."""
+
+    uni: dict[str, int]
+    big: dict[tuple[str, str], int]
+    total_tokens: int
+    vocab_size: int
+
+
+def lm_artifact(model: BigramLM) -> LmArtifact:
+    return LmArtifact(
+        uni={r["w"]: r["c1"] for r in model.uni.collect()},
+        big={
+            (r["w1"], r["w2"]): r["c2"] for r in model.big.collect()
+        },
+        total_tokens=model.total_tokens,
+        vocab_size=model.vocab_size,
+    )
+
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_trans", T.LongType()),
+        T.StructField("nll_micro", T.LongType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("backoff_rate", T.DoubleType()),
+        T.StructField("keep", T.BooleanType()),
+    ]
+)
+
+
+def perplexity_filter_stream(
+    stream: DataFrame,
+    artifact: LmArtifact,
+    alpha: float = 0.4,
+    keep_avg_nll: float = 7.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each arriving document against the broadcast LM and emit
+    (id, n_trans, nll_micro, ppl, backoff_rate, keep) — the same
+    output relation as the batch scorer, same quantized arithmetic
+    (ln on IEEE-exact count ratios, floor(x*1e4+0.5) per transition,
+    integer sums). Documents with < 2 tokens are dropped, matching
+    the batch scorer's transition-driven semantics. Stateless and
+    append-safe; also works on a batch DataFrame unchanged."""
+    if artifact.total_tokens <= 0:
+        raise ValueError("cannot score against an empty training corpus")
+    keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    uni, big = artifact.uni, artifact.big
+    tv = artifact.total_tokens + artifact.vocab_size
+
+    @F.pandas_udf(_SCORE_SCHEMA)
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split(" ") if w]
+            if len(toks) < 2:
+                out.append((0, 0, None, None, None))
+                continue
+            nll = 0
+            n_bo = 0
+            for w1, w2 in zip(toks, toks[1:]):
+                c2 = big.get((w1, w2))
+                if c2 is not None:
+                    p = c2 / uni[w1]
+                else:
+                    p = alpha * ((uni.get(w2, 0) + 1) / tv)
+                    n_bo += 1
+                nll -= math.floor(math.log(p) * LOG_MICRO + 0.5)
+            n = len(toks) - 1
+            ppl = math.floor(math.exp((nll / LOG_MICRO) / n) * 100 + 0.5) / 100.0
+            bo = math.floor((n_bo / n) * 1000000.0 + 0.5) / 1000000.0
+            out.append((n, nll, ppl, bo, nll <= n * keep_micro))
+        return pd.DataFrame(
+            out, columns=[f.name for f in _SCORE_SCHEMA.fields]
+        )
+
+    scored = stream.withColumn("_s", _score(F.col(text_col)))
+    return (
+        scored.where(F.col("_s.n_trans") >= 1)
+        .select(
+            id_col,
+            F.col("_s.n_trans").alias("n_trans"),
+            F.col("_s.nll_micro").alias("nll_micro"),
+            F.col("_s.ppl").alias("ppl"),
+            F.col("_s.backoff_rate").alias("backoff_rate"),
+            F.col("_s.keep").alias("keep"),
+        )
+    )
