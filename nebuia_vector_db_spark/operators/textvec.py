@@ -239,6 +239,83 @@ def exact_tfidf_cosine_pairs(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Walker 1994; the Lucene-default
+    idf = ln(((N - df + 0.5) / (df + 0.5)) + 1), always positive) —
+    the standard keyword scorer next to the tf-idf cosine tiers.
+
+    Exactness discipline (same as exact_tfidf_cosine_pairs): every
+    input is an integer count; dl/avgdl is computed as the single
+    exact-rounded division (dl * N) / sum_dl rather than via a
+    pre-divided avgdl; each (doc, term) contribution is one chain of
+    IEEE exact-rounded ops + one 1-ulp ln, quantized to 1e-6
+    micro-units and summed as integers — so the DuckDB oracle (all
+    constants CAST AS DOUBLE to stay off DECIMAL arithmetic) hashes
+    bit-identically.
+
+    Scale: tokens are filtered to the query terms BEFORE any shuffle
+    (the postings relation is |terms|-bounded per doc), df is a tiny
+    per-term aggregate joined back by broadcast, and the final top-k
+    is a TakeOrderedAndProject — no global sort, no single-task
+    funnel. Returns (doc_id, n_terms_hit, score_micro), ties broken
+    by id."""
+    from nebuia_vector_db_spark.operators.lm import doc_tokens
+
+    toked = doc_tokens(docs, text_col, id_col).select(
+        id_col, F.size("_toks").alias("dl"), F.col("_toks")
+    )
+    scal = toked.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, sum_dl = int(scal["n"]), int(scal["sum_dl"] or 0)
+    if sum_dl == 0:
+        raise ValueError("empty corpus")
+    tf = (
+        toked.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        ((F.lit(n_docs) - F.col("df")) + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + (
+        F.lit(float(k1))
+        * (
+            (F.lit(1.0) - F.lit(float(b)))
+            + (
+                F.lit(float(b))
+                * ((F.col("dl") * F.lit(n_docs)) / F.lit(sum_dl))
+            )
+        )
+    )
+    contrib = idf * ((F.col("tf") * (F.lit(float(k1)) + F.lit(1.0))) / denom)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).alias("_c"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("_c").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), id_col)
+        .limit(k)
+    )
+
+
 def minhash_jaccard_pairs_mllib(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -2955,6 +2955,59 @@ FROM weights ORDER BY doc_id
 """
 
 
+_BM25_TERMS = ("vector", "hash", "join", "scan")
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword ranking (Robertson & Walker 1994, Lucene
+    idf variant) — the standard retrieval scorer alongside the tf-idf
+    cosine tiers (textvec.bm25_topk docstring has the exactness and
+    scale discipline: query-term filter before any shuffle, broadcast
+    df join, TakeOrdered top-k, integer micro-unit scores)."""
+    from nebuia_vector_db_spark.operators.textvec import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=20).orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+
+
+ORACLE_TEXT_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+scal AS (
+  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM tok
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+  WHERE term IN {str(tuple(_BM25_TERMS))}
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((((scal.n - dfreq.df) + CAST(0.5 AS DOUBLE))
+               / (dfreq.df + CAST(0.5 AS DOUBLE))) + CAST(1 AS DOUBLE))
+           * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (tf.tf + (CAST(1.2 AS DOUBLE)
+                 * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                    + (CAST(0.75 AS DOUBLE)
+                       * ((tf.dl * scal.n) / scal.sum_dl))))))
+           * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN scal
+)
+SELECT doc_id, count(*) AS n_terms_hit, CAST(sum(c) AS BIGINT) AS score_micro
+FROM contrib GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_stream_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of text_lm_perplexity — the CCNet deployment
     shape: the bigram LM is trained batch-side on the lang='en'
@@ -6100,6 +6153,10 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # text_bm25_topk: Okapi BM25 keyword ranking (round 9) — the
+    #   standard retrieval scorer; the keyword-scoring window slot is
+    #   held by hybrid_rrf's tf-idf path; locally green;
+    "text_bm25_topk": (q_text_bm25_topk, ORACLE_TEXT_BM25),
     # stream_ppl_filter: streaming twin of text_lm_perplexity (round
     #   9) — broadcast LM artifact, row-local scoring, no state store;
     #   same oracle as the batch row, so the hash match certifies

@@ -193,3 +193,64 @@ def test_text_index_persist_round_trip_serves_hybrid(spark, sf_smoke, tmp_path):
         docs, emb, terms, FIXED_Q, k=10, index=idx
     ).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in indexed]
+
+
+def test_bm25_matches_python_recomputation(spark, sf_smoke):
+    """bm25_topk vs a from-scratch float recompute: same ranking and
+    micro-unit scores (the quantization contract the oracle relies
+    on)."""
+    import math
+    from collections import Counter
+
+    from nebuia_vector_db_spark.operators.textvec import bm25_topk
+    from nebuia_vector_db_spark.queries import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    terms = ["vector", "join", "scan"]
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: [w for w in r["text"].lower().split(" ") if w]
+        for r in rows
+    }
+    n = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    dfreq = Counter(
+        term for t in toks.values() for term in set(t) if term in terms
+    )
+    want = {}
+    for d, t in toks.items():
+        tf = Counter(w for w in t if w in terms)
+        if not tf:
+            continue
+        s = 0
+        for term, f in tf.items():
+            idf = math.log(
+                ((n - dfreq[term]) + 0.5) / (dfreq[term] + 0.5) + 1.0
+            )
+            denom = f + (
+                1.2 * ((1.0 - 0.75) + (0.75 * ((len(t) * n) / sum_dl)))
+            )
+            s += math.floor(idf * ((f * (1.2 + 1.0)) / denom) * 1e6 + 0.5)
+        want[d] = (len(tf), s)
+    top = sorted(want, key=lambda d: (-want[d][1], d))[:15]
+
+    got = bm25_topk(docs, terms, k=15).collect()
+    assert [r["doc_id"] for r in got] == top
+    for r in got:
+        assert (r["n_terms_hit"], r["score_micro"]) == want[r["doc_id"]]
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    """Same tf, shorter doc => higher BM25 (the b-term working)."""
+    from nebuia_vector_db_spark.operators.textvec import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple banana pad pad pad pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(df, ["apple"], k=2).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score_micro"] > got[1]["score_micro"]
