@@ -1,0 +1,77 @@
+"""Hypothesis property tests for the round-9 corpus operators: on
+randomly generated mini-corpora (tiny alphabets force heavy pair/
+bigram collisions, the regime where tie-breaks and backoff edges
+live), the distributed implementations must equal the from-scratch
+pure-Python references from tests/test_bpe.py / tests/test_lm.py."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nebuia_vector_db_spark.operators import bpe, lm
+from tests.test_bpe import _ref_train
+
+MICRO = lm.LOG_MICRO
+
+# word-soup docs over a 3-letter alphabet: maximal merge collisions
+_word = st.text(alphabet="abc", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_bpe_train_equals_reference_on_random_corpora(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = bpe.train_bpe(df, n_merges=4)
+    assert got == _ref_train(texts, n_merges=4)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, n_train=st.integers(min_value=1, max_value=5))
+def test_perplexity_equals_reference_on_random_corpora(
+    spark, texts, n_train
+):
+    rows = [(i, t, "en" if i < n_train else "xx") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = [t for i, t, lang in rows if lang == "en"]
+    uni, big = Counter(), Counter()
+    for t in train:
+        toks = [w for w in t.lower().split(" ") if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    t_total, v = sum(uni.values()), len(uni)
+    if t_total == 0:
+        return  # operator rejects empty training corpora (unit-tested)
+
+    from pyspark.sql import functions as F
+
+    model = lm.train_bigram_lm(df.where(F.col("lang") == "en"))
+    assert (model.total_tokens, model.vocab_size) == (t_total, v)
+    got = {r["doc_id"]: r for r in lm.perplexity(df, model).collect()}
+    for i, t, _ in rows:
+        toks = [w for w in t.lower().split(" ") if w]
+        if len(toks) < 2:
+            assert i not in got
+            continue
+        nll = 0
+        for w1, w2 in zip(toks, toks[1:]):
+            if (w1, w2) in big:
+                p = big[(w1, w2)] / uni[w1]
+            else:
+                p = 0.4 * ((uni.get(w2, 0) + 1) / (t_total + v))
+            nll -= math.floor(math.log(p) * MICRO + 0.5)
+        assert got[i]["nll_micro"] == nll
+        assert got[i]["n_trans"] == len(toks) - 1
