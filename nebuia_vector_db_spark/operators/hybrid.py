@@ -188,3 +188,66 @@ def hybrid_search(
             (F.col("score_units") / float(2 * _UNITS)).alias("score"),
         )
     )
+
+
+def rrf_search_bm25(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    qvec: Sequence[float],
+    k: int = 10,
+    rrf_k: int = 60,
+    n_cand: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """RRF fusion with Okapi BM25 as the keyword signal — the
+    OpenSearch/Elasticsearch-default hybrid shape (BM25 hits + kNN
+    hits fused by rank). Same fusion semantics and scale shape as
+    :func:`rrf_search` (TakeOrdered candidate cuts, windows only over
+    the ≤ n_cand bounded relations, integer-quantized scores with
+    doc-id tie-breaks); only the keyword scorer differs — BM25's
+    saturating tf and length normalization versus the tf-idf cosine.
+    Docs matching no query term are absent from the keyword list and
+    contribute 0 for that signal, the standard RRF convention."""
+    from nebuia_vector_db_spark.operators.textvec import bm25_topk
+
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("rrf_search_bm25 needs at least one query term")
+    from pyspark.sql import Window
+
+    kw_top = bm25_topk(
+        docs, list(terms), k=n_cand, text_col=text_col, id_col=id_col
+    )
+    qn = normalize_query(qvec)
+    vec_top = (
+        emb.select(
+            F.col(vec_id_col).alias(id_col),
+            _q6(dot(emb_col, qn) / l2_norm(emb_col)).cast("long").alias("sv"),
+        )
+        .orderBy(F.desc("sv"), id_col)
+        .limit(n_cand)
+    )
+    vec_ranked = vec_top.withColumn(
+        "rank_vec",
+        F.row_number().over(Window.orderBy(F.desc("sv"), id_col)).cast("long"),
+    ).select(id_col, "rank_vec")
+    kw_ranked = kw_top.withColumn(
+        "rank_kw",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), id_col))
+        .cast("long"),
+    ).select(id_col, "rank_kw")
+    fused = vec_ranked.join(kw_ranked, id_col, "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        fused.withColumn("rrf_score", contrib("rank_vec") + contrib("rank_kw"))
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(k)
+        .select(id_col, "rank_vec", "rank_kw", "rrf_score")
+    )

@@ -3008,6 +3008,84 @@ LIMIT 20
 """
 
 
+def q_hybrid_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + vector kNN fused by reciprocal rank — the OpenSearch/
+    Elasticsearch-default hybrid shape. Same RRF machinery as
+    hybrid_rrf (bounded candidate cuts, engine-independent integer
+    ranks); the keyword signal is Okapi BM25's saturating-tf,
+    length-normalized score instead of the tf-idf cosine."""
+    from nebuia_vector_db_spark.operators.hybrid import rrf_search_bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rrf_search_bm25(docs, emb, list(_BM25_TERMS), FIXED_Q, k=10)
+
+
+ORACLE_HYBRID_BM25_RRF = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+scal AS (
+  SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM tok
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+  WHERE term IN {str(tuple(sorted(_BM25_TERMS)))}
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((((scal.n - dfreq.df) + CAST(0.5 AS DOUBLE))
+               / (dfreq.df + CAST(0.5 AS DOUBLE))) + CAST(1 AS DOUBLE))
+           * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+              / (tf.tf + (CAST(1.2 AS DOUBLE)
+                 * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                    + (CAST(0.75 AS DOUBLE)
+                       * ((tf.dl * scal.n) / scal.sum_dl))))))
+           * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN scal
+),
+kw AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS sk
+  FROM contrib GROUP BY doc_id
+),
+qn AS (SELECT CAST({_FIXED_Q_SQL} AS DOUBLE[]) AS v),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v)
+           / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))
+           * 1000000 + 0.5) AS BIGINT) AS sv
+  FROM embeddings e, qn
+),
+rv AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sv DESC, doc_id) AS BIGINT) AS rank_vec
+  FROM vec QUALIFY rank_vec <= 100
+),
+rk AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sk DESC, doc_id) AS BIGINT) AS rank_kw
+  FROM kw QUALIFY rank_kw <= 100
+),
+f AS (
+  SELECT coalesce(rv.doc_id, rk.doc_id) AS doc_id, rv.rank_vec, rk.rank_kw
+  FROM rv FULL OUTER JOIN rk ON rv.doc_id = rk.doc_id
+)
+SELECT doc_id, rank_vec, rank_kw,
+       coalesce(1.0 / (60.0 + rank_vec), 0.0)
+         + coalesce(1.0 / (60.0 + rank_kw), 0.0) AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_stream_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of text_lm_perplexity — the CCNet deployment
     shape: the bigram LM is trained batch-side on the lang='en'
@@ -6153,6 +6231,11 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # hybrid_bm25_rrf: BM25 + kNN reciprocal-rank fusion (round 9) —
+    #   the OpenSearch-default hybrid shape; the fusion machinery is
+    #   recorded via hybrid_rrf (same ranks/joins, tf-idf keyword
+    #   signal); locally green;
+    "hybrid_bm25_rrf": (q_hybrid_bm25_rrf, ORACLE_HYBRID_BM25_RRF),
     # text_bm25_topk: Okapi BM25 keyword ranking (round 9) — the
     #   standard retrieval scorer; the keyword-scoring window slot is
     #   held by hybrid_rrf's tf-idf path; locally green;

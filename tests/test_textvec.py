@@ -254,3 +254,26 @@ def test_bm25_length_normalization_prefers_shorter_doc(spark):
     got = bm25_topk(df, ["apple"], k=2).collect()
     assert [r["doc_id"] for r in got] == [1, 2]
     assert got[0]["score_micro"] > got[1]["score_micro"]
+
+
+def test_bm25_rrf_fusion_semantics(spark, sf_smoke):
+    """BM25+kNN RRF: score decomposition and absent-signal zeros."""
+    from nebuia_vector_db_spark.operators.hybrid import rrf_search_bm25
+    from nebuia_vector_db_spark.queries import FIXED_Q, load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = rrf_search_bm25(
+        docs, emb, ["vector", "join"], FIXED_Q, k=10, n_cand=50
+    ).collect()
+    assert len(got) == 10
+    for r in got:
+        want = 0.0
+        if r["rank_vec"] is not None:
+            want += 1.0 / (60.0 + r["rank_vec"])
+        if r["rank_kw"] is not None:
+            want += 1.0 / (60.0 + r["rank_kw"])
+        assert abs(r["rrf_score"] - want) < 1e-15
+    # descending fused order with doc_id tie-break
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
