@@ -225,6 +225,155 @@ def perplexity(
     )
 
 
+def _triples(toks: Column) -> Column:
+    """Adjacent token triples as array<struct<w1,w2,w3>> (same
+    descending-sequence guard as _pairs)."""
+    built = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at(toks, i + 2).alias("w3"),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, built).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+
+
+@dataclass
+class TrigramLM:
+    """Order-3 stupid-backoff model: three count relations + the two
+    add-one scalars. Same persistable-artifact shape as BigramLM."""
+
+    uni: DataFrame  # (w, c1)
+    big: DataFrame  # (w1, w2, c2)
+    tri: DataFrame  # (w1, w2, w3, c3)
+    total_tokens: int
+    vocab_size: int
+
+
+def train_trigram_lm(
+    train_docs: DataFrame, text_col: str = "text"
+) -> TrigramLM:
+    """Count-only order-3 training: three map-side-combined groupBys
+    (the stupid-backoff property — no discounting pass, each order is
+    an independent count relation, which is why it scales; Brants et
+    al. 2007 built it at 2-trillion-token scale exactly this way)."""
+    base = train_bigram_lm(train_docs, text_col)
+    toked = doc_tokens(train_docs, text_col).select("_toks")
+    tri = (
+        toked.select(F.explode(_triples(F.col("_toks"))).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    return TrigramLM(
+        uni=base.uni,
+        big=base.big,
+        tri=tri,
+        total_tokens=base.total_tokens,
+        vocab_size=base.vocab_size,
+    )
+
+
+def perplexity3(
+    docs: DataFrame,
+    lm: TrigramLM,
+    alpha: float = 0.4,
+    keep_avg_nll: float = 7.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Order-3 stupid-backoff scoring over full-context transitions
+    (positions 3..n; documents with < 3 tokens are dropped):
+
+      p = c3(w1w2w3) / c2(w1w2)                    trigram seen
+        = alpha * (c2(w2w3) / c1(w2))              else, bigram seen
+        = alpha * alpha * (c1(w3)+1) / (T+V)       else (add-one
+                                                    unigram floor)
+
+    c3 > 0 implies c2(w1w2) >= c3 > 0 and c2(w2w3) > 0 implies
+    c1(w2) > 0, so no branch divides by a missing count. Same
+    micro-unit discipline and output relation as :func:`perplexity`;
+    ``backoff_rate`` here is the fraction of transitions that fell
+    below the full trigram context."""
+    if lm.total_tokens <= 0:
+        raise ValueError("cannot score against an empty training corpus")
+    keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    trans = (
+        doc_tokens(docs, text_col, id_col)
+        .select(id_col, F.explode(_triples(F.col("_toks"))).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
+    tri = lm.tri.select("w1", "w2", "w3", F.col("c3").alias("_c3"))
+    b12 = lm.big.select("w1", "w2", F.col("c2").alias("_c12"))
+    b23 = lm.big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c2").alias("_c23"),
+    )
+    u2 = lm.uni.select(F.col("w").alias("w2"), F.col("c1").alias("_cu2"))
+    u3 = lm.uni.select(F.col("w").alias("w3"), F.col("c1").alias("_cu3"))
+    tv = F.lit(lm.total_tokens + lm.vocab_size)
+    a = F.lit(float(alpha))
+    p = (
+        F.when(F.col("_c3").isNotNull(), F.col("_c3") / F.col("_c12"))
+        .when(
+            F.col("_c23").isNotNull(),
+            a * (F.col("_c23") / F.col("_cu2")),
+        )
+        .otherwise(
+            a
+            * (
+                a
+                * ((F.coalesce(F.col("_cu3"), F.lit(0)) + F.lit(1)) / tv)
+            )
+        )
+    )
+    scored = (
+        trans.join(hint(tri), ["w1", "w2", "w3"], "left")
+        .join(hint(b12), ["w1", "w2"], "left")
+        .join(hint(b23), ["w2", "w3"], "left")
+        .join(hint(u2), ["w2"], "left")
+        .join(hint(u3), ["w3"], "left")
+        .select(
+            id_col,
+            F.floor(F.log(p) * F.lit(LOG_MICRO) + F.lit(0.5)).alias("_lp"),
+            F.when(F.col("_c3").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_bo"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trans"),
+        (-F.sum("_lp")).alias("nll_micro"),
+        F.sum("_bo").alias("_n_bo"),
+    )
+    avg_nll = (F.col("nll_micro") / F.lit(float(LOG_MICRO))) / F.col(
+        "n_trans"
+    )
+    return agg.select(
+        id_col,
+        "n_trans",
+        "nll_micro",
+        (F.floor(F.exp(avg_nll) * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias(
+            "ppl"
+        ),
+        (
+            F.floor(
+                (F.col("_n_bo") / F.col("n_trans")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("backoff_rate"),
+        (F.col("nll_micro") <= F.col("n_trans") * F.lit(keep_micro)).alias(
+            "keep"
+        ),
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target: Column,

@@ -2901,6 +2901,91 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q_text_lm3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 sibling of text_lm_perplexity: trigram stupid backoff
+    (the order Brants et al. scaled to trillions of tokens via
+    independent count relations — no discounting pass). Scores
+    full-context transitions (positions 3..n); backoff_rate is the
+    fraction falling below the trigram context. Same integer-exact
+    micro-unit discipline; the oracle replays the three-level CASE
+    chain verbatim."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_trigram_lm(docs.where(F.col("lang") == "en"))
+    return lm.perplexity3(docs, model, keep_avg_nll=3.0).orderBy("doc_id")
+
+
+ORACLE_TEXT_LM3_PPL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+tr_uni AS (
+  SELECT unnest(toks) AS w FROM tok WHERE lang = 'en'
+),
+uni AS (SELECT w, count(*) AS c1 FROM tr_uni GROUP BY w),
+tv AS (SELECT CAST(sum(c1) AS BIGINT) AS t, count(*) AS v FROM uni),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE lang = 'en' AND len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+tri AS (
+  SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3, count(*) AS c3
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 2),
+                  i -> [toks[i+1], toks[i+2], toks[i+3]])) AS p
+    FROM tok WHERE lang = 'en' AND len(toks) >= 3
+  ) GROUP BY 1, 2, 3
+),
+trans AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+                   i -> [toks[i+1], toks[i+2], toks[i+3]])) AS p
+    FROM tok WHERE len(toks) >= 3
+  )
+),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN tr.c3 IS NOT NULL THEN tr.c3 / b12.c2
+              WHEN b23.c2 IS NOT NULL
+                THEN CAST(0.4 AS DOUBLE) * (b23.c2 / u2.c1)
+              ELSE CAST(0.4 AS DOUBLE)
+                   * (CAST(0.4 AS DOUBLE)
+                      * ((coalesce(u3.c1, 0) + 1) / (tv.t + tv.v)))
+         END AS p,
+         CASE WHEN tr.c3 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM trans t
+  LEFT JOIN tri tr ON t.w1 = tr.w1 AND t.w2 = tr.w2 AND t.w3 = tr.w3
+  LEFT JOIN big b12 ON t.w1 = b12.w1 AND t.w2 = b12.w2
+  LEFT JOIN big b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2
+  LEFT JOIN uni u2 ON t.w2 = u2.w
+  LEFT JOIN uni u3 ON t.w3 = u3.w
+  CROSS JOIN tv
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro,
+         CAST(sum(bo) AS BIGINT) AS n_bo
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trans, nll_micro,
+       floor(exp((nll_micro / 10000.0) / n_trans) * 100 + 0.5) / 100.0
+         AS ppl,
+       floor((n_bo / n_trans) * 1000000.0 + 0.5) / 1000000.0
+         AS backoff_rate,
+       nll_micro <= n_trans * 30000 AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): rank every document by
     the estimated log-likelihood ratio of its token features between
@@ -6231,6 +6316,10 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # text_lm3_perplexity: order-3 stupid backoff (round 9) — the
+    #   LM family's depth rep; the model-based quality-filter window
+    #   slot is held by the bigram text_lm_perplexity; locally green;
+    "text_lm3_perplexity": (q_text_lm3_perplexity, ORACLE_TEXT_LM3_PPL),
     # hybrid_bm25_rrf: BM25 + kNN reciprocal-rank fusion (round 9) —
     #   the OpenSearch-default hybrid shape; the fusion machinery is
     #   recorded via hybrid_rrf (same ranks/joins, tf-idf keyword

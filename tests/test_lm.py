@@ -176,3 +176,51 @@ def test_perplexity_plan_no_single_partition_exchange(spark, docs):
     )
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity3_matches_python_recomputation(spark, docs):
+    """Trigram stupid backoff vs pure-Python recompute: the three-
+    level CASE chain, micro-quantization, and <3-token drops."""
+    rows = docs.select("doc_id", "text", "lang").collect()
+    uni, big, tri = Counter(), Counter(), Counter()
+    for r in rows:
+        if r["lang"] != "en":
+            continue
+        t = _toks(r["text"])
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+        tri.update(zip(t, t[1:], t[2:]))
+    t_total, v = sum(uni.values()), len(uni)
+
+    model = lm.train_trigram_lm(docs.where(F.col("lang") == "en"))
+    assert (model.total_tokens, model.vocab_size) == (t_total, v)
+    got = {
+        r["doc_id"]: r
+        for r in lm.perplexity3(docs, model, keep_avg_nll=3.0).collect()
+    }
+    n_scored = 0
+    for r in rows:
+        t = _toks(r["text"])
+        if len(t) < 3:
+            assert r["doc_id"] not in got
+            continue
+        n_scored += 1
+        nll, n_bo = 0, 0
+        for w1, w2, w3 in zip(t, t[1:], t[2:]):
+            if (w1, w2, w3) in tri:
+                p = tri[(w1, w2, w3)] / big[(w1, w2)]
+            elif (w2, w3) in big:
+                p = 0.4 * (big[(w2, w3)] / uni[w2])
+                n_bo += 1
+            else:
+                p = 0.4 * (0.4 * ((uni.get(w3, 0) + 1) / (t_total + v)))
+                n_bo += 1
+            nll -= math.floor(math.log(p) * MICRO + 0.5)
+        g = got[r["doc_id"]]
+        assert g["n_trans"] == len(t) - 2
+        assert g["nll_micro"] == nll
+        assert g["backoff_rate"] == pytest.approx(
+            n_bo / (len(t) - 2), abs=1e-6
+        )
+        assert g["keep"] == (nll <= (len(t) - 2) * 30000)
+    assert len(got) == n_scored
