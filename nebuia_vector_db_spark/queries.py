@@ -6046,14 +6046,20 @@ REGISTRY: dict[
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     # MODEL-BASED quality filter (round-9 promotion): CCNet-style
-    # bigram stupid-backoff LM trained on the lang='en' subset,
-    # scoring every doc with integer-exact micro-unit arithmetic —
-    # a capability family (train a model, score the corpus against
-    # it) none of the heuristic text rows reach. Takes
+    # stupid-backoff LM trained on the lang='en' subset, scoring
+    # every doc with integer-exact micro-unit arithmetic — a
+    # capability family (train a model, score the corpus against it)
+    # none of the heuristic text rows reach. Takes
     # text_tfidf_neardup's slot: the tf-idf weight relation and its
     # inverted-index join stay recorded via hybrid_rrf (same scorer
-    # spine), and the near-dup family keeps five recorded reps.
-    "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
+    # spine), and the near-dup family keeps five recorded reps. The
+    # recorded rep is the ORDER-3 row: it exercises every count
+    # relation the bigram row uses PLUS the three-level backoff
+    # chain, and on the fixture it actually separates (en ppl 10 /
+    # backoff 0 vs non-en ppl ~41 / backoff ~0.6; keeps 218/218 en,
+    # drops ~95% of the rest) where the bigram's word-soup overlap
+    # could not; the bigram sibling stays locally green below.
+    "text_lm3_perplexity": (q_text_lm3_perplexity, ORACLE_TEXT_LM3_PPL),
     # rank-based hybrid fusion (RRF) — the hybrid family's recorded
     # rep since r9 (hybrid_search's weighted score fusion shares the
     # keyword-scorer + vector-scorer + join spine; see its
@@ -6316,10 +6322,12 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
-    # text_lm3_perplexity: order-3 stupid backoff (round 9) — the
-    #   LM family's depth rep; the model-based quality-filter window
-    #   slot is held by the bigram text_lm_perplexity; locally green;
-    "text_lm3_perplexity": (q_text_lm3_perplexity, ORACLE_TEXT_LM3_PPL),
+    # text_lm_perplexity: bigram stupid backoff (round 9) — the LM
+    #   family's recorded rep is the order-3 row (strictly more
+    #   machinery + real fixture separation, see the in-window
+    #   comment); the bigram form stays pinned here, locally green,
+    #   and feeds stream_ppl_filter's artifact path;
+    "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
     # hybrid_bm25_rrf: BM25 + kNN reciprocal-rank fusion (round 9) —
     #   the OpenSearch-default hybrid shape; the fusion machinery is
     #   recorded via hybrid_rrf (same ranks/joins, tf-idf keyword

@@ -62,12 +62,14 @@ _REQUIRED_IN_WINDOW = {
     # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
     # banding stays recorded via dedup_minhash_lsh; the MLlib row's
     # distinct surface is API interop, locally green.
-    # text_tfidf_neardup demoted r9 for text_lm_perplexity — the
-    # model-based quality filter is a new capability family, while
-    # the tf-idf weight/norm spine runs recorded inside hybrid_rrf
-    # and the near-dup family keeps five recorded reps)
+    # text_tfidf_neardup demoted r9 for the model-based quality
+    # filter — a new capability family, while the tf-idf weight/norm
+    # spine runs recorded inside hybrid_rrf and the near-dup family
+    # keeps five recorded reps. The slot is held by the ORDER-3 LM
+    # row: strictly more machinery than the bigram sibling plus real
+    # fixture separation)
     "text_tokens", "text_quality", "text_langid",
-    "text_boilerplate", "text_lm_perplexity",
+    "text_boilerplate", "text_lm3_perplexity",
     # hybrid retrieval (hybrid_search demoted r9 — weighted score
     # fusion shares the keyword+vector scorer spine with the recorded
     # rank-fusion row; displaced by snap_engine_lifecycle)
