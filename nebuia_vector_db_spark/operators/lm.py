@@ -374,6 +374,9 @@ def perplexity3(
     )
 
 
+FEATURE_SEP = "\x1f"
+
+
 def dsir_select(
     docs: DataFrame,
     target: Column,
@@ -382,6 +385,7 @@ def dsir_select(
     id_col: str = "doc_id",
     hash_buckets: int | None = None,
     broadcast_model: bool = True,
+    ngram_orders: tuple[int, ...] = (1, 2),
 ) -> DataFrame:
     """DSIR importance ranking: weight each document by the summed
     log-likelihood ratio of its token features between the target
@@ -390,11 +394,14 @@ def dsir_select(
 
       lw(w) = ln( ((c_t(w)+1) / (c_r(w)+1)) * ((T_r+V) / (T_t+V)) )
 
-    ``hash_buckets=None`` uses raw unigram features (exact,
+    ``ngram_orders`` selects the feature set — the paper uses
+    unigrams + bigrams, the default here; bigram features are the
+    0x1f-joined adjacent pairs (the repo's shingle convention).
+    ``hash_buckets=None`` keeps raw n-gram strings (exact,
     SQL-mirrored — the oracle path); an int buckets features through
     xxhash64 for bounded model width at 100 TB (the paper's hashed
-    n-gram estimator; xxhash64 is Spark-native so this path is fast
-    but engine-specific, pinned by tests not by the oracle).
+    estimator; xxhash64 is Spark-native so this path is fast but
+    engine-specific, pinned by tests not by the oracle).
 
     The paper resamples with Gumbel noise; this implementation ranks
     deterministically (weight desc, id asc) and flags the top
@@ -407,9 +414,29 @@ def dsir_select(
     history). Returns (doc_id, n_feats, weight_micro, selected) for
     every document with >= 1 token.
     """
-    feat = F.explode("_toks").alias("w")
+    if not ngram_orders or any(n not in (1, 2) for n in ngram_orders):
+        raise ValueError("ngram_orders must be a subset of (1, 2)")
     toked = doc_tokens(docs, text_col, id_col)
-    feats = toked.select(id_col, target.alias("_is_target"), feat)
+    parts = []
+    if 1 in ngram_orders:
+        parts.append(F.col("_toks"))
+    if 2 in ngram_orders:
+        bigrams = F.when(
+            F.size("_toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.concat_ws(
+                    FEATURE_SEP,
+                    F.element_at("_toks", i),
+                    F.element_at("_toks", i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(bigrams)
+    feat_arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+    feats = toked.select(
+        id_col, target.alias("_is_target"), F.explode(feat_arr).alias("w")
+    )
     if hash_buckets is not None:
         feats = feats.withColumn(
             "w", F.pmod(F.xxhash64("w"), F.lit(hash_buckets)).cast("string")

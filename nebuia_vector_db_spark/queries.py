@@ -2996,12 +2996,13 @@ def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lm.py::dsir_select documents the skew rationale). The
     hashed-feature estimator (xxhash64 buckets, the paper's form) is
     the scale path, pinned by tests/test_lm.py; this oracle row runs
-    the exact unigram form."""
+    the exact n-gram form — unigram + bigram features, the paper's
+    feature set (bigrams are 0x1f-joined adjacent pairs)."""
     from nebuia_vector_db_spark.operators import lm
 
     docs = load_table(spark, sf_dir, "documents")
     return lm.dsir_select(
-        docs, F.col("lang") == "en", top_n=100
+        docs, F.col("lang") == "en", top_n=100, ngram_orders=(1, 2)
     ).orderBy("doc_id")
 
 
@@ -3012,7 +3013,13 @@ WITH tok AS (
   FROM documents
 ),
 feats AS (
-  SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS w FROM tok
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(len(toks) - 1),
+                     i -> toks[i+1] || chr(31) || toks[i+2])
+                ELSE [] END)) AS w
+  FROM tok
 ),
 raw AS (SELECT w, count(*) AS c_r FROM feats GROUP BY w),
 tgt AS (SELECT w, count(*) AS c_t FROM feats WHERE is_t GROUP BY w),

@@ -137,12 +137,41 @@ def test_dsir_select_matches_python_and_is_deterministic(spark, docs):
             want[r["doc_id"]] = (len(t), sum(lw[w] for w in t))
     top = sorted(want, key=lambda d: (-want[d][1], d))[:25]
 
-    got = lm.dsir_select(docs, F.col("lang") == "en", top_n=25).collect()
+    got = lm.dsir_select(
+        docs, F.col("lang") == "en", top_n=25, ngram_orders=(1,)
+    ).collect()
     assert len(got) == len(want)
     for g in got:
         n_feats, weight = want[g["doc_id"]]
         assert (g["n_feats"], g["weight_micro"]) == (n_feats, weight)
         assert g["selected"] == (g["doc_id"] in top)
+
+
+def test_dsir_bigram_features_extend_unigram_counts(spark, docs):
+    """Default (1,2) feature set: n_feats = tokens + adjacent pairs,
+    and the bigram signal changes weights vs unigram-only."""
+    uni_only = {
+        r["doc_id"]: r
+        for r in lm.dsir_select(
+            docs, F.col("lang") == "en", top_n=25, ngram_orders=(1,)
+        ).collect()
+    }
+    both = {
+        r["doc_id"]: r
+        for r in lm.dsir_select(
+            docs, F.col("lang") == "en", top_n=25
+        ).collect()
+    }
+    toks = {
+        r["doc_id"]: _toks(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for d, r in both.items():
+        n = len(toks[d])
+        assert r["n_feats"] == n + max(n - 1, 0)
+        assert uni_only[d]["n_feats"] == n
+    with pytest.raises(ValueError):
+        lm.dsir_select(docs, F.col("lang") == "en", ngram_orders=(3,))
 
 
 def test_dsir_hashed_features_bound_model_width(spark, docs):
