@@ -301,6 +301,73 @@ class VectorEngine:
             .limit(top_k)
         )
 
+    def hybrid_search(
+        self,
+        collection_name: str,
+        terms: Sequence[str],
+        query_vector: Sequence[float],
+        top_k: int = 10,
+        rrf_k: int = 60,
+        n_cand: int = 100,
+        keyword: str = "bm25",
+    ) -> DataFrame:
+        """Keyword + vector retrieval over one collection's chunks —
+        the extension query mode the reference's data model invites
+        (documents carry BOTH text and embeddings per chunk,
+        main.go:30-35) but its API never exposes. Fuses the two
+        signals by reciprocal rank (operators/hybrid.py) with
+        ``keyword='bm25'`` (Okapi, the OpenSearch-default shape) or
+        ``'tfidf'`` (cosine against the query-term vector); candidate
+        lists are TakeOrdered cuts — no global sort of the corpus.
+
+        Returns top-``top_k`` chunks as (doc_id, position,
+        embedding_id, text, rank_vec, rank_kw, rrf_score) — a chunk
+        absent from one signal's top-``n_cand`` list carries a null
+        rank there and contributes 0 for it."""
+        if self.dim is not None and len(query_vector) != self.dim:
+            raise DimensionMismatchError(
+                f"query dim {len(query_vector)} != engine dim {self.dim}"
+            )
+        from nebuia_vector_db_spark.operators.hybrid import (
+            rrf_search,
+            rrf_search_bm25,
+        )
+
+        ch = self.chunks([collection_name]).withColumn(
+            "_cid",
+            F.concat_ws("#", F.col("doc_id"), F.col("position")),
+        )
+        docs_rel = ch.select(F.col("_cid"), "text")
+        emb_rel = ch.select(F.col("_cid"), "embedding")
+        fn = {"bm25": rrf_search_bm25, "tfidf": rrf_search}.get(keyword)
+        if fn is None:
+            raise ValueError(f"unknown keyword scorer {keyword!r}")
+        fused = fn(
+            docs_rel,
+            emb_rel,
+            list(terms),
+            query_vector,
+            k=top_k,
+            rrf_k=rrf_k,
+            n_cand=n_cand,
+            id_col="_cid",
+            vec_id_col="_cid",
+        )
+        return (
+            fused.join(
+                ch.select(
+                    "_cid", "doc_id", "position",
+                    F.col("doc_name").alias("embedding_id"), "text",
+                ),
+                "_cid",
+            )
+            .select(
+                "doc_id", "position", "embedding_id", "text",
+                "rank_vec", "rank_kw", "rrf_score",
+            )
+            .orderBy(F.desc("rrf_score"), "doc_id", "position")
+        )
+
     # ---------------------------------------------------------- stream ingest
     def store_stream(self, docs_stream: DataFrame, checkpoint: str):
         """Continuous ingest: a streaming DataFrame in DOCUMENT_SCHEMA

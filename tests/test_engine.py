@@ -327,3 +327,43 @@ def test_snapshot_engine_streaming_ingest(spark, tmp_path_factory):
     assert tbl.meta("stream_watermarks") is not None
     res = eng.search("s", [1.0, 0.0, 0.0, 0.0], 3)
     assert res.count() == 3
+
+
+def test_hybrid_search_over_collection_chunks(spark, tmp_path_factory):
+    """Engine-facade hybrid retrieval: a chunk that matches the query
+    terms AND points along the query vector must outrank chunks with
+    only one signal; score decomposes as RRF of the two ranks."""
+    wh = str(tmp_path_factory.mktemp("hybrid_wh"))
+    eng = VectorEngine(spark, wh, dim=4)
+    docs = _mkdocs(5, 2, 4, seed=7)
+    # doc 0 chunk 0: keyword match + exactly the query direction
+    docs[0]["chunks"][0]["text"] = "quantum widget assembly"
+    docs[0]["chunks"][0]["embedding"] = [1.0, 0.0, 0.0, 0.0]
+    # doc 1 chunk 0: keyword match only (opposite vector)
+    docs[1]["chunks"][0]["text"] = "quantum widget manual"
+    docs[1]["chunks"][0]["embedding"] = [-1.0, 0.0, 0.0, 0.0]
+    eng.store("h", docs)
+
+    got = eng.hybrid_search(
+        "h", ["quantum", "widget"], [1.0, 0.0, 0.0, 0.0], top_k=5,
+        n_cand=10,
+    ).collect()
+    assert got[0]["text"] == "quantum widget assembly"
+    assert got[0]["rank_vec"] == 1 and got[0]["rank_kw"] in (1, 2)
+    for r in got:
+        want = 0.0
+        if r["rank_vec"] is not None:
+            want += 1.0 / (60.0 + r["rank_vec"])
+        if r["rank_kw"] is not None:
+            want += 1.0 / (60.0 + r["rank_kw"])
+        assert abs(r["rrf_score"] - want) < 1e-15
+    # tfidf keyword scorer runs through the same facade
+    alt = eng.hybrid_search(
+        "h", ["quantum", "widget"], [1.0, 0.0, 0.0, 0.0], top_k=3,
+        keyword="tfidf", n_cand=10,
+    ).collect()
+    assert alt[0]["text"] == "quantum widget assembly"
+    with pytest.raises(ValueError):
+        eng.hybrid_search("h", ["x"], [1.0, 0, 0, 0], keyword="nope")
+    with pytest.raises(DimensionMismatchError):
+        eng.hybrid_search("h", ["x"], [1.0, 0, 0], top_k=2)
