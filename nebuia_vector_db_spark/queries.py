@@ -3216,6 +3216,45 @@ def q_stream_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("doc_id")
 
 
+def q_pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter, discriminative flavor (GPT-3
+    WebText-classifier pattern / fastText supervised baseline):
+    distill the heuristic quality composite into a hashed-BoW
+    logistic regression — train on the even-doc_id half against the
+    median-split label, score every document with a broadcast-
+    coefficient projection. Rows-only driver check (LBFGS training is
+    iterative, not one SQL statement); determinism (zero init + fixed
+    partitioning → identical coefficients) and holdout agreement
+    (~84% vs the 50% majority baseline at sf0.01) are pinned in
+    tests/test_classifier.py. operators/classifier.py has the 100 TB
+    posture (stateless hashing, training-slice-only iterations,
+    shuffle-free scoring)."""
+    from nebuia_vector_db_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from nebuia_vector_db_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.withColumn("_q", quality_score("text"))
+    thr = q.agg(F.expr("percentile(_q, 0.5)")).collect()[0][0]
+    label = F.col("_q") >= F.lit(float(thr))
+    clf = train_quality_classifier(q.where(F.col("doc_id") % 2 == 0), label)
+    out = score_quality(q, clf)
+    return (
+        out.join(q.select("doc_id", label.alias("label")), "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            "pred",
+            (F.floor(F.col("prob") * 1000 + F.lit(0.5)) / F.lit(1000.0)).alias(
+                "prob_milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016):
     learn 24 merges over the documents corpus — one corpus-scale
@@ -6350,6 +6389,13 @@ REGISTRY: dict[
     #   streaming ≡ batch ≡ SQL (the streaming window slot is held by
     #   stream_join_mirror's stateful join); locally green;
     "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
+    # pipe_quality_classifier: discriminative model-based quality
+    #   filter (round 9, GPT-3 WebText-classifier pattern) — hashed-
+    #   BoW logistic regression distilling the heuristic composite;
+    #   rows-only check (iterative LBFGS — the sanctioned non-SQL
+    #   case); determinism + holdout agreement pytest-pinned; the
+    #   model-based-filter window slot is held by text_lm3_perplexity;
+    "pipe_quality_classifier": (q_pipe_quality_classifier, None),
     # text_bpe_train: REAL distributed BPE tokenizer training (round
     #   9, Sennrich et al. 2016) — one corpus-scale word-count
     #   shuffle, then every merge iteration runs over the distinct-
