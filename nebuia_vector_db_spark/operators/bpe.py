@@ -173,6 +173,31 @@ def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
     )
 
 
+def save_merges(
+    spark, merges: list[tuple[int, str, str, int]], path: str
+) -> None:
+    """Persist the merge table as parquet — train once, tokenize any
+    corpus/session against the artifact (the same deployment shape as
+    textvec.save_text_index and streaming/quality.py's LM artifact)."""
+    merges_df(spark, merges).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[int, str, str, int]]:
+    """Load a persisted merge table, in merge order."""
+    rows = (
+        spark.read.schema(
+            "rank LONG, left STRING, right STRING, pair_count LONG"
+        )
+        .parquet(path)
+        .orderBy("rank")
+        .collect()
+    )
+    return [
+        (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+        for r in rows
+    ]
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """GPT-2-style encode: repeatedly merge the LOWEST-rank adjacent
     pair until none applies. For merge tables produced by train_bpe

@@ -155,3 +155,14 @@ def test_word_counts_single_shuffle_plan(spark, sf_smoke):
     assert plan.count("Exchange") == 1  # one hash-partitioned groupBy
     assert "SinglePartition" not in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_merge_table_persist_round_trip(spark, docs, tmp_path):
+    merges = bpe.train_bpe(docs, n_merges=12)
+    bpe.save_merges(spark, merges, str(tmp_path / "bpe"))
+    loaded = bpe.load_merges(spark, str(tmp_path / "bpe"))
+    assert loaded == merges
+    # the loaded artifact drives the encoder identically
+    a = bpe.encode_bpe(docs.limit(5), merges).select("bpe_tokens").collect()
+    b = bpe.encode_bpe(docs.limit(5), loaded).select("bpe_tokens").collect()
+    assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]
