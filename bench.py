@@ -1468,6 +1468,43 @@ def main() -> None:
     b16_model.big.unpersist()
     b16_docs.unpersist()
 
+    # ---- B17: BM25 ranking + discriminative quality classifier
+    # (round-9 tiers; recorded, no gate — plan shapes pytest-pinned)
+    from nebuia_vector_db_spark.operators.textvec import bm25_topk
+    from nebuia_vector_db_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from nebuia_vector_db_spark.functions.text import quality_score
+
+    b17_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    b17_n = b17_docs.count()
+
+    def _b17_bm25():
+        bm25_topk(
+            b17_docs, ["vector", "hash", "join", "scan"], k=20
+        ).collect()
+
+    timings["b17_bm25_topk_sec"] = round(_median_time(_b17_bm25, runs=3), 4)
+    b17_q = b17_docs.withColumn("_q", quality_score("text"))
+    b17_thr = b17_q.agg(F.expr("percentile(_q, 0.5)")).collect()[0][0]
+    t0 = time.perf_counter()
+    b17_clf = train_quality_classifier(
+        b17_q.where(F.col("doc_id") % 2 == 0),
+        F.col("_q") >= F.lit(float(b17_thr)),
+    )
+    timings["b17_clf_train_sec"] = round(time.perf_counter() - t0, 4)
+
+    def _b17_score():
+        score_quality(b17_q, b17_clf).agg(
+            F.sum(F.col("pred").cast("long"))
+        ).head()
+
+    dt = _median_time(_b17_score, runs=3)
+    timings["b17_clf_score_sec"] = round(dt, 4)
+    timings["b17_clf_score_docs_per_sec"] = round(b17_n / max(dt, 1e-9), 1)
+    b17_docs.unpersist()
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
