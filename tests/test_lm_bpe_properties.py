@@ -75,3 +75,48 @@ def test_perplexity_equals_reference_on_random_corpora(
             nll -= math.floor(math.log(p) * MICRO + 0.5)
         assert got[i]["nll_micro"] == nll
         assert got[i]["n_trans"] == len(toks) - 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, terms=st.lists(_word, min_size=1, max_size=3))
+def test_bm25_equals_reference_on_random_corpora(spark, texts, terms):
+    from nebuia_vector_db_spark.operators.textvec import bm25_topk
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    toks = {
+        i: [w for w in t.lower().split(" ") if w] for i, t in rows
+    }
+    sum_dl = sum(len(t) for t in toks.values())
+    if sum_dl == 0:
+        return  # operator rejects the empty corpus (unit-tested)
+    n = len(toks)
+    terms = sorted(set(terms))
+    dfreq = Counter(
+        w for t in toks.values() for w in set(t) if w in terms
+    )
+    want = {}
+    for d, t in toks.items():
+        tf = Counter(w for w in t if w in terms)
+        if not tf:
+            continue
+        s = 0
+        for term, f in tf.items():
+            idf = math.log(
+                ((n - dfreq[term]) + 0.5) / (dfreq[term] + 0.5) + 1.0
+            )
+            denom = f + (
+                1.2 * ((1.0 - 0.75) + (0.75 * ((len(t) * n) / sum_dl)))
+            )
+            s += math.floor(idf * ((f * (1.2 + 1.0)) / denom) * 1e6 + 0.5)
+        want[d] = (len(tf), s)
+    top = sorted(want, key=lambda d: (-want[d][1], d))[:5]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, terms, k=5).collect()
+    assert [r["doc_id"] for r in got] == top
+    for r in got:
+        assert (r["n_terms_hit"], r["score_micro"]) == want[r["doc_id"]]
