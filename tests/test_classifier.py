@@ -63,3 +63,33 @@ def test_scoring_is_shuffle_free(spark, labeled):
         .toString()
     )
     assert "Exchange" not in plan  # broadcast-coefficient projection
+
+
+def test_scoring_works_on_a_stream_identically(spark, sf_smoke, labeled):
+    """The broadcast-coefficient projection is stateless, so the same
+    model scores a file stream append-safely — AvailableNow output
+    equals the batch scorer bit-for-bit (the deployment shape shared
+    with streaming/quality.py)."""
+    import os
+
+    from nebuia_vector_db_spark.streaming.events import run_to_memory
+
+    clf = train_quality_classifier(
+        labeled.where(F.col("doc_id") % 2 == 0), F.col("label")
+    )
+    docs = load_table(spark, sf_smoke, "documents")
+    want = sorted(tuple(r) for r in score_quality(docs, clf).collect())
+    phys = spark.read.parquet(
+        os.path.join(sf_smoke, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(phys)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_smoke)
+    )
+    out = score_quality(stream, clf)
+    assert out.isStreaming
+    got = sorted(
+        tuple(r) for r in run_to_memory(out, "t_clf_stream").collect()
+    )
+    assert got == want
