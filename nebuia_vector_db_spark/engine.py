@@ -211,9 +211,14 @@ class VectorEngine:
         top_k: int,
         method: str = "sql",
         where: "F.Column | str | None" = None,
+        min_similarity: float | None = None,
     ) -> DataFrame:
         """≙ POST /search (main.go:351-367): brute-force scan of one
         collection, sim = dot(q/‖q‖, v), top-k desc (D-1/D-2).
+        ``min_similarity`` (extension) turns the query into a radius
+        search: only chunks at or above the threshold are returned
+        (still capped at ``top_k``) — a shuffle-free filter ahead of
+        the cut.
         ``method='arrow'`` switches scoring to the GEMM-per-Arrow-batch
         kernel (same results, BLAS throughput — see operators/topk.py).
 
@@ -224,7 +229,8 @@ class VectorEngine:
         can push eligible predicates into the scan and the similarity
         kernel only sees surviving rows."""
         return self._search_impl(
-            [collection_name], query_vector, top_k, method, where
+            [collection_name], query_vector, top_k, method, where,
+            min_similarity,
         )
 
     def multi_search(
@@ -251,6 +257,7 @@ class VectorEngine:
         top_k: int,
         method: str = "sql",
         where: "F.Column | str | None" = None,
+        min_similarity: float | None = None,
     ) -> DataFrame:
         if self.dim is not None and len(query_vector) != self.dim:
             raise DimensionMismatchError(
@@ -271,6 +278,10 @@ class VectorEngine:
                 tie_cols=["doc_id", "position"],
                 method="arrow",
             )
+            if min_similarity is not None:
+                scored = scored.where(
+                    F.col("similarity") >= F.lit(float(min_similarity))
+                )
             # arrow path drops the vector column; restore result shape
             return scored.select(
                 F.col("doc_name").alias("embedding_id"),
@@ -283,6 +294,12 @@ class VectorEngine:
             )
         qn = normalize_query(query_vector)  # once per query, main.go:179-183
         scored = ch.withColumn("similarity", dot(F.col("embedding"), qn))
+        if min_similarity is not None:
+            # radius gate (extension — the reference is top-k-only):
+            # a pure filter ahead of the top-k cut, shuffle-free
+            scored = scored.where(
+                F.col("similarity") >= F.lit(float(min_similarity))
+            )
         return (
             scored.select(
                 # EmbeddingID = doc metadata name (main.go:248)

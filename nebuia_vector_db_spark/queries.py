@@ -219,6 +219,38 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# vs_range_search — radius query: ALL vectors within a similarity
+# threshold (selection, not top-k — the other fundamental vector-db
+# query shape; the reference API is top-k-only, main.go:351-405).
+# Exactness: the HOF dot fold is bit-identical to list_dot_product
+# (established by every vs_* oracle), so the raw >= comparison is
+# engine-independent — no boundary risk. Scale: a pure filter —
+# predicate-pushdown-friendly, no shuffle, no global sort; output
+# ordered by id for determinism.
+def q_vs_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qn = normalize_query(_qvec(spark, sf_dir, 5))
+    return (
+        _emb(spark, sf_dir)
+        .withColumn("sim_raw", dot(F.col("embedding"), qn))
+        .where(F.col("sim_raw") >= 0.25)
+        .select("vec_id", "label", F.round("sim_raw", 6).alias(SIM6))
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_VS_RANGE = (
+    _ORACLE_QN.format(vid=5)
+    + """
+SELECT e.vec_id, e.label,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v), 6) AS similarity
+FROM embeddings e, qn
+WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.v) >= 0.25
+ORDER BY e.vec_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # vs_topk_per_label — grouped retrieval via row_number window
 def q_vs_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = normalize_query(_qvec(spark, sf_dir, 7))
@@ -6389,6 +6421,11 @@ REGISTRY: dict[
     #   streaming ≡ batch ≡ SQL (the streaming window slot is held by
     #   stream_join_mirror's stateful join); locally green;
     "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
+    # vs_range_search: radius query (round 9) — ALL vectors above a
+    #   similarity threshold, the selection-shaped vector query the
+    #   reference's top-k-only API lacks; pure filter, no shuffle;
+    #   the vector window slots are held by the ten vs_* reps;
+    "vs_range_search": (q_vs_range_search, ORACLE_VS_RANGE),
     # pipe_quality_classifier: discriminative model-based quality
     #   filter (round 9, GPT-3 WebText-classifier pattern) — hashed-
     #   BoW logistic regression distilling the heuristic composite;

@@ -367,3 +367,27 @@ def test_hybrid_search_over_collection_chunks(spark, tmp_path_factory):
         eng.hybrid_search("h", ["x"], [1.0, 0, 0, 0], keyword="nope")
     with pytest.raises(DimensionMismatchError):
         eng.hybrid_search("h", ["x"], [1.0, 0, 0], top_k=2)
+
+
+def test_search_min_similarity_radius_gate(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("radius_wh"))
+    eng = VectorEngine(spark, wh, dim=4)
+    docs = _mkdocs(4, 1, 4, seed=13)
+    docs[0]["chunks"][0]["embedding"] = [1.0, 0.0, 0.0, 0.0]
+    docs[1]["chunks"][0]["embedding"] = [0.9, 0.1, 0.0, 0.0]
+    docs[2]["chunks"][0]["embedding"] = [-1.0, 0.0, 0.0, 0.0]
+    eng.store("r", docs)
+    got = eng.search("r", [1.0, 0, 0, 0], 10, min_similarity=0.5).collect()
+    assert all(r["similarity"] >= 0.5 for r in got)
+    assert len(got) >= 2
+    # arrow path applies the same gate
+    got_a = eng.search(
+        "r", [1.0, 0, 0, 0], 10, method="arrow", min_similarity=0.5
+    ).collect()
+    assert sorted(r["similarity"] for r in got_a) == sorted(
+        r["similarity"] for r in got
+    )
+    # without the gate the negative-direction chunk is present
+    assert any(
+        r["similarity"] < 0 for r in eng.search("r", [1.0, 0, 0, 0], 10).collect()
+    )
