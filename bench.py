@@ -151,6 +151,7 @@ GATE_RATIO_KEYS = (
     "b12_fine_union_cells_fraction",
     "b12_fine_batch_recall_at_10",
     "b15_bq_packed_scan_slope_9600k",
+    "b16_lm_slope_64x",
 )
 
 
@@ -1464,6 +1465,41 @@ def main() -> None:
     timings["b16_dsir_select_sec"] = round(
         _median_time(_b16_dsir, runs=3), 4
     )
+    # scale sweep: replicate the corpus 1x/8x/64x via one scan +
+    # explode (5k -> 40k -> 320k docs, ~17M scored transitions at
+    # 64x) against the SAME trained model — slope vs linear per 8x
+    # step, the b8/b11 convention (1.0 = linear)
+    b16_prev = None
+    for b16_k in (1, 8, 64):
+        b16_dk = (
+            b16_docs.select("doc_id", "text")
+            if b16_k == 1
+            else b16_docs.select(
+                F.explode(
+                    F.sequence(F.lit(1), F.lit(b16_k))
+                ).alias("_r"),
+                "doc_id",
+                "text",
+            ).select(
+                (F.col("doc_id") * 100 + F.col("_r")).alias("doc_id"),
+                "text",
+            )
+        ).cache()
+        b16_dk.count()
+
+        def _b16_scaled(dk=b16_dk):
+            _lm.perplexity(dk, b16_model, keep_avg_nll=3.42).agg(
+                F.sum("nll_micro")
+            ).head()
+
+        t = _median_time(_b16_scaled, runs=3)
+        timings[f"b16_lm_score_{b16_k}x_sec"] = round(t, 4)
+        if b16_prev is not None:
+            timings[f"b16_lm_slope_{b16_k}x"] = round(
+                t / (b16_prev * 8), 4
+            )
+        b16_prev = t
+        b16_dk.unpersist()
     b16_model.uni.unpersist()
     b16_model.big.unpersist()
     b16_docs.unpersist()

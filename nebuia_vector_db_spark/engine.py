@@ -240,14 +240,17 @@ class VectorEngine:
         top_k: int,
         method: str = "sql",
         where: "F.Column | str | None" = None,
+        min_similarity: float | None = None,
     ) -> DataFrame:
         """≙ POST /multi_search (main.go:369-405). The reference's
         per-collection-top-k-then-global-top-k is semantically a global
         top-k (SURVEY §1.5-6); one plan over the unified table — the
         per-collection goroutine fan-out becomes partition parallelism.
-        ``where`` filters chunks before scoring (see ``search``)."""
+        ``where`` filters chunks before scoring and ``min_similarity``
+        adds the radius gate (see ``search``)."""
         return self._search_impl(
-            list(collections), query_vector, top_k, method, where
+            list(collections), query_vector, top_k, method, where,
+            min_similarity,
         )
 
     def _search_impl(

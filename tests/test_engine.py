@@ -391,3 +391,18 @@ def test_search_min_similarity_radius_gate(spark, tmp_path_factory):
     assert any(
         r["similarity"] < 0 for r in eng.search("r", [1.0, 0, 0, 0], 10).collect()
     )
+
+
+def test_multi_search_min_similarity_gate(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("radius_ms_wh"))
+    eng = VectorEngine(spark, wh, dim=4)
+    a = _mkdocs(2, 1, 4, seed=3)
+    a[0]["chunks"][0]["embedding"] = [1.0, 0.0, 0.0, 0.0]
+    b = _mkdocs(2, 1, 4, seed=4)
+    b[0]["chunks"][0]["embedding"] = [-1.0, 0.0, 0.0, 0.0]
+    eng.store("m1", a)
+    eng.store("m2", b)
+    got = eng.multi_search(
+        ["m1", "m2"], [1.0, 0, 0, 0], 10, min_similarity=0.5
+    ).collect()
+    assert got and all(r["similarity"] >= 0.5 for r in got)
