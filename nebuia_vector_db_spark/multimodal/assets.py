@@ -1242,6 +1242,120 @@ def _mp2_frame_plan(doc_id: int, n_frames: int):
     return frames
 
 
+def attach_flac_assets(
+    docs: DataFrame, id_col: str = "doc_id", rate: int = 8000
+) -> DataFrame:
+    """Derive a REAL FLAC asset per document: a deterministic sawtooth
+    int16 signal (piecewise-linear, so the fixed predictors genuinely
+    compress it — and pure modular arithmetic, so a SQL oracle can
+    regenerate every sample) encoded through the pure-Python FLAC
+    subset codec (multimodal/flac.py — STREAMINFO + MD5, framed Rice-
+    coded fixed-predictor subframes, CRC-8/CRC-16). Arrow-batched
+    mapInPandas, map-side, no shuffle.
+
+    Generator (mirrored by ORACLE_MM_FLAC in queries.py):
+      n_samples(doc) = doc_id % 300 + 150
+      sample[i]      = ((doc_id * 7 + i) % 256) * 256 - 32768
+    """
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.flac import encode_flac
+
+    cols = docs.select(F.col(id_col).alias("doc_id"))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, raws = [], [], []
+            for doc in pdf["doc_id"]:
+                n = int(doc) % 300 + 150
+                i = np.arange(n, dtype=np.int64)
+                samples = (
+                    ((int(doc) * 7 + i) % 256) * 256 - 32768
+                ).astype(np.int16)
+                ids.append(doc)
+                # 128-sample frames: short clips still get multiple
+                # frames, so a sawtooth wrap spike lands in a small
+                # (or partitionable) frame instead of poisoning one
+                # odd-length frame's single Rice partition
+                payloads.append(encode_flac(samples, rate, block_size=128))
+                raws.append(n * 2)
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "raw_bytes": raws}
+            )
+
+    flat = cols.mapInPandas(
+        _enc, schema="doc_id long, payload binary, raw_bytes long"
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/flac").alias("mime"),
+            F.lit(None).cast("int").alias("declared_width"),
+            F.lit(None).cast("int").alias("declared_height"),
+            F.col("raw_bytes").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
+
+
+def decode_audio_flac(assets: DataFrame) -> DataFrame:
+    """REAL FLAC decode over Arrow batches: full stream parse
+    (STREAMINFO, frame CRC-8/CRC-16, Rice residual decode, fixed-
+    predictor reconstruction, PCM MD5 verification) and per-clip
+    stats from the DECODED samples — the same exact-integer stat
+    discipline as :func:`decode_audio_real`, so `mm_flac_audio` is a
+    full content-hash row certifying the compressed round trip is
+    lossless end-to-end. Also reports the achieved compression
+    (raw/encoded bytes; test- and bench-checked, not oracle-checked —
+    the encoded size is codec-internal)."""
+    import math
+
+    from nebuia_vector_db_spark.multimodal.flac import decode_flac
+
+    cols = assets.select("doc_id", "payload")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, rates, ns, peaks, means, rmss, comps = (
+                [], [], [], [], [], [], []
+            )
+            for doc, pay in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(pay)
+                rate, samples = decode_flac(raw)
+                s = samples.astype(np.int64)
+                n = len(s)
+                ids.append(doc)
+                rates.append(rate)
+                ns.append(n)
+                peaks.append(int(np.abs(s).max()) if n else 0)
+                means.append(float(s.sum()) / n if n else 0.0)
+                rmss.append(
+                    math.sqrt(float((s * s).sum()) / n) if n else 0.0
+                )
+                comps.append((n * 2) / len(raw) if len(raw) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_samples": ns,
+                    "peak": pd.array(peaks, dtype="int32"),
+                    "mean_sample": means,
+                    "rms": rmss,
+                    "compression_x": comps,
+                }
+            )
+
+    return cols.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, peak int, "
+            "mean_sample double, rms double, compression_x double"
+        ),
+    )
+
+
 def attach_mp2_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Derive a REAL MPEG-1 Layer II asset per document: the
     deterministic frame plan above, packed through the genuine Layer

@@ -2187,6 +2187,72 @@ ORDER BY doc_id
 """
 
 
+def q_mm_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS COMPRESSED audio (round 9): a deterministic sawtooth
+    signal per document is encoded through the pure-Python FLAC
+    subset codec (multimodal/flac.py — RFC 9639: STREAMINFO with PCM
+    MD5, framed fixed-predictor subframes, Rice residuals, CRC-8/
+    CRC-16, all verified on decode), decoded back, and the row
+    reports stats of the DECODED samples. The oracle regenerates the
+    source signal arithmetically, so the hash match certifies the
+    COMPRESSED round trip is bit-lossless end-to-end — the cell WAV
+    (lossless-uncompressed) and ADPCM/MP2 (lossy) cannot cover.
+    Unlike the MP3/AAC scope cut, FLAC has no tabulated codebooks to
+    mistranscribe: every structure is algorithmic, and losslessness
+    is self-certifying. Compression (~1.9x on this signal) is test-
+    and bench-checked (encoded size is codec-internal, not SQL)."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_flac_assets,
+        decode_audio_flac,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_audio_flac(attach_flac_assets(docs, rate=8000))
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "peak",
+        _r(F.col("mean_sample"), 6).alias("mean_sample"),
+        _r(F.col("rms"), 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+# Regenerates attach_flac_assets' sawtooth sample-by-sample:
+#   n(doc) = doc_id % 300 + 150;  x[i] = ((doc_id*7 + i) % 256) * 256 - 32768
+# Exact-integer aggregates (n <= 449, |x| <= 32768 => sums < 2^53),
+# divided once — same discipline as ORACLE_MM_WAV.
+ORACLE_MM_FLAC = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 300 + 150 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(n)) AS i FROM d
+),
+v AS (
+  SELECT doc_id, n,
+         ((doc_id * 7 + i) % 256) * 256 - 32768 AS x
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         max(n) AS n,
+         max(abs(x)) AS peak,
+         sum(x) AS sx,
+         sum(x * x) AS sxx
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(peak AS INT) AS peak,
+       {_sql_r('CAST(sx AS DOUBLE) / n', 6)} AS mean_sample,
+       {_sql_r('sqrt(CAST(sxx AS DOUBLE) / n)', 6)} AS rms
+FROM agg
+ORDER BY doc_id
+"""
+
+
 def q_pipe_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange round trip (round 7): the documents corpus is
     exported as gzip-compressed JSON Lines — the de-facto exchange
@@ -6421,6 +6487,13 @@ REGISTRY: dict[
     #   streaming ≡ batch ≡ SQL (the streaming window slot is held by
     #   stream_join_mirror's stateful join); locally green;
     "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
+    # mm_flac_audio: LOSSLESS COMPRESSED audio (round 9, RFC 9639
+    #   subset — fixed predictors + Rice, CRC-verified, PCM MD5) —
+    #   the compressed-lossless cell WAV/ADPCM/MP2 cannot cover; the
+    #   recorded audio slots are held by mm_audio_real (container
+    #   round trip) and mm_mp2_audio (lossy perceptual bitstream);
+    #   locally green with a full hash oracle;
+    "mm_flac_audio": (q_mm_flac_audio, ORACLE_MM_FLAC),
     # vs_range_search: radius query (round 9) — ALL vectors above a
     #   similarity threshold, the selection-shaped vector query the
     #   reference's top-k-only API lacks; pure filter, no shuffle;
