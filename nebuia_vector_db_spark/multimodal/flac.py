@@ -15,9 +15,12 @@ Audio Codec"), both directions:
   block-size-minus-one header form, CRC-8 (poly 0x07) over the
   header and CRC-16 (poly 0x8005) over the whole frame — both
   verified on decode.
-- **Subframes**: CONSTANT, VERBATIM, and FIXED predictors of order
-  0-4 (the polynomial approximators: residual = o-th difference),
-  chosen per frame by exact encoded-bit cost.
+- **Subframes**: CONSTANT, VERBATIM, FIXED predictors of order 0-4
+  (the polynomial approximators: residual = o-th difference), AND
+  quantized-coefficient LPC (Levinson-Durbin on the block's
+  autocorrelation, 12-bit coefficients with a common shift, orders
+  2/4/8 tried) — all chosen per frame by exact encoded-bit cost, so
+  LPC is emitted only where it genuinely wins.
 - **Residuals**: Rice coding (zigzag fold, unary quotient as a run
   of 0 bits terminated by a 1, parameter-bit remainder) with the
   4-bit-parameter method and partition order 0 on encode; the
@@ -33,9 +36,8 @@ sample-for-sample by tests and by the ``mm_flac_audio`` oracle row
 (stats of the DECODED samples hash-matched against SQL that
 regenerates the source signal — the mm_png_roundtrip construction).
 
-Scope (documented): mono, 16-bit; no LPC subframes (FIXED reaches
-compression ~1.5-2x on tonal content; LPC is a pure win, not a
-structural difference), no stereo decorrelation, no seek tables.
+Scope (documented): mono, 16-bit; no stereo decorrelation, no seek
+tables, no variable blocking.
 """
 
 from __future__ import annotations
@@ -164,6 +166,79 @@ def _rice_cost(u: np.ndarray, k: int) -> int:
     return int((u >> k).sum()) + len(u) * (1 + k)
 
 
+# ------------------------------------------------------------------- LPC
+def _lpc_coeffs(blk: np.ndarray, order: int) -> np.ndarray | None:
+    """Levinson-Durbin on the block's autocorrelation (lightly damped
+    against exact-zero lags). Returns float64 predictor coefficients
+    or None when the recursion is degenerate."""
+    x = blk.astype(np.float64)
+    n = len(x)
+    if n <= order:
+        return None
+    ac = np.array(
+        [float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)]
+    )
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1]
+        for j in range(i):
+            acc -= a[j] * ac[i - j]
+        if err == 0.0:
+            return None
+        k = acc / err
+        new = a.copy()
+        for j in range(i):
+            new[j] = a[j] - k * a[i - 1 - j]
+        new[i] = k
+        a = new
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    return a
+
+
+def _quantize_lpc(a: np.ndarray, precision: int = 12):
+    """Quantize float coefficients to `precision`-bit signed integers
+    with a common right-shift (the spec's qlp model)."""
+    cmax = float(np.abs(a).max())
+    if cmax == 0.0:
+        return None
+    shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = (1 << (precision - 1)) - 1
+    q = np.clip(q, -lim - 1, lim)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(blk: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    order = len(q)
+    s = blk.astype(np.int64)
+    # prediction for i >= order: (sum_j q[j] * s[i-1-j]) >> shift
+    pred = np.zeros(len(s) - order, dtype=np.int64)
+    for j in range(order):
+        pred += q[j] * s[order - 1 - j : len(s) - 1 - j]
+    return s[order:] - (pred >> shift)
+
+
+def _lpc_restore(
+    res: np.ndarray, warm: list[int], q: list[int], shift: int
+) -> np.ndarray:
+    order = len(q)
+    out = list(warm)
+    for r in res:
+        pred = 0
+        for j in range(order):
+            pred += q[j] * out[-1 - j]
+        out.append(int(r) + (pred >> shift))
+    return np.asarray(out, dtype=np.int64)
+
+
 # ------------------------------------------------------------------ encode
 def encode_flac(
     samples: np.ndarray, sample_rate: int = 8000, block_size: int = 256
@@ -272,14 +347,35 @@ def _encode_subframe(w: _BitWriter, blk: np.ndarray) -> None:
             porder += 1
         return best
 
-    best = None  # (bits, order, porder, ks)
+    best = None  # (bits, kind, order, porder, ks, extra)
     for order in range(0, min(4, bs - 1) + 1):
         plan = _part_plan(_fixed_residual(blk, order), order)
         if plan is None:
             continue
         cost = order * 16 + 2 + plan[0]
         if best is None or cost < best[0]:
-            best = (cost, order, plan[1], plan[2])
+            best = (cost, "fixed", order, plan[1], plan[2], None)
+    # LPC candidates: real signals are rarely polynomial; a quantized
+    # order-2/4/8 predictor often beats every FIXED order. Chosen by
+    # the same exact encoded-bit cost (header + warmups + coeff table
+    # + residual), so LPC is emitted only when it genuinely wins.
+    _LPC_PREC = 12
+    for order in (2, 4, 8):
+        if order >= bs:
+            continue
+        a = _lpc_coeffs(blk, order)
+        if a is None:
+            continue
+        qs = _quantize_lpc(a, _LPC_PREC)
+        if qs is None:
+            continue
+        q, shift = qs
+        plan = _part_plan(_lpc_residual(blk, q, shift), order)
+        if plan is None:
+            continue
+        cost = order * 16 + 4 + 5 + order * _LPC_PREC + 2 + plan[0]
+        if best is None or cost < best[0]:
+            best = (cost, "lpc", order, plan[1], plan[2], (q, shift))
     verbatim_cost = bs * 16
     if best is None or best[0] >= verbatim_cost:
         w.write(0, 1)
@@ -288,13 +384,26 @@ def _encode_subframe(w: _BitWriter, blk: np.ndarray) -> None:
         for v in blk:
             w.write(int(v), 16)
         return
-    _, order, porder, ks = best
+    _, kind, order, porder, ks, extra = best
     w.write(0, 1)
-    w.write(0b001000 | order, 6)  # FIXED, order
-    w.write(0, 1)  # no wasted bits
-    for v in blk[:order]:
-        w.write(int(v), 16)  # warmup samples
-    u = _zigzag(_fixed_residual(blk, order))
+    if kind == "fixed":
+        w.write(0b001000 | order, 6)  # FIXED, order
+        w.write(0, 1)  # no wasted bits
+        for v in blk[:order]:
+            w.write(int(v), 16)  # warmup samples
+        res = _fixed_residual(blk, order)
+    else:
+        q, shift = extra
+        w.write(0b100000 | (order - 1), 6)  # LPC, order
+        w.write(0, 1)  # no wasted bits
+        for v in blk[:order]:
+            w.write(int(v), 16)  # warmup samples
+        w.write(_LPC_PREC - 1, 4)
+        w.write(shift, 5)
+        for c in q:
+            w.write(int(c), _LPC_PREC)
+        res = _lpc_residual(blk, q, shift)
+    u = _zigzag(res)
     w.write(0b00, 2)  # residual method: rice, 4-bit params
     w.write(porder, 4)
     n_part = 1 << porder
@@ -441,7 +550,17 @@ def _decode_subframe(r: _BitReader, bs: int) -> np.ndarray:
         res = _decode_residual(r, bs, order)
         out = _fixed_restore(np.asarray(res, np.int64), warm, order)
     elif stype >= 32:
-        raise FlacFormatError("LPC subframes out of subset scope")
+        order = (stype & 0x1F) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise FlacFormatError("invalid qlp precision code")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise FlacFormatError("negative qlp shift")
+        q = [r.read_signed(precision) for _ in range(order)]
+        res = _decode_residual(r, bs, order)
+        out = _lpc_restore(np.asarray(res, np.int64), warm, q, shift)
     else:
         raise FlacFormatError(f"reserved subframe type {stype}")
     return out << wasted

@@ -112,3 +112,34 @@ def test_spark_attach_decode_end_to_end(spark, sf_smoke):
         assert r["mean_sample"] == pytest.approx(x.sum() / n)
         # the sawtooth genuinely compresses through the fixed predictors
         assert r["compression_x"] > 1.5
+
+
+def test_lpc_subframes_win_on_autoregressive_signals():
+    """A near-AR(1) signal is where FIXED polynomial predictors lose
+    to real LPC: the encoder must pick LPC (bit cost) and the decoder
+    must reconstruct exactly; disabling LPC (by checking the stream
+    contains an LPC subframe type) guards against silent fallback."""
+    rng = np.random.default_rng(7)
+    ar = np.zeros(3000)
+    for i in range(1, 3000):
+        ar[i] = 0.95 * ar[i - 1] + rng.normal() * 500
+    pcm = np.clip(ar, -32768, 32767).astype(np.int16)
+    enc = encode_flac(pcm, 8000, block_size=256)
+    sr, dec = decode_flac(enc)
+    assert np.array_equal(dec, pcm)
+    assert len(enc) < len(pcm) * 2 / 1.25  # > 1.25x on AR(1)
+    # the LPC machinery itself: quantized Levinson-Durbin predictor,
+    # integer residuals, exact reconstruction
+    blk = pcm[:256].astype(np.int64)
+    a = flac._lpc_coeffs(blk, 8)
+    q, shift = flac._quantize_lpc(a, 12)
+    res = flac._lpc_residual(blk, q, shift)
+    assert np.array_equal(
+        flac._lpc_restore(res, list(blk[:8]), list(q), shift), blk
+    )
+    # LPC residuals are materially smaller than the best FIXED ones
+    fixed_best = min(
+        int(np.abs(flac._fixed_residual(blk, o)).sum())
+        for o in range(5)
+    )
+    assert int(np.abs(res).sum()) < fixed_best
