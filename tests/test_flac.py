@@ -143,3 +143,29 @@ def test_lpc_subframes_win_on_autoregressive_signals():
         for o in range(5)
     )
     assert int(np.abs(res).sum()) < fixed_best
+
+
+def test_roundtrip_property_random_signals():
+    """Hypothesis-style fuzz (deterministic seeds): random int16
+    signals of random lengths and block sizes must roundtrip
+    bit-exact — the lossless invariant across the CONSTANT/VERBATIM/
+    FIXED/LPC/partitioning decision space."""
+    rng = np.random.default_rng(1234)
+    for trial in range(30):
+        n = int(rng.integers(0, 900))
+        kind = trial % 3
+        if kind == 0:
+            pcm = rng.integers(-32768, 32768, n).astype(np.int16)
+        elif kind == 1:  # smooth: random walk (LPC/FIXED territory)
+            pcm = np.clip(
+                np.cumsum(rng.integers(-300, 301, n)), -32768, 32767
+            ).astype(np.int16)
+        else:  # blocky: long constant runs
+            pcm = np.repeat(
+                rng.integers(-32768, 32768, max(n // 50, 1)), 50
+            )[:n].astype(np.int16)
+        bs = int(rng.choice([32, 64, 128, 256, 4096]))
+        enc = encode_flac(pcm, 8000, block_size=bs)
+        sr, dec = decode_flac(enc)
+        assert sr == 8000
+        assert np.array_equal(dec, pcm), (trial, n, bs)

@@ -120,3 +120,47 @@ def test_bm25_equals_reference_on_random_corpora(spark, texts, terms):
     assert [r["doc_id"] for r in got] == top
     for r in got:
         assert (r["n_terms_hit"], r["score_micro"]) == want[r["doc_id"]]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, n_train=st.integers(min_value=1, max_value=5))
+def test_perplexity3_equals_reference_on_random_corpora(
+    spark, texts, n_train
+):
+    rows = [(i, t, "en" if i < n_train else "xx") for i, t in enumerate(texts)]
+    train = [t for i, t, lang in rows if lang == "en"]
+    uni, big, tri = Counter(), Counter(), Counter()
+    for t in train:
+        toks = [w for w in t.lower().split(" ") if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+        tri.update(zip(toks, toks[1:], toks[2:]))
+    t_total, v = sum(uni.values()), len(uni)
+    if t_total == 0:
+        return
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = lm.train_trigram_lm(df.where(F.col("lang") == "en"))
+    got = {r["doc_id"]: r for r in lm.perplexity3(df, model).collect()}
+    for i, t, _ in rows:
+        toks = [w for w in t.lower().split(" ") if w]
+        if len(toks) < 3:
+            assert i not in got
+            continue
+        nll = 0
+        for w1, w2, w3 in zip(toks, toks[1:], toks[2:]):
+            if (w1, w2, w3) in tri:
+                p = tri[(w1, w2, w3)] / big[(w1, w2)]
+            elif (w2, w3) in big:
+                p = 0.4 * (big[(w2, w3)] / uni[w2])
+            else:
+                p = 0.4 * (0.4 * ((uni.get(w3, 0) + 1) / (t_total + v)))
+            nll -= math.floor(math.log(p) * MICRO + 0.5)
+        assert got[i]["nll_micro"] == nll
+        assert got[i]["n_trans"] == len(toks) - 2
