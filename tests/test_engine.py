@@ -406,3 +406,19 @@ def test_multi_search_min_similarity_gate(spark, tmp_path_factory):
         ["m1", "m2"], [1.0, 0, 0, 0], 10, min_similarity=0.5
     ).collect()
     assert got and all(r["similarity"] >= 0.5 for r in got)
+
+
+def test_hybrid_search_on_snapshot_warehouse(spark, tmp_path_factory):
+    """The hybrid facade composes with the ACID table format: chunks()
+    reads through SnapshotTable, and the fused ranking still works."""
+    wh = str(tmp_path_factory.mktemp("hybrid_snap_wh"))
+    eng = VectorEngine(spark, wh, dim=4, table_format="snapshot")
+    docs = _mkdocs(4, 1, 4, seed=11)
+    docs[0]["chunks"][0]["text"] = "quantum widget assembly"
+    docs[0]["chunks"][0]["embedding"] = [1.0, 0.0, 0.0, 0.0]
+    eng.store("hs", docs)
+    got = eng.hybrid_search(
+        "hs", ["quantum"], [1.0, 0.0, 0.0, 0.0], top_k=4, n_cand=10
+    ).collect()
+    assert got[0]["text"] == "quantum widget assembly"
+    assert got[0]["rank_kw"] == 1 and got[0]["rank_vec"] == 1

@@ -164,3 +164,54 @@ def test_perplexity3_equals_reference_on_random_corpora(
             nll -= math.floor(math.log(p) * MICRO + 0.5)
         assert got[i]["nll_micro"] == nll
         assert got[i]["n_trans"] == len(toks) - 2
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, n_train=st.integers(min_value=1, max_value=5))
+def test_dsir_bigram_features_equal_reference_on_random_corpora(
+    spark, texts, n_train
+):
+    from nebuia_vector_db_spark.operators.lm import FEATURE_SEP
+
+    rows = [(i, t, "en" if i < n_train else "xx") for i, t in enumerate(texts)]
+    raw, tgt = Counter(), Counter()
+    feats_by_doc = {}
+    for i, t, lang in rows:
+        toks = [w for w in t.lower().split(" ") if w]
+        fs = toks + [
+            FEATURE_SEP.join(p) for p in zip(toks, toks[1:])
+        ]
+        feats_by_doc[i] = fs
+        raw.update(fs)
+        if lang == "en":
+            tgt.update(fs)
+    t_r, v, t_t = sum(raw.values()), len(raw), sum(tgt.values())
+    if t_r == 0:
+        return
+    lw = {
+        w: math.floor(
+            math.log(
+                ((tgt.get(w, 0) + 1) / (raw[w] + 1)) * ((t_r + v) / (t_t + v))
+            )
+            * MICRO
+            + 0.5
+        )
+        for w in raw
+    }
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = lm.dsir_select(df, F.col("lang") == "en", top_n=3).collect()
+    want = {
+        i: (len(fs), sum(lw[w] for w in fs))
+        for i, fs in feats_by_doc.items()
+        if fs
+    }
+    assert {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        assert (r["n_feats"], r["weight_micro"]) == want[r["doc_id"]]
