@@ -167,7 +167,9 @@ def gate_line(
     total + the gate ratios, and is asserted < 1,000 chars so it always
     survives the tail whole (with room for log noise after it).
     """
-    gates = {k: timings[k] for k in GATE_RATIO_KEYS if k in timings}
+    # b2_ratio first: the shed loop below drops from the END, and the
+    # headline baseline gate must be the last one standing
+    gates: dict[str, float | None] = {}
     if "b2_spark_batched_per_query" in timings and (
         "b2_numpy_loop_per_query" in timings
     ):
@@ -180,15 +182,16 @@ def gate_line(
             if denom
             else None
         )
+    gates.update({k: timings[k] for k in GATE_RATIO_KEYS if k in timings})
 
-    def _dump(queries: dict[str, float]) -> str:
+    def _dump(queries: dict[str, float], g: dict) -> str:
         return json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
-                "gates": gates,
+                "gates": g,
                 "n_metrics": len(timings),
                 "full_payload": "BENCH_SELF.json",
                 "sf": sf,
@@ -197,16 +200,22 @@ def gate_line(
             separators=(",", ":"),
         )
 
-    # keep the line under the budget by shedding query entries, never by
-    # crashing a completed bench run (the old assert would strip under
-    # python -O and, if it fired, leave the 7,800-char full-payload line
-    # as the last stdout line — the exact tail-parse failure this line
-    # exists to fix)
+    # keep the line under the budget by shedding query entries, then
+    # gate entries (ADVICE r9: GATE_RATIO_KEYS grows each round, so the
+    # budget must hold even with zero queries left), never by crashing
+    # a completed bench run (the old assert would strip under python -O
+    # and, if it fired, leave the 7,800-char full-payload line as the
+    # last stdout line — the exact tail-parse failure this line exists
+    # to fix). With both dicts empty the fixed fields are ~160 chars,
+    # so the <1000 invariant is unconditional.
     queries = {k: timings[k] for k in GATE_QUERY_KEYS if k in timings}
-    line = _dump(queries)
+    line = _dump(queries, gates)
     while len(line) >= 1000 and queries:
         queries.pop(next(reversed(queries)))
-        line = _dump(queries)
+        line = _dump(queries, gates)
+    while len(line) >= 1000 and gates:
+        gates.pop(next(reversed(gates)))
+        line = _dump(queries, gates)
     return line
 
 
@@ -280,13 +289,17 @@ def main() -> None:
             _median_time(lambda: fn(spark, SF_DIR).collect()), 4
         )
 
-    # release the tf-idf weight relations cached by the hybrid/curate
-    # queries above — the B-series needs the storage memory
+    # release the tf-idf weight relations and substring anchor caches
+    # registered by the queries above — the B-series needs the storage
+    from nebuia_vector_db_spark.operators.dedup import (
+        release_cached_relations as _release_anchors,
+    )
     from nebuia_vector_db_spark.operators.textvec import (
         release_cached_relations,
     )
 
     release_cached_relations()
+    _release_anchors()
 
     # ---- B1: sf embeddings top-10, Spark numpy-UDF path vs NumPy
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()

@@ -353,9 +353,18 @@ class VectorEngine:
             rrf_search_bm25,
         )
 
+        # chunk key: escape '\' and '#' in doc_id before joining with
+        # '#', so the composition is injective for ANY doc_id — a raw
+        # concat would alias e.g. doc 'a#1' pos 2 with doc 'a#1#2' if
+        # positions ever carried '#' (ADVICE r9); the key is internal
+        # (the output re-joins `ch` to recover doc_id/position), so
+        # only injectivity matters, not decodability
+        _esc = F.regexp_replace(
+            F.col("doc_id").cast("string"), r"([#\\])", r"\\$1"
+        )
         ch = self.chunks([collection_name]).withColumn(
             "_cid",
-            F.concat_ws("#", F.col("doc_id"), F.col("position")),
+            F.concat_ws("#", _esc, F.col("position").cast("string")),
         )
         docs_rel = ch.select(F.col("_cid"), "text")
         emb_rel = ch.select(F.col("_cid"), "embedding")

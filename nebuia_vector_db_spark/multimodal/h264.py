@@ -426,13 +426,19 @@ def _nc(tc: np.ndarray, row: int, col: int) -> int:
 
 
 def _write_coeff_token_zero(w: BitWriter, n_c: int) -> None:
-    """coeff_token for TotalCoeff=0, TrailingOnes=0 (Table 9-5)."""
+    """coeff_token for TotalCoeff=0, TrailingOnes=0 (Table 9-5):
+    VLC '1' for nC<2, '11' for 2<=nC<4, '1111' for 4<=nC<8, and the
+    6-bit FLC 000011 for nC>=8. This encoder only ever produces
+    nC in {0, 8, 16} (whole macroblocks are all-zero, so neighbor
+    total_coeff averages stay 0 or the FLC context), but the 4<=nC<8
+    row must still be spec-bit-exact for third-party decodability
+    (ADVICE r9: the old code wrote the FLC pattern there)."""
     if n_c < 2:
         w.u(1, 1)
     elif n_c < 4:
         w.u(0b11, 2)
     elif n_c < 8:
-        w.u(0b000011, 6)
+        w.u(0b1111, 4)
     else:  # fixed-length context
         w.u(0b000011, 6)
 
@@ -444,6 +450,8 @@ def _read_coeff_token_zero(r: BitReader, n_c: int) -> None:
         ok = r.u(1) == 1
     elif n_c < 4:
         ok = r.u(2) == 0b11
+    elif n_c < 8:
+        ok = r.u(4) == 0b1111
     else:
         ok = r.u(6) == 0b000011
     if not ok:

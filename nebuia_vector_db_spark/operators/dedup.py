@@ -31,6 +31,31 @@ from nebuia_vector_db_spark.functions.text import (
     with_tokens,
 )
 
+# Persisted anchor relations handed out by exact_substring_pairs. The
+# persist is load-bearing (the winnowed extraction is the dominant
+# cost and feeds both the broadcast hot-gram job and the self-join),
+# but repeated calls in one session would otherwise accumulate
+# executor storage with no release handle — the exact leak
+# textvec.py's registry fixes for weight relations (ADVICE r9).
+# bench.py's release step drops both registries between query batches.
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> int:
+    """Unpersist every anchor relation persisted by
+    :func:`exact_substring_pairs` in this session; returns the count
+    released."""
+    n = 0
+    for df in _CACHED_RELATIONS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_RELATIONS.clear()
+    return n
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -988,6 +1013,7 @@ def exact_substring_pairs(
     from pyspark import StorageLevel
 
     anchors = anchors.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_RELATIONS.append(anchors)
     hot_grams = (
         anchors.groupBy("gram")
         .agg(F.count("*").alias("df"))

@@ -406,9 +406,10 @@ def dsir_select(
     The paper resamples with Gumbel noise; this implementation ranks
     deterministically (weight desc, id asc) and flags the top
     ``top_n`` — reproducible, and the oracle can assert the exact
-    selection. The cutoff is found with a distributed top-n
-    (TakeOrderedAndProject — per-partition local cut, tiny driver
-    merge), NOT a global row_number window: an unpartitioned window
+    selection. The cutoff row is found by :func:`_rank_boundary`
+    (O(1) rows to the driver at ANY top_n — offset-limit for moderate
+    top_n, a percentile_approx-banded exact order statistic beyond
+    that), NOT a global row_number window: an unpartitioned window
     funnels the whole corpus through one task, which is exactly the
     skew shape this repo bans (see operators/dedup.py's df-count
     history). Returns (doc_id, n_feats, weight_micro, selected) for
@@ -477,21 +478,110 @@ def dsir_select(
             F.sum("_lw").alias("weight_micro"),
         )
     )
-    cutoff = (
-        weights.orderBy(F.col("weight_micro").desc(), F.col(id_col))
-        .select("weight_micro", id_col)
-        .limit(top_n)
-        .collect()
-    )
-    if cutoff:
-        w_cut = int(cutoff[-1]["weight_micro"])
-        id_cut = cutoff[-1][id_col]
+    boundary = _rank_boundary(weights, top_n, id_col)
+    if boundary is None:
+        # fewer than top_n ranked documents: every row is selected
+        selected = F.lit(True)
+    else:
+        w_cut, id_cut = boundary
         selected = (F.col("weight_micro") > F.lit(w_cut)) | (
             (F.col("weight_micro") == F.lit(w_cut))
             & (F.col(id_col) <= F.lit(id_cut))
         )
-    else:
-        selected = F.lit(False)
     return weights.select(
         id_col, "n_feats", "weight_micro", selected.alias("selected")
     )
+
+
+# direct-offset ceiling for _rank_boundary: below this, one
+# TakeOrderedAndProject job finds the boundary (per-partition heaps of
+# top_n entries — fine into the 10^5 range); above it, the quantile
+# pre-cut keeps every heap bounded by the band size instead of top_n
+_DIRECT_CUTOFF_MAX = 100_000
+
+
+def _rank_boundary(
+    weights: DataFrame,
+    top_n: int,
+    id_col: str,
+    direct_max: int = _DIRECT_CUTOFF_MAX,
+) -> tuple[int, str] | None:
+    """(w_cut, id_cut) of the rank-``top_n`` row under
+    (weight_micro DESC, id ASC), or None if the relation has fewer
+    than ``top_n`` rows — collecting O(1) rows to the driver.
+
+    VERDICT r9 flagged the old ``limit(top_n).collect()`` (ships top_n
+    Rows to Python to read ONE): at production top_n (selecting 10⁷+
+    docs from 100 TB) that is a driver OOM. Two fixed paths:
+
+    - ``top_n <= direct_max`` (the common case, and the oracle
+      fixture): ``offset(top_n-1).limit(1)`` — Spark plans
+      TakeOrderedAndProject(limit=top_n, offset=top_n-1), so the sort
+      is per-partition bounded heaps and exactly ONE row crosses to
+      Python.
+    - larger: a percentile_approx pre-cut brackets the boundary weight
+      between two value thresholds (t_lo, t_hi] whose strict-above
+      counts straddle top_n; the exact offset then runs only inside
+      that band, whose size is ~4·n/accuracy — set by the quantile
+      sketch, independent of top_n — so no top_n-sized heap ever
+      exists, on the driver or any executor. Ties are safe: the band
+      is defined by VALUE comparisons, so every tie group at the
+      boundary weight lies wholly inside it, and the (weight, id)
+      tie-break is applied by the in-band sort exactly as the direct
+      path does. If extreme tie mass defeats the sketch's rank bound,
+      the margin widens (×4, a few rounds) and finally degrades to the
+      whole relation — still correct, just unbounded, and only
+      reachable when one weight value covers ~the entire corpus.
+    """
+    order = [F.col("weight_micro").desc(), F.col(id_col)]
+    if top_n <= direct_max:
+        rows = (
+            weights.orderBy(*order)
+            .select("weight_micro", id_col)
+            .offset(top_n - 1)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        return int(rows[0]["weight_micro"]), rows[0][id_col]
+    n = weights.count()
+    if top_n >= n:
+        return None
+    acc = 10_000
+    q = 1.0 - top_n / n
+    margin = 2.0 / acc
+    g_hi = g_lo = None
+    t_hi = t_lo = None
+    for _ in range(6):
+        qs = [max(0.0, q - margin), min(1.0, q + margin)]
+        t = weights.agg(
+            F.percentile_approx("weight_micro", qs, acc).alias("t")
+        ).collect()[0]["t"]
+        # qs[1] (higher quantile) → larger weight → the upper threshold
+        t_lo, t_hi = int(t[0]), int(t[1])
+        cnt = weights.agg(
+            F.sum((F.col("weight_micro") > t_hi).cast("long")).alias("g_hi"),
+            F.sum((F.col("weight_micro") > t_lo).cast("long")).alias("g_lo"),
+        ).collect()[0]
+        g_hi, g_lo = int(cnt["g_hi"] or 0), int(cnt["g_lo"] or 0)
+        if g_hi < top_n <= g_lo:
+            break
+        margin *= 4.0
+    else:
+        # degenerate fallback: the whole relation is the band
+        t_hi, t_lo, g_hi, g_lo = None, None, 0, n
+    band = weights
+    if t_hi is not None:
+        band = weights.where(
+            (F.col("weight_micro") <= t_hi) & (F.col("weight_micro") > t_lo)
+        )
+    rows = (
+        band.orderBy(*order)
+        .select("weight_micro", id_col)
+        .offset(top_n - g_hi - 1)
+        .limit(1)
+        .collect()
+    )
+    # g_lo >= top_n guarantees the band holds at least top_n - g_hi rows
+    return int(rows[0]["weight_micro"]), rows[0][id_col]

@@ -2329,15 +2329,18 @@ def q_snap_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a driver-local mkdtemp — executors write the data files.
     """
     from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
         remove_scratch,
-        shared_scratch_dir,
     )
     from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    root = shared_scratch_dir(spark, "snaptbl")
+    # posix_scratch_dir, not shared_scratch_dir: SnapshotTable's commit
+    # backend is POSIX fsync+link — an object-store scratch root would
+    # fail at commit (ADVICE r9); the resolver fails fast instead
+    root = posix_scratch_dir(spark, "snaptbl")
     try:
         tbl = SnapshotTable.create(
             spark, root, docs.repartitionByRange(4, "doc_id")
@@ -2462,8 +2465,8 @@ def q_snap_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse lives on cluster-shared scratch (shared_scratch_dir)."""
     from nebuia_vector_db_spark.engine import VectorEngine
     from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
         remove_scratch,
-        shared_scratch_dir,
     )
 
     name = F.format_string("emb_%08d", "vec_id")
@@ -2489,7 +2492,9 @@ def q_snap_engine_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunks"),
     )
     q = _qvec(spark, sf_dir, 0)
-    root = shared_scratch_dir(spark, "engsnap")
+    # POSIX-validated root: the snapshot warehouse commit protocol is
+    # fsync+link (see q_snap_delete_read's note / ADVICE r9)
+    root = posix_scratch_dir(spark, "engsnap")
 
     def _phase(df: DataFrame, phase: str) -> list:
         return df.select(

@@ -105,6 +105,37 @@ def shared_scratch_dir(spark: SparkSession, prefix: str = "scratch") -> str:
     return f"{base.rstrip('/')}/_scratch/{prefix}_{uuid.uuid4().hex}"
 
 
+def posix_scratch_dir(spark: SparkSession, prefix: str = "scratch") -> str:
+    """:func:`shared_scratch_dir` restricted to a POSIX filesystem
+    path, for consumers whose durability protocol needs POSIX
+    semantics — SnapshotTable's commit backend is fsync+link
+    (sources/commit_backend.py), which object stores and HDFS don't
+    provide. With ``NVDB_SCRATCH_DIR`` pointing at ``hdfs://`` or
+    ``s3://`` scratch, a snapshot root resolved through the generic
+    helper would fail deep inside a commit on a real cluster (ADVICE
+    r9); fail HERE with an actionable message instead. Deployments
+    with object-store scratch should set ``NVDB_POSIX_SCRATCH_DIR`` to
+    a shared POSIX mount (NFS/Lustre) for snapshot roots."""
+    import re
+
+    posix_base = os.environ.get("NVDB_POSIX_SCRATCH_DIR")
+    if posix_base:
+        import uuid
+
+        path = f"{posix_base.rstrip('/')}/_scratch/{prefix}_{uuid.uuid4().hex}"
+    else:
+        path = shared_scratch_dir(spark, prefix)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise ValueError(
+            f"snapshot scratch must be a POSIX path, got {path!r}: "
+            "SnapshotTable's commit backend needs POSIX fsync+link "
+            "semantics. Set NVDB_POSIX_SCRATCH_DIR to a cluster-shared "
+            "POSIX mount (NFS/Lustre), or keep NVDB_SCRATCH_DIR "
+            "POSIX-local for single-node use."
+        )
+    return path
+
+
 def remove_scratch(spark: SparkSession, path: str) -> None:
     """Recursively delete a :func:`shared_scratch_dir` allocation.
 

@@ -557,3 +557,23 @@ def test_winnowing_recall_guarantee_adversarial_offsets(spark):
         f"{len(missing)}/{len(expected)} guaranteed spans missed, "
         f"e.g. {sorted(missing)[:5]}"
     )
+
+
+def test_substring_anchor_cache_is_releasable(spark):
+    """ADVICE r9: exact_substring_pairs persists its anchors relation;
+    repeated calls in one session must not accumulate unreleasable
+    executor storage. The persisted relation registers in the module
+    cache list and release_cached_relations() unpersists and clears."""
+    from nebuia_vector_db_spark.operators import dedup as dd
+
+    dd.release_cached_relations()  # start clean
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [("a", text), ("b", text + " tail"), ("c", "short")],
+        "doc_id string, text string",
+    )
+    dd.exact_substring_pairs(docs, k=32, min_shared=1).collect()
+    assert len(dd._CACHED_RELATIONS) == 1
+    assert dd._CACHED_RELATIONS[0].storageLevel.useMemory
+    assert dd.release_cached_relations() == 1
+    assert dd._CACHED_RELATIONS == []

@@ -422,3 +422,42 @@ def test_hybrid_search_on_snapshot_warehouse(spark, tmp_path_factory):
     ).collect()
     assert got[0]["text"] == "quantum widget assembly"
     assert got[0]["rank_kw"] == 1 and got[0]["rank_vec"] == 1
+
+
+def test_hybrid_search_doc_ids_with_separator_chars(spark, tmp_path_factory):
+    """ADVICE r9: the hybrid chunk key escapes '#'/'\\' in doc_id, so
+    user-supplied ids containing the separator can never alias two
+    distinct chunks (which would merge ranks / duplicate rows in the
+    post-fusion join). Adversarial ids: 'a#1' pos 2 composes the same
+    raw string as 'a#1#2' pos would prefix."""
+    wh = str(tmp_path_factory.mktemp("hybrid_hash_wh"))
+    eng = VectorEngine(spark, wh, dim=2)
+    rows = []
+    for did, vec in (("a#1", [1.0, 0.0]), ("a#1#2", [0.0, 1.0]),
+                     ("a\\#1", [1.0, 1.0])):
+        rows.append(
+            {
+                "collection": "hh",
+                "doc_id": did,
+                "text": f"doc {did}",
+                "metadata": {"source": None, "name": did},
+                "chunks": [
+                    {
+                        "text": f"term{j} payload",
+                        "embedding": vec,
+                        "metadata": {"source": None, "name": f"{did}c{j}"},
+                        "semantic_score": 0.0,
+                    }
+                    for j in range(2)
+                ],
+            }
+        )
+    from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
+
+    eng.store_dataframe(spark.createDataFrame(rows, DOCUMENT_SCHEMA))
+    got = eng.hybrid_search(
+        "hh", ["payload"], [1.0, 0.0], top_k=10, n_cand=20
+    ).collect()
+    keys = [(r["doc_id"], r["position"]) for r in got]
+    # no aliasing: every (doc_id, position) chunk appears exactly once
+    assert len(keys) == len(set(keys)) == 6

@@ -192,3 +192,29 @@ def test_unsupported_features_raise_cleanly():
         decode_h264(data)
     with pytest.raises(ValueError):
         decode_h264(b"\x00\x00\x00\x01\x65\x88")  # slice before SPS
+
+
+def test_coeff_token_zero_table_9_5_bit_exact():
+    """ADVICE r9: the 4<=nC<8 context must use Table 9-5's 4-bit VLC
+    1111 for TotalCoeff=0 (the old code wrote the 6-bit FLC there —
+    unreachable from this encoder but wrong for external streams).
+    Pin the written bit pattern and the write→read round trip for
+    every nC context class."""
+    from nebuia_vector_db_spark.multimodal.h264 import (
+        BitReader,
+        BitWriter,
+        _read_coeff_token_zero,
+        _write_coeff_token_zero,
+    )
+
+    want_bits = {0: "1", 1: "1", 2: "11", 3: "11", 4: "1111",
+                 7: "1111", 8: "000011", 16: "000011"}
+    for n_c, bits in want_bits.items():
+        w = BitWriter()
+        _write_coeff_token_zero(w, n_c)
+        w.align_zero()
+        data = w.to_rbsp()
+        got = "".join(f"{b:08b}" for b in data)[: len(bits)]
+        assert got == bits, (n_c, got, bits)
+        r = BitReader(data)
+        _read_coeff_token_zero(r, n_c)  # must not raise

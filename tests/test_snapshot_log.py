@@ -620,3 +620,54 @@ def test_bench_gate_line_sheds_queries_never_crashes():
     timings["b2_numpy_loop_per_query"] = 0.32
     parsed = json.loads(bench.gate_line(timings, 9.9, 0.1, 32))
     assert parsed["gates"]["b2_ratio"] == round(0.01 / 0.32, 4)
+
+
+def test_bench_gate_line_sheds_gates_after_queries():
+    """ADVICE r9: GATE_RATIO_KEYS grows every round, so the <1,000-char
+    stdout-tail budget must hold even once every query entry is shed —
+    the loop now sheds gate entries too, keeping b2_ratio (inserted
+    first) as the last gate standing."""
+    import json
+
+    import bench
+
+    timings = {k: 1.2345678 for k in bench.GATE_QUERY_KEYS}
+    timings["b2_spark_batched_per_query"] = 0.01
+    timings["b2_numpy_loop_per_query"] = 0.32
+    # simulate many rounds of gate growth: swell the gate dict itself
+    for k in list(bench.GATE_RATIO_KEYS):
+        timings[k] = 1.0
+    extra = tuple(f"b{90 + i}_future_round_gate_ratio_{i}" for i in range(60))
+    old = bench.GATE_RATIO_KEYS
+    bench.GATE_RATIO_KEYS = old + extra
+    try:
+        for k in extra:
+            timings[k] = 0.123456
+        line = bench.gate_line(timings, total=9.9, sf=0.1, cpus=32)
+    finally:
+        bench.GATE_RATIO_KEYS = old
+    assert len(line) < 1000
+    parsed = json.loads(line)
+    # headline gate survives every shed round
+    assert parsed["gates"]["b2_ratio"] == round(0.01 / 0.32, 4)
+
+
+def test_posix_scratch_dir_rejects_object_store_roots(spark, monkeypatch):
+    """ADVICE r9: SnapshotTable's commit backend is POSIX fsync+link;
+    with NVDB_SCRATCH_DIR pointing at hdfs://s3:// the snapshot
+    queries must fail fast at path resolution with an actionable
+    message, not deep inside a commit — and NVDB_POSIX_SCRATCH_DIR
+    routes snapshot roots to a POSIX mount independently."""
+    import pytest
+
+    from nebuia_vector_db_spark.session import posix_scratch_dir
+
+    monkeypatch.setenv("NVDB_SCRATCH_DIR", "s3://bucket/scratch")
+    with pytest.raises(ValueError, match="POSIX"):
+        posix_scratch_dir(spark, "snap")
+    monkeypatch.setenv("NVDB_POSIX_SCRATCH_DIR", "/mnt/shared_nfs")
+    p = posix_scratch_dir(spark, "snap")
+    assert p.startswith("/mnt/shared_nfs/_scratch/snap_")
+    monkeypatch.delenv("NVDB_SCRATCH_DIR")
+    monkeypatch.delenv("NVDB_POSIX_SCRATCH_DIR")
+    assert posix_scratch_dir(spark, "snap").startswith("/")

@@ -91,3 +91,21 @@ def test_empty_artifact_rejected(spark, model):
     art.total_tokens = 0
     with pytest.raises(ValueError):
         perplexity_filter_stream(None, art)
+
+
+def test_lm_artifact_row_cap_guards_driver_memory(spark, sf_smoke):
+    """VERDICT r9 watch item: the broadcast deployment path must fail
+    loudly on an over-budget vocabulary instead of driver-OOMing in
+    the collect, pointing at the batch scorer."""
+    import pytest
+
+    from nebuia_vector_db_spark.operators.lm import train_bigram_lm
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    model = train_bigram_lm(docs.where("lang = 'en'"))
+    with pytest.raises(ValueError, match="max_artifact_rows"):
+        lm_artifact(model, max_artifact_rows=3)
+    # within budget: builds normally
+    art = lm_artifact(model)
+    assert art.total_tokens > 0
