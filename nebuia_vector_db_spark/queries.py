@@ -6167,7 +6167,17 @@ REGISTRY: dict[
     # shortlist→re-rank pattern on bit codes. Displaces rollup_lineitem
     # (see its below-window justification).
     "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
-    "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
+    # radius/range vector search (round-10 promotion, VERDICT r9 task
+    # #1): ALL vectors above a similarity threshold — the
+    # selection-shaped vector query the reference's top-k-only API
+    # lacks (a pure pushed-down filter, no shuffle, no TakeOrdered
+    # cut: the only vs_* row whose result size is data-dependent).
+    # Takes vs_neardup_cos's slot: both are cosine-THRESHOLD
+    # selections, and the near-dup row's exact kernel (the same
+    # SQL-HOF dot product) stays recorded via every other vs_* row
+    # while its all-pairs blocking stays recorded via
+    # dedup_minhash_lsh/dedup_simhash; see the below-window note.
+    "vs_range_search": (q_vs_range_search, ORACLE_VS_RANGE),
     # doc-level late-interaction rollup (max/mean chunk sim + argmax)
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
     # dedup family (extension, SURVEY §2.3)
@@ -6189,7 +6199,18 @@ REGISTRY: dict[
     # slots, one hash); see its below-window justification.
     "dedup_drop_spans": (q_dedup_drop_spans, ORACLE_DEDUP_DROP_SPANS),
     # text analysis (extension, SURVEY §2.3)
-    "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
+    # streaming LM quality filter (round-10 promotion, VERDICT r9
+    # task #1 — "the strongest streaming row in the repo"): the CCNet
+    # deployment twin of the batch perplexity scorer, run through the
+    # micro-batch planner (AvailableNow) against a broadcast LM
+    # artifact; it shares the BATCH row's oracle SQL, so the recorded
+    # hash match certifies streaming ≡ batch ≡ ANSI SQL through the
+    # streaming engine. Takes text_tokens' slot: whitespace
+    # tokenize-and-count runs recorded inside text_lm3_perplexity's
+    # n_trans and text_quality's stats, and the BPE-ish regex
+    # estimate is superseded by the REAL BPE trainer (text_bpe_train,
+    # recorded rows-only); see text_tokens' below-window note.
+    "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
@@ -6209,11 +6230,16 @@ REGISTRY: dict[
     # drops ~95% of the rest) where the bigram's word-soup overlap
     # could not; the bigram sibling stays locally green below.
     "text_lm3_perplexity": (q_text_lm3_perplexity, ORACLE_TEXT_LM3_PPL),
-    # rank-based hybrid fusion (RRF) — the hybrid family's recorded
-    # rep since r9 (hybrid_search's weighted score fusion shares the
-    # keyword-scorer + vector-scorer + join spine; see its
-    # below-window justification)
-    "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
+    # BM25 + kNN reciprocal-rank fusion (round-10 promotion, VERDICT
+    # r9 task #1): the OpenSearch-default hybrid shape — Okapi BM25
+    # (k1/b length-normalized tf, idf floor) fused with vector ranks.
+    # Takes hybrid_rrf's slot: BOTH rows share the rank-fusion + join
+    # spine, but this one additionally records the BM25 scorer (df,
+    # avgdl, saturation arithmetic) that round 9 left locally green;
+    # the tf-idf keyword spine stays recorded via pipe_curate's
+    # weight relation consumers and locally green via hybrid_rrf /
+    # text_tfidf_neardup (below-window notes).
+    "hybrid_bm25_rrf": (q_hybrid_bm25_rrf, ORACLE_HYBRID_BM25_RRF),
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
     "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
@@ -6237,10 +6263,18 @@ REGISTRY: dict[
     # encode text bytes -> genuine PNG -> decode -> pixel stats,
     # SQL-replayed from the source text (lossless check)
     "mm_png_roundtrip": (q_mm_png_roundtrip, ORACLE_MM_PNG),
-    # REAL WAV codec round trip (RIFF chunk-walk parse, stats from
-    # decoded PCM) — supersedes the md5-fake mm_audio_windows in the
-    # window (round-3 swap; windowing mechanics stay locally green)
-    "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
+    # REAL lossless COMPRESSED audio codec (round-10 promotion,
+    # VERDICT r9 task #1): RFC 9639 FLAC subset — fixed predictors +
+    # Rice coding, frame CRC-8/CRC-16 verified, streaminfo PCM MD5 —
+    # decoded executor-side and hash-checked against the SQL-
+    # regenerated source signal (the lossless-codec oracle trick).
+    # Takes mm_audio_real's slot: the WAV row's decoded-PCM stats
+    # check is strictly subsumed (FLAC reaches the same PCM through
+    # an actual compression layer; WAV is a container walk), and the
+    # RIFF chunk grammar stays locally green via mm_video_frames
+    # (AVI is RIFF) and mm_audio_windows_real; see the below-window
+    # note.
+    "mm_flac_audio": (q_mm_flac_audio, ORACLE_MM_FLAC),
     # REAL H.264 baseline intra codec (round-9 promotion): Annex-B
     # NAL walk with emulation prevention, exp-Golomb SPS/PPS/slice
     # headers, I_PCM + I_16x16 V/H/DC intra prediction, CAVLC
@@ -6477,33 +6511,38 @@ REGISTRY: dict[
     #   comment); the bigram form stays pinned here, locally green,
     #   and feeds stream_ppl_filter's artifact path;
     "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
-    # hybrid_bm25_rrf: BM25 + kNN reciprocal-rank fusion (round 9) —
-    #   the OpenSearch-default hybrid shape; the fusion machinery is
-    #   recorded via hybrid_rrf (same ranks/joins, tf-idf keyword
-    #   signal); locally green;
-    "hybrid_bm25_rrf": (q_hybrid_bm25_rrf, ORACLE_HYBRID_BM25_RRF),
+    # hybrid_rrf: tf-idf + kNN reciprocal-rank fusion — demoted r10
+    #   for hybrid_bm25_rrf (same rank-fusion + join spine, plus the
+    #   BM25 scorer that had no recorded rep); the tf-idf weight/norm
+    #   relation stays exercised here and in text_tfidf_neardup;
+    #   locally green;
+    "hybrid_rrf": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
     # text_bm25_topk: Okapi BM25 keyword ranking (round 9) — the
     #   standard retrieval scorer; the keyword-scoring window slot is
     #   held by hybrid_rrf's tf-idf path; locally green;
     "text_bm25_topk": (q_text_bm25_topk, ORACLE_TEXT_BM25),
-    # stream_ppl_filter: streaming twin of text_lm_perplexity (round
-    #   9) — broadcast LM artifact, row-local scoring, no state store;
-    #   same oracle as the batch row, so the hash match certifies
-    #   streaming ≡ batch ≡ SQL (the streaming window slot is held by
-    #   stream_join_mirror's stateful join); locally green;
-    "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
-    # mm_flac_audio: LOSSLESS COMPRESSED audio (round 9, RFC 9639
-    #   subset — fixed predictors + Rice, CRC-verified, PCM MD5) —
-    #   the compressed-lossless cell WAV/ADPCM/MP2 cannot cover; the
-    #   recorded audio slots are held by mm_audio_real (container
-    #   round trip) and mm_mp2_audio (lossy perceptual bitstream);
-    #   locally green with a full hash oracle;
-    "mm_flac_audio": (q_mm_flac_audio, ORACLE_MM_FLAC),
-    # vs_range_search: radius query (round 9) — ALL vectors above a
-    #   similarity threshold, the selection-shaped vector query the
-    #   reference's top-k-only API lacks; pure filter, no shuffle;
-    #   the vector window slots are held by the ten vs_* reps;
-    "vs_range_search": (q_vs_range_search, ORACLE_VS_RANGE),
+    # text_tokens: whitespace + BPE-ish regex token counting —
+    #   demoted r10 for stream_ppl_filter (streaming ≡ batch ≡ SQL
+    #   through the micro-batch planner, previously unrecorded):
+    #   whitespace tokenize-and-count runs recorded inside
+    #   text_lm3_perplexity's n_trans and text_quality's stats; the
+    #   regex BPE estimate is superseded by the REAL BPE trainer
+    #   (text_bpe_train); locally green;
+    "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
+    # mm_audio_real: WAV/RIFF container round trip — demoted r10 for
+    #   mm_flac_audio, which reaches the SAME decoded-PCM stats check
+    #   through an actual compression layer (fixed predictors + Rice
+    #   + CRC) rather than a chunk walk; RIFF grammar stays locally
+    #   green here and via mm_video_frames (AVI is RIFF);
+    "mm_audio_real": (q_mm_audio_real, ORACLE_MM_WAV),
+    # vs_neardup_cos: exact embedding-cosine near-dup pairs —
+    #   demoted r10 for vs_range_search (cosine-threshold selection
+    #   in its query-vs-corpus engine-API form, a pure pushed-down
+    #   filter with data-dependent cardinality); the exact cosine
+    #   kernel (the same SQL HOF) stays recorded via every vs_* row
+    #   and the all-pairs blocking via dedup_minhash_lsh /
+    #   dedup_simhash; locally green;
+    "vs_neardup_cos": (q_vs_neardup_cos, ORACLE_VS_NEARDUP),
     # pipe_quality_classifier: discriminative model-based quality
     #   filter (round 9, GPT-3 WebText-classifier pattern) — hashed-
     #   BoW logistic regression distilling the heuristic composite;

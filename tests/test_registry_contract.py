@@ -45,9 +45,11 @@ _REQUIRED_IN_WINDOW = {
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
     "vs_ivf_batch", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
     "vs_bq_rerank",
-    # embedding near-dup (exact; the RP-LSH sketch join demoted r4 —
-    # sketch-blocking stays covered by dedup_minhash_lsh/dedup_simhash)
-    "vs_neardup_cos",
+    # cosine-threshold selection (r10: vs_range_search — the radius
+    # query engine-API form — takes vs_neardup_cos's slot; the exact
+    # cosine kernel stays recorded via every vs_* row, all-pairs
+    # blocking via dedup_minhash_lsh/dedup_simhash)
+    "vs_range_search",
     # dedup family (dedup_substring = span-level diagnosis, promoted
     # r4; dedup_drop_spans = span REMOVAL, promoted r6 displacing
     # dedup_ngram_jaccard — whose recorded output was byte-identical
@@ -68,12 +70,16 @@ _REQUIRED_IN_WINDOW = {
     # keeps five recorded reps. The slot is held by the ORDER-3 LM
     # row: strictly more machinery than the bigram sibling plus real
     # fixture separation)
-    "text_tokens", "text_quality", "text_langid",
+    # (text_tokens demoted r10 for stream_ppl_filter — whitespace
+    # tokenize+count runs recorded inside text_lm3_perplexity's
+    # n_trans and text_quality; the regex BPE estimate is superseded
+    # by the real BPE trainer)
+    "text_quality", "text_langid",
     "text_boilerplate", "text_lm3_perplexity",
-    # hybrid retrieval (hybrid_search demoted r9 — weighted score
-    # fusion shares the keyword+vector scorer spine with the recorded
-    # rank-fusion row; displaced by snap_engine_lifecycle)
-    "hybrid_rrf",
+    # hybrid retrieval (hybrid_search demoted r9, hybrid_rrf demoted
+    # r10: the BM25+kNN RRF row shares the rank-fusion + join spine
+    # and additionally records the BM25 scorer)
+    "hybrid_bm25_rrf",
     # training-data pipeline (pipe_stratified_sample demoted r9 for
     # pipe_dsir_select — importance resampling is the sampling
     # family's strongest form; the md5-uniform stratum gate runs
@@ -94,7 +100,10 @@ _REQUIRED_IN_WINDOW = {
     # walk reaches. mm_mp2_audio promoted r9: MPEG-1 Layer II lossy
     # perceptual bitstream — a decode layer the lossless WAV row
     # cannot reach.
-    "mm_png_roundtrip", "mm_audio_real", "mm_mkv_frames",
+    # (mm_audio_real demoted r10 for mm_flac_audio — the FLAC row
+    # reaches the same decoded-PCM stats through a real compression
+    # layer; RIFF grammar stays locally green via the AVI row)
+    "mm_png_roundtrip", "mm_flac_audio", "mm_mkv_frames",
     "mm_color_roundtrip", "mm_h264_iframes", "mm_mp2_audio",
     # transactional storage (SnapshotTable COW delete — round 3;
     # snap_engine_lifecycle promoted r9: the VectorEngine facade
@@ -119,6 +128,10 @@ _REQUIRED_IN_WINDOW = {
     # streaming execution path (promoted r6): stream-stream join via
     # the micro-batch engine, hash-matched to the batch range join
     "stream_join_mirror",
+    # streaming LM quality filter (promoted r10): stateless broadcast-
+    # artifact scoring through the micro-batch planner, sharing the
+    # batch row's oracle so the hash certifies streaming ≡ batch ≡ SQL
+    "stream_ppl_filter",
 }
 
 
