@@ -6052,6 +6052,323 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+# --------------------------------------------------------------------------
+# Synthetic partsupp (round 10, VERDICT r9 task #3): the fixture set has
+# no partsupp.parquet, which blocked TPC-H q2/q9/q11/q20. BOTH engines
+# derive the relation deterministically from part × count(supplier) with
+# identical integer arithmetic, so the differential stays a real
+# cross-engine check: Spark and DuckDB each construct partsupp
+# independently and every downstream aggregate must still hash-match.
+# Shape follows dbgen (TPC-H spec §4.2.3: 4 suppliers per part, spread
+# across the key space): ps_suppkey_i = (p_partkey + i·step) mod S with
+# step = max(S div 4, 1) — the four keys are distinct for every S ≥ 4
+# because 3·step < S. availqty and supplycost are modular mixes of the
+# keys; supplycost is INTEGER CENTS (1.00–1000.00 dollars) so q2/q9/q11
+# arithmetic stays exact BIGINT end-to-end (the float-exact oracle
+# recipe). At 100 TB: partsupp = 4× the part scan, derived MAP-SIDE
+# (one broadcast of the 1-row supplier count) — never materialized,
+# no shuffle, no storage.
+# --------------------------------------------------------------------------
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("_s")
+    )
+    step = F.greatest(F.expr("_s div 4"), F.lit(1))
+    suppkey = (F.col("p_partkey") + F.col("_i") * step) % F.col("_s")
+    return (
+        part.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            "p_size",
+            "_s",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "p_name",
+            "p_type",
+            "p_size",
+            suppkey.alias("ps_suppkey"),
+            (
+                (F.col("p_partkey") * 7 + F.col("_i") * 13) % 9999 + 1
+            ).alias("ps_availqty"),
+            (
+                (
+                    F.col("p_partkey") * 31
+                    + suppkey * 17
+                    + F.col("_i") * 7
+                )
+                % 99900
+                + 100
+            ).alias("ps_supplycost_cents"),
+        )
+    )
+
+
+# The oracle-side twin: a WITH prefix every partsupp oracle starts from.
+_SQL_PARTSUPP = """
+WITH scnt AS (SELECT count(*) AS s FROM supplier),
+ps AS (
+  SELECT p_partkey AS ps_partkey, p_name, p_type, p_size,
+         (p_partkey + i.i * GREATEST(s // 4, 1)) % s AS ps_suppkey,
+         (p_partkey * 7 + i.i * 13) % 9999 + 1 AS ps_availqty,
+         (p_partkey * 31
+          + ((p_partkey + i.i * GREATEST(s // 4, 1)) % s) * 17
+          + i.i * 7) % 99900 + 100 AS ps_supplycost_cents
+  FROM part, scnt, (SELECT unnest([0, 1, 2, 3]) AS i) AS i
+)
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), on the synthetic partsupp:
+    for small STANDARD parts, the EUROPE supplier(s) whose supply
+    cost equals the REGIONAL minimum for that part. The correlated
+    min subquery decorrelates to one groupBy over the regional
+    partsupp relation joined back on (partkey, cost == min) — the
+    textbook Catalyst-friendly rewrite; supplier/nation/region
+    broadcast, the min-join shuffles on partkey only (partsupp
+    scale, not lineitem scale). Output ordering is fully
+    deterministic: (s_acctbal DESC, n_name, s_name, p_partkey) is
+    unique because (p_partkey, supplier) is unique after the
+    min-join. Cites reference scope: the reference has no relational
+    tier at all (main.go:162-167 — four vector routes); this is
+    extension surface per SURVEY §2.4."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    regional = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    min_cost = regional.groupBy(
+        F.col("ps_partkey").alias("_mk")
+    ).agg(F.min("ps_supplycost_cents").alias("_mc"))
+    return (
+        regional.where(
+            (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+        )
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mk"))
+            & (F.col("ps_supplycost_cents") == F.col("_mc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "ps_supplycost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q2 = _SQL_PARTSUPP + """,
+regional AS (
+  SELECT ps.*, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+mc AS (SELECT ps_partkey AS mk, min(ps_supplycost_cents) AS mcents
+       FROM regional GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+       ps_supplycost_cents
+FROM regional JOIN mc ON ps_partkey = mk AND ps_supplycost_cents = mcents
+WHERE p_size <= 10 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), on the synthetic partsupp:
+    profit = l_extendedprice·(1−l_discount) −
+    ps_supplycost·l_quantity over 'red' parts, by supplier nation ×
+    order year. Plan shape: lineitem is the only large input —
+    partsupp (4× the part scan, derived map-side, 'red' filter
+    pushed before the join) broadcasts along with supplier and
+    nation; only the orders join shuffles on orderkey. The amount
+    expression mirrors the oracle operand-for-operand (supplycost
+    enters as cents·qty/100, both exact-rounded IEEE ops) and
+    _dsum's per-term micro-unit quantization makes the double sum
+    engine- and order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir).where(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ) - F.col("ps_supplycost_cents") * F.col("l_quantity") / F.lit(100)
+    return (
+        li.join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_r(_dsum(F.col("amount")), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_AMOUNT = (
+    "l_extendedprice * (1 - l_discount)"
+    " - ps_supplycost_cents * l_quantity / 100"
+)
+ORACLE_TPCH_Q9 = _SQL_PARTSUPP + f"""
+SELECT nation, o_year,
+       {_sql_r(_sql_dsum('amount'), 2)} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         {_Q9_AMOUNT} AS amount
+  FROM lineitem
+  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), on the synthetic partsupp: per
+    part, the NATION_15 inventory value sum(supplycost·availqty),
+    keeping parts whose value exceeds 1/500 of the national total.
+    Everything stays BIGINT cents — the HAVING threshold is the
+    integer comparison value·500 > total (no division anywhere), so
+    the hash match is exact by construction. Plan: one groupBy on
+    partkey over the nation-filtered derived relation; the global
+    total is a 1-row broadcast (scalar-subquery decorrelation), NOT
+    a second scan of a materialized table."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_15"
+    )
+    national = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    total = national.agg(F.sum("value_cents").alias("_t"))
+    return (
+        national.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 500 > F.col("_t"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+ORACLE_TPCH_Q11 = _SQL_PARTSUPP + """,
+national AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+           AS value_cents
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_15'
+  GROUP BY 1)
+SELECT ps_partkey, value_cents
+FROM national
+WHERE value_cents * 500 > (SELECT sum(value_cents) FROM national)
+ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), on the synthetic
+    partsupp: AMERICA suppliers holding excess stock of 'red…'
+    parts — availqty > half the 1996 shipped quantity of that
+    (part, supplier). The nested correlated form decorrelates to:
+    lineitem 1996 groupBy (partkey, suppkey) → INNER join to the
+    red-filtered partsupp (the inner join reproduces the spec's
+    NULL-comparison semantics: a pair with no 1996 shipments makes
+    the correlated sum NULL, which fails '>') → integer excess test
+    availqty·2 > qty (exact: quantities are integral) → LEFT SEMI
+    join into supplier. One shuffle on (partkey, suppkey); supplier,
+    nation, region broadcast; the oracle replays the LITERAL nested
+    IN/correlated-subquery form so the differential also certifies
+    the decorrelation."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_qty")
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .where(F.col("p_name").startswith("red"))
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") * 2 > F.col("_qty"))
+        .select("ps_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "AMERICA"
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(excess, supp.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_TPCH_Q20 = _SQL_PARTSUPP + """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'AMERICA' AND s_suppkey IN (
+  SELECT ps_suppkey FROM ps
+  WHERE p_name LIKE 'red%'
+    AND ps_availqty * 2 > (
+      SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'))
+ORDER BY s_name
+"""
+
+
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting), adapted: 'late'
     is ship lag > 365 days (no commit/receipt dates). The textbook
@@ -6306,7 +6623,15 @@ REGISTRY: dict[
     "mm_color_roundtrip": (q_mm_color_roundtrip, ORACLE_MM_COLOR),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
-    "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
+    # TPC-H Q9 profit rollup (round-10 promotion, VERDICT r9 task
+    # #3): the first partsupp query — both engines DERIVE partsupp
+    # independently (_partsupp / _SQL_PARTSUPP, dbgen §4.2.3 shape),
+    # so the hash match certifies the derivation AND the 5-table
+    # join/agg. Takes tpch_q3's slot: join+agg+sort stays pinned by
+    # q9's strictly-larger join tree plus tpch_q1/q21, and q3's
+    # TakeOrdered cut by the ten vs_* rows; see the below-window
+    # note.
+    "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     # SnapshotTable ACID copy-on-write delete — transactional storage
     # is a new family with no other window representative (round-3
     # swap for tpch_q4: the EXISTS/semi-join semantic stays pinned
@@ -6673,6 +6998,21 @@ REGISTRY: dict[
     "tpch_q8": (q_tpch_q8, ORACLE_TPCH_Q8),
     "tpch_q12": (q_tpch_q12, ORACLE_TPCH_Q12),
     "tpch_q16": (q_tpch_q16, ORACLE_TPCH_Q16),
+    # tpch_q3: shipping-priority join+agg+top-k — demoted r10 for
+    #   tpch_q9 (the partsupp profit rollup, a strictly larger join
+    #   tree over the same spine); agg-before-sort stays pinned by
+    #   tpch_q1/q21 and the TakeOrdered cut by every vs_* row;
+    #   locally green;
+    "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
+    # Round-10 partsupp siblings (VERDICT r9 task #3): q2/q11/q20
+    # complete the TPC-H set on the derived partsupp. In-window rep
+    # is tpch_q9 (the largest join tree + the quantized-double agg);
+    # these pin the decorrelated-min join (q2), the integer-exact
+    # global-threshold HAVING (q11) and the nested-semi + correlated
+    # NULL-semantics excess test (q20); all locally green.
+    "tpch_q2": (q_tpch_q2, ORACLE_TPCH_Q2),
+    "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
+    "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
 }
 
 

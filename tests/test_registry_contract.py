@@ -116,7 +116,10 @@ _REQUIRED_IN_WINDOW = {
     # agg-before-dim-join stays pinned by tpch_q3; rollup_lineitem
     # demoted r9 for vs_bq_rerank — partial/final hash agg stays
     # pinned by tpch_q1, Expand shape locally green)
-    "tpch_q1", "tpch_q3", "tpch_q21",
+    # (tpch_q3 demoted r10 for tpch_q9 — the synthetic-partsupp
+    # profit rollup, a strictly larger join tree over the same
+    # join+agg spine; q3 stays locally green below the window)
+    "tpch_q1", "tpch_q9", "tpch_q21",
     "approx_cardinality", "orders_running_revenue",
     "fuzzy_name_match", "skew_salted_join",
     # events (events_sliding demoted r6 — tumbling/sliding share the
