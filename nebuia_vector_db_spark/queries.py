@@ -3543,6 +3543,102 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (round 10, VERDICT r9 task #4): every
+    document renders to a REAL PNG (attach_png_assets), is decoded
+    back through the real codec, and hashed with dHash — an 8×9
+    block-mean grid whose 64 bits are decided by cross-multiplied
+    INTEGER sums, packed as four 16-bit bands that double as the
+    pigeonhole LSH blocking key (hamming ≤ 3 ⇒ ≥ 1 band equal).
+    Candidates verify with exact XOR+POPCNT Hamming. Because the
+    pixels are the text bytes and every comparison is integer, DuckDB
+    replays decode→grid→bits→bands→blocking→verify bit-for-bit from
+    the text column — the full sketch pipeline is hash-certified, the
+    same discipline as dedup_simhash. The pHash (DCT) sibling shares
+    the banding/pair machinery (operators/imagehash.py) and is
+    pytest-pinned (float DCT is not SQL-replayable).
+
+    Scale: hashing is map-side decode work on the image scan; the
+    band join is posting-list-shaped with a broadcast anti-join
+    hot-band guard (an all-black-thumbnail band at web scale)."""
+    from nebuia_vector_db_spark.multimodal.assets import attach_png_assets
+    from nebuia_vector_db_spark.operators.imagehash import (
+        hash_band_pairs,
+        image_dhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") >= 225  # 8 full 32-px rows => stable grid
+    )
+    hashed = image_dhash_bands(attach_png_assets(docs))
+    return hash_band_pairs(hashed, max_hamming=3, max_band_df=64).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+ORACLE_DEDUP_DHASH = f"""
+WITH a AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         ((octet_length(encode(text)) + 31) // 32) AS h
+  FROM documents
+  WHERE octet_length(encode(text)) >= 225
+),
+px AS (
+  SELECT doc_id, h, CAST(t.i AS BIGINT) AS i,
+         CASE WHEN t.i < nb THEN {_HEXVAL_HI} ELSE 0 END AS v
+  FROM a, LATERAL unnest(range(h * 32)) AS t(i)
+),
+cells AS (
+  SELECT doc_id,
+         ((i // 32) * 8) // h AS br,
+         ((i % 32) * 9) // 32 AS bc,
+         sum(v) AS s, count(*) AS n
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT l.doc_id, l.br AS r, l.bc AS c,
+         CASE WHEN l.s * r2.n > r2.s * l.n THEN 1 ELSE 0 END AS bit
+  FROM cells l JOIN cells r2
+    ON l.doc_id = r2.doc_id AND l.br = r2.br AND r2.bc = l.bc + 1
+  WHERE l.bc < 8
+),
+bands AS (
+  SELECT doc_id, r // 2 AS k,
+         CAST(sum(bit * power(2, (r % 2) * 8 + c)) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2
+),
+ok_bands AS (
+  SELECT k, val FROM bands GROUP BY 1, 2 HAVING count(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN ok_bands o ON x.k = o.k AND x.val = o.val
+  JOIN bands y ON y.k = x.k AND y.val = x.val AND x.doc_id < y.doc_id
+),
+hs AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN val END) AS b0,
+         max(CASE WHEN k = 1 THEN val END) AS b1,
+         max(CASE WHEN k = 2 THEN val END) AS b2,
+         max(CASE WHEN k = 3 THEN val END) AS b3
+  FROM bands GROUP BY 1
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
+          + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3))
+            AS INT) AS hamming
+FROM cand
+JOIN hs xa ON xa.doc_id = doc_a
+JOIN hs xb ON xb.doc_id = doc_b
+WHERE bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
+    + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+
+
 def q_fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL pipe syntax (Spark 4 `|>`, round 4): the TPC-H Q1 pricing
     summary re-expressed as a pipe chain — FROM |> WHERE |> EXTEND |>
@@ -6498,7 +6594,16 @@ REGISTRY: dict[
     # doc-level late-interaction rollup (max/mean chunk sim + argmax)
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
     # dedup family (extension, SURVEY §2.3)
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    # perceptual image near-dup (round-10 promotion, VERDICT r9 task
+    # #4): dHash over DECODED real-PNG pixels — integer block-mean
+    # grid, 4×16-bit pigeonhole bands, broadcast-anti-join hot-band
+    # guard, exact XOR+POPCNT verify — the LAION-style multimodal
+    # dedup pass the pipeline tier lacked; the ENTIRE sketch pipeline
+    # is SQL-replayed (like dedup_simhash). Takes dedup_exact's slot:
+    # exact-hash dedup stays recorded inside pipe_curate's dup-drop
+    # stage (md5-fingerprint anti-join) and the dedup family keeps
+    # six recorded reps; see dedup_exact's below-window note.
+    "dedup_dhash": (q_dedup_dhash, ORACLE_DEDUP_DHASH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
@@ -6677,6 +6782,14 @@ REGISTRY: dict[
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
+    # Round-10 demotion:
+    # dedup_exact: md5-fingerprint groupBy keep-first — demoted r10
+    #   for dedup_dhash (perceptual image near-dup, a capability with
+    #   NO prior recorded representative); exact-hash dedup runs
+    #   recorded inside pipe_curate's dup-drop stage and the
+    #   fingerprint groupBy inside dedup_groups' edge relation;
+    #   locally green;
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     # Round-9 demotions (VERDICT r8 task #1 rotation):
     # mm_video_frames: RIFF/AVI demux + JPEG decode — its oracle was
     #   shared VERBATIM with the recorded mm_mp4_frames (two window

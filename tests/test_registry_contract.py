@@ -58,7 +58,10 @@ _REQUIRED_IN_WINDOW = {
     # by the recorded minhash row. text_fingerprint demoted r4 —
     # shingle hashing stays recorded via dedup_minhash_lsh,
     # tokenization via text_tokens)
-    "dedup_exact", "dedup_minhash_lsh",
+    # (dedup_exact demoted r10 for dedup_dhash — perceptual image
+    # near-dup; exact-hash dedup stays recorded inside pipe_curate's
+    # dup-drop and dedup_groups' edge relation)
+    "dedup_dhash", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_groups", "dedup_substring",
     "dedup_drop_spans",
     # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
