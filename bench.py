@@ -1409,11 +1409,21 @@ def main() -> None:
     b14_assets = attach_mp2_assets(b14_docs).cache()
     b14_assets.count()
     timings["b14_mp2_encode_sec"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
+    # median-of-3 (VERDICT r9 task #5: the single-shot number swung
+    # 7.3 -> 21 s across rounds with the codec untouched — box load,
+    # not regression). The first call doubles as warmup + the count
+    # source; each timed call builds a FRESH DataFrame so AQE can't
+    # reuse materialized stages (the b10 trap).
     b14_row = decode_audio_mp2(b14_assets).agg(
         F.sum("n_frames").alias("nf"), F.sum("total_bytes").alias("nb")
     ).head()
-    dt = time.perf_counter() - t0
+    dt = _median_time(
+        lambda: decode_audio_mp2(b14_assets)
+        .agg(F.sum("n_frames"))
+        .head(),
+        runs=3,
+        warmup=0,
+    )
     timings["b14_mp2_decode_sec"] = round(dt, 4)
     timings["b14_mp2_frames_total"] = int(b14_row["nf"])
     timings["b14_mp2_decode_frames_per_sec"] = round(

@@ -671,3 +671,22 @@ def test_posix_scratch_dir_rejects_object_store_roots(spark, monkeypatch):
     monkeypatch.delenv("NVDB_SCRATCH_DIR")
     monkeypatch.delenv("NVDB_POSIX_SCRATCH_DIR")
     assert posix_scratch_dir(spark, "snap").startswith("/")
+
+
+def test_bench_compare_skips_derived_throughput_rows():
+    """VERDICT r9 task #5: *_per_sec / *_fps rows are the inverse of a
+    timed sibling — flagging both double-reports one mover. Only the
+    _sec row flags; pinned counts still hard-flag."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_compare as bc
+
+    d = bc.diff(
+        {"a_sec": 2.0, "a_frames_per_sec": 50.0, "a_frames_total": 100},
+        {"a_sec": 1.0, "a_frames_per_sec": 100.0, "a_frames_total": 100},
+    )
+    assert "a_sec" in d["timed_moved"]
+    assert "a_frames_per_sec" not in d["timed_moved"]
+    d2 = bc.diff({"n_total": 4}, {"n_total": 5})
+    assert d2["pinned_moved"] == {"n_total": [5, 4]}

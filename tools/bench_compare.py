@@ -43,9 +43,22 @@ _PINNED_RE = re.compile(
 )
 _TIMED_FLAG = 1.5
 
+# Derived-throughput rows (*_per_sec / *_fps) are the inverse of a
+# timed sibling over a deterministic count: when the _sec row moves,
+# these move identically, so flagging both double-reports ONE mover
+# and buries real signal (VERDICT r9 task #5 — the b14 fps swing was
+# box load showing up twice). They are skipped from timed_moved; the
+# _sec sibling carries the flag, and the counts they divide by are
+# _total rows, which stay PINNED.
+_DERIVED_RE = re.compile(r"(_per_sec$)|(_fps$)")
+
 
 def _is_pinned(key: str) -> bool:
     return _PINNED_RE.search(key) is not None
+
+
+def _is_derived(key: str) -> bool:
+    return _DERIVED_RE.search(key) is not None
 
 
 def load_committed(path: str = "BENCH_SELF.json") -> dict | None:
@@ -75,6 +88,8 @@ def diff(new_q: dict, old_q: dict) -> dict:
         if _is_pinned(key):
             if a != b:
                 pinned_moved[key] = [a, b]
+        elif _is_derived(key):
+            continue  # inverse of a timed sibling; _sec carries the flag
         else:
             lo, hi = sorted([abs(a), abs(b)])
             # sub-50ms rows sit at the dispatch floor; noise, not signal
