@@ -3375,6 +3375,27 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges).orderBy("rank")
 
 
+def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    round 10 — VERDICT r9 task #7, the sibling of text_bpe_train):
+    substring seeding over the distinct-word relation, SOFT-EM
+    forward-backward fitting with micro-unit-quantized expected
+    counts (order-independent integer sums), expected-count pruning
+    to the target vocabulary with all single chars kept
+    (operators/unigram.py has the 100 TB posture and the honesty
+    line). Rows-only driver check — iterative EM is the sanctioned
+    non-SQL-expressible case; tests/test_unigram.py certifies seed,
+    EM totals, pruned vocab and the Viterbi encoder against a
+    from-scratch pure-Python reference."""
+    from nebuia_vector_db_spark.operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram.train_unigram(
+        docs, vocab_size=400, seed_size=600, n_em=2, max_words=20_000
+    )
+    return unigram.vocab_df(spark, vocab).orderBy("rank")
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup: pairs of documents sharing
     verbatim 32-char spans, found via WINNOWED k-gram anchors (round
@@ -6998,6 +7019,15 @@ REGISTRY: dict[
     #   certifies the merge table and encoder against a from-scratch
     #   pure-Python Sennrich reference instead.
     "text_bpe_train": (q_text_bpe_train, None),
+    # text_unigram_train: SentencePiece unigram-LM trainer (round 10)
+    #   — the EM-fitted prune-down sibling of the BPE merge-up
+    #   trainer; rows-only sanctioned (iterative EM), reference-
+    #   equality pytest-pinned; the tokenizer-training window slot is
+    #   held by text_bpe_train's family justification (both live
+    #   below the window; the REAL-tokenizer capability is recorded
+    #   via the rows-only checks the driver applies to all registry
+    #   entries it records — and stays locally certified here);
+    "text_unigram_train": (q_text_unigram_train, None),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
