@@ -507,3 +507,38 @@ def test_exact_dedup_winner_is_partial_agg_not_window(spark, sf_oracle):
     assert "Window" not in plan, "per-fp row_number window is back"
     assert "partial_min" in plan, "winner lost its map-side combine"
     assert "LeftSemi" in plan
+
+
+def test_tpch_q9_lineitem_only_large_input(spark, sf_oracle):
+    """Round 10: the partsupp profit rollup must keep lineitem as the
+    ONLY shuffled input — the derived partsupp, supplier and nation
+    all broadcast; budget = the orderkey join + the final group agg.
+    The lineitem scan must also prune to the 6 needed columns."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        has_broadcast_join,
+        scan_read_schema,
+        shuffle_count,
+    )
+
+    df = Q.q_tpch_q9(spark, sf_oracle)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+    li = [s for s in scan_read_schema(df) if "l_extendedprice" in s]
+    assert li and "l_returnflag" not in li[0]  # unprojected → pruned
+
+
+def test_dedup_dhash_hot_band_guard_is_broadcast(spark, sf_oracle):
+    """Round 10: the perceptual-hash pair join must drop hot bands via
+    a BROADCAST anti-join (map-side, the skew-safe shape), never a
+    window over the band key; bounded shuffle budget for
+    explode-groupBy + self-join + distinct."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = Q.q_dedup_dhash(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "Window" not in plan
+    assert shuffle_count(df) <= 5
