@@ -899,6 +899,87 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, round 10): cluster-then-dedup over
+    the embedding corpus — md5-hyperplane sign buckets (8 clusters),
+    quantized-integer per-dimension centroids, within-cluster pairs at
+    cosine >= 0.35, and the paper's keep rule: every pair's member
+    CLOSER to its cluster centroid is dropped, keeping the
+    information-rich edge example. The ENTIRE pass (planes -> buckets
+    -> centroid means -> pair cosines -> keep rule) is replayed by the
+    DuckDB oracle; the k-means clustering variant plugs in through
+    semdedup(buckets=...) and is pytest-pinned instead
+    (operators/semdedup.py has the 100 TB posture and scope note)."""
+    from nebuia_vector_db_spark.operators.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    return (
+        semdedup(emb, threshold=0.35, n_planes=3)
+        .select(
+            "vec_id",
+            "bucket",
+            _r(F.col("sim_centroid"), 6).alias("sim_centroid"),
+            "dropped",
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_DEDUP_SEMDEDUP = """
+WITH planes AS (
+  SELECT CAST(j.j AS INT) AS j,
+         list_transform(range(64), d ->
+           CAST(((strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 4, 1)) - 1) * 1) - 32768 AS DOUBLE)) AS p
+  FROM range(3) AS j(j)
+),
+mem AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                  THEN power(2, pl.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.v
+),
+centd AS (
+  SELECT bucket, t.d AS d,
+         CAST(sum(CAST(floor(v[t.d + 1] * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS qs,
+         count(*) AS n
+  FROM mem, LATERAL unnest(range(64)) AS t(d)
+  GROUP BY bucket, t.d
+),
+cent AS (
+  SELECT bucket, max(n) AS n_members,
+         list(qs / (1000000.0 * n) ORDER BY d) AS c
+  FROM centd GROUP BY bucket
+),
+scored AS (
+  SELECT m.vec_id, m.bucket, m.v, c.n_members,
+         CAST(floor(list_dot_product(m.v, c.c)
+              / (sqrt(list_dot_product(m.v, m.v))
+                 * sqrt(list_dot_product(c.c, c.c)))
+              * 1000000 + 0.5) AS BIGINT) AS cq
+  FROM mem m JOIN cent c USING (bucket)
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN (sa.cq > sb.cq)
+                         OR (sa.cq = sb.cq AND sa.vec_id > sb.vec_id)
+                       THEN sa.vec_id ELSE sb.vec_id END AS vec_id
+  FROM scored sa JOIN scored sb
+    ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+  WHERE sa.n_members <= 128
+    AND list_dot_product(sa.v, sb.v)
+        / (sqrt(list_dot_product(sa.v, sa.v))
+           * sqrt(list_dot_product(sb.v, sb.v))) >= 0.35
+)
+SELECT s.vec_id, s.bucket,
+       floor(cq / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS sim_centroid,
+       s.vec_id IN (SELECT vec_id FROM losers) AS dropped
+FROM scored s
+ORDER BY vec_id
+"""
+
+
 # ==========================================================================
 # Text analysis (extension surface, SURVEY §2.3)
 # ==========================================================================
@@ -6695,8 +6776,17 @@ REGISTRY: dict[
     # stays recorded inside pipe_curate's split stage and
     # pipe_epoch_shuffle's deterministic ordering.
     "pipe_dsir_select": (q_pipe_dsir_select, ORACLE_PIPE_DSIR),
-    # deterministic epoch shuffle/sharding for training dataloaders
-    "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
+    # SemDeDup (round-10 promotion, Abbas et al. 2023): CLUSTER-based
+    # semantic dedup over embeddings — md5-hyperplane buckets,
+    # quantized-integer centroids, within-cluster cosine pairs and
+    # the keep-the-centroid-distant-member rule, ALL replayed by the
+    # oracle — a capability family (cluster -> centroid -> semantic
+    # drop decision) no pair-listing near-dup row reaches. Takes
+    # pipe_epoch_shuffle's slot: md5-ordered deterministic
+    # shuffling/sharding stays recorded inside pipe_curate's split
+    # gating and pipe_dataset_split, and the epoch row stays locally
+    # green below the window.
+    "dedup_semdedup": (q_dedup_semdedup, ORACLE_DEDUP_SEMDEDUP),
     "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
     # flagship composition: quality gate + lang allowlist + dup drop +
     # split + corpus card in one plan
@@ -6803,7 +6893,14 @@ REGISTRY: dict[
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
-    # Round-10 demotion:
+    # Round-10 demotions:
+    # pipe_epoch_shuffle: deterministic md5-keyed epoch shuffle +
+    #   shard assignment — demoted r10 for dedup_semdedup (cluster-
+    #   based semantic dedup, a family with NO prior recorded rep);
+    #   the md5-order gating runs recorded inside pipe_curate's split
+    #   stage and the shard arithmetic inside pipe_dataset_split;
+    #   locally green;
+    "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
     # dedup_exact: md5-fingerprint groupBy keep-first — demoted r10
     #   for dedup_dhash (perceptual image near-dup, a capability with
     #   NO prior recorded representative); exact-hash dedup runs

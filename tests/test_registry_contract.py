@@ -87,9 +87,14 @@ _REQUIRED_IN_WINDOW = {
     # pipe_dsir_select — importance resampling is the sampling
     # family's strongest form; the md5-uniform stratum gate runs
     # recorded inside pipe_curate's split stage)
+    # (pipe_epoch_shuffle demoted r10 for dedup_semdedup — the
+    # md5-order gate runs recorded inside pipe_curate's split stage)
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_dsir_select",
-    "pipe_epoch_shuffle", "pipe_upsert_latest", "pipe_curate",
+    "pipe_upsert_latest", "pipe_curate",
+    # SemDeDup (promoted r10): cluster-based semantic dedup with the
+    # full pass SQL-replayed — see queries.py's in-window comment
+    "dedup_semdedup",
     # multimodal (mm_png_roundtrip / mm_audio_real / mm_color_roundtrip
     # = REAL codecs; supersede fake-codec mm_image_features/
     # mm_audio_windows and byte-delta mm_scene_changes)
