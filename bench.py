@@ -1564,6 +1564,49 @@ def main() -> None:
     timings["b17_clf_score_docs_per_sec"] = round(b17_n / max(dt, 1e-9), 1)
     b17_docs.unpersist()
 
+    # ---- B18 (round 10): perceptual image near-dup + SemDeDup.
+    # dHash: real PNG encode + decode + hash over a bounded 1024-doc
+    # sample (decode dominates — the b13/b14 codec discipline), then
+    # the banded pair join. SemDeDup: the full md5-hyperplane pass
+    # over the sf embedding corpus. The *_total rows are
+    # deterministic (pinned by bench_compare); timings are timed rows.
+    from nebuia_vector_db_spark.multimodal.assets import attach_png_assets
+    from nebuia_vector_db_spark.operators.imagehash import (
+        hash_band_pairs,
+        image_dhash_bands,
+    )
+    from nebuia_vector_db_spark.operators.semdedup import semdedup
+
+    b18_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.octet_length("text") >= 225)
+        .limit(1024)
+        .cache()
+    )
+    b18_docs.count()
+    t0 = time.perf_counter()
+    b18_hashed = image_dhash_bands(attach_png_assets(b18_docs)).cache()
+    b18_n_hashed = b18_hashed.count()
+    timings["b18_dhash_hash_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b18_dhash_imgs_total"] = int(b18_n_hashed)
+    t0 = time.perf_counter()
+    b18_pairs = hash_band_pairs(b18_hashed, max_hamming=3).count()
+    timings["b18_dhash_pairs_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b18_dhash_pairs_total"] = int(b18_pairs)
+    b18_hashed.unpersist()
+    b18_docs.unpersist()
+    b18_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    b18_emb.count()
+    t0 = time.perf_counter()
+    b18_dropped = (
+        semdedup(b18_emb, threshold=0.35, n_planes=3)
+        .where("dropped")
+        .count()
+    )
+    timings["b18_semdedup_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b18_semdedup_dropped_total"] = int(b18_dropped)
+    b18_emb.unpersist()
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile

@@ -253,6 +253,44 @@ class VectorEngine:
             min_similarity,
         )
 
+    def range_search(
+        self,
+        collection_name: str,
+        query_vector: Sequence[float],
+        min_similarity: float,
+        where: "F.Column | str | None" = None,
+    ) -> DataFrame:
+        """Radius query (extension; registry row `vs_range_search`):
+        ALL chunks of the collection at/above the similarity threshold
+        — selection-shaped, so the result size is data-dependent and
+        there is NO top-k cut anywhere in the plan (the reference API
+        is top-k-only, main.go:351-367). A pure pushed-down filter
+        over the scored scan; rows are ordered (doc_id, position) for
+        deterministic presentation, which is the only exchange in the
+        plan."""
+        if self.dim is not None and len(query_vector) != self.dim:
+            raise DimensionMismatchError(
+                f"query dim {len(query_vector)} != engine dim {self.dim}"
+            )
+        ch = self.chunks([collection_name])
+        if where is not None:
+            ch = ch.where(F.expr(where) if isinstance(where, str) else where)
+        qn = normalize_query(query_vector)
+        return (
+            ch.withColumn("similarity", dot(F.col("embedding"), qn))
+            .where(F.col("similarity") >= F.lit(float(min_similarity)))
+            .select(
+                F.col("doc_name").alias("embedding_id"),
+                "similarity",
+                "position",
+                F.col("chunk_metadata").alias("metadata"),
+                "text",
+                F.col("collection").alias("collection_name"),
+                "doc_id",
+            )
+            .orderBy("doc_id", "position")
+        )
+
     def _search_impl(
         self,
         collections: Sequence[str],

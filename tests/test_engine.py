@@ -461,3 +461,28 @@ def test_hybrid_search_doc_ids_with_separator_chars(spark, tmp_path_factory):
     keys = [(r["doc_id"], r["position"]) for r in got]
     # no aliasing: every (doc_id, position) chunk appears exactly once
     assert len(keys) == len(set(keys)) == 6
+
+
+def test_range_search_returns_all_above_threshold(spark, tmp_path_factory):
+    """Engine radius query (round 10): every chunk at/above the
+    threshold, no top-k cap, exact agreement with a driver-side
+    recomputation; threshold 1.01 on unit vectors returns nothing,
+    and dimension mismatch raises."""
+    wh = str(tmp_path_factory.mktemp("range_wh"))
+    eng = VectorEngine(spark, wh, dim=4)
+    docs = _mkdocs(8, 3, 4, seed=11)
+    eng.store("r", docs)
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = eng.range_search("r", q, min_similarity=0.2).collect()
+    all_rows = eng.search("r", q, top_k=1000).collect()
+    want = sorted(
+        ((r["doc_id"], r["position"]) for r in all_rows
+         if r["similarity"] >= 0.2)
+    )
+    assert sorted((r["doc_id"], r["position"]) for r in got) == want
+    assert len(got) < len(all_rows)  # threshold actually selects
+    for r in got:
+        assert r["similarity"] >= 0.2
+    assert eng.range_search("r", q, min_similarity=1e9).count() == 0
+    with pytest.raises(DimensionMismatchError):
+        eng.range_search("r", [1.0, 0.0], min_similarity=0.2)
