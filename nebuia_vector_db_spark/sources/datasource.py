@@ -38,10 +38,12 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
@@ -69,6 +71,12 @@ class NebuiaDocsDataSource(DataSource):
         if not root:
             raise ValueError("nebuia_docs requires .option('path', root)")
         return NebuiaDocsReader(root)
+
+    def writer(self, schema, overwrite: bool) -> "NebuiaDocsWriter":
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("nebuia_docs requires .option('path', root)")
+        return NebuiaDocsWriter(root, overwrite)
 
 
 class NebuiaDocsReader(DataSourceReader):
@@ -102,6 +110,7 @@ class NebuiaDocsReader(DataSourceReader):
             d
             for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
+            and not d.startswith("_")  # _staging from an aborted write
         )
         if self._keep is not None:
             cols = [c for c in cols if c in self._keep]
@@ -143,3 +152,119 @@ def _json_str(v):
     if v is None or isinstance(v, str):
         return v
     return json.dumps(v, sort_keys=True)
+
+
+# ---------------------------------------------------------------- writer
+class DocsCommitMessage(WriterCommitMessage):
+    """Per-task manifest: the staging directory this task wrote into
+    and the relative `{collection}/{doc_id}_doc.json` paths it holds."""
+
+    def __init__(self, staging: str, files: list[str]):
+        self.staging = staging
+        self.files = files
+
+
+class NebuiaDocsWriter(DataSourceWriter):
+    """``df.write.format("nebuia_docs").option("path", root)`` — the
+    append-sink half of the layout (≙ the reference's per-object
+    PutObject, main.go:340-342) as a REAL two-phase commit, strictly
+    stronger than the reference's fire-and-forget store:
+
+    - **write** (task side): each task serializes its documents to the
+      reference wire shape (embeddings re-wrapped as ``{vector:
+      [...]}``; ``json.dumps`` prints shortest-round-trip doubles, so
+      embeddings survive bit-for-bit) into a PRIVATE staging
+      directory ``root/_staging/<task-uuid>/`` — a retried or
+      speculated task stages a fresh directory, so duplicate attempts
+      can never half-publish.
+    - **commit** (driver side): only the staging directories named in
+      the winning tasks' commit messages are renamed into place
+      (``os.replace`` per file — atomic on POSIX); with
+      ``mode("overwrite")`` the existing ``*_doc.json`` tree is
+      cleared first. Nothing is visible to readers until commit.
+    - **abort**: losing staging directories are deleted wholesale.
+
+    At 100 TB the same class points at an object store: staging
+    becomes a key prefix and the commit loop a server-side copy batch
+    (S3 has no rename — the manifest commit of snapshot.py is the
+    stronger alternative there, and this writer documents that line).
+    Rows missing ``doc_id`` are minted a UUID, matching
+    VectorEngine.store (O-11)."""
+
+    def __init__(self, root: str, overwrite: bool):
+        self.root = root
+        self.overwrite = overwrite
+
+    # ------------------------------------------------------ task side
+    def write(self, iterator) -> DocsCommitMessage:
+        import uuid
+
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        files: list[str] = []
+        for row in iterator:
+            doc_id = row["doc_id"] or str(uuid.uuid4())
+            md = row["metadata"]
+            payload = {
+                "text": row["text"],
+                "metadata": {
+                    "source": md["source"] if md else None,
+                    "name": md["name"] if md else None,
+                },
+                "chunks": [
+                    {
+                        "text": ch["text"],
+                        "embedding": {
+                            "vector": list(ch["embedding"] or [])
+                        },
+                        "metadata": {
+                            "source": ch["metadata"]["source"]
+                            if ch["metadata"]
+                            else None,
+                            "name": ch["metadata"]["name"]
+                            if ch["metadata"]
+                            else None,
+                        },
+                        "semantic_score": ch["semantic_score"],
+                    }
+                    for ch in (row["chunks"] or [])
+                ],
+            }
+            rel = os.path.join(
+                row["collection"], f"{doc_id}_doc.json"
+            )
+            dst = os.path.join(staging, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(dst, "w") as fh:
+                json.dump(payload, fh)
+            files.append(rel)
+        return DocsCommitMessage(staging, files)
+
+    # ---------------------------------------------------- driver side
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for d in list(os.listdir(self.root)):
+                full = os.path.join(self.root, d)
+                if d != "_staging" and os.path.isdir(full):
+                    for name in os.listdir(full):
+                        if name.endswith("_doc.json"):
+                            os.remove(os.path.join(full, name))
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.files:
+                dst = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(m.staging, rel), dst)
+            shutil.rmtree(m.staging, ignore_errors=True)
+        staging_root = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging_root) and not os.listdir(staging_root):
+            os.rmdir(staging_root)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None:
+                shutil.rmtree(m.staging, ignore_errors=True)

@@ -267,3 +267,92 @@ def test_python_datasource_pushdown_prunes_partitions(tmp_path):
     )
     assert len(leftover) == 1  # non-collection filter handed back
     assert [p.collection for p in r.partitions()] == ["a", "c"]
+
+
+def test_datasource_writer_round_trip_and_two_phase_commit(
+    spark, tmp_path
+):
+    """Round 10: the write half of the Python Data Source — a real
+    two-phase commit (task-private staging, driver-side atomic
+    publish). Write → read back through the same format: documents,
+    metadata and embeddings (bit-for-bit doubles) survive; append
+    adds, overwrite replaces; no staging residue after commit."""
+    import os
+
+    from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
+    from nebuia_vector_db_spark.sources.datasource import (
+        NebuiaDocsDataSource,
+    )
+
+    spark.dataSource.register(NebuiaDocsDataSource)
+    root = str(tmp_path / "bucket")
+    os.makedirs(root)
+
+    def mkrows(prefix, n, coll):
+        return [
+            {
+                "collection": coll,
+                "doc_id": f"{prefix}{i}",
+                "text": f"text {i}",
+                "metadata": {"source": '{"origin":"t"}', "name": f"n{i}"},
+                "chunks": [
+                    {
+                        "text": f"c{i}",
+                        "embedding": [0.1 + i, 1e-17, -3.25],
+                        "metadata": {"source": None, "name": f"c{i}"},
+                        "semantic_score": 0.5,
+                    }
+                ],
+            }
+            for i in range(n)
+        ]
+
+    df = spark.createDataFrame(mkrows("a", 3, "alpha"), DOCUMENT_SCHEMA)
+    df.write.format("nebuia_docs").option("path", root).mode(
+        "append"
+    ).save()
+    assert sorted(os.listdir(os.path.join(root, "alpha"))) == [
+        f"a{i}_doc.json" for i in range(3)
+    ]
+    assert not os.path.exists(os.path.join(root, "_staging"))
+
+    back = (
+        spark.read.format("nebuia_docs").option("path", root).load()
+    ).collect()
+    assert len(back) == 3
+    by_id = {r["doc_id"]: r for r in back}
+    assert by_id["a1"]["text"] == "text 1"
+    assert by_id["a1"]["metadata"]["source"] == '{"origin":"t"}'
+    # doubles survive the JSON trip bit-for-bit
+    assert by_id["a2"]["chunks"][0]["embedding"] == [2.1, 1e-17, -3.25]
+
+    # append: second write adds a second collection without touching
+    # the first
+    spark.createDataFrame(mkrows("b", 2, "beta"), DOCUMENT_SCHEMA).write.format(
+        "nebuia_docs"
+    ).option("path", root).mode("append").save()
+    got = (
+        spark.read.format("nebuia_docs").option("path", root).load()
+    )
+    assert got.count() == 5
+
+    # overwrite: replaces every existing *_doc.json
+    spark.createDataFrame(mkrows("c", 1, "gamma"), DOCUMENT_SCHEMA).write.format(
+        "nebuia_docs"
+    ).option("path", root).mode("overwrite").save()
+    left = (
+        spark.read.format("nebuia_docs").option("path", root).load()
+    ).collect()
+    assert [r["doc_id"] for r in left] == ["c0"]
+
+    # missing doc_id → minted UUID (O-11 parity)
+    rows = mkrows("d", 1, "delta")
+    rows[0]["doc_id"] = None
+    spark.createDataFrame(rows, DOCUMENT_SCHEMA).write.format(
+        "nebuia_docs"
+    ).option("path", root).mode("append").save()
+    minted = [
+        f for f in os.listdir(os.path.join(root, "delta"))
+        if f.endswith("_doc.json")
+    ]
+    assert len(minted) == 1 and len(minted[0]) > len("_doc.json") + 10
