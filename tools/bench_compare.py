@@ -10,7 +10,14 @@ Diffs a fresh bench payload against the last *committed* BENCH_SELF.json
   rows, all computed on the seeded deterministic index with fixed query
   sets — bit-identical across runs by design, VERDICT r3 #2 / r7) that
   changed AT ALL. A pinned move means the seeded build or the query set
-  changed, never benign variance.
+  changed, never benign variance. One documented exception (round 10):
+  *_fraction rows derived from a repartitionByRange layout (b10/b10xl)
+  are deterministic only per BENCH PROGRAM version — Spark's
+  RangePartitioner seeds its reservoir sample with the RDD id, a
+  session-sequential counter, so INSERTING a b-series block upstream
+  legally shifts the sampled file boundaries a little. A pinned
+  fraction move in the same commit that adds/moves bench blocks is
+  expected; one without such a change remains a hard flag.
 
 Usable standalone (``python tools/bench_compare.py [new.json [old.json]]``)
 and from bench.py via :func:`compare_line`, which prints before the
