@@ -3456,6 +3456,35 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges).orderBy("rank")
 
 
+def q_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PAPER'S clustering (Abbas et al. 2023 use
+    k-means): operators/ann.py's seeded MLlib k-means assigns the
+    buckets; the centroid / pair / keep-rule machinery is byte-shared
+    with the recorded dedup_semdedup row, whose md5-hyperplane variant
+    hash-certifies it end-to-end against DuckDB. Rows-only driver
+    check — the iterative k-means fit is the sanctioned
+    non-SQL-expressible case (same split as dedup_simhash's
+    md5/xxhash64 and bpe/unigram's trainers)."""
+    from nebuia_vector_db_spark.operators.ann import build_ivf_index
+    from nebuia_vector_db_spark.operators.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    idx = build_ivf_index(emb, n_cells=8)
+    buckets = idx.assigned.select(
+        "vec_id", F.col("ivf_cell").alias("bucket")
+    )
+    return (
+        semdedup(emb, threshold=0.35, buckets=buckets)
+        .select(
+            "vec_id",
+            "bucket",
+            _r(F.col("sim_centroid"), 6).alias("sim_centroid"),
+            "dropped",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
     round 10 — VERDICT r9 task #7, the sibling of text_bpe_train):
@@ -7125,6 +7154,11 @@ REGISTRY: dict[
     #   via the rows-only checks the driver applies to all registry
     #   entries it records — and stays locally certified here);
     "text_unigram_train": (q_text_unigram_train, None),
+    # dedup_semdedup_kmeans: SemDeDup with the paper's k-means
+    #   clustering (round 10) — rows-only sanctioned (iterative fit);
+    #   the cluster->centroid->keep machinery is hash-certified by
+    #   the recorded md5-hyperplane dedup_semdedup row; locally green;
+    "dedup_semdedup_kmeans": (q_dedup_semdedup_kmeans, None),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
