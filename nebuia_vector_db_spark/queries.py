@@ -3456,6 +3456,58 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges).orderBy("rank")
 
 
+def q_snap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the ACID table (round 10): create (v1 —
+    every row an insert) then copy-on-write delete (v2 — exactly the
+    predicate-matching rows as deletes); SnapshotTable.changes
+    recovers the row-level deltas from ONLY the files each commit
+    touched (manifest add/remove + two exceptAll multiset
+    differences), and DuckDB replays the expected feed from the
+    source relation — so the hash match certifies the manifest
+    bookkeeping AND the COW rewrite row-accounting end to end. The
+    STREAMING twin (sources/changes_stream.py: commit versions as
+    offsets through the Python Data Source stream API) is asserted
+    row-identical and exactly-once across restarts in
+    tests/test_snapshot_changes.py."""
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = posix_scratch_dir(spark, "cdcsnap")
+    try:
+        tbl = SnapshotTable.create(
+            spark, root, docs.repartitionByRange(4, "doc_id")
+        )
+        tbl.delete_where("lang = 'de' OR n_chars < 60")
+        out = (
+            tbl.changes(0, 2)
+            .select(
+                "_change", "_commit_version", "doc_id", "lang", "n_chars"
+            )
+            .orderBy("_commit_version", "_change", "doc_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        remove_scratch(spark, root)
+    return out
+
+
+ORACLE_SNAP_CHANGE_FEED = """
+SELECT 'insert' AS _change, CAST(1 AS INT) AS _commit_version,
+       doc_id, lang, n_chars
+FROM documents
+UNION ALL
+SELECT 'delete', CAST(2 AS INT), doc_id, lang, n_chars
+FROM documents WHERE lang = 'de' OR n_chars < 60
+ORDER BY _commit_version, _change, doc_id
+"""
+
+
 def q_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the PAPER'S clustering (Abbas et al. 2023 use
     k-means): operators/ann.py's seeded MLlib k-means assigns the
@@ -7154,6 +7206,14 @@ REGISTRY: dict[
     #   via the rows-only checks the driver applies to all registry
     #   entries it records — and stays locally certified here);
     "text_unigram_train": (q_text_unigram_train, None),
+    # snap_change_feed: row-level CDC over SnapshotTable (round 10) —
+    #   full oracle (create-inserts + COW-delete deletes replayed from
+    #   the source relation); the transactional-storage window slots
+    #   are held by snap_delete_read + snap_engine_lifecycle, and the
+    #   streaming twin (version-offset Python Data Source stream) is
+    #   pinned stream≡batch + exactly-once-across-restarts in pytest;
+    #   locally green;
+    "snap_change_feed": (q_snap_change_feed, ORACLE_SNAP_CHANGE_FEED),
     # dedup_semdedup_kmeans: SemDeDup with the paper's k-means
     #   clustering (round 10) — rows-only sanctioned (iterative fit);
     #   the cluster->centroid->keep machinery is hash-certified by

@@ -489,6 +489,89 @@ class SnapshotTable:
             1 for f in self._snapshot()["files"] if _file_may_match(f, where)
         )
 
+    # ----------------------------------------------------- change feed
+    def _step_delta(self, v: int) -> tuple[list[dict], list[dict]]:
+        """(added_files, removed_files) manifest entries for commit
+        ``v`` — straight out of the delta commit payload; a full
+        commit (create) diffs against the parent's file set."""
+        j = self._load_version_json(v)
+        if "files" not in j:  # delta commit: add/remove recorded
+            added = j.get("add", [])
+            removed_paths = set(j.get("remove", []))
+            if not removed_paths:
+                return added, []
+            prev = self._snapshot(v - 1)["files"]
+            return added, [f for f in prev if f["path"] in removed_paths]
+        files = j["files"]
+        if v <= 1:
+            return files, []
+        prev = self._snapshot(v - 1)["files"]
+        prev_paths = {f["path"] for f in prev}
+        cur_paths = {f["path"] for f in files}
+        return (
+            [f for f in files if f["path"] not in prev_paths],
+            [f for f in prev if f["path"] not in cur_paths],
+        )
+
+    def changes(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed over the commit range
+        ``(v_from, v_to]`` — the Delta/Iceberg changeFeed shape on
+        this log: every row carries ``_change`` ('insert'/'delete')
+        and ``_commit_version``. An in-place update (upsert) appears
+        as a delete+insert pair at the same version, the CDF
+        convention for tables without a declared key.
+
+        Per commit, the manifest names the files it added and
+        removed; copy-on-write rewrites carry surviving rows from a
+        removed file into its replacement, so the row-level delta is
+        recovered with two multiset differences over the TOUCHED
+        files only: inserts = added∖removed, deletes = removed∖added
+        (``exceptAll``). Cost is therefore proportional to the
+        churn the commits caused — never a full-table scan, which is
+        the whole point of a CDC feed at 100 TB (downstream
+        incremental consumers read the delta, not the table). Each
+        exceptAll is one hash aggregation over the touched rows;
+        steps are independent and union into one plan."""
+        v_hi = self.current_version() if v_to is None else int(v_to)
+        v_lo = int(v_from)
+        if not 0 <= v_lo <= v_hi:
+            raise ValueError(
+                f"bad change range ({v_lo}, {v_hi}] at {self.path}"
+            )
+        meta = (
+            lambda df, v: df.withColumn(
+                "_change", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(v))
+        )
+        frames: list[DataFrame] = []
+        for v in range(v_lo + 1, v_hi + 1):
+            added, removed = self._step_delta(v)
+            schema = self._schema(self._snapshot(v))
+
+            def _read(fl: list[dict]) -> DataFrame:
+                if not fl:
+                    return self.spark.createDataFrame([], schema)
+                return self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f["path"]) for f in fl]
+                )
+
+            a_df, r_df = _read(added), _read(removed)
+            ins = meta(a_df.exceptAll(r_df), v)
+            dels = r_df.exceptAll(a_df).withColumn(
+                "_change", F.lit("delete")
+            ).withColumn("_commit_version", F.lit(v))
+            frames.append(ins.unionByName(dels))
+        if not frames:
+            schema = self._schema(self._snapshot(v_hi))
+            empty = self.spark.createDataFrame([], schema)
+            return meta(empty, 0).where(F.lit(False))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def append(
         self,
         df: DataFrame,
