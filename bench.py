@@ -1607,6 +1607,44 @@ def main() -> None:
     timings["b18_semdedup_dropped_total"] = int(b18_dropped)
     b18_emb.unpersist()
 
+    # ---- B19 (round 10): change-data-feed — the churn-proportional
+    # cost claim measured. Snapshot the sf lineitem slice range-
+    # partitioned on orderkey, delete ONE order (COW rewrites one
+    # file), and read the change feed: it must touch the 2 churned
+    # files (removed + its rewrite), not the table. The deterministic
+    # counts are pinned; wall times are timed rows (both near the
+    # dispatch floor at this SF — the fraction is the scale number).
+    from nebuia_vector_db_spark.sources.snapshot import (
+        SnapshotTable as _ST,
+    )
+
+    b19_root = _tf.mkdtemp(prefix="nvdb_bench_cdc_")
+    b19_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    b19_key = int(b19_li.agg(F.max("l_orderkey")).head()[0])
+    t0 = time.perf_counter()
+    b19_tbl = _ST.create(
+        spark,
+        os.path.join(b19_root, "t"),
+        b19_li.repartitionByRange(16, "l_orderkey"),
+    )
+    b19_tbl.delete_where(f"l_orderkey = {b19_key}")
+    timings["b19_cdc_setup_sec"] = round(time.perf_counter() - t0, 4)
+    b19_add, b19_rm = b19_tbl._step_delta(2)
+    timings["b19_cdc_files_touched_total"] = len(b19_add) + len(b19_rm)
+    timings["b19_cdc_files_touched_fraction"] = round(
+        (len(b19_add) + len(b19_rm)) / max(b19_tbl.n_files(), 1), 4
+    )
+    t0 = time.perf_counter()
+    b19_n = b19_tbl.changes(1, 2).count()
+    timings["b19_cdc_changes_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b19_cdc_delta_rows_total"] = int(b19_n)
+    timings["b19_cdc_full_read_sec"] = round(
+        _median_time(lambda: b19_tbl.read().count(), runs=3), 4
+    )
+    _sh.rmtree(b19_root, ignore_errors=True)
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
