@@ -289,10 +289,17 @@ def main() -> None:
             _median_time(lambda: fn(spark, SF_DIR).collect()), 4
         )
 
-    # release the tf-idf weight relations and substring anchor caches
-    # registered by the queries above — the B-series needs the storage
+    # release every query-registered executor cache (tf-idf weights,
+    # substring anchors, image bands, semdedup scored relations) —
+    # the B-series needs the storage memory
     from nebuia_vector_db_spark.operators.dedup import (
         release_cached_relations as _release_anchors,
+    )
+    from nebuia_vector_db_spark.operators.imagehash import (
+        release_cached_relations as _release_bands,
+    )
+    from nebuia_vector_db_spark.operators.semdedup import (
+        release_cached_relations as _release_scored,
     )
     from nebuia_vector_db_spark.operators.textvec import (
         release_cached_relations,
@@ -300,6 +307,8 @@ def main() -> None:
 
     release_cached_relations()
     _release_anchors()
+    _release_bands()
+    _release_scored()
 
     # ---- B1: sf embeddings top-10, Spark numpy-UDF path vs NumPy
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
@@ -1606,6 +1615,8 @@ def main() -> None:
     timings["b18_semdedup_sec"] = round(time.perf_counter() - t0, 4)
     timings["b18_semdedup_dropped_total"] = int(b18_dropped)
     b18_emb.unpersist()
+    _release_bands()
+    _release_scored()
 
     # ---- B19 (round 10): change-data-feed — the churn-proportional
     # cost claim measured. Snapshot the sf lineitem slice range-

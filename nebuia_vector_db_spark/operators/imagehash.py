@@ -47,6 +47,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Persisted band relations handed out by hash_band_pairs: the banded
+# relation feeds the hot-band groupBy AND both self-join sides, and
+# its lineage holds the image DECODE (the dominant cost) — uncached it
+# would decode every image up to 4x. Same releasable-registry shape as
+# operators/dedup.py / textvec.py (the r9 ADVICE pattern); bench.py's
+# release step drops all three registries between phases.
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> int:
+    """Unpersist every band relation persisted by
+    :func:`hash_band_pairs` in this session; returns the count."""
+    n = 0
+    for df in _CACHED_RELATIONS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_RELATIONS.clear()
+    return n
+
+
 _BANDS_SCHEMA = (
     "doc_id long, width int, height int, "
     "b0 long, b1 long, b2 long, b3 long"
@@ -212,6 +235,8 @@ def hash_band_pairs(
     value) groups with > ``max_band_df`` members are dropped via
     partial-agg groupBy + broadcast anti-join (skew-safe: hot
     postings die map-side, never crossing the wire)."""
+    from pyspark import StorageLevel
+
     bands = hashed.select(
         id_col,
         "b0",
@@ -219,7 +244,8 @@ def hash_band_pairs(
         "b2",
         "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "val"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_RELATIONS.append(bands)
     hot = (
         bands.groupBy("k", "val")
         .agg(F.count("*").alias("df"))

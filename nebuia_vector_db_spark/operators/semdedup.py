@@ -54,6 +54,27 @@ from nebuia_vector_db_spark.functions.vector import dot, l2_norm
 
 _UNITS = 1_000_000
 
+# Persisted scored relations handed out by semdedup: `scored` feeds
+# both pair-join sides AND the final projection, and its lineage holds
+# the bucketing + centroid aggregation — uncached it re-scans the
+# embedding corpus up to 3x. Releasable-registry shape per the r9
+# ADVICE pattern (operators/dedup.py / textvec.py).
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> int:
+    """Unpersist every scored relation persisted by :func:`semdedup`
+    in this session; returns the count released."""
+    n = 0
+    for df in _CACHED_RELATIONS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_RELATIONS.clear()
+    return n
+
 
 def md5_planes(
     n_planes: int, dim: int, prefix: str = "sd"
@@ -155,6 +176,8 @@ def semdedup(
             F.first("n").alias("n_members"),
         )
     )
+    from pyspark import StorageLevel
+
     scored = mem.join(F.broadcast(cent), "bucket").select(
         "vec_id",
         "bucket",
@@ -166,7 +189,8 @@ def semdedup(
             * F.lit(1_000_000)
             + F.lit(0.5)
         ).alias("_cq"),  # 6-dp centroid similarity in micro-units
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_RELATIONS.append(scored)
     small = scored.where(F.col("n_members") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")

@@ -164,3 +164,17 @@ def test_dhash_rejects_tiny_images(spark):
     imgs = {1: _img(5, h=4, w=32), 2: _img(6, h=48, w=32)}
     got = image_dhash_bands(_assets(spark, imgs)).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_band_cache_is_releasable(spark):
+    """Pre-empted r9-style ADVICE: hash_band_pairs persists the banded
+    relation (its lineage holds the image decode and feeds the hot
+    groupBy + both join sides); the persist is releasable."""
+    from nebuia_vector_db_spark.operators import imagehash as ih
+
+    ih.release_cached_relations()
+    imgs = {1: _img(21), 2: _img(21)}
+    hashed = image_dhash_bands(_assets(spark, imgs))
+    ih.hash_band_pairs(hashed, max_hamming=3).collect()
+    assert len(ih._CACHED_RELATIONS) == 1
+    assert ih.release_cached_relations() == 1

@@ -142,3 +142,18 @@ def test_plan_centroid_broadcast_no_window(spark, sf_oracle):
     plan = explain_str(semdedup(emb, threshold=0.35, n_planes=3))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_scored_cache_is_releasable(spark):
+    """Pre-empted r9-style ADVICE: semdedup persists its scored
+    relation (it feeds both pair-join sides + the final projection);
+    the persist registers in the releasable module cache."""
+    from nebuia_vector_db_spark.operators import semdedup as sd
+
+    sd.release_cached_relations()
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sd.semdedup(df, threshold=0.9, n_planes=2, dim=2).collect()
+    assert len(sd._CACHED_RELATIONS) == 1
+    assert sd._CACHED_RELATIONS[0].storageLevel.useMemory
+    assert sd.release_cached_relations() == 1
