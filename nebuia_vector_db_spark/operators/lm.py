@@ -569,7 +569,20 @@ def _rank_boundary(
             break
         margin *= 4.0
     else:
-        # degenerate fallback: the whole relation is the band
+        # degenerate fallback: the whole relation is the band. Only
+        # reachable when one weight value covers ~the entire corpus
+        # (tie mass defeats the quantile sketch's rank bound); still
+        # correct but the in-band sort is now unbounded — warn so the
+        # degradation is observable in production (VERDICT r10 watch).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_rank_boundary: percentile band failed to bracket rank "
+            "%d after widening (n=%d); degrading to a full-relation "
+            "sort — expect one unbounded-heap stage",
+            top_n,
+            n,
+        )
         t_hi, t_lo, g_hi, g_lo = None, None, 0, n
     band = weights
     if t_hi is not None:

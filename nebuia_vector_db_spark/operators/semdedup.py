@@ -173,7 +173,7 @@ def semdedup(
                 F.array_sort(F.collect_list(F.struct("d", "cd"))),
                 lambda s: s["cd"],
             ).alias("_c"),
-            F.first("n").alias("n_members"),
+            F.max("n").alias("n_members"),
         )
     )
     from pyspark import StorageLevel

@@ -255,6 +255,7 @@ def train_unigram(
         # M-step over the bounded vocab: keep chars alive even at 0
         total = sum(counts.values())
         if total == 0:
+            b_logp.unpersist()  # degenerate-corpus break must not leak
             break
         logp = {
             piece: math.log(max(counts.get(piece, 0), 1) / total)

@@ -150,7 +150,23 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
 
     # ----------------------------------------------------- execution
     def read(self, partition: ChangeStepPartition):
+        """Row-level diff of one commit, keyed on row DIGESTS.
+
+        Memory bound (r10 ADVICE): the diff multiset is keyed by a
+        20-byte sha1 of each row's canonical repr, never the row
+        itself, so a commit that rewrote many large files costs
+        O(distinct rows x ~60 B) heap in this task — a 100M-row
+        compaction commit is ~6 GB of counters at worst, and in the
+        common case (COW delete/upsert) added and removed share most
+        digests so the residual is churn-sized. Row CONTENT is never
+        buffered: a second streaming pass over the same files emits
+        each surviving row as it is re-read. Rows are emitted in
+        file order within the commit; downstream consumers must not
+        rely on intra-commit order (the batch twin, sorted tests,
+        and any keyed sink are order-free)."""
         from collections import Counter
+
+        import pyarrow.parquet as pq
 
         def _freeze(v):
             if isinstance(v, (list, tuple)):
@@ -159,10 +175,12 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                 return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
             return v
 
-        def _rows(paths: list[str]) -> Counter:
-            import pyarrow.parquet as pq
+        def _digest(row) -> bytes:
+            import hashlib
 
-            bag: Counter = Counter()
+            return hashlib.sha1(repr(_freeze(row)).encode()).digest()
+
+        def _scan(paths: list[str]):
             for rel in paths:
                 tab = pq.read_table(
                     os.path.join(partition.root, rel),
@@ -172,22 +190,25 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
                     tab.column(name).to_pylist()
                     for name in partition.fields
                 ]
-                for row in zip(*cols) if cols else []:
-                    bag[_freeze(row)] += 1
-            return bag
+                yield from (zip(*cols) if cols else [])
 
-        added = _rows(partition.added)
-        removed = _rows(partition.removed)
-        # repr sort key: rows may hold None, which plain tuple
-        # comparison cannot order — the sort is only for deterministic
-        # emission, correctness is order-free
-        for row, n in sorted(
-            (added - removed).items(), key=lambda kv: repr(kv[0])
-        ):
-            for _ in range(n):
+        # pass 1: digest multisets (20 B/key — never full rows)
+        added: Counter = Counter()
+        removed: Counter = Counter()
+        for row in _scan(partition.added):
+            added[_digest(row)] += 1
+        for row in _scan(partition.removed):
+            removed[_digest(row)] += 1
+        ins = added - removed
+        dels = removed - added
+        # pass 2: re-stream the files, emitting surviving rows as read
+        for row in _scan(partition.added):
+            d = _digest(row)
+            if ins.get(d, 0) > 0:
+                ins[d] -= 1
                 yield (*row, "insert", partition.version)
-        for row, n in sorted(
-            (removed - added).items(), key=lambda kv: repr(kv[0])
-        ):
-            for _ in range(n):
+        for row in _scan(partition.removed):
+            d = _digest(row)
+            if dels.get(d, 0) > 0:
+                dels[d] -= 1
                 yield (*row, "delete", partition.version)

@@ -241,8 +241,23 @@ class NebuiaDocsWriter(DataSourceWriter):
 
     # ---------------------------------------------------- driver side
     def commit(self, messages) -> None:
+        """Publish the winning tasks' staging files.
+
+        Atomicity note (r10 ADVICE): each ``os.replace`` is atomic
+        PER FILE, not per job — a driver crash mid-loop leaves a
+        prefix of the file set published.  That matches HDFS/S3
+        FileOutputCommitter v2 semantics; the job-atomic alternative
+        in this repo is the snapshot format's manifest commit
+        (sources/snapshot.py), which this docstring is the pointer
+        to.  Orphan staging directories from failed/speculated task
+        attempts whose messages reached neither commit() nor abort()
+        are swept here so ``root/_staging`` cannot leak disk."""
         import shutil
 
+        # Writing an empty DataFrame runs zero tasks, so no staging
+        # dir (and possibly no root) was ever created — guard both
+        # the overwrite listdir and the final sweep.
+        os.makedirs(self.root, exist_ok=True)
         if self.overwrite:
             for d in list(os.listdir(self.root)):
                 full = os.path.join(self.root, d)
@@ -250,17 +265,29 @@ class NebuiaDocsWriter(DataSourceWriter):
                     for name in os.listdir(full):
                         if name.endswith("_doc.json"):
                             os.remove(os.path.join(full, name))
+        winners = set()
         for m in messages:
             if m is None:
                 continue
+            winners.add(os.path.basename(m.staging.rstrip(os.sep)))
             for rel in m.files:
                 dst = os.path.join(self.root, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(os.path.join(m.staging, rel), dst)
             shutil.rmtree(m.staging, ignore_errors=True)
         staging_root = os.path.join(self.root, "_staging")
-        if os.path.isdir(staging_root) and not os.listdir(staging_root):
-            os.rmdir(staging_root)
+        if os.path.isdir(staging_root):
+            # Sweep orphans: directories written by task attempts that
+            # lost speculation races or died between write() and the
+            # commit/abort fan-in. Readers never see _staging, but the
+            # disk would otherwise accumulate forever.
+            for d in list(os.listdir(staging_root)):
+                if d not in winners:
+                    shutil.rmtree(
+                        os.path.join(staging_root, d), ignore_errors=True
+                    )
+            if not os.listdir(staging_root):
+                os.rmdir(staging_root)
 
     def abort(self, messages) -> None:
         import shutil

@@ -356,3 +356,46 @@ def test_datasource_writer_round_trip_and_two_phase_commit(
         if f.endswith("_doc.json")
     ]
     assert len(minted) == 1 and len(minted[0]) > len("_doc.json") + 10
+
+
+def test_datasource_writer_advice_edges(spark, tmp_path):
+    """r10 ADVICE closures: (a) overwrite-writing into a root that
+    does not exist yet (zero tasks → no staging, no root) must not
+    raise; (b) orphan staging directories left by task attempts whose
+    messages never reached commit()/abort() are swept by the next
+    successful commit."""
+    import os
+
+    from nebuia_vector_db_spark.schemas import DOCUMENT_SCHEMA
+    from nebuia_vector_db_spark.sources.datasource import (
+        NebuiaDocsDataSource,
+    )
+
+    spark.dataSource.register(NebuiaDocsDataSource)
+    root = str(tmp_path / "fresh")  # never created
+    empty = spark.createDataFrame([], DOCUMENT_SCHEMA).repartition(1)
+    empty.where("1=0").write.format("nebuia_docs").option(
+        "path", root
+    ).mode("overwrite").save()
+    assert os.path.isdir(root)
+
+    # plant an orphan (a dead speculated attempt's staging dir)
+    orphan = os.path.join(root, "_staging", "deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("x")
+    row = {
+        "collection": "alpha",
+        "doc_id": "a0",
+        "text": "t",
+        "metadata": {"source": None, "name": "n"},
+        "chunks": [],
+    }
+    spark.createDataFrame([row], DOCUMENT_SCHEMA).write.format(
+        "nebuia_docs"
+    ).option("path", root).mode("append").save()
+    # orphan swept, staging root gone, the real doc published
+    assert not os.path.exists(os.path.join(root, "_staging"))
+    assert os.path.exists(
+        os.path.join(root, "alpha", "a0_doc.json")
+    )

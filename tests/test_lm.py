@@ -279,6 +279,29 @@ def test_rank_boundary_banded_path_matches_direct(spark):
     assert lm._rank_boundary(w, 5001, "doc_id", direct_max=0) is None
 
 
+def test_rank_boundary_degenerate_fallback_warns(spark, caplog):
+    """VERDICT r10 watch item: when ONE weight value covers the whole
+    relation, no percentile band can bracket the rank — the fallback
+    sorts the full relation. That degradation must be (a) correct and
+    (b) observable: a logging.warning fires naming the failed rank."""
+    import logging
+
+    rows = [(f"d{i:04d}", 1, 42) for i in range(2000)]
+    w = spark.createDataFrame(
+        rows, "doc_id string, n_feats long, weight_micro long"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="nebuia_vector_db_spark.operators.lm"
+    ):
+        got = lm._rank_boundary(w, 1500, "doc_id", direct_max=0)
+    # still exact under the (weight DESC, id ASC) order
+    assert got == (42, "d1499")
+    assert any(
+        "degrading to a full-relation sort" in r.message
+        for r in caplog.records
+    ), caplog.records
+
+
 def test_rank_boundary_direct_path_is_take_ordered(spark):
     """The direct path must plan TakeOrderedAndProject (per-partition
     bounded heaps + offset, ONE row to Python), not a global sort."""
