@@ -6835,6 +6835,19 @@ REGISTRY: dict[
     # drops ~95% of the rest) where the bigram's word-soup overlap
     # could not; the bigram sibling stays locally green below.
     "text_lm3_perplexity": (q_text_lm3_perplexity, ORACLE_TEXT_LM3_PPL),
+    # SentencePiece unigram-LM tokenizer trainer (round-11 promotion,
+    # VERDICT r10 task #1): substring seeding over the distinct-word
+    # relation + SOFT-EM forward-backward with micro-unit-quantized
+    # expected counts + expected-count pruning (Kudo 2018). Rows-only
+    # driver check — iterative EM is the sanctioned
+    # non-SQL-expressible case (the contract test carries an explicit
+    # sanctioned-rows-only allowlist); tests/test_unigram.py
+    # certifies seed, EM totals, pruned vocab and the Viterbi encoder
+    # against a from-scratch pure-Python reference. Takes
+    # events_hourly's slot (see its below-window note); the REAL-
+    # tokenizer family previously had NO recorded representative
+    # (text_bpe_train lives below the window).
+    "text_unigram_train": (q_text_unigram_train, None),
     # BM25 + kNN reciprocal-rank fusion (round-10 promotion, VERDICT
     # r9 task #1): the OpenSearch-default hybrid shape — Okapi BM25
     # (k1/b length-normalized tf, idf floor) fused with vector ranks.
@@ -6920,21 +6933,30 @@ REGISTRY: dict[
     "mm_color_roundtrip": (q_mm_color_roundtrip, ORACLE_MM_COLOR),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
-    # TPC-H Q9 profit rollup (round-10 promotion, VERDICT r9 task
-    # #3): the first partsupp query — both engines DERIVE partsupp
-    # independently (_partsupp / _SQL_PARTSUPP, dbgen §4.2.3 shape),
-    # so the hash match certifies the derivation AND the 5-table
-    # join/agg. Takes tpch_q3's slot: join+agg+sort stays pinned by
-    # q9's strictly-larger join tree plus tpch_q1/q21, and q3's
-    # TakeOrdered cut by the ten vs_* rows; see the below-window
-    # note.
-    "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
-    # SnapshotTable ACID copy-on-write delete — transactional storage
-    # is a new family with no other window representative (round-3
-    # swap for tpch_q4: the EXISTS/semi-join semantic stays pinned
-    # in-window by pipe_decontaminate's anti-join and vs_pq_topk's
-    # re-rank semi-join; q4 itself stays locally green below)
-    "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
+    # TPC-H Q2 minimum-cost supplier (round-11 promotion, VERDICT
+    # r10 task #1 — "the new partsupp family's hardest shape"): the
+    # decorrelated scalar-subquery MIN over the DERIVED partsupp
+    # (_partsupp / _SQL_PARTSUPP, dbgen §4.2.3 — both engines build
+    # it independently, so the hash certifies the derivation AND the
+    # query) joined back through part/supplier/nation/region with a
+    # multi-key sort cut. Takes tpch_q9's slot: q9 shares the same
+    # partsupp spine (now hash-certified here) and its 5-table
+    # join/agg shape stays pinned by tpch_q21 + tpch_q1; q9 stays a
+    # headline bench row and locally green below the window.
+    "tpch_q2": (q_tpch_q2, ORACLE_TPCH_Q2),
+    # row-level change data feed over SnapshotTable (round-11
+    # promotion, VERDICT r10 task #1): create-inserts + COW-delete
+    # deletes recovered from ONLY the files each commit touched and
+    # replayed by the oracle from the source relation — the hash
+    # match certifies the manifest bookkeeping AND the copy-on-write
+    # rewrite row-accounting, i.e. it exercises delete_where end to
+    # end. Takes snap_delete_read's slot: the COW delete is executed
+    # and hash-certified INSIDE this feed (the v2 deletes ARE the
+    # rewrite's row diff) and snap_engine_lifecycle drives delete
+    # through the engine facade; see the below-window note. The
+    # streaming twin (commit versions as offsets) is pinned
+    # stream≡batch + exactly-once in tests/test_snapshot_changes.py.
+    "snap_change_feed": (q_snap_change_feed, ORACLE_SNAP_CHANGE_FEED),
     # engine-facade lifecycle on the ACID warehouse (round-9
     # promotion, VERDICT r8 task #5): store → search → transactional
     # delete_collection → multi-search driven END-TO-END through
@@ -6957,7 +6979,6 @@ REGISTRY: dict[
     # skew handling made hash-checkable: salted join ≡ plain join
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
     # events (batch mirrors of the streaming surface)
-    "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
@@ -7064,6 +7085,15 @@ REGISTRY: dict[
     #   hash agg), and the sliding Expand shape specifically stays
     #   locally green here;
     "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+    # events_hourly: gap-filled tumbling hourly agg — demoted r11 for
+    #   text_unigram_train: the hour-truncated groupBy-agg spine is
+    #   the same partial/final hash-agg path tpch_q1 pins, the
+    #   zero-fill left join is a broadcast join like a dozen recorded
+    #   rows, and the events family keeps THREE recorded reps
+    #   (sessions / asof / funnel) plus the streaming mirror; the
+    #   dense calendar-spine gap-fill (sequence+explode) stays
+    #   locally green here;
+    "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     # dedup_ngram_jaccard: exact shingle-Jaccard pairs — demoted for
     #   dedup_drop_spans (span removal, a capability with NO prior
     #   representative). Redundant in-window: it shares _JACCARD_SQL
@@ -7197,23 +7227,13 @@ REGISTRY: dict[
     #   certifies the merge table and encoder against a from-scratch
     #   pure-Python Sennrich reference instead.
     "text_bpe_train": (q_text_bpe_train, None),
-    # text_unigram_train: SentencePiece unigram-LM trainer (round 10)
-    #   — the EM-fitted prune-down sibling of the BPE merge-up
-    #   trainer; rows-only sanctioned (iterative EM), reference-
-    #   equality pytest-pinned; the tokenizer-training window slot is
-    #   held by text_bpe_train's family justification (both live
-    #   below the window; the REAL-tokenizer capability is recorded
-    #   via the rows-only checks the driver applies to all registry
-    #   entries it records — and stays locally certified here);
-    "text_unigram_train": (q_text_unigram_train, None),
-    # snap_change_feed: row-level CDC over SnapshotTable (round 10) —
-    #   full oracle (create-inserts + COW-delete deletes replayed from
-    #   the source relation); the transactional-storage window slots
-    #   are held by snap_delete_read + snap_engine_lifecycle, and the
-    #   streaming twin (version-offset Python Data Source stream) is
-    #   pinned stream≡batch + exactly-once-across-restarts in pytest;
-    #   locally green;
-    "snap_change_feed": (q_snap_change_feed, ORACLE_SNAP_CHANGE_FEED),
+    # snap_delete_read: SnapshotTable COW delete + read-back —
+    #   demoted r11 for snap_change_feed: the copy-on-write delete it
+    #   pins is executed and hash-certified INSIDE the recorded CDC
+    #   feed (the v2 deletes are exactly the rewrite's row diff) and
+    #   snap_engine_lifecycle drives delete_collection through the
+    #   engine facade end-to-end; locally green;
+    "snap_delete_read": (q_snap_delete_read, ORACLE_SNAP_DELETE),
     # dedup_semdedup_kmeans: SemDeDup with the paper's k-means
     #   clustering (round 10) — rows-only sanctioned (iterative fit);
     #   the cluster->centroid->keep machinery is hash-certified by
@@ -7338,13 +7358,16 @@ REGISTRY: dict[
     #   tpch_q1/q21 and the TakeOrdered cut by every vs_* row;
     #   locally green;
     "tpch_q3": (q_tpch_q3, ORACLE_TPCH_Q3),
-    # Round-10 partsupp siblings (VERDICT r9 task #3): q2/q11/q20
-    # complete the TPC-H set on the derived partsupp. In-window rep
-    # is tpch_q9 (the largest join tree + the quantized-double agg);
-    # these pin the decorrelated-min join (q2), the integer-exact
-    # global-threshold HAVING (q11) and the nested-semi + correlated
-    # NULL-semantics excess test (q20); all locally green.
-    "tpch_q2": (q_tpch_q2, ORACLE_TPCH_Q2),
+    # Partsupp siblings (r10; in-window rep rotated to tpch_q2 in
+    # r11 — the decorrelated-min join over the same derived
+    # partsupp). These pin the 5-table profit rollup with the
+    # quantized-double agg (q9 — demoted r11: its partsupp spine is
+    # hash-certified by the recorded q2 and its join/agg shape by
+    # tpch_q21 + tpch_q1; q9 remains a headline bench row), the
+    # integer-exact global-threshold HAVING (q11) and the
+    # nested-semi + correlated NULL-semantics excess test (q20);
+    # all locally green.
+    "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
 }
