@@ -152,6 +152,7 @@ GATE_RATIO_KEYS = (
     "b12_fine_batch_recall_at_10",
     "b15_bq_packed_scan_slope_9600k",
     "b16_lm_slope_64x",
+    "b18_semdedup_dropped_total",
 )
 
 
@@ -1213,21 +1214,32 @@ def main() -> None:
         .alias("zy"),
     )
     zroot_xl = _tf.mkdtemp(prefix="nvdb_bench_zxl_")
-    t0 = time.perf_counter()
+
     # carry the 64-float embedding payload: with only the three long
     # key columns the whole 9.6M-row scan is ~20 ms of page-cached IO
     # and both read paths sit at the job-dispatch floor (the r4 lesson
     # from the first sf0.1 run); a wide payload column makes the scan
-    # volume — exactly what file skipping removes — the dominant cost
-    ztbl_xl = SnapshotTable.create(
-        spark,
-        os.path.join(zroot_xl, "t"),
-        cluster_by_zorder(xl, ["zx", "zy"], 512, bits=8),
-        stats_cols=["zx", "zy"],
-    )
-    timings["b10xl_zorder_snapshot_layout_sec"] = round(
-        time.perf_counter() - t0, 4
-    )
+    # volume — exactly what file skipping removes — the dominant cost.
+    # Median-of-3 (the b14 treatment, VERDICT r10 task #2): the
+    # single-shot layout number swung 17.4 → 70.4 s across identical
+    # code under box load — a real snapshot-write regression must be
+    # distinguishable from a noisy run. Each run builds into a fresh
+    # directory and deletes the losers.
+    _xl_seq = [0]
+
+    def _build_xl():
+        _xl_seq[0] += 1
+        d = os.path.join(zroot_xl, f"t{_xl_seq[0]}")
+        t = SnapshotTable.create(
+            spark,
+            d,
+            cluster_by_zorder(xl, ["zx", "zy"], 512, bits=8),
+            stats_cols=["zx", "zy"],
+        )
+        return t, lambda: _sh.rmtree(d, ignore_errors=True)
+
+    t_xl_build, ztbl_xl = _median_build(_build_xl, runs=3)
+    timings["b10xl_zorder_snapshot_layout_sec"] = round(t_xl_build, 4)
     box_xl = [("zy", ">=", 0), ("zy", "<=", 255)]
     timings["b10xl_files_total"] = ztbl_xl.n_files()
     timings["b10xl_files_scanned_fraction"] = round(
@@ -1604,11 +1616,31 @@ def main() -> None:
     timings["b18_dhash_pairs_total"] = int(b18_pairs)
     b18_hashed.unpersist()
     b18_docs.unpersist()
-    b18_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
-    b18_emb.count()
+    # Plant near-duplicates — 1 clone per 16 rows, every component
+    # nudged by +5e-4 so cosine(orig, clone) ≈ 0.9999: the raw corpus
+    # has NO semantic duplicates at the 0.35 threshold, so r10's row
+    # recorded dropped_total = 0 and timed only the bucketing
+    # (VERDICT r10 watch #3 — compounded by n_planes=3: 8 buckets of
+    # ~250 rows all exceeded the 128-row pair cap, excluding EVERY
+    # bucket from pair generation; 6 planes give 64 buckets under the
+    # cap). With planted pairs the timing covers the within-bucket
+    # pair join and the keep rule doing real work, and a zero drop
+    # count now means the drop path broke.
+    b18_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    b18_planted = b18_base.where(
+        F.pmod(F.col("vec_id"), F.lit(16)) == 0
+    ).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.0005)
+        ).alias("embedding"),
+        "label",
+    )
+    b18_emb = b18_base.unionByName(b18_planted).cache()
+    timings["b18_semdedup_rows_total"] = int(b18_emb.count())
     t0 = time.perf_counter()
     b18_dropped = (
-        semdedup(b18_emb, threshold=0.35, n_planes=3)
+        semdedup(b18_emb, threshold=0.35, n_planes=6)
         .where("dropped")
         .count()
     )
