@@ -1242,6 +1242,74 @@ def _mp2_frame_plan(doc_id: int, n_frames: int):
     return frames
 
 
+def attach_audio_dup_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rate: int = 8000,
+    n_keys: int = 127,
+) -> DataFrame:
+    """Audio corpus WITH planted re-encoded duplicates, for the
+    acoustic near-dup pass (operators/audiofp.py, round 11): every
+    document maps to a signal KEY (``doc_id % n_keys``), documents
+    sharing a key carry the SAME deterministic sawtooth signal, and
+    the codec alternates by doc parity — even doc_ids encode WAV
+    (RIFF PCM-16), odd ones FLAC. Both are lossless, so same-key
+    clips decode to identical PCM through two different real codecs —
+    exactly the duplicate class byte-hashing misses and the
+    fingerprint must catch.
+
+    Generator (mirrored by ORACLE_DEDUP_AUDIOFP in queries.py):
+      key(doc)    = doc_id % n_keys
+      n_samples   = key % 200 + 120
+      sample[i]   = ((key*37 + i*(key+2)) % 256) * 256 - 32768
+    Distinct keys get distinct sawtooth slopes (key+2), i.e. distinct
+    fundamentals — measured pairwise fingerprint hamming ≥ 5 across
+    keys, 0 within a key."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.multimodal.flac import encode_flac
+    from nebuia_vector_db_spark.multimodal.wav import encode_wav
+
+    cols = docs.select(F.col(id_col).alias("doc_id"))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, mimes = [], [], []
+            for doc in pdf["doc_id"]:
+                key = int(doc) % n_keys
+                n = key % 200 + 120
+                i = np.arange(n, dtype=np.int64)
+                samples = (
+                    ((key * 37 + i * (key + 2)) % 256) * 256 - 32768
+                ).astype(np.int16)
+                ids.append(doc)
+                if int(doc) % 2 == 0:
+                    payloads.append(encode_wav(samples, rate))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(
+                        encode_flac(samples, rate, block_size=128)
+                    )
+                    mimes.append("audio/flac")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "mime": mimes}
+            )
+
+    flat = cols.mapInPandas(
+        _enc, schema="doc_id long, payload binary, mime string"
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.lit(None).cast("int").alias("declared_width"),
+            F.lit(None).cast("int").alias("declared_height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("asset_meta"),
+    )
+
+
 def attach_flac_assets(
     docs: DataFrame, id_col: str = "doc_id", rate: int = 8000
 ) -> DataFrame:

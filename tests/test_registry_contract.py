@@ -80,8 +80,13 @@ _REQUIRED_IN_WINDOW = {
     # (dedup_exact demoted r10 for dedup_dhash — perceptual image
     # near-dup; exact-hash dedup stays recorded inside pipe_curate's
     # dup-drop and dedup_groups' edge relation)
-    "dedup_dhash", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_groups", "dedup_substring",
+    # (dedup_simhash demoted r11 for dedup_audiofp — the acoustic
+    # near-dup third of the multimodal triad; the banded-Hamming
+    # blocking + XOR/POPCNT verify machinery is recorded verbatim via
+    # dedup_dhash and dedup_audiofp, text sketching via
+    # dedup_minhash_lsh)
+    "dedup_dhash", "dedup_audiofp", "dedup_minhash_lsh",
+    "dedup_groups", "dedup_substring",
     "dedup_drop_spans",
     # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
     # banding stays recorded via dedup_minhash_lsh; the MLlib row's
