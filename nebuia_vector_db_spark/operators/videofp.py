@@ -1,0 +1,240 @@
+"""Video near-dup by temporal alignment of per-frame perceptual
+hashes (round 11, VERDICT r10 task #4) — catches RE-MUXED and
+re-encoded clips (the same footage in an AVI from one crawler and an
+MKV from another, or a trimmed copy) that byte hashing and
+single-image hashing both miss. Composes EXISTING parts only:
+
+- frames come from the real demuxers (multimodal/avi.py, mp4.py,
+  mkv.py — magic-sniffed) and the real JPEG decoder;
+- each frame is hashed with :func:`imagehash._dhash_bands` — the
+  SAME integer cross-multiplied dHash the ``dedup_dhash`` row
+  certifies — giving a sequence of 64-bit hashes as 4×16-bit words;
+- **temporal shingles**: for each hash band k (0..3) and frame
+  position p, the 48-bit shingle ``w_k[p] | w_k[p+1]<<16 |
+  w_k[p+2]<<32`` over 3 consecutive frames. Banding the shingle on
+  ONE of the 4 per-frame words is the temporal pigeonhole: two
+  aligned 3-frame windows whose total hamming (over all 192 bits)
+  is ≤ 3 share at least one band's shingle exactly;
+- candidates carry their alignment ``delta = p_a − p_b`` from the
+  matching shingle positions; verification joins the FULL hash
+  sequences at that offset and keeps alignments with
+  ``n_aligned ≥ min_aligned`` overlapping frames and
+  ``total_hamming ≤ max_avg_hamming · n_aligned`` (integer
+  cross-multiply — no division), XOR+POPCNT inside codegen.
+
+Everything after the (lossless) frame decode is integer, so the
+``dedup_video`` registry row replays demux → frame dHash → shingles
+→ blocking → aligned verify bit-for-bit in DuckDB from the source
+text bytes — across TWO different containers in one row (the planted
+duplicates are AVI↔MKV re-muxes plus a trimmed AVI copy, found at
+offset 1).
+
+Scale shape (100 TB): frame hashing is one map-side Arrow-batched
+pass over the video scan (demux + JPEG decode dominate; a clip's
+hash sequence is ~16 B/frame — 10⁵× smaller than the clip). The
+shingle step shuffles once by clip id for the lead() windows; the
+shingle equi-join is posting-list-shaped with the same partial-agg +
+broadcast anti-join hot-shingle guard as every band join in this
+repo (a black-leader shingle at web scale is the hot key); the
+verify join touches only candidate clip pairs. No stage ever holds
+pixels after the map side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_FRAME_SCHEMA = (
+    "doc_id long, frame_id int, h0 long, h1 long, h2 long, h3 long"
+)
+
+
+def _demux_any(raw: bytes) -> dict:
+    from nebuia_vector_db_spark.multimodal.avi import (
+        AviFormatError,
+        decode_avi_mjpeg,
+    )
+    from nebuia_vector_db_spark.multimodal.mkv import decode_mkv_mjpeg
+    from nebuia_vector_db_spark.multimodal.mp4 import decode_mp4_mjpeg
+
+    if raw[:4] == b"RIFF":
+        return decode_avi_mjpeg(raw)
+    if len(raw) > 8 and raw[4:8] == b"ftyp":
+        return decode_mp4_mjpeg(raw)
+    if raw[:4] == b"\x1aE\xdf\xa3":
+        return decode_mkv_mjpeg(raw)
+    raise AviFormatError("unrecognized video container magic")
+
+
+def video_frame_dhash(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Demux every clip (AVI / MP4 / MKV by magic), JPEG-decode each
+    frame and emit ``(doc_id, frame_id, h0..h3)`` — the per-frame
+    dHash as four 16-bit words (the exact
+    :func:`imagehash._dhash_bands` arithmetic the ``dedup_dhash``
+    oracle certifies). Frames smaller than the 8×9 dHash grid are
+    skipped. Map-side Arrow batches; payload pruned unless
+    projected."""
+    from nebuia_vector_db_spark.multimodal.jpeg import decode_jpeg_gray
+    from nebuia_vector_db_spark.operators.imagehash import _dhash_bands
+
+    cols = assets.select(F.col(id_col).alias("doc_id"), payload_col)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("doc_id", "frame_id", "b")
+            }
+            for doc, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                clip = _demux_any(bytes(payload))
+                for p, fb in enumerate(clip["frames"]):
+                    px = decode_jpeg_gray(fb)
+                    if px.shape[0] < 8 or px.shape[1] < 9:
+                        continue
+                    out["doc_id"].append(doc)
+                    out["frame_id"].append(p)
+                    out["b"].append(_dhash_bands(px))
+            bands = np.array(out.pop("b"), dtype=np.int64).reshape(-1, 4)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "frame_id": pd.array(out["frame_id"], dtype="int32"),
+                    **{f"h{k}": bands[:, k] for k in range(4)},
+                }
+            )
+
+    return cols.mapInPandas(_hash, _FRAME_SCHEMA)
+
+
+def video_align_pairs(
+    frame_hashes: DataFrame,
+    min_aligned: int = 4,
+    max_avg_hamming: int = 3,
+    max_shingle_df: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aligned near-dup clip pairs from per-frame hash sequences:
+    ``(doc_a, doc_b, offset, n_aligned, total_hamming)`` — one row
+    per clip pair and alignment offset where ≥ ``min_aligned``
+    frames overlap with average per-frame hamming ≤
+    ``max_avg_hamming`` (decided as ``total ≤ max_avg·n`` in
+    integers). Shingle width is fixed at 3 frames (the 48-bit
+    pigeonhole packing); hot (band, shingle) groups with more than
+    ``max_shingle_df`` postings are dropped map-side via broadcast
+    anti-join before the self-join, exactly like
+    ``imagehash.hash_band_pairs``."""
+    from pyspark import StorageLevel
+
+    fh = frame_hashes.select(
+        F.col(id_col).alias("doc_id"), "frame_id", "h0", "h1", "h2", "h3"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_RELATIONS.append(fh)
+
+    w = Window.partitionBy("doc_id", "k").orderBy("frame_id")
+    sh = (
+        fh.select(
+            "doc_id",
+            "frame_id",
+            F.posexplode(F.array("h0", "h1", "h2", "h3")).alias(
+                "k", "w0"
+            ),
+        )
+        .withColumn("w1", F.lead("w0", 1).over(w))
+        .withColumn("w2", F.lead("w0", 2).over(w))
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "frame_id",
+            "k",
+            (
+                F.col("w0")
+                + F.shiftleft("w1", 16)
+                + F.shiftleft("w2", 32)
+            ).alias("sval"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CACHED_RELATIONS.append(sh)
+    hot = (
+        sh.groupBy("k", "sval")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("k", "sval")
+    )
+    kept = sh.join(F.broadcast(hot), ["k", "sval"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(b, on=["k", "sval"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.frame_id") - F.col("b.frame_id")).alias("offset"),
+        )
+        .distinct()
+    )
+    fa, fb = fh.alias("fa"), fh.alias("fb")
+    ham = sum(
+        F.bit_count(F.col(f"fa.h{k}").bitwiseXOR(F.col(f"fb.h{k}")))
+        for k in range(4)
+    )
+    return (
+        cand.join(fa, F.col("fa.doc_id") == F.col("doc_a"))
+        .join(
+            fb,
+            (F.col("fb.doc_id") == F.col("doc_b"))
+            & (
+                F.col("fa.frame_id")
+                == F.col("fb.frame_id") + F.col("offset")
+            ),
+        )
+        .groupBy("doc_a", "doc_b", "offset")
+        .agg(
+            F.count("*").alias("n_aligned"),
+            F.sum(ham).cast("long").alias("total_hamming"),
+        )
+        .where(
+            (F.col("n_aligned") >= min_aligned)
+            & (
+                F.col("total_hamming")
+                <= F.lit(max_avg_hamming) * F.col("n_aligned")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("offset").cast("int").alias("offset"),
+            F.col("n_aligned").cast("long").alias("n_aligned"),
+            "total_hamming",
+        )
+    )
+
+
+# Persisted relations handed out by video_align_pairs: the frame-hash
+# relation feeds the shingle window AND both verify-join sides (its
+# lineage holds the demux + JPEG decode — the dominant cost), and the
+# shingle relation feeds the hot groupBy and both candidate-join
+# sides. Releasable-registry shape per the r9 ADVICE pattern.
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> int:
+    """Unpersist every relation persisted by :func:`video_align_pairs`
+    in this session; returns the count released."""
+    n = 0
+    for df in _CACHED_RELATIONS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_RELATIONS.clear()
+    return n

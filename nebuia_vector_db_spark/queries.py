@@ -3759,6 +3759,163 @@ def q_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by temporal alignment (round 11, VERDICT r10
+    task #4): each qualifying document (ASCII, ≥ 6 frames of text
+    windows) becomes THREE real clips — the full footage muxed as
+    MJPEG-AVI (RIFF) and as MKV (EBML), plus a TRIMMED AVI copy
+    missing the first frame — so the planted duplicate classes are a
+    re-mux (A↔B, alignment offset 0) and an edited/trimmed re-encode
+    (A↔C and B↔C, offset 1). operators/videofp.py demuxes by magic,
+    dHashes every decoded frame with the dedup_dhash arithmetic,
+    blocks on 3-frame-by-one-band temporal shingles (48-bit
+    pigeonhole: window hamming ≤ 3 ⇒ one band's shingle equal, with
+    the broadcast hot-shingle guard), and verifies each candidate
+    alignment by joining the FULL hash sequences at that offset —
+    exact XOR+POPCNT, integer cross-multiplied average test. All of
+    it — demux → frame dHash → shingles → blocking → aligned verify —
+    replays bit-for-bit in DuckDB from the text bytes, across TWO
+    different container grammars in the one recorded row (the
+    mm_mkv_frames one-truth discipline, now applied to dedup).
+
+    Scale: frame hashing is map-side (hash sequence ~16 B/frame);
+    one clip-id shuffle for the shingle windows; the shingle join is
+    posting-list-shaped; the verify join touches candidates only."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_avi_assets,
+        attach_mkv_assets,
+    )
+    from nebuia_vector_db_spark.operators.videofp import (
+        video_align_pairs,
+        video_frame_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.octet_length("text") >= 304)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    full = docs.select("doc_id", "text")
+    a = full.select((F.col("doc_id") * 3).alias("doc_id"), "text")
+    b = full.select((F.col("doc_id") * 3 + 1).alias("doc_id"), "text")
+    c = full.select(
+        (F.col("doc_id") * 3 + 2).alias("doc_id"),
+        F.expr("substring(text, 49)").alias("text"),
+    )
+    assets = (
+        attach_avi_assets(a)
+        .unionByName(attach_mkv_assets(b))
+        .unionByName(attach_avi_assets(c))
+    )
+    pairs = video_align_pairs(
+        video_frame_dhash(assets),
+        min_aligned=4,
+        max_avg_hamming=3,
+        max_shingle_df=64,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("offset").alias("align_offset"),
+        "n_aligned",
+        "total_hamming",
+    ).orderBy("doc_a", "doc_b", "align_offset")
+
+
+# Replays the three planted variants (vid = doc_id*3 + j; j=2 is the
+# trimmed copy, i.e. byte base 48 and one fewer frame), then the
+# frame dHash from the text bytes (each byte is a constant 8x8 JPEG
+# block at quality 100 — lossless by construction, the
+# attach_jpeg_lossless_assets trick — so pixel cell sums reduce to
+# byte sums; row band = br, col band = (c*9)//128 over the 128-px
+# width), the 3-frame band shingles via lead(), the <=64-df
+# hot-shingle guard, and the aligned XOR+POPCNT verify — the same
+# tail discipline as ORACLE_DEDUP_DHASH/AUDIOFP.
+ORACLE_DEDUP_VIDEO_ALIGN = """
+WITH d0 AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) >= 304
+    AND octet_length(encode(text)) = length(text)
+),
+clips AS (
+  SELECT doc_id*3 + v.j AS vid, hx,
+         CASE WHEN v.j = 2 THEN 48 ELSE 0 END AS base,
+         ((nb - 64) // 48 + 1) - CASE WHEN v.j = 2 THEN 1 ELSE 0 END AS nf
+  FROM d0, (VALUES (0),(1),(2)) AS v(j)
+),
+frames AS (
+  SELECT vid, hx, base, CAST(t.f AS BIGINT) AS f
+  FROM clips, LATERAL unnest(range(nf)) AS t(f)
+),
+grid AS (
+
+  SELECT vid, f, br.r AS br, (c.i * 9) // 128 AS bc,
+         ((strpos('0123456789ABCDEF', substr(hx, 2*(base + f*48 + (br.r // 2) * 16 + c.i // 8) + 1, 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(hx, 2*(base + f*48 + (br.r // 2) * 16 + c.i // 8) + 2, 1)) - 1)) AS v
+  FROM frames,
+       LATERAL unnest(range(8)) AS br(r),
+       LATERAL unnest(range(128)) AS c(i)
+
+),
+cells AS (
+  SELECT vid, f, br, bc, sum(v) AS s, count(*) AS n
+  FROM grid GROUP BY 1,2,3,4
+),
+bits AS (
+  SELECT l.vid, l.f, l.br AS r, l.bc AS c,
+         CASE WHEN l.s * r2.n > r2.s * l.n THEN 1 ELSE 0 END AS bit
+  FROM cells l JOIN cells r2
+    ON l.vid = r2.vid AND l.f = r2.f AND l.br = r2.br AND r2.bc = l.bc + 1
+  WHERE l.bc < 8
+),
+words AS (
+  SELECT vid, f, r // 2 AS k,
+         CAST(sum(bit * power(2, (r % 2) * 8 + c)) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2, 3
+),
+sh AS (
+  SELECT vid, f, k, val AS w0,
+         lead(val, 1) OVER (PARTITION BY vid, k ORDER BY f) AS w1,
+         lead(val, 2) OVER (PARTITION BY vid, k ORDER BY f) AS w2
+  FROM words
+),
+shingles AS (
+  SELECT vid, f, k, w0 + w1 * 65536 + w2 * 4294967296 AS sval
+  FROM sh WHERE w1 IS NOT NULL AND w2 IS NOT NULL
+),
+ok_sh AS (
+  SELECT k, sval FROM shingles GROUP BY 1, 2 HAVING count(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT x.vid AS doc_a, y.vid AS doc_b, x.f - y.f AS delta
+  FROM shingles x JOIN ok_sh o ON x.k = o.k AND x.sval = o.sval
+  JOIN shingles y ON y.k = x.k AND y.sval = x.sval AND x.vid < y.vid
+),
+hs AS (
+  SELECT vid, f,
+         max(CASE WHEN k = 0 THEN val END) AS h0,
+         max(CASE WHEN k = 1 THEN val END) AS h1,
+         max(CASE WHEN k = 2 THEN val END) AS h2,
+         max(CASE WHEN k = 3 THEN val END) AS h3
+  FROM words GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(delta AS INT) AS align_offset,
+       CAST(count(*) AS BIGINT) AS n_aligned,
+       CAST(sum(bit_count(xor(fa.h0, fb.h0)) + bit_count(xor(fa.h1, fb.h1))
+              + bit_count(xor(fa.h2, fb.h2)) + bit_count(xor(fa.h3, fb.h3)))
+            AS BIGINT) AS total_hamming
+FROM cand
+JOIN hs fa ON fa.vid = doc_a
+JOIN hs fb ON fb.vid = doc_b AND fa.f = fb.f + delta
+GROUP BY 1, 2, 3
+HAVING count(*) >= 4
+   AND sum(bit_count(xor(fa.h0, fb.h0)) + bit_count(xor(fa.h1, fb.h1))
+         + bit_count(xor(fa.h2, fb.h2)) + bit_count(xor(fa.h3, fb.h3)))
+       <= 3 * count(*)
+ORDER BY doc_a, doc_b, align_offset
+"""
+
+
 def q_dedup_audiofp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic near-dup (round 11, VERDICT r10 task #3 — the audio
     third of the multimodal dedup triad): every document carries a
@@ -6909,6 +7066,17 @@ REGISTRY: dict[
     # text-sketch angle keeps dedup_minhash_lsh recorded; simhash
     # stays locally green below.
     "dedup_audiofp": (q_dedup_audiofp, ORACLE_DEDUP_AUDIOFP),
+    # video near-dup by temporal alignment (round-11 promotion,
+    # VERDICT r10 task #4): re-muxed (AVI↔MKV, offset 0) and trimmed
+    # (offset 1) duplicate clips found by per-frame dHash sequences +
+    # 3-frame band shingles + aligned XOR+POPCNT verify — the whole
+    # pipeline SQL-replayed across TWO container grammars in one
+    # recorded row. Takes mm_mkv_frames' slot: this row DEMUXES both
+    # MKV (EBML vint walk) and AVI (RIFF) through the same decoders
+    # the mm_* rows pin, so the container-walk capability stays
+    # recorded here with strictly more machinery on top; the
+    # per-frame pixel-stats form stays locally green below.
+    "dedup_video": (q_dedup_video, ORACLE_DEDUP_VIDEO_ALIGN),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
     "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
     # span-level exact-substring dedup (round-4 promotion): the Lee
@@ -7039,7 +7207,6 @@ REGISTRY: dict[
     # slot (the structurally hardest of the three demuxers: AVI and
     # MP4 stay locally green on the same oracle). Takes the slot
     # freed by the AVI demotion.
-    "mm_mkv_frames": (q_mm_mkv_frames, ORACLE_MM_VIDEO),
     # REAL lossy perceptual audio codec (round-9 promotion): MPEG-1
     # Layer II (ISO 11172-3) bitstream — subband QMF synthesis,
     # scalefactors, bit allocation — decoded executor-side via
@@ -7390,6 +7557,14 @@ REGISTRY: dict[
     #   intra prediction) no container walk reaches. The box grammar
     #   stays pinned here, locally green;
     "mm_mp4_frames": (q_mm_mp4_frames, ORACLE_MM_VIDEO),
+    # mm_mkv_frames: Matroska/EBML demux + per-frame pixel stats —
+    #   demoted r11 for dedup_video, which demuxes BOTH MKV and AVI
+    #   (the same decode_mkv_mjpeg/decode_avi_mjpeg code paths) and
+    #   layers frame dHash + temporal alignment on top, so the
+    #   container-walk capability keeps a recorded rep with strictly
+    #   more machinery; the pixel-stats/scene-delta form stays
+    #   locally green here on the shared video oracle;
+    "mm_mkv_frames": (q_mm_mkv_frames, ORACLE_MM_VIDEO),
     # rcte_doc_tree: WITH RECURSIVE (Spark 4 UnionLoop) — the
     #   iterative family's scale rep stays dedup_groups' distributed
     #   pointer-jumping (in-window); this pins the declarative form;

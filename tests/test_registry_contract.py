@@ -135,7 +135,11 @@ _REQUIRED_IN_WINDOW = {
     # (mm_audio_real demoted r10 for mm_flac_audio — the FLAC row
     # reaches the same decoded-PCM stats through a real compression
     # layer; RIFF grammar stays locally green via the AVI row)
-    "mm_png_roundtrip", "mm_flac_audio", "mm_mkv_frames",
+    # (mm_mkv_frames demoted r11 for dedup_video — which demuxes
+    # both MKV and AVI through the same decoders and adds per-frame
+    # dHash + temporal alignment; the container walk keeps a
+    # recorded rep with strictly more machinery)
+    "mm_png_roundtrip", "mm_flac_audio", "dedup_video",
     "mm_color_roundtrip", "mm_h264_iframes", "mm_mp2_audio",
     # transactional storage (snap_engine_lifecycle promoted r9: the
     # VectorEngine facade driving store → search → ACID delete →
