@@ -1,0 +1,254 @@
+"""DoReMi domain reweighting (Xie et al. 2023b, "DoReMi: Optimizing
+Data Mixtures Speeds Up Language Model Pretraining") — the
+selection-tier sibling of DSIR (operators/lm.py): instead of scoring
+DOCUMENTS against a target, it optimizes the per-DOMAIN mixture
+weights a training run should sample with, by Group DRO: domains
+where the current-mixture model is furthest above its achievable
+per-domain floor get their weight multiplied up, so no domain's
+excess loss is left behind.
+
+Adaptation (the honesty line, same split as the repo's other
+paper-anchored operators): the paper's proxy is a 280M-param
+transformer trained ONLINE under the evolving weights, and its
+reference — same architecture, uniform mixture — estimates the
+per-domain loss still ACHIEVABLE (§2: excess loss "measures how much
+better the model could get"). Here the proxy is this repo's
+closed-form count LM, which trains to convergence instantly from
+WEIGHTED COUNTS: proxy_t = the bigram LM of the α_t-weighted
+mixture. For this model family the achievable per-domain floor is
+exact — the domain's OWN count LM — so the reference is the
+per-domain specialist, not the uniform proxy (at a closed-form
+optimum the uniform-reference excess is identically zero at
+initialization, a fixed point the paper's lagging SGD proxy never
+sits at; the specialist baseline is the non-degenerate tabular
+translation of the same quantity). The outer multiplicative-weights
+loop (excess loss → exponentiated update → uniform smoothing,
+Alg. 1 steps 5-7, η=1, c=1e-3) is implemented verbatim; only the
+inner SGD is replaced by the closed form. Losses are evaluated on
+the training mixture's own bigram support, so every evaluated
+transition is in-model and the backoff branch never fires (exact;
+documented rather than hidden).
+
+Distributed shape (100 TB): ONE corpus scan builds the per-domain
+unigram/bigram count relations (two map-side-combined groupBys —
+the lm.py training shape keyed by domain); every DRO round after
+that joins VOCABULARY-sized relations only (weighted-count groupBy +
+a broadcast k-row weight map + one per-domain aggregation) — the
+corpus is never rescanned, and the only driver-side state is the
+k-entry weight vector (bounded artifact, like the IVF centroids).
+Loss sums are exact BIGINTs of quantized per-transition NLL
+micro-units (the lm.py discipline), so the whole fit is
+deterministic and reproducible bit-for-bit by the pure-Python
+reference in tests/test_doremi.py — the sanctioned rows-only
+certification (iterative fit), same as bpe/unigram/k-means.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.lm import (
+    LOG_MICRO,
+    _pairs,
+    doc_tokens,
+)
+
+W_MICRO = 1_000_000  # domain-weight quantum
+
+# Persisted per-domain count relations (reused by every DRO round);
+# releasable-registry shape per the r9 ADVICE pattern.
+_CACHED_RELATIONS: list[DataFrame] = []
+
+
+def release_cached_relations() -> int:
+    n = 0
+    for df in _CACHED_RELATIONS:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_RELATIONS.clear()
+    return n
+
+
+def _domain_losses(
+    spark: SparkSession,
+    uni_d: DataFrame,
+    big_d: DataFrame,
+    weights_micro: dict[str, int],
+) -> dict[str, tuple[int, int]]:
+    """{domain: (nll_micro_sum, n_trans)} of every domain's bigram
+    stream scored against the count LM of the ``weights_micro``-
+    weighted mixture. p(w2|w1) = c2w/c1w is invariant under a global
+    weight rescale, so micro-unit integer weights lose nothing."""
+    wmap = F.broadcast(
+        spark.createDataFrame(
+            sorted(weights_micro.items()), "domain string, wm long"
+        )
+    )
+    c1w = (
+        uni_d.join(wmap, "domain")
+        .groupBy("w")
+        .agg(F.sum(F.col("c1") * F.col("wm")).alias("c1w"))
+    )
+    c2w = (
+        big_d.join(wmap, "domain")
+        .groupBy("w1", "w2")
+        .agg(F.sum(F.col("c2") * F.col("wm")).alias("c2w"))
+    )
+    # per-transition NLL in micro-units: the lm.py quantization
+    # discipline (floor(ln·1e4 + 0.5)); every evaluated bigram is in
+    # the mixture support (all weights ≥ 1 micro), so no backoff term
+    nll = c2w.join(
+        c1w.select(F.col("w").alias("w1"), "c1w"), "w1"
+    ).select(
+        "w1",
+        "w2",
+        (
+            -F.floor(
+                F.log(F.col("c2w") / F.col("c1w")) * F.lit(LOG_MICRO)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    rows = (
+        big_d.join(nll, ["w1", "w2"])
+        .groupBy("domain")
+        .agg(
+            F.sum(F.col("c2") * F.col("nll_micro")).alias("L"),
+            F.sum("c2").alias("n"),
+        )
+        .collect()
+    )
+    return {r["domain"]: (int(r["L"]), int(r["n"])) for r in rows}
+
+
+def _specialist_losses(
+    uni_d: DataFrame, big_d: DataFrame
+) -> dict[str, tuple[int, int]]:
+    """{domain: (nll_micro_sum, n_trans)} of every domain scored
+    against its OWN count LM — the exact per-domain optimum of the
+    model family (Gibbs: the domain's empirical conditional minimizes
+    its own log-loss), i.e. the tabular form of DoReMi's 'still
+    achievable loss' baseline. One vocabulary-sized join, no
+    corpus rescan."""
+    nll = big_d.join(
+        uni_d.select("domain", F.col("w").alias("w1"), "c1"),
+        ["domain", "w1"],
+    ).select(
+        "domain",
+        "c2",
+        (
+            -F.floor(
+                F.log(F.col("c2") / F.col("c1")) * F.lit(LOG_MICRO)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    rows = (
+        nll.groupBy("domain")
+        .agg(
+            F.sum(F.col("c2") * F.col("nll_micro")).alias("L"),
+            F.sum("c2").alias("n"),
+        )
+        .collect()
+    )
+    return {r["domain"]: (int(r["L"]), int(r["n"])) for r in rows}
+
+
+def doremi_weights(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    n_rounds: int = 5,
+    eta: float = 1.0,
+    smoothing: float = 1e-3,
+) -> DataFrame:
+    """Group-DRO mixture weights over ``domain_col``:
+    ``(domain, weight_micro, final_weight_micro)`` — ``weight_micro``
+    is the PAPER'S output (the average of the per-round weight
+    vectors, Alg. 1 step 9), ``final_weight_micro`` the last round's,
+    both micro-unit quantized and summing to ~1e6.
+
+    Per round t (Alg. 1 steps 5-7, with the closed-form proxy):
+      excess(d) = max(0, L_proxy_t(d) − L_ref(d)) / n(d)   [nats]
+      logw(d)  += eta · excess(d)
+      α_t       = (1−smoothing)·softmax(logw) + smoothing/k
+    """
+    spark = docs.sparkSession
+    from pyspark import StorageLevel
+
+    toked = doc_tokens(docs, text_col).select(
+        F.col(domain_col).cast("string").alias("domain"), "_toks"
+    )
+    uni_d = (
+        toked.select("domain", F.explode("_toks").alias("w"))
+        .groupBy("domain", "w")
+        .agg(F.count("*").alias("c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big_d = (
+        toked.select(
+            "domain", F.explode(_pairs(F.col("_toks"))).alias("p")
+        )
+        .select("domain", "p.w1", "p.w2")
+        .groupBy("domain", "w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CACHED_RELATIONS.extend([uni_d, big_d])
+    domains = sorted(
+        r["domain"] for r in big_d.select("domain").distinct().collect()
+    )
+    k = len(domains)
+    if k == 0:
+        return spark.createDataFrame(
+            [],
+            "domain string, weight_micro long, final_weight_micro long",
+        )
+    # reference: each domain's achievable floor — its own count LM
+    ref = _specialist_losses(uni_d, big_d)
+    logw = {d: 0.0 for d in domains}
+    alpha = {d: 1.0 / k for d in domains}
+    history: list[dict[str, float]] = []
+    for _ in range(n_rounds):
+        wm = {
+            d: max(1, int(math.floor(alpha[d] * W_MICRO + 0.5)))
+            for d in domains
+        }
+        cur = _domain_losses(spark, uni_d, big_d, wm)
+        for d in domains:
+            L_p, n = cur[d]
+            L_r, _ = ref[d]
+            excess = max(0, L_p - L_r) / n / LOG_MICRO  # nats/transition
+            logw[d] += eta * excess
+        m = max(logw.values())
+        exps = {d: math.exp(logw[d] - m) for d in domains}
+        z = sum(exps[d] for d in domains)
+        alpha = {
+            d: (1.0 - smoothing) * (exps[d] / z) + smoothing / k
+            for d in domains
+        }
+        history.append(dict(alpha))
+    avg = {
+        d: sum(h[d] for h in history) / len(history) for d in domains
+    }
+    out = [
+        (
+            d,
+            int(math.floor(avg[d] * W_MICRO + 0.5)),
+            int(math.floor(alpha[d] * W_MICRO + 0.5)),
+        )
+        for d in domains
+    ]
+    return spark.createDataFrame(
+        out, "domain string, weight_micro long, final_weight_micro long"
+    )

@@ -3759,6 +3759,30 @@ def q_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023b, round 11 —
+    VERDICT r10 task #7): Group-DRO mixture weights over the corpus
+    languages — per round, the closed-form count-LM proxy of the
+    current mixture is scored per domain against the domain's own
+    specialist LM (the model family's exact achievable floor, the
+    tabular form of the paper's excess-loss baseline), and the
+    multiplicative-weights update (η=1, uniform smoothing c=1e-3,
+    Alg. 1 steps 5-7) upweights the domains furthest above their
+    floor; the output is the paper's round-averaged weight vector.
+    ONE corpus scan total — the per-domain count relations persist
+    and every round is vocabulary-sized joins (operators/doremi.py
+    has the 100 TB posture). Rows-only driver check — iterative
+    fit, the sanctioned non-SQL-expressible case;
+    tests/test_doremi.py certifies the whole loop bit-exactly
+    against a from-scratch pure-Python Group-DRO reference."""
+    from nebuia_vector_db_spark.operators.doremi import doremi_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doremi_weights(
+        docs, domain_col="lang", n_rounds=4
+    ).orderBy("domain")
+
+
 def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup by temporal alignment (round 11, VERDICT r10
     task #4): each qualifying document (ASCII, ≥ 6 frames of text
@@ -7535,6 +7559,14 @@ REGISTRY: dict[
     #   the cluster->centroid->keep machinery is hash-certified by
     #   the recorded md5-hyperplane dedup_semdedup row; locally green;
     "dedup_semdedup_kmeans": (q_dedup_semdedup_kmeans, None),
+    # pipe_doremi_weights: Group-DRO domain mixture weights (round
+    #   11, Xie et al. 2023b) — rows-only sanctioned (iterative
+    #   multiplicative-weights fit); certified bit-exactly against a
+    #   from-scratch pure-Python Group-DRO reference in
+    #   tests/test_doremi.py; the selection-tier window slot is held
+    #   by pipe_dsir_select (document-level importance resampling —
+    #   this is its domain-level sibling);
+    "pipe_doremi_weights": (q_pipe_doremi_weights, None),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
