@@ -527,6 +527,49 @@ def test_tpch_q9_lineitem_only_large_input(spark, sf_oracle):
     assert li and "l_returnflag" not in li[0]  # unprojected → pruned
 
 
+def test_dedup_audiofp_guard_broadcast_and_budget(spark, sf_oracle):
+    """Round 11: the acoustic near-dup row shares hash_band_pairs, so
+    the same discipline holds — hot bands die in a BROADCAST
+    anti-join (never a window over the band key), no cartesian
+    product, and the fingerprint front is one map-side pass (the
+    only shuffles are the banding explode-groupBy + self-join +
+    distinct)."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = Q.q_dedup_audiofp(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 5
+
+
+def test_dedup_video_align_no_cartesian_guard_broadcast(spark, sf_oracle):
+    """Round 11: the video alignment row — shingle blocking is an
+    EQUI-join (k, sval), the hot-shingle guard a broadcast
+    anti-join, the verify stage an equi-join on (clip, frame+offset);
+    no cartesian product anywhere, and the lead() windows are the
+    only Window nodes (per-clip, bounded partitions — not a hot-key
+    funnel)."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = Q.q_dedup_video(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # shingle windows shuffle by (doc,k); banding + verify joins +
+    # final agg account for the rest — pin the budget so a future
+    # edit can't quietly add a corpus-wide exchange
+    assert shuffle_count(df) <= 9
+
+
 def test_dedup_dhash_hot_band_guard_is_broadcast(spark, sf_oracle):
     """Round 10: the perceptual-hash pair join must drop hot bands via
     a BROADCAST anti-join (map-side, the skew-safe shape), never a
