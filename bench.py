@@ -1615,6 +1615,29 @@ def main() -> None:
     timings["b18_dhash_pairs_sec"] = round(time.perf_counter() - t0, 4)
     timings["b18_dhash_pairs_total"] = int(b18_pairs)
     b18_hashed.unpersist()
+    # ---- acoustic near-dup (round 11): decode 1024 mixed WAV/FLAC
+    # clips + square-wave fingerprint (decode dominates, map-side),
+    # then the shared band pair join — the audio third of the
+    # multimodal dedup triad at bench scale. Totals deterministic.
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_audio_dup_assets,
+    )
+    from nebuia_vector_db_spark.operators.audiofp import (
+        audio_fingerprint_bands,
+    )
+
+    t0 = time.perf_counter()
+    b18_afp = audio_fingerprint_bands(
+        attach_audio_dup_assets(b18_docs)
+    ).cache()
+    b18_afp_n = b18_afp.count()
+    timings["b18_audiofp_hash_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b18_audiofp_clips_total"] = int(b18_afp_n)
+    t0 = time.perf_counter()
+    b18_afp_pairs = hash_band_pairs(b18_afp, max_hamming=3).count()
+    timings["b18_audiofp_pairs_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b18_audiofp_pairs_total"] = int(b18_afp_pairs)
+    b18_afp.unpersist()
     b18_docs.unpersist()
     # Plant near-duplicates — 1 clone per 16 rows, every component
     # nudged by +5e-4 so cosine(orig, clone) ≈ 0.9999: the raw corpus
