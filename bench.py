@@ -1615,8 +1615,9 @@ def main() -> None:
     timings["b18_dhash_pairs_sec"] = round(time.perf_counter() - t0, 4)
     timings["b18_dhash_pairs_total"] = int(b18_pairs)
     b18_hashed.unpersist()
-    # ---- acoustic near-dup (round 11): decode 1024 mixed WAV/FLAC
-    # clips + square-wave fingerprint (decode dominates, map-side),
+    # ---- acoustic near-dup (round 11): 1024 mixed WAV/FLAC clips
+    # (fixture encode + decode dominate — FLAC Rice coding is the
+    # pure-Python cost; the fingerprint grid is O(samples×16) numpy),
     # then the shared band pair join — the audio third of the
     # multimodal dedup triad at bench scale. Totals deterministic.
     from nebuia_vector_db_spark.multimodal.assets import (
