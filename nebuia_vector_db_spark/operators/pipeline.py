@@ -101,6 +101,55 @@ def dataset_split(
     return df.withColumn("bucket", bucket).withColumn("split", split)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split (round 11): every
+    duplicate GROUP lands wholly in one fold, so a test document can
+    never have a near-copy in train — the leakage mode a plain
+    per-document hash split cannot prevent (Lee et al. 2022 §6.2
+    measure exactly this train/test overlap in C4/RealNews).
+
+    ``groups`` is a (id, group_id) relation from any dedup closure
+    (operators/components.py::dedup_groups over MinHash/SimHash/
+    substring pairs); documents outside every group are their own
+    singleton group, so their fold equals the plain
+    :func:`dataset_split` fold — introducing group-awareness
+    re-routes ONLY the near-duplicated documents (test-pinned).
+
+    Scale shape: the group relation is pair-derived — orders of
+    magnitude smaller than the corpus (only docs that ARE near-dups
+    appear) — so the join broadcasts and the fold assignment stays
+    one map-side pass over the scan; the md5 bucketing is the same
+    engine-reproducible arithmetic as dataset_split (no RNG, stable
+    under repartition/cluster size).
+    """
+    g = groups.select(
+        F.col(id_col), F.col("group_id").alias("_gid")
+    )
+    routed = docs.select(id_col).join(F.broadcast(g), id_col, "left")
+    key = F.coalesce(F.col("_gid"), F.col(id_col))
+    bucket = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return routed.select(
+        id_col,
+        key.alias("group_id"),
+        split.alias("split"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     text_col: str = "text",

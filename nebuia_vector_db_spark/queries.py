@@ -701,6 +701,81 @@ def _shared_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def q_pipe_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split (round 11): the md5 hash split
+    keyed by near-dup GROUP rather than document, so a test doc can
+    never have a near-copy in train (operators/pipeline.py::
+    leakage_safe_split over the session-shared Jaccard-pair closure).
+    The oracle replays pair generation, the recursive-CTE closure AND
+    the group-keyed fold assignment; docs outside every group keep
+    their plain dataset_split fold (pytest-pinned)."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = _shared_dup_groups(spark, sf_dir)
+    return leakage_safe_split(docs, groups).orderBy("doc_id")
+
+
+# The ORACLE_DEDUP_GROUPS closure + a group-keyed replay of the
+# dataset_split md5 bucket (fold key = group canonical id, falling
+# back to the doc's own id outside any group).
+_MD5_GROUP_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(fold_key AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(fold_key AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(fold_key AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(fold_key AS VARCHAR)), 4, 1)) - 1)) % 100"
+)
+
+ORACLE_PIPE_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+grp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+keyed AS (
+  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS fold_key
+  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(fold_key AS BIGINT) AS group_id,
+       CASE WHEN {{_MD5_GROUP_BUCKET}} < 80 THEN 'train'
+            WHEN {{_MD5_GROUP_BUCKET}} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+ORDER BY doc_id
+""".format(_MD5_GROUP_BUCKET=_MD5_GROUP_BUCKET)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _shared_jaccard_pairs(spark, sf_dir)
@@ -7653,6 +7728,12 @@ REGISTRY: dict[
     # covered by tpch_q4's EXISTS; vs_topk_fixedq: fixed-query
     # variant of recorded vs_topk.
     "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
+    # pipe_leakage_split: near-dup-group-keyed fold assignment (round
+    #   11) — full oracle (pairs -> recursive-CTE closure -> md5 fold
+    #   of the group canonical); the split capability's window slot
+    #   is held by pipe_curate's split stage and pipe_dsir_select;
+    #   locally green;
+    "pipe_leakage_split": (q_pipe_leakage_split, ORACLE_PIPE_LEAKAGE_SPLIT),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),

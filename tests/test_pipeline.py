@@ -171,3 +171,41 @@ def test_epoch_shard_reshuffles_per_epoch_deterministically(spark, sf_smoke):
     ]
     assert len(counts) == 8
     assert max(counts) <= 3 * min(counts)  # rough md5 balance at n=500
+
+
+def test_leakage_safe_split_groups_never_span_folds(spark):
+    """Round 11: every near-dup group lands wholly in one fold, and
+    introducing group-awareness re-routes ONLY grouped documents —
+    singletons keep their plain dataset_split fold."""
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.operators.pipeline import (
+        dataset_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    # groups: {0,1,2} -> 0, {10,11} -> 10, {50,399} -> 50
+    groups = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (50, 50), (399, 50)],
+        "doc_id long, group_id long",
+    )
+    out = leakage_safe_split(docs, groups)
+    rows = {r["doc_id"]: (r["group_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == 400
+    # group cohesion: one fold per group
+    for members in ([0, 1, 2], [10, 11], [50, 399]):
+        folds = {rows[m][1] for m in members}
+        keys = {rows[m][0] for m in members}
+        assert len(folds) == 1 and keys == {members[0]}, members
+    # singletons match the plain per-doc split exactly
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(docs).collect()
+    }
+    grouped = {0, 1, 2, 10, 11, 50, 399}
+    for d in range(400):
+        if d not in grouped:
+            assert rows[d] == (d, plain[d]), d
+    # and a grouped member inherits its CANONICAL's plain fold
+    assert rows[399][1] == plain[50]
