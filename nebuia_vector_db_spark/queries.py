@@ -5542,6 +5542,56 @@ def q_stream_join_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "ts_r_us")
 
 
+def q_stream_dedup_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING DEDUP driven end-to-end (round 11): the
+    events stream is polluted with planted re-deliveries (every
+    user_id % 5 == 0 event emitted twice — the at-least-once
+    redelivery every Kafka/file-retry ingest produces), then cleaned
+    with ``dropDuplicatesWithinWatermark`` through the micro-batch
+    engine (streaming/events.py::dedup_stream — per-key state store
+    with watermark eviction, so state is bounded by the horizon, not
+    the stream) into a memory sink. The DuckDB oracle is simply the
+    original events table: the hash match certifies the streaming
+    state store dropped EXACTLY the planted copies and nothing else.
+    Duplicates are byte-identical rows, so first-arrival-wins is
+    deterministic; AvailableNow ≡ batch is the same mirror discipline
+    as stream_join_mirror/stream_ppl_filter."""
+    from nebuia_vector_db_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    polluted = ev.withColumn(
+        "_copy",
+        F.explode(
+            F.when(
+                F.col("user_id") % 5 == 0, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("_copy")
+    cleaned = dedup_stream(polluted, keys=["event_id"], watermark="10 hours")
+    got = run_to_memory(cleaned, "reg_stream_dedup_mirror")
+    return got.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        _r(F.col("value"), 6).alias("value"),
+    ).orderBy("event_id")
+
+
+ORACLE_STREAM_DEDUP_MIRROR = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 6) AS value
+FROM events
+ORDER BY event_id
+"""
+
+
 ORACLE_STREAM_JOIN_MIRROR = """
 SELECT l.event_id, l.user_id,
        epoch_us(l.ts) AS ts_us,
@@ -7734,6 +7784,13 @@ REGISTRY: dict[
     #   is held by pipe_curate's split stage and pipe_dsir_select;
     #   locally green;
     "pipe_leakage_split": (q_pipe_leakage_split, ORACLE_PIPE_LEAKAGE_SPLIT),
+    # stream_dedup_mirror: stateful streaming dedup with watermark
+    #   eviction (round 11) — full oracle (planted re-deliveries must
+    #   collapse back to exactly the source table through the
+    #   micro-batch state store); the streaming-execution window
+    #   slots are held by stream_join_mirror (stateful join) and
+    #   stream_ppl_filter (stateless scoring); locally green;
+    "stream_dedup_mirror": (q_stream_dedup_mirror, ORACLE_STREAM_DEDUP_MIRROR),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),

@@ -155,6 +155,27 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming dedup: drop re-deliveries of the same
+    ``keys`` arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — Spark keeps one state-store
+    entry per key and EVICTS it once the watermark passes, so state
+    is bounded by the horizon, not the stream; plain
+    ``dropDuplicates`` on a stream would retain every key forever).
+    The exactly-once hygiene pass every at-least-once ingest needs
+    (Kafka replays, retried file loads). First arrival wins; with
+    byte-identical duplicates the choice is immaterial and the output
+    is deterministic."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def enrich_stream(
     events: DataFrame, dim: DataFrame, key: str = "user_id"
 ) -> DataFrame:

@@ -190,3 +190,43 @@ def test_sliding_stream_matches_batch_mirror(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     total = want.agg(F.sum("n")).first()[0]
     assert total == 4 * ev.count()
+
+
+def test_dedup_stream_drops_exactly_planted_copies(spark, sf_smoke):
+    """Round 11: dropDuplicatesWithinWatermark through the micro-batch
+    engine — planted re-deliveries collapse back to exactly the
+    source relation (same discipline the stream_dedup_mirror oracle
+    hash-certifies), and the physical plan carries the
+    watermark-evicting dedup operator, not an unbounded
+    dropDuplicates."""
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.streaming.events import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_smoke).select(
+        "event_id", "user_id", "ts"
+    )
+    polluted = ev.withColumn(
+        "_c",
+        F.explode(
+            F.when(
+                F.col("user_id") % 3 == 0, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("_c")
+    cleaned = dedup_stream(polluted, keys=["event_id"])
+    got = run_to_memory(cleaned, "t_stream_dedup").collect()
+    base = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("event_id")
+        .collect()
+    )
+    assert sorted(r["event_id"] for r in got) == sorted(
+        r["event_id"] for r in base
+    )
+    plan = cleaned._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
