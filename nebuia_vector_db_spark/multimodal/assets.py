@@ -460,29 +460,14 @@ def decode_audio_real(assets: DataFrame) -> DataFrame:
     deployment swaps the codec call for libsndfile/ffmpeg only.
     """
     import math
-    import struct as _struct
 
-    from nebuia_vector_db_spark.multimodal.wav import (
-        decode_wav,
-        decode_wav_adpcm,
-    )
+    from nebuia_vector_db_spark.multimodal.wav import sniff_decode
 
     cols = assets.select("doc_id", "payload")
 
-    def _sniff_decode(raw: bytes):
-        # fmt codec id sits at a fixed offset only if fmt is the first
-        # chunk; sniff properly: walk to the fmt chunk's codec field
-        off = 12
-        while off + 8 <= len(raw):
-            cid = raw[off : off + 4]
-            size = _struct.unpack_from("<I", raw, off + 4)[0]
-            if cid == b"fmt " and size >= 2:
-                codec = _struct.unpack_from("<H", raw, off + 8)[0]
-                if codec == 0x11:
-                    return decode_wav_adpcm(raw)
-                break
-            off += 8 + size + (size % 2)
-        return decode_wav(raw)
+    # codec dispatch lives in ONE place (wav.py::sniff_decode —
+    # round-11 dedup of the chunk walk with operators/audiofp.py)
+    _sniff_decode = sniff_decode
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

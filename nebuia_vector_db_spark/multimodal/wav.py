@@ -280,3 +280,24 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
             raise WavFormatError("fact count exceeds decoded samples")
         arr = arr[:n_samples]
     return int(rate), arr[:, None]
+
+
+def sniff_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Codec-sniffing RIFF/WAVE decode: walk the chunk grammar to the
+    fmt chunk's codec id and dispatch — 0x11 → IMA ADPCM, anything
+    else → PCM (whose own validation rejects non-PCM codecs). The
+    single home for the dispatch logic; both the asset decode path
+    (multimodal/assets.py) and the acoustic fingerprint
+    (operators/audiofp.py) call this, so a fix to the chunk walk
+    (odd sizes, out-of-order fmt) lands once."""
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if cid == b"fmt " and size >= 2:
+            codec = struct.unpack_from("<H", payload, off + 8)[0]
+            if codec == 0x11:
+                return decode_wav_adpcm(payload)
+            break
+        off += 8 + size + (size % 2)
+    return decode_wav(payload)

@@ -60,7 +60,6 @@ of operators/imagehash.py.
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -116,35 +115,17 @@ def fingerprint_bands(x: np.ndarray) -> list[int]:
 
 def decode_pcm_any(raw: bytes) -> tuple[int, np.ndarray]:
     """Sniff-decode an audio payload to ``(rate, mono int16 array)``:
-    FLAC by magic, RIFF/WAVE by walking the fmt chunk for the codec
-    id (0x11 = IMA ADPCM, else PCM). The same dispatch shape as
-    assets.decode_audio_real's sniffer, extended with FLAC."""
-    from nebuia_vector_db_spark.multimodal.wav import (
-        decode_wav,
-        decode_wav_adpcm,
-    )
-
+    FLAC by magic, RIFF/WAVE via the shared codec sniffer
+    (multimodal/wav.py::sniff_decode — 0x11 → IMA ADPCM, else
+    PCM)."""
     if raw[:4] == b"fLaC":
         from nebuia_vector_db_spark.multimodal.flac import decode_flac
 
         rate, frames = decode_flac(raw)
     else:
-        rate, frames = None, None
-        off = 12
-        while off + 8 <= len(raw):
-            cid = raw[off : off + 4]
-            size = struct.unpack_from("<I", raw, off + 4)[0]
-            if cid == b"fmt " and size >= 2:
-                codec = struct.unpack_from("<H", raw, off + 8)[0]
-                rate, frames = (
-                    decode_wav_adpcm(raw)
-                    if codec == 0x11
-                    else decode_wav(raw)
-                )
-                break
-            off += 8 + size + (size % 2)
-        if frames is None:
-            rate, frames = decode_wav(raw)
+        from nebuia_vector_db_spark.multimodal.wav import sniff_decode
+
+        rate, frames = sniff_decode(raw)
     mono = frames[:, 0] if frames.ndim > 1 else frames
     return rate, mono
 

@@ -25,6 +25,10 @@ import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
 from nebuia_vector_db_spark.functions.text import (
     fingerprint,
     shingles_from_tokens,
@@ -38,22 +42,7 @@ from nebuia_vector_db_spark.functions.text import (
 # executor storage with no release handle — the exact leak
 # textvec.py's registry fixes for weight relations (ADVICE r9).
 # bench.py's release step drops both registries between query batches.
-_CACHED_RELATIONS: list[DataFrame] = []
-
-
-def release_cached_relations() -> int:
-    """Unpersist every anchor relation persisted by
-    :func:`exact_substring_pairs` in this session; returns the count
-    released."""
-    n = 0
-    for df in _CACHED_RELATIONS:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHED_RELATIONS.clear()
-    return n
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
 
 # --------------------------------------------------------------------- exact

@@ -50,6 +50,10 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
 from nebuia_vector_db_spark.operators.lm import (
     LOG_MICRO,
     _pairs,
@@ -60,19 +64,7 @@ W_MICRO = 1_000_000  # domain-weight quantum
 
 # Persisted per-domain count relations (reused by every DRO round);
 # releasable-registry shape per the r9 ADVICE pattern.
-_CACHED_RELATIONS: list[DataFrame] = []
-
-
-def release_cached_relations() -> int:
-    n = 0
-    for df in _CACHED_RELATIONS:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHED_RELATIONS.clear()
-    return n
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
 
 def _domain_losses(

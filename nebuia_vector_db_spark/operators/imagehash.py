@@ -47,27 +47,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
 # Persisted band relations handed out by hash_band_pairs: the banded
 # relation feeds the hot-band groupBy AND both self-join sides, and
 # its lineage holds the image DECODE (the dominant cost) — uncached it
 # would decode every image up to 4x. Same releasable-registry shape as
 # operators/dedup.py / textvec.py (the r9 ADVICE pattern); bench.py's
 # release step drops all three registries between phases.
-_CACHED_RELATIONS: list[DataFrame] = []
-
-
-def release_cached_relations() -> int:
-    """Unpersist every band relation persisted by
-    :func:`hash_band_pairs` in this session; returns the count."""
-    n = 0
-    for df in _CACHED_RELATIONS:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHED_RELATIONS.clear()
-    return n
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
 
 _BANDS_SCHEMA = (

@@ -121,17 +121,25 @@ def leakage_safe_split(
     :func:`dataset_split` fold — introducing group-awareness
     re-routes ONLY the near-duplicated documents (test-pinned).
 
-    Scale shape: the group relation is pair-derived — orders of
-    magnitude smaller than the corpus (only docs that ARE near-dups
-    appear) — so the join broadcasts and the fold assignment stays
-    one map-side pass over the scan; the md5 bucketing is the same
-    engine-reproducible arithmetic as dataset_split (no RNG, stable
-    under repartition/cluster size).
+    Scale shape: the group relation is pair-derived (only docs that
+    ARE near-dups appear), usually far smaller than the corpus — but
+    web-crawl corpora can have a LARGE grouped fraction (Lee et al.
+    2022 find >10% near-dup in C4), so the join is left UNHINTED:
+    AQE broadcasts it when it fits and falls back to a shuffle join
+    when it doesn't (forcing F.broadcast here would be the
+    components.py anti-pattern — its sizes relation is documented
+    non-broadcastable at corpus scale). The md5 bucketing is the
+    same engine-reproducible arithmetic as dataset_split (no RNG,
+    stable under repartition/cluster size).
+
+    Like :func:`dataset_split`, the input schema is PRESERVED and
+    ``group_id``/``split`` are appended — a caller can swap the two
+    without losing text/metadata columns or re-joining the corpus.
     """
     g = groups.select(
         F.col(id_col), F.col("group_id").alias("_gid")
     )
-    routed = docs.select(id_col).join(F.broadcast(g), id_col, "left")
+    routed = docs.join(g, id_col, "left")
     key = F.coalesce(F.col("_gid"), F.col(id_col))
     bucket = (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
@@ -143,10 +151,10 @@ def leakage_safe_split(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
     )
-    return routed.select(
-        id_col,
-        key.alias("group_id"),
-        split.alias("split"),
+    return (
+        routed.withColumn("group_id", key)
+        .withColumn("split", split)
+        .drop("_gid")
     )
 
 

@@ -50,6 +50,10 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
 from nebuia_vector_db_spark.functions.vector import dot, l2_norm
 
 _UNITS = 1_000_000
@@ -59,21 +63,7 @@ _UNITS = 1_000_000
 # the bucketing + centroid aggregation — uncached it re-scans the
 # embedding corpus up to 3x. Releasable-registry shape per the r9
 # ADVICE pattern (operators/dedup.py / textvec.py).
-_CACHED_RELATIONS: list[DataFrame] = []
-
-
-def release_cached_relations() -> int:
-    """Unpersist every scored relation persisted by :func:`semdedup`
-    in this session; returns the count released."""
-    n = 0
-    for df in _CACHED_RELATIONS:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHED_RELATIONS.clear()
-    return n
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
 
 def md5_planes(

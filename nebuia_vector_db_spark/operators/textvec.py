@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
 # Cached weight relations handed out by tfidf_weight_relation. The
 # cache is load-bearing (the relation feeds norms + both join sides;
 # uncached it re-runs tokenize→tf→df per consumer — measured 16
@@ -26,22 +30,7 @@ from pyspark.sql import functions as F
 # session would otherwise accumulate executor storage memory with no
 # way to release it. Call release_cached_relations() between query
 # batches (bench.py does) to drop them all.
-_CACHED_RELATIONS: list[DataFrame] = []
-
-
-def release_cached_relations() -> int:
-    """Unpersist every weight relation cached by
-    :func:`tfidf_weight_relation` in this session; returns the count
-    released."""
-    n = 0
-    for df in _CACHED_RELATIONS:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHED_RELATIONS.clear()
-    return n
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
 
 def tfidf_features(

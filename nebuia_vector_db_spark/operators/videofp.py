@@ -49,6 +49,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
 _FRAME_SCHEMA = (
     "doc_id long, frame_id int, h0 long, h1 long, h2 long, h3 long"
 )
@@ -149,7 +153,22 @@ def video_align_pairs(
         )
         .withColumn("w1", F.lead("w0", 1).over(w))
         .withColumn("w2", F.lead("w0", 2).over(w))
-        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .withColumn("f1", F.lead("frame_id", 1).over(w))
+        .withColumn("f2", F.lead("frame_id", 2).over(w))
+        # A shingle must cover three TRULY CONSECUTIVE frames: when
+        # video_frame_dhash skipped an undecodable/undersized frame,
+        # lead() would otherwise splice across the gap and the
+        # resulting shingle would match nothing the docstring's
+        # pigeonhole promises (a gap-spanning window has no aligned
+        # counterpart). Gapped positions simply emit no shingle —
+        # blocking degrades locally around the bad frame instead of
+        # silently changing meaning.
+        .where(
+            F.col("w1").isNotNull()
+            & F.col("w2").isNotNull()
+            & (F.col("f1") == F.col("frame_id") + 1)
+            & (F.col("f2") == F.col("frame_id") + 2)
+        )
         .select(
             "doc_id",
             "frame_id",
@@ -223,18 +242,4 @@ def video_align_pairs(
 # lineage holds the demux + JPEG decode — the dominant cost), and the
 # shingle relation feeds the hot groupBy and both candidate-join
 # sides. Releasable-registry shape per the r9 ADVICE pattern.
-_CACHED_RELATIONS: list[DataFrame] = []
-
-
-def release_cached_relations() -> int:
-    """Unpersist every relation persisted by :func:`video_align_pairs`
-    in this session; returns the count released."""
-    n = 0
-    for df in _CACHED_RELATIONS:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _CACHED_RELATIONS.clear()
-    return n
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()

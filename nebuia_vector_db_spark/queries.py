@@ -715,7 +715,11 @@ def q_pipe_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     groups = _shared_dup_groups(spark, sf_dir)
-    return leakage_safe_split(docs, groups).orderBy("doc_id")
+    return (
+        leakage_safe_split(docs, groups)
+        .select("doc_id", "group_id", "split")
+        .orderBy("doc_id")
+    )
 
 
 # The ORACLE_DEDUP_GROUPS closure + a group-keyed replay of the
@@ -7345,17 +7349,12 @@ REGISTRY: dict[
     # headers, I_PCM + I_16x16 V/H/DC intra prediction, CAVLC
     # zero-block nC contexts — a true VIDEO CODEC layer, not a third
     # container walk. Takes mm_mp4_frames' slot: the mp4 row's oracle
-    # is shared VERBATIM with the recorded mm_mkv_frames (two window
-    # slots, one hash — the exact redundancy that demoted the AVI row
-    # this round), while the ISO-BMFF box grammar stays locally green
-    # below; see mm_mp4_frames' below-window justification.
+    # was shared VERBATIM with the then-recorded mm_mkv_frames (two
+    # window slots, one hash — the redundancy that demoted the AVI
+    # row), while the ISO-BMFF box grammar stays locally green below;
+    # since r11 the container-walk slot is held by dedup_video (which
+    # demuxes MKV and AVI); see the below-window justifications.
     "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
-    # Matroska/EBML container (round-9 promotion): vint-coded element
-    # walk, cluster/SimpleBlock frame extraction → per-frame JPEG
-    # decode + pixel-level scene deltas. Holds the video-CONTAINER
-    # slot (the structurally hardest of the three demuxers: AVI and
-    # MP4 stay locally green on the same oracle). Takes the slot
-    # freed by the AVI demotion.
     # REAL lossy perceptual audio codec (round-9 promotion): MPEG-1
     # Layer II (ISO 11172-3) bitstream — subband QMF synthesis,
     # scalefactors, bit allocation — decoded executor-side via
@@ -7707,9 +7706,10 @@ REGISTRY: dict[
     # (mm_mkv_frames, mm_mp2_audio and mm_h264_iframes promoted into
     # the window r9.)
     # mm_mp4_frames: ISO-BMFF box walk (stts/stsc/stsz/stco sample
-    #   tables) — demoted r9 for mm_h264_iframes: its oracle is shared
-    #   VERBATIM with the recorded mm_mkv_frames (two window slots,
-    #   one hash — the same redundancy that demoted the AVI row),
+    #   tables) — demoted r9 for mm_h264_iframes: its oracle was
+    #   shared VERBATIM with the then-recorded mm_mkv_frames (two
+    #   window slots, one hash — the redundancy that demoted the AVI
+    #   row; the container slot is held by dedup_video since r11),
     #   while the H.264 row records a decode layer (entropy coding +
     #   intra prediction) no container walk reaches. The box grammar
     #   stays pinned here, locally green;

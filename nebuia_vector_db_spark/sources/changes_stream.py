@@ -164,6 +164,7 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
         file order within the commit; downstream consumers must not
         rely on intra-commit order (the batch twin, sorted tests,
         and any keyed sink are order-free)."""
+        import hashlib
         from collections import Counter
 
         import pyarrow.parquet as pq
@@ -176,8 +177,6 @@ class SnapshotChangesStreamReader(DataSourceStreamReader):
             return v
 
         def _digest(row) -> bytes:
-            import hashlib
-
             return hashlib.sha1(repr(_freeze(row)).encode()).digest()
 
         def _scan(paths: list[str]):

@@ -191,6 +191,14 @@ class NebuiaDocsWriter(DataSourceWriter):
     Rows missing ``doc_id`` are minted a UUID, matching
     VectorEngine.store (O-11)."""
 
+    # Concurrent-writer guard for the orphan-staging sweep (below):
+    # another job's in-flight task staging dirs live under the same
+    # root/_staging, so commit() may only reclaim directories old
+    # enough that no live write can still own them — the same
+    # retention contract as SnapshotTable.vacuum's
+    # min_file_age_seconds. One day comfortably exceeds any task.
+    STALE_STAGING_SECONDS = 24 * 3600.0
+
     def __init__(self, root: str, overwrite: bool):
         self.root = root
         self.overwrite = overwrite
@@ -280,12 +288,22 @@ class NebuiaDocsWriter(DataSourceWriter):
             # Sweep orphans: directories written by task attempts that
             # lost speculation races or died between write() and the
             # commit/abort fan-in. Readers never see _staging, but the
-            # disk would otherwise accumulate forever.
+            # disk would otherwise accumulate forever. ONLY stale
+            # directories are reclaimed: a non-winner dir younger than
+            # STALE_STAGING_SECONDS may belong to a CONCURRENT job
+            # appending to the same root (staging is shared), and
+            # deleting it would unpublish that job's finished tasks.
+            import time as _time
+
+            now = _time.time()
             for d in list(os.listdir(staging_root)):
-                if d not in winners:
-                    shutil.rmtree(
-                        os.path.join(staging_root, d), ignore_errors=True
-                    )
+                full = os.path.join(staging_root, d)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # already gone (racing cleaner)
+                if d not in winners and age >= self.STALE_STAGING_SECONDS:
+                    shutil.rmtree(full, ignore_errors=True)
             if not os.listdir(staging_root):
                 os.rmdir(staging_root)
 

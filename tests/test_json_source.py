@@ -379,11 +379,21 @@ def test_datasource_writer_advice_edges(spark, tmp_path):
     ).mode("overwrite").save()
     assert os.path.isdir(root)
 
-    # plant an orphan (a dead speculated attempt's staging dir)
+    # plant a STALE orphan (a dead speculated attempt's staging dir,
+    # backdated past the concurrent-writer guard) and a FRESH one
+    # (simulating a concurrent job's in-flight staging — must survive)
+    import time
+
     orphan = os.path.join(root, "_staging", "deadbeef")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk"), "w") as fh:
         fh.write("x")
+    old = time.time() - 2 * 24 * 3600
+    os.utime(orphan, (old, old))
+    fresh = os.path.join(root, "_staging", "cafebabe")
+    os.makedirs(fresh)
+    with open(os.path.join(fresh, "inflight"), "w") as fh:
+        fh.write("y")
     row = {
         "collection": "alpha",
         "doc_id": "a0",
@@ -394,8 +404,10 @@ def test_datasource_writer_advice_edges(spark, tmp_path):
     spark.createDataFrame([row], DOCUMENT_SCHEMA).write.format(
         "nebuia_docs"
     ).option("path", root).mode("append").save()
-    # orphan swept, staging root gone, the real doc published
-    assert not os.path.exists(os.path.join(root, "_staging"))
+    # stale orphan swept, fresh (concurrent-job) dir untouched, the
+    # real doc published
+    assert not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(fresh, "inflight"))
     assert os.path.exists(
         os.path.join(root, "alpha", "a0_doc.json")
     )

@@ -106,6 +106,32 @@ def test_align_pairs_semantics(spark):
     assert (10, 11, 0) in strict and (10, 13, 0) not in strict
 
 
+def test_shingles_never_span_skipped_frames(spark):
+    """A clip with a hole in its frame sequence (an undecodable frame
+    was skipped) must not form shingles across the gap — a spliced
+    (4,6,7) window has no aligned counterpart and would break the
+    pigeonhole promise. The pair is still found via the intact runs
+    on either side when they are long enough."""
+    base = [(i * 3 + 1, i * 5 + 2, i * 7 + 3, i * 11 + 4) for i in range(9)]
+    rows = [(20, p, *hw) for p, hw in enumerate(base)]
+    # copy with frame 4 missing (skipped at decode)
+    rows += [(21, p, *hw) for p, hw in enumerate(base) if p != 4]
+    fh = spark.createDataFrame(
+        rows, "doc_id long, frame_id int, h0 long, h1 long, h2 long, h3 long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["offset"]): (
+            r["n_aligned"],
+            r["total_hamming"],
+        )
+        for r in video_align_pairs(fh, min_aligned=4).collect()
+    }
+    # found at offset 0 over the 8 shared frames, hamming 0 — via the
+    # intact 0-3 and 5-8 runs; no spurious offsets from gap-spliced
+    # shingles
+    assert got == {(20, 21, 0): (8, 0)}
+
+
 def test_hot_shingle_guard_drops_degenerate_band(spark):
     """65 clips sharing one constant hash sequence exceed the 64-df
     cap on every shingle — the guard must drop them all (no 65²
