@@ -1,0 +1,129 @@
+"""Exact heavy-hitter n-grams via a Count-Min-Sketch shortlist
+(Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+count-min sketch and its applications"; round 11) — the top-ngram /
+boilerplate-mining question ("which phrases occur ≥ T times in the
+corpus?") answered EXACTLY with shuffle volume that never scales
+with the number of distinct n-grams.
+
+Why the naive plan dies at 100 TB: ``groupBy(ngram).count()``
+shuffles one key per DISTINCT n-gram — web-scale corpora have
+10¹¹+ distinct bigrams, nearly all singletons, so almost the entire
+shuffle is spent counting things that can never reach the
+threshold. The CMS plan inverts that:
+
+1. **Sketch pass** — each n-gram occurrence maps to ``depth``
+   hashed buckets (``xxhash64(j, gram) mod width``); the groupBy is
+   over (j, bucket), whose key cardinality is BOUNDED by
+   depth × width regardless of corpus size, so the map-side partial
+   aggregation collapses each task's output to ≤ depth·width rows
+   and the shuffle is O(tasks × depth × width) — independent of the
+   data.
+2. **Shortlist** — CMS estimates only ever OVER-count (every
+   occurrence of g lands in all of g's buckets), so
+   ``min_j cms[j][h_j(g)] ≥ true_count(g)``: a bucket below the
+   threshold can hold NO qualifying gram. Buckets ≥ T are few
+   (≤ total_occurrences / T per row) and broadcast; a gram is a
+   candidate iff ALL ``depth`` of its buckets qualify — decided
+   map-side against the broadcast, no shuffle.
+3. **Exact verify** — ``groupBy(gram).count()`` over the CANDIDATES
+   only (occurrence volume ∝ heavy mass + collision noise), then
+   ``HAVING count ≥ T``. False positives from collisions are
+   trimmed here; false negatives are impossible (step 2), so the
+   result is EXACTLY the true heavy-hitter set with exact counts —
+   which is why the registry row carries a full plain-SQL oracle
+   (``GROUP BY ... HAVING count(*) >= T``): the sketch is an
+   execution accelerator, not an approximation of the answer.
+
+Tokenization matches the repo's text tier (lowercased whitespace
+tokens, empties dropped — functions/text.py), so the oracle reuses
+the established ``string_split`` replay.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngrams(toks, n: int):
+    """Adjacent n-grams joined by US (0x1f), the repo's shingle
+    separator; docs with < n tokens yield an empty array (the
+    descending-sequence guard from functions/text.py)."""
+    built = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            "\x1f", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, built).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def heavy_ngrams_exact(
+    docs: DataFrame,
+    n: int = 2,
+    threshold: int = 50,
+    width: int = 65_536,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(ngram, n_occurrences) for every n-gram with ≥ ``threshold``
+    occurrences — exact counts, CMS-accelerated as per the module
+    docstring. ``width``·``depth`` bounds the sketch shuffle; size
+    width ≳ distinct-grams/heavy-count for low collision noise (the
+    verify pass stays correct at ANY width, just slower when
+    everything collides — width 1 degrades to the naive plan)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    grams = docs.select(
+        F.explode(_ngrams(toks, n)).alias("gram")
+    )
+    buckets = [
+        F.pmod(F.xxhash64(F.lit(j), F.col("gram")), F.lit(width)).alias(
+            f"b{j}"
+        )
+        for j in range(depth)
+    ]
+    hashed = grams.select("gram", *buckets)
+    # 1. sketch: bounded-cardinality groupBy (≤ depth·width keys)
+    cms = (
+        hashed.select(
+            F.posexplode(
+                F.array(*[F.col(f"b{j}") for j in range(depth)])
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    # 2. shortlist: qualifying buckets are few and broadcast; a gram
+    #    survives iff every one of its depth buckets qualifies
+    hot = cms.where(F.col("c") >= threshold).select(
+        "j", F.col("bucket").alias("hb")
+    )
+    hot_by_j = [
+        F.broadcast(
+            hot.where(F.col("j") == j).select(
+                F.col("hb").alias(f"hb{j}")
+            )
+        )
+        for j in range(depth)
+    ]
+    cand = reduce(
+        lambda df, j: df.join(
+            hot_by_j[j],
+            df[f"b{j}"] == hot_by_j[j][f"hb{j}"],
+            "left_semi",
+        ),
+        range(depth),
+        hashed,
+    )
+    # 3. exact verify over candidates only
+    return (
+        cand.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= threshold)
+    )

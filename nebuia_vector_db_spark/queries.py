@@ -701,6 +701,43 @@ def _shared_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def q_text_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter bigrams via a Count-Min-Sketch shortlist
+    (round 11, Cormode & Muthukrishnan 2005): the sketch pass's
+    groupBy has BOUNDED key cardinality (depth × width) so its
+    shuffle never scales with distinct n-grams; CMS over-counting
+    means no false negatives, the broadcast hot-bucket semi-joins
+    shortlist map-side, and the exact verify groupBy touches
+    candidates only — the result is EXACTLY the ≥-threshold set with
+    exact counts, which the plain GROUP-BY/HAVING oracle certifies
+    (the sketch is an execution accelerator, not an approximation).
+    operators/heavyhitters.py has the full 100 TB argument."""
+    from nebuia_vector_db_spark.operators.heavyhitters import (
+        heavy_ngrams_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_ngrams_exact(
+        docs, n=2, threshold=35, width=4096, depth=4
+    ).orderBy("gram")
+
+
+ORACLE_TEXT_HEAVY_NGRAMS = """
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT toks[i+1] || chr(31) || toks[i+2] AS gram
+  FROM t, LATERAL unnest(range(len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY 1 HAVING count(*) >= 35
+ORDER BY gram
+"""
+
+
 def q_pipe_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe dataset split (round 11): the md5 hash split
     keyed by near-dup GROUP rather than document, so a test doc can
@@ -7784,6 +7821,12 @@ REGISTRY: dict[
     #   is held by pipe_curate's split stage and pipe_dsir_select;
     #   locally green;
     "pipe_leakage_split": (q_pipe_leakage_split, ORACLE_PIPE_LEAKAGE_SPLIT),
+    # text_heavy_ngrams: EXACT heavy-hitter n-grams, CMS-shortlisted
+    #   (round 11) — full oracle (plain GROUP BY/HAVING: the sketch
+    #   only accelerates, no false negatives by over-count); the
+    #   exact top-ngram window capability stays via text_boilerplate
+    #   (recorded) and text_top_ngrams (locally green);
+    "text_heavy_ngrams": (q_text_heavy_ngrams, ORACLE_TEXT_HEAVY_NGRAMS),
     # stream_dedup_mirror: stateful streaming dedup with watermark
     #   eviction (round 11) — full oracle (planted re-deliveries must
     #   collapse back to exactly the source table through the
