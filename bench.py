@@ -1639,6 +1639,47 @@ def main() -> None:
     timings["b18_audiofp_pairs_sec"] = round(time.perf_counter() - t0, 4)
     timings["b18_audiofp_pairs_total"] = int(b18_afp_pairs)
     b18_afp.unpersist()
+    # ---- video near-dup (round 11): 256 docs × 2 containers
+    # (AVI + MKV re-mux) → demux + per-frame JPEG decode + dHash +
+    # temporal-shingle alignment — decode dominates (pure-Python
+    # JPEG, the codec-row discipline); the planted re-mux pairs make
+    # the pair count a deterministic gate-adjacent total.
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_avi_assets,
+        attach_mkv_assets,
+    )
+    from nebuia_vector_db_spark.operators.videofp import (
+        release_cached_relations as _release_vfp,
+        video_align_pairs,
+        video_frame_dhash,
+    )
+
+    b18_vdocs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(
+            (F.octet_length("text") >= 304)
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .limit(256)
+        .cache()
+    )
+    b18_vdocs.count()
+    b18_va = b18_vdocs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    )
+    b18_vb = b18_vdocs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"), "text"
+    )
+    b18_vassets = attach_avi_assets(b18_va).unionByName(
+        attach_mkv_assets(b18_vb)
+    )
+    t0 = time.perf_counter()
+    b18_vfh = video_frame_dhash(b18_vassets)
+    b18_vpairs = video_align_pairs(b18_vfh, min_aligned=4).count()
+    timings["b18_videofp_sec"] = round(time.perf_counter() - t0, 4)
+    timings["b18_videofp_pairs_total"] = int(b18_vpairs)
+    _release_vfp()
+    b18_vdocs.unpersist()
     b18_docs.unpersist()
     # Plant near-duplicates — 1 clone per 16 rows, every component
     # nudged by +5e-4 so cosine(orig, clone) ≈ 0.9999: the raw corpus
