@@ -179,3 +179,34 @@ def F_col_id():
     from pyspark.sql import functions as F
 
     return F.col("id").alias("doc_id")
+
+
+# ---------------------------------------------------------------- props
+def test_fingerprint_algebraic_invariances():
+    """Hypothesis properties of the kernel: (a) positive integer gain
+    scales every correlation by c, every energy by c², so the
+    cross-multiplied bits — and the fingerprint — are invariant;
+    (b) polarity inversion (x → −x) flips every correlation's sign
+    but not its energy, so the fingerprint is invariant; (c) the
+    numpy kernel equals the pure-Python reference on arbitrary
+    signals (not just the fixture's)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=T_BLOCKS,
+            max_size=400,
+        ),
+        st.integers(min_value=1, max_value=9),
+    )
+    def prop(xs, gain):
+        x = np.array(xs, dtype=np.int64)
+        fp = fingerprint_bands(x)
+        assert fingerprint_bands(x * gain) == fp
+        assert fingerprint_bands(-x) == fp
+        assert fp == _ref_fp(x)
+
+    prop()
