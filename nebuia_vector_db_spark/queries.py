@@ -6340,6 +6340,47 @@ LIMIT 10
 )
 
 
+def q_vs_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dim funnel retrieval (round 11, Kusupati et
+    al. 2022 §4.3): shortlist of 50 by the dot of the FIRST 16
+    coordinates against the same prefix of the full-normalized query
+    (4× fewer vector bytes scanned when the prefix is a materialized
+    column — ReadSchema-pinned in tests), exact normalized-dot
+    re-rank of the survivors — the fifth ANN compression tier beside
+    IVF/PQ/SQ8/BQ. Both stages TakeOrderedAndProject; the oracle
+    replays shortlist AND re-rank, the bq_rerank discipline. The
+    fixture vectors are not MRL-trained (operators/mrl.py honesty
+    note): this row certifies the operator's exact semantics."""
+    from nebuia_vector_db_spark.operators.mrl import mrl_topk_rerank
+
+    emb = _emb(spark, sf_dir)
+    q = _qvec(spark, sf_dir, 4)
+    return mrl_topk_rerank(
+        emb, q, 10, prefix_dim=16, shortlist=50, tie_cols=["vec_id"]
+    ).select("vec_id", "label", F.round("similarity", 6).alias(SIM6))
+
+
+ORACLE_VS_MRL_RERANK = (
+    _ORACLE_QN.format(vid=4)
+    + """
+, e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+short AS (
+  SELECT e.vec_id, e.label, e.ev
+  FROM e, qn
+  ORDER BY list_dot_product(e.ev[1:16], qn.v[1:16]) DESC, e.vec_id
+  LIMIT 50
+)
+SELECT s.vec_id, s.label,
+       round(list_dot_product(qn.v, s.ev), 6) AS similarity
+FROM short s, qn
+ORDER BY list_dot_product(qn.v, s.ev) DESC, s.vec_id
+LIMIT 10
+"""
+)
+
+
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping), adapted to the slim testdata
     schema (nations are NATION_*; no l_commitdate). Revenue between
@@ -7604,6 +7645,12 @@ REGISTRY: dict[
     #   the exact-similarity oracle value-hash-checks the rotated
     #   encode -> ADC -> re-rank pipeline end to end; locally green;
     "vs_opq_topk": (q_vs_opq_topk, ORACLE_VS_OPQ_TOPK),
+    # vs_mrl_rerank: Matryoshka prefix-dim shortlist + exact re-rank
+    #   (round 11) — full oracle (both stages replayed); the two-
+    #   stage shortlist→re-rank window slot is held by vs_bq_rerank
+    #   (recorded), and the ANN family keeps four recorded tiers;
+    #   locally green;
+    "vs_mrl_rerank": (q_vs_mrl_rerank, ORACLE_VS_MRL_RERANK),
     # pipe_jsonl_roundtrip: gzip-JSONL export/import of the corpus
     #   (round 7) — the LLM-interchange serialization surface, with
     #   content-sensitive md5 extrema from the RE-READ text; the

@@ -1,0 +1,107 @@
+"""Matryoshka prefix-dim funnel retrieval (operators/mrl.py, round
+11): full-shortlist ≡ brute-force exactness, the materialized-prefix
+column-pruning contract (the 100 TB scan argument), shortlist-rule
+determinism, and both stages planning TakeOrderedAndProject. The
+`vs_mrl_rerank` registry row additionally hash-certifies shortlist +
+re-rank against a DuckDB replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.mrl import (
+    attach_prefix,
+    mrl_topk_rerank,
+)
+from nebuia_vector_db_spark.operators.topk import topk_search
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_full_shortlist_equals_exact_topk(spark, sf_smoke):
+    """shortlist ≥ |corpus| ⇒ the funnel IS brute force — the same
+    full-probe ≡ exact contract the IVF/BQ tiers pin."""
+    emb = _emb(spark, sf_smoke)
+    q = [float(x) for x in emb.where("vec_id = 4").head()["embedding"]]
+    n = emb.count()
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in mrl_topk_rerank(
+            emb, q, 10, prefix_dim=16, shortlist=n, tie_cols=["vec_id"]
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in topk_search(emb, q, 10, tie_cols=["vec_id"]).collect()
+    ]
+    assert got == want
+
+
+def test_materialized_prefix_scan_prunes_full_vector(spark, tmp_path):
+    """With attach_prefix written to storage, the SHORTLIST stage's
+    scan must read the prefix column only — the 4×-fewer-bytes
+    argument, checked on ReadSchema like the PQ codes scan."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        scan_read_schema,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "mrl")
+    attach_prefix(emb, prefix_dim=16).write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = [0.1] * 64
+    from nebuia_vector_db_spark.functions.vector import (
+        dot,
+        normalize_query,
+    )
+
+    qn = normalize_query(q)
+    shortlist_stage = (
+        stored.withColumn("_coarse", dot(F.col("prefix"), qn[:16]))
+        .select("vec_id", "_coarse")
+        .orderBy(F.desc("_coarse"), "vec_id")
+        .limit(50)
+    )
+    schemas = scan_read_schema(shortlist_stage)
+    assert schemas and "prefix" in schemas[0]
+    assert "embedding" not in schemas[0], schemas
+    assert "TakeOrderedAndProject" in explain_str(shortlist_stage)
+    # and the full funnel over the stored table returns the same rows
+    # as the slice-on-the-fly path
+    got_stored = [
+        r["vec_id"]
+        for r in mrl_topk_rerank(
+            stored, q, 10, prefix_dim=16, shortlist=50,
+            prefix_col="prefix", tie_cols=["vec_id"],
+        ).collect()
+    ]
+    got_sliced = [
+        r["vec_id"]
+        for r in mrl_topk_rerank(
+            emb, q, 10, prefix_dim=16, shortlist=50, tie_cols=["vec_id"]
+        ).collect()
+    ]
+    assert got_stored == got_sliced
+
+
+def test_both_stages_take_ordered_and_validation(spark, sf_smoke):
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    emb = _emb(spark, sf_smoke)
+    q = [1.0] + [0.0] * 63
+    from nebuia_vector_db_spark.plans.inspect import shuffle_count
+
+    funnel = mrl_topk_rerank(emb, q, 5, shortlist=20, tie_cols=["vec_id"])
+    plan = explain_str(funnel)
+    # both cuts are TakeOrderedAndProject (bounded heaps, driver
+    # merge) and the whole funnel is SHUFFLE-FREE — Catalyst may fuse
+    # the re-rank projection into the shortlist node, so pin the
+    # properties (node present, zero exchanges), not the node count
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(funnel) == 0, plan
+    with pytest.raises(ValueError):
+        mrl_topk_rerank(emb, q, 10, shortlist=5)
