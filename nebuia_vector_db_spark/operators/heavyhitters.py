@@ -76,11 +76,20 @@ def heavy_ngrams_exact(
     width ≳ distinct-grams/heavy-count for low collision noise (the
     verify pass stays correct at ANY width, just slower when
     everything collides — width 1 degrades to the naive plan)."""
-    toks = F.filter(
+    # tokenize ONCE behind a projection barrier: without it,
+    # CollapseProject inlines split+lower+filter into every
+    # element_at of the shingle lambda — O(n_tokens · n)
+    # re-tokenizations per doc (the measured 8× trap
+    # functions/text.py::with_tokens documents), and this operator
+    # scans the grams twice (sketch + candidate probe)
+    toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
     )
-    grams = docs.select(
-        F.explode(_ngrams(toks, n)).alias("gram")
+    toked = docs.withColumn("_toks", toks_expr).withColumn(
+        "_prj_barrier", F.rand(seed=0)
+    )
+    grams = toked.select(
+        F.explode(_ngrams(F.col("_toks"), n)).alias("gram")
     )
     buckets = [
         F.pmod(F.xxhash64(F.lit(j), F.col("gram")), F.lit(width)).alias(

@@ -13,15 +13,17 @@ sized to its ambiguity set).
 
 Scale shape (100 TB): materialize the prefix as its OWN column
 (:func:`attach_prefix`, written once at ingest) and the shortlist
-pass becomes a column-pruned scan that reads prefix_dim/dim of the
-vector bytes — the same reads-less-per-vector argument as the PQ
-codes scan, verified by a ReadSchema plan pin in tests. Both stages
-plan TakeOrderedAndProject (bounded per-partition heaps, no
-shuffle); the re-rank touches only ``shortlist`` rows. The full
-pipeline is float-dot + rank arithmetic on the same discipline as
-every vs_* row (the SQL HOF dot is bit-identical to DuckDB's
-list_dot_product), so the registry row ``vs_mrl_rerank``
-hash-certifies shortlist AND re-rank end-to-end.
+pass — which projects only keys + the coarse score — becomes a
+column-pruned scan reading prefix_dim/dim of the vector bytes (the
+PQ codes-scan argument, ReadSchema-pinned in tests). The re-rank
+fetches raw vectors via a broadcast left-semi join by id, the same
+shape as pq.py's exact re-rank: raw vectors survive the filter only
+for ``shortlist`` rows. Both cuts plan TakeOrderedAndProject
+(bounded per-partition heaps). The pipeline is float-dot + rank
+arithmetic on the same discipline as every vs_* row (the SQL HOF
+dot is bit-identical to DuckDB's list_dot_product), so the registry
+row ``vs_mrl_rerank`` hash-certifies shortlist AND re-rank
+end-to-end.
 
 Honesty note: the fixture embeddings are synthetic, not MRL-trained,
 so prefix dims carry no special information density here — the row
@@ -73,27 +75,40 @@ def mrl_topk_rerank(
     against the truncated query — the query is normalized at FULL
     dimension once, not re-normalized per prefix, so scores at
     different prefixes stay on one scale), then exact normalized-dot
-    re-rank of the survivors on the full column. Pass ``prefix_col``
-    when the table carries a materialized prefix (attach_prefix) —
-    the shortlist scan then never reads the full vector column."""
+    re-rank of the survivors on the full column.
+
+    The shortlist stage projects ONLY ``tie_cols`` + the coarse
+    score, so with a materialized ``prefix_col`` its scan is
+    column-pruned to prefix + key bytes (plan-pinned in tests); the
+    re-rank fetches raw vectors through a broadcast LEFT-SEMI join
+    by ``tie_cols`` — raw vectors survive only for the ``shortlist``
+    rows, the pq.py re-rank pattern. ``tie_cols`` must therefore be
+    a UNIQUE key of ``df`` (default vec_id). A materialized prefix
+    whose length differs from ``prefix_dim`` raises (zip_with would
+    otherwise NULL-pad and silently rank garbage)."""
     if shortlist < topk:
         raise ValueError("shortlist must be >= topk")
     qn = [float(x) for x in normalize_query(qvec)]
-    pref_expr = (
-        F.col(prefix_col)
-        if prefix_col is not None
-        else F.slice(F.col(vec_col), 1, prefix_dim)
-    )
+    if prefix_col is not None:
+        probe = df.select(F.size(prefix_col)).head()
+        if probe is not None and probe[0] != prefix_dim:
+            raise ValueError(
+                f"materialized {prefix_col!r} has {probe[0]} dims but "
+                f"prefix_dim={prefix_dim} — mismatched slices would "
+                "NULL-pad the coarse dot and rank garbage"
+            )
+        pref_expr = F.col(prefix_col)
+    else:
+        pref_expr = F.slice(F.col(vec_col), 1, prefix_dim)
     coarse = dot(pref_expr, qn[:prefix_dim])
     ties = [F.col(c) for c in tie_cols]
-    short = (
-        df.withColumn("_coarse", coarse)
+    short_keys = (
+        df.select(*tie_cols, coarse.alias("_coarse"))
         .orderBy(F.desc("_coarse"), *ties)
         .limit(shortlist)
+        .select(*tie_cols)
     )
-    exact = short.withColumn("similarity", dot(vec_col, qn))
-    return (
-        exact.orderBy(F.desc("similarity"), *ties)
-        .limit(topk)
-        .drop("_coarse")
-    )
+    exact = df.join(
+        F.broadcast(short_keys), list(tie_cols), "left_semi"
+    ).withColumn("similarity", dot(vec_col, qn))
+    return exact.orderBy(F.desc("similarity"), *ties).limit(topk)

@@ -136,6 +136,13 @@ def leakage_safe_split(
     ``group_id``/``split`` are appended — a caller can swap the two
     without losing text/metadata columns or re-joining the corpus.
     """
+    clash = {"group_id", "split", "_gid"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"docs already carries {sorted(clash)} — leakage_safe_split "
+            "appends group_id/split and will not silently overwrite; "
+            "drop or rename the existing columns first"
+        )
     g = groups.select(
         F.col(id_col), F.col("group_id").alias("_gid")
     )

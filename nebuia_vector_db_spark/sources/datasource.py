@@ -305,7 +305,10 @@ class NebuiaDocsWriter(DataSourceWriter):
                 if d not in winners and age >= self.STALE_STAGING_SECONDS:
                     shutil.rmtree(full, ignore_errors=True)
             if not os.listdir(staging_root):
-                os.rmdir(staging_root)
+                try:
+                    os.rmdir(staging_root)
+                except OSError:
+                    pass  # a concurrent job staged between check & rmdir
 
     def abort(self, messages) -> None:
         import shutil

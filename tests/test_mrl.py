@@ -41,44 +41,32 @@ def test_full_shortlist_equals_exact_topk(spark, sf_smoke):
 
 
 def test_materialized_prefix_scan_prunes_full_vector(spark, tmp_path):
-    """With attach_prefix written to storage, the SHORTLIST stage's
-    scan must read the prefix column only — the 4×-fewer-bytes
-    argument, checked on ReadSchema like the PQ codes scan."""
-    from nebuia_vector_db_spark.plans.inspect import (
-        explain_str,
-        scan_read_schema,
-    )
+    """With attach_prefix written to storage, the OPERATOR's own
+    shortlist scan must read prefix + key only (the 4×-fewer-bytes
+    argument, checked on ReadSchema like the PQ codes scan) while
+    the re-rank side reads the full vector through the broadcast
+    semi-join. A mismatched materialized prefix must raise, not
+    NULL-pad and rank garbage."""
+    import pytest as _pytest
+
+    from nebuia_vector_db_spark.plans.inspect import scan_read_schema
 
     emb = _emb(spark, "/root/testdata/sf0.001")
     path = str(tmp_path / "mrl")
     attach_prefix(emb, prefix_dim=16).write.parquet(path)
     stored = spark.read.parquet(path)
     q = [0.1] * 64
-    from nebuia_vector_db_spark.functions.vector import (
-        dot,
-        normalize_query,
+    funnel = mrl_topk_rerank(
+        stored, q, 10, prefix_dim=16, shortlist=50,
+        prefix_col="prefix", tie_cols=["vec_id"],
     )
-
-    qn = normalize_query(q)
-    shortlist_stage = (
-        stored.withColumn("_coarse", dot(F.col("prefix"), qn[:16]))
-        .select("vec_id", "_coarse")
-        .orderBy(F.desc("_coarse"), "vec_id")
-        .limit(50)
-    )
-    schemas = scan_read_schema(shortlist_stage)
-    assert schemas and "prefix" in schemas[0]
-    assert "embedding" not in schemas[0], schemas
-    assert "TakeOrderedAndProject" in explain_str(shortlist_stage)
-    # and the full funnel over the stored table returns the same rows
-    # as the slice-on-the-fly path
-    got_stored = [
-        r["vec_id"]
-        for r in mrl_topk_rerank(
-            stored, q, 10, prefix_dim=16, shortlist=50,
-            prefix_col="prefix", tie_cols=["vec_id"],
-        ).collect()
+    schemas = scan_read_schema(funnel)
+    pruned = [
+        sc for sc in schemas if "prefix" in sc and "embedding" not in sc
     ]
+    assert pruned, schemas  # the shortlist scan never reads the vector
+    # same rows as the slice-on-the-fly path
+    got_stored = [r["vec_id"] for r in funnel.collect()]
     got_sliced = [
         r["vec_id"]
         for r in mrl_topk_rerank(
@@ -86,6 +74,11 @@ def test_materialized_prefix_scan_prunes_full_vector(spark, tmp_path):
         ).collect()
     ]
     assert got_stored == got_sliced
+    with _pytest.raises(ValueError, match="dims"):
+        mrl_topk_rerank(
+            stored, q, 10, prefix_dim=8, shortlist=50,
+            prefix_col="prefix", tie_cols=["vec_id"],
+        )
 
 
 def test_both_stages_take_ordered_and_validation(spark, sf_smoke):
