@@ -1660,6 +1660,11 @@ def main() -> None:
             (F.octet_length("text") >= 304)
             & (F.octet_length("text") == F.length("text"))
         )
+        # order BEFORE limiting: an unordered limit on a filtered scan
+        # picks whichever partitions answer first, so the planted-pair
+        # total would only be incidentally stable (ADVICE r11);
+        # TakeOrdered is cheap at 256 rows
+        .orderBy("doc_id")
         .limit(256)
         .cache()
     )

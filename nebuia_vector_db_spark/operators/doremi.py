@@ -197,8 +197,12 @@ def doremi_weights(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CACHED_RELATIONS.extend([uni_d, big_d])
+    # domain set from UNIGRAMS (a superset of the bigram domains): a
+    # domain whose documents are all single-token has no transitions
+    # but must still appear in the weight vector with the smoothing-
+    # floor share, not silently vanish (ADVICE r11)
     domains = sorted(
-        r["domain"] for r in big_d.select("domain").distinct().collect()
+        r["domain"] for r in uni_d.select("domain").distinct().collect()
     )
     k = len(domains)
     if k == 0:
@@ -218,6 +222,11 @@ def doremi_weights(
         }
         cur = _domain_losses(spark, uni_d, big_d, wm)
         for d in domains:
+            if d not in cur:
+                # zero-transition domain (all docs single-token):
+                # nothing to score — excess is zero by definition, the
+                # domain keeps logw=0 and its softmax+smoothing share
+                continue
             L_p, n = cur[d]
             L_r, _ = ref[d]
             excess = max(0, L_p - L_r) / n / LOG_MICRO  # nats/transition

@@ -97,6 +97,15 @@ def heavy_ngrams_exact(
         )
         for j in range(depth)
     ]
+    # `hashed` is scanned TWICE (sketch pass + candidate probe) and
+    # deliberately NOT persisted (VERDICT r11 #3): it is the exploded
+    # per-OCCURRENCE gram stream — ~n× the corpus bytes — so caching
+    # it would cost more storage than the corpus itself to save two
+    # map-side-only scans of a cheap projection (tokenize + 4
+    # xxhash64, no shuffle on the recompute path thanks to the
+    # projection barrier above). Re-reading the source twice is the
+    # scale-correct trade; callers that iterate many thresholds over
+    # a small corpus can .persist() upstream themselves.
     hashed = grams.select("gram", *buckets)
     # 1. sketch: bounded-cardinality groupBy (≤ depth·width keys)
     cms = (

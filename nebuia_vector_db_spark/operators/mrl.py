@@ -84,20 +84,30 @@ def mrl_topk_rerank(
     by ``tie_cols`` — raw vectors survive only for the ``shortlist``
     rows, the pq.py re-rank pattern. ``tie_cols`` must therefore be
     a UNIQUE key of ``df`` (default vec_id). A materialized prefix
-    whose length differs from ``prefix_dim`` raises (zip_with would
-    otherwise NULL-pad and silently rank garbage)."""
+    whose length differs from ``prefix_dim`` fails at EXECUTION on
+    the first offending row (zip_with would otherwise NULL-pad and
+    silently rank garbage): the guard is a per-row CASE inside the
+    coarse expression — every row is validated, construction stays
+    job-free, and a ragged column (first row fine, later rows stale)
+    cannot slip through a sampled probe."""
     if shortlist < topk:
         raise ValueError("shortlist must be >= topk")
     qn = [float(x) for x in normalize_query(qvec)]
     if prefix_col is not None:
-        probe = df.select(F.size(prefix_col)).head()
-        if probe is not None and probe[0] != prefix_dim:
-            raise ValueError(
-                f"materialized {prefix_col!r} has {probe[0]} dims but "
-                f"prefix_dim={prefix_dim} — mismatched slices would "
-                "NULL-pad the coarse dot and rank garbage"
+        pref_expr = F.when(
+            F.size(prefix_col) == F.lit(prefix_dim), F.col(prefix_col)
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "materialized %s has %s dims but prefix_dim="
+                    + str(prefix_dim)
+                    + " — mismatched slices would NULL-pad the coarse "
+                    "dot and rank garbage",
+                    F.lit(prefix_col),
+                    F.size(prefix_col).cast("string"),
+                )
             )
-        pref_expr = F.col(prefix_col)
+        )
     else:
         pref_expr = F.slice(F.col(vec_col), 1, prefix_dim)
     coarse = dot(pref_expr, qn[:prefix_dim])

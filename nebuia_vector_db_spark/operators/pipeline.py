@@ -135,6 +135,14 @@ def leakage_safe_split(
     Like :func:`dataset_split`, the input schema is PRESERVED and
     ``group_id``/``split`` are appended — a caller can swap the two
     without losing text/metadata columns or re-joining the corpus.
+
+    ``groups`` must be FUNCTIONAL on ``id_col`` (dedup_groups output
+    is — one group per doc): a doc mapped to two group_ids would
+    duplicate corpus rows through the left join and change downstream
+    row counts silently. The guard is a per-id CASE behind a groupBy
+    over the groups relation (one groups-sized shuffle, validated
+    lazily at execution — no eager job, ADVICE r11); a violation
+    raises instead of fanning out.
     """
     clash = {"group_id", "split", "_gid"} & set(docs.columns)
     if clash:
@@ -143,8 +151,29 @@ def leakage_safe_split(
             "appends group_id/split and will not silently overwrite; "
             "drop or rename the existing columns first"
         )
-    g = groups.select(
-        F.col(id_col), F.col("group_id").alias("_gid")
+    g = (
+        groups.groupBy(id_col)
+        .agg(
+            F.min("group_id").alias("_g1"),
+            F.count("*").alias("_gn"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("_gn") == 1, F.col("_g1"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "groups is not keyed by " + id_col
+                        + ": id %s maps to %s group_ids — run the "
+                        "dedup_groups closure (or dropDuplicates) "
+                        "before splitting",
+                        F.col(id_col).cast("string"),
+                        F.col("_gn").cast("string"),
+                    )
+                )
+            )
+            .alias("_gid"),
+        )
     )
     routed = docs.join(g, id_col, "left")
     key = F.coalesce(F.col("_gid"), F.col(id_col))

@@ -53,6 +53,15 @@ from nebuia_vector_db_spark.operators._cache import (
     cached_relation_registry,
 )
 
+# Persisted relations handed out by video_align_pairs: the frame-hash
+# relation feeds the shingle window AND both verify-join sides (its
+# lineage holds the demux + JPEG decode — the dominant cost), and the
+# shingle relation feeds the hot groupBy and both candidate-join
+# sides. Releasable-registry shape per the r9 ADVICE pattern; bound
+# here next to the import (not at module bottom) so the references in
+# video_align_pairs don't read as undefined names (ADVICE r11).
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
+
 _FRAME_SCHEMA = (
     "doc_id long, frame_id int, h0 long, h1 long, h2 long, h3 long"
 )
@@ -237,9 +246,3 @@ def video_align_pairs(
     )
 
 
-# Persisted relations handed out by video_align_pairs: the frame-hash
-# relation feeds the shingle window AND both verify-join sides (its
-# lineage holds the demux + JPEG decode — the dominant cost), and the
-# shingle relation feeds the hot groupBy and both candidate-join
-# sides. Releasable-registry shape per the r9 ADVICE pattern.
-_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()

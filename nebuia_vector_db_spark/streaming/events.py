@@ -123,21 +123,6 @@ def sessionize_stream(
     )
 
 
-def dedup_stream(
-    events: DataFrame,
-    keys: Sequence[str] = ("event_id",),
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Streaming exact dedup: first occurrence per key wins; state for
-    a key is dropped once the watermark passes it (the unbounded
-    dropDuplicates would grow state forever on an infinite stream) —
-    the streaming twin of dedup.exact_dedup for at-least-once sources
-    that can replay events."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        list(keys)
-    )
-
-
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

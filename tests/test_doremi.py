@@ -30,7 +30,10 @@ def _ref_doremi(rows, n_rounds=5, eta=1.0, smoothing=1e-3):
             uni[(dom, w)] += 1
         for a, b in zip(toks, toks[1:]):
             big[(dom, a, b)] += 1
-    domains = sorted({d for d, _, _ in big})
+    # unigram domains (superset): zero-transition domains stay in the
+    # weight vector with zero excess — mirrors doremi.py (ADVICE r11)
+    domains = sorted({d for d, _ in uni})
+    big_domains = {d for d, _, _ in big}
     k = len(domains)
     if k == 0:
         return []
@@ -40,7 +43,7 @@ def _ref_doremi(rows, n_rounds=5, eta=1.0, smoothing=1e-3):
 
     # specialist floor
     ref = {}
-    for d in domains:
+    for d in big_domains:
         L = n = 0
         for (dd, a, b), c2 in big.items():
             if dd == d:
@@ -56,7 +59,7 @@ def _ref_doremi(rows, n_rounds=5, eta=1.0, smoothing=1e-3):
         for (d, a, b), c in big.items():
             c2w[(a, b)] += c * wm[d]
         out = {}
-        for d in domains:
+        for d in big_domains:
             L = n = 0
             for (dd, a, b), c2 in big.items():
                 if dd == d:
@@ -75,6 +78,8 @@ def _ref_doremi(rows, n_rounds=5, eta=1.0, smoothing=1e-3):
         }
         cur = mixture_losses(wm)
         for d in domains:
+            if d not in big_domains:
+                continue  # zero-transition: zero excess
             L_p, n = cur[d]
             L_r, _ = ref[d]
             logw[d] += eta * (max(0, L_p - L_r) / n / LOG_MICRO)
@@ -159,7 +164,28 @@ def test_single_domain_gets_all_mass(spark):
 def test_empty_and_degenerate_corpus(spark):
     empty = _rows_to_df(spark, [])
     assert doremi_weights(empty, domain_col="lang").count() == 0
-    # docs with < 2 tokens contribute no bigrams → no domains
+    # a single-token domain has unigrams but NO bigrams: it must still
+    # get a weight row (zero excess → smoothing-floor share), not be
+    # silently dropped; a zero-token domain truly has no evidence
     shorty = _rows_to_df(spark, [("d1", "one"), ("d2", "")])
-    assert doremi_weights(shorty, domain_col="lang").count() == 0
+    rows = doremi_weights(shorty, domain_col="lang").collect()
+    assert [r["domain"] for r in rows] == ["d1"]
+    assert rows[0]["weight_micro"] == W_MICRO
     release_cached_relations()
+
+
+def test_single_token_domain_keeps_smoothing_floor(spark):
+    """ADVICE r11: a domain whose docs are all single-token must
+    appear with the smoothing-mass floor, matching the reference."""
+    rows = _CORPUS + [("tags", "x"), ("tags", "y"), ("tags", "x")]
+    got = sorted(
+        tuple(r)
+        for r in doremi_weights(
+            _rows_to_df(spark, rows), domain_col="lang", n_rounds=3
+        ).collect()
+    )
+    want = sorted(_ref_doremi(rows, n_rounds=3))
+    release_cached_relations()
+    assert got == want
+    by_dom = {d: w for d, w, _ in got}
+    assert "tags" in by_dom and by_dom["tags"] > 0

@@ -74,11 +74,29 @@ def test_materialized_prefix_scan_prunes_full_vector(spark, tmp_path):
         ).collect()
     ]
     assert got_stored == got_sliced
-    with _pytest.raises(ValueError, match="dims"):
+    # the guard is a per-row CASE (whole-column coverage, no eager
+    # construction job) — a mismatched prefix fails at EXECUTION
+    with _pytest.raises(Exception, match="dims"):
         mrl_topk_rerank(
             stored, q, 10, prefix_dim=8, shortlist=50,
             prefix_col="prefix", tie_cols=["vec_id"],
-        )
+        ).collect()
+
+
+def test_ragged_prefix_column_raises_not_mispads(spark):
+    """One stale row deep in the table — a first-row probe would pass
+    it and the coarse dot would NULL-pad; the per-row guard must
+    surface it as an error (ADVICE r11)."""
+    rows = [(i, [float(i)] * 64, [float(i)] * 16) for i in range(20)]
+    rows.append((99, [9.0] * 64, [9.0] * 8))  # stale 8-dim prefix
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, prefix array<float>"
+    )
+    with pytest.raises(Exception, match="dims"):
+        mrl_topk_rerank(
+            df, [1.0] * 64, 5, prefix_dim=16, shortlist=10,
+            prefix_col="prefix", tie_cols=["vec_id"],
+        ).collect()
 
 
 def test_both_stages_take_ordered_and_validation(spark, sf_smoke):

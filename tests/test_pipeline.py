@@ -209,3 +209,12 @@ def test_leakage_safe_split_groups_never_span_folds(spark):
             assert rows[d] == (d, plain[d]), d
     # and a grouped member inherits its CANONICAL's plain fold
     assert rows[399][1] == plain[50]
+    # a NON-functional groups relation (doc in two groups) must raise
+    # at execution, not silently duplicate corpus rows (ADVICE r11)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, 0), (0, 7), (1, 0)], "doc_id long, group_id long"
+    )
+    with _pytest.raises(Exception, match="group_ids"):
+        leakage_safe_split(docs, bad).collect()

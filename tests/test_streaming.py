@@ -58,6 +58,28 @@ def test_hourly_stream_append_watermark_subset(spark, sf_smoke):
     assert got_rows <= want_rows
 
 
+def test_dedup_stream_single_definition_with_documented_defaults():
+    """VERDICT r11 #1: the module once carried TWO dedup_stream defs
+    (the first silently shadowed, docstrings disagreeing on
+    defaults). Pin exactly one definition with the live signature."""
+    import ast
+    import inspect
+
+    from nebuia_vector_db_spark.streaming import events as ev
+
+    tree = ast.parse(inspect.getsource(ev))
+    defs = [
+        n.name
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    assert defs.count("dedup_stream") == 1
+    assert len(defs) == len(set(defs)), "shadowed top-level def"
+    sig = inspect.signature(ev.dedup_stream)
+    assert sig.parameters["watermark"].default == "10 hours"
+    assert sig.parameters["ts_col"].default == "ts"
+
+
 def test_dedup_stream_drops_replayed_events(spark, sf_smoke, tmp_path):
     """A source that replays every event twice (at-least-once delivery)
     must come out exactly-once after dedup_stream."""
