@@ -7251,8 +7251,18 @@ REGISTRY: dict[
     # demotes below the window — see justification there.
     "vs_ivf_batch": (q_vs_ivf_batch, ORACLE_VS_IVF_BATCH),
     "vs_pq_topk": (q_vs_pq_topk, ORACLE_VS_PQ_TOPK),
-    # int8 scalar quantization — distinct from PQ's codebook ADC
-    "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
+    # Matryoshka prefix-dim retrieval (round-12 promotion, VERDICT
+    # r11 task #1): coarse shortlist on the FIRST prefix_dim
+    # coordinates (the Kusupati et al. 2022 deployment pattern —
+    # scan bytes shrink by dim/prefix_dim via a column-pruned
+    # materialized prefix) + exact full-dim re-rank through a
+    # broadcast semi-join, 0 shuffles end to end; BOTH stages
+    # SQL-replayed. Takes vs_sq8_topk's slot: SQ8's affine int8
+    # decode is the narrowest compression tier — the
+    # quantize→shortlist→re-rank machinery stays recorded THREE ways
+    # (vs_pq_topk codebook ADC, vs_bq_rerank 1-bit Hamming, this
+    # row's prefix truncation) and sq8 stays locally green below.
+    "vs_mrl_rerank": (q_vs_mrl_rerank, ORACLE_VS_MRL_RERANK),
     # binary quantization + exact re-rank (round-9 promotion): 32×
     # compression to packed int64, XOR+POPCNT Hamming shortlist inside
     # codegen, then exact-cosine re-rank of the shortlist — the
@@ -7338,7 +7348,19 @@ REGISTRY: dict[
     "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
-    "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
+    # EXACT heavy-hitter n-grams via a Count-Min-Sketch shortlist
+    # (round-12 promotion, VERDICT r11 task #1): the "which phrases
+    # repeat ≥ T times corpus-wide" question answered EXACTLY with a
+    # shuffle bounded by depth×width instead of the distinct-gram
+    # count (the 10¹¹-singleton trap at web scale) — sketch groupBy →
+    # broadcast hot buckets → all-bands semi-join → exact verify, the
+    # whole plan an accelerator under a plain GROUP BY/HAVING oracle
+    # (CMS over-counts, so no false negatives). Takes
+    # text_boilerplate's slot: boilerplate's repeated-LINE
+    # normalize+count spine is the same repeated-content question
+    # with strictly less machinery (plain groupBy) and stays locally
+    # green below.
+    "text_heavy_ngrams": (q_text_heavy_ngrams, ORACLE_TEXT_HEAVY_NGRAMS),
     # (text_bpe_tokens merged into text_tokens — same scan, one slot)
     # MODEL-BASED quality filter (round-9 promotion): CCNet-style
     # stupid-backoff LM trained on the lang='en' subset, scoring
@@ -7390,6 +7412,16 @@ REGISTRY: dict[
     # stays recorded inside pipe_curate's split stage and
     # pipe_epoch_shuffle's deterministic ordering.
     "pipe_dsir_select": (q_pipe_dsir_select, ORACLE_PIPE_DSIR),
+    # leakage-safe group-keyed split (round-12 promotion, VERDICT r11
+    # task #1): every near-dup GROUP lands wholly in one fold — the
+    # Lee et al. 2022 §6.2 train/test-overlap hazard a per-document
+    # hash split cannot prevent; the oracle replays pairs →
+    # recursive-CTE closure → md5 fold of the group canonical, so the
+    # hash certifies the group routing AND that singletons keep their
+    # plain dataset_split fold. Takes mm_color_roundtrip's slot (see
+    # its below-window note — the multimodal family keeps five
+    # recorded reps incl. dedup_video's JPEG frame decode).
+    "pipe_leakage_split": (q_pipe_leakage_split, ORACLE_PIPE_LEAKAGE_SPLIT),
     # SemDeDup (round-10 promotion, Abbas et al. 2023): CLUSTER-based
     # semantic dedup over embeddings — md5-hyperplane buckets,
     # quantized-integer centroids, within-cluster cosine pairs and
@@ -7440,11 +7472,6 @@ REGISTRY: dict[
     # lossless WAV row (mm_audio_real) cannot reach. Displaces
     # events_retention (see its below-window justification).
     "mm_mp2_audio": (q_mm_mp2_audio, ORACLE_MM_MP2),
-    # COLOR JPEG (round-4 promotion): YCbCr 4:2:0, dual table pairs,
-    # interleaved MCUs — lossless-by-construction flat tiles make the
-    # lossy color path hash-checkable; displaces vs_neardup_lsh (see
-    # its below-window justification)
-    "mm_color_roundtrip": (q_mm_color_roundtrip, ORACLE_MM_COLOR),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     # TPC-H Q2 minimum-cost supplier (round-11 promotion, VERDICT
@@ -7495,7 +7522,20 @@ REGISTRY: dict[
     # events (batch mirrors of the streaming surface)
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
-    "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+    # stateful streaming dedup with watermark eviction (round-12
+    # promotion, VERDICT r11 task #1): planted re-deliveries collapse
+    # back to EXACTLY the source table through the micro-batch state
+    # store (dropDuplicatesWithinWatermark — state bounded by the
+    # horizon, not the stream), hash-matched to the batch relation —
+    # the at-least-once ingest hygiene pass, and the first recorded
+    # row exercising keyed state-store EVICTION (stream_join_mirror
+    # pins join state, stream_ppl_filter is stateless). Takes
+    # events_funnel's slot: the funnel's ordered-step conditional
+    # min-ts aggregation is the per-key conditional-agg shape
+    # tpch_q21 pins in-window, the events family keeps two recorded
+    # reps + the streaming mirror, and the funnel stays locally green
+    # below.
+    "stream_dedup_mirror": (q_stream_dedup_mirror, ORACLE_STREAM_DEDUP_MIRROR),
     # STREAMING execution path (round-6 promotion): watermarked
     # stream-stream join run through the micro-batch engine
     # (AvailableNow → memory sink) and hash-matched against the batch
@@ -7645,12 +7685,13 @@ REGISTRY: dict[
     #   the exact-similarity oracle value-hash-checks the rotated
     #   encode -> ADC -> re-rank pipeline end to end; locally green;
     "vs_opq_topk": (q_vs_opq_topk, ORACLE_VS_OPQ_TOPK),
-    # vs_mrl_rerank: Matryoshka prefix-dim shortlist + exact re-rank
-    #   (round 11) — full oracle (both stages replayed); the two-
-    #   stage shortlist→re-rank window slot is held by vs_bq_rerank
-    #   (recorded), and the ANN family keeps four recorded tiers;
-    #   locally green;
-    "vs_mrl_rerank": (q_vs_mrl_rerank, ORACLE_VS_MRL_RERANK),
+    # vs_sq8_topk: int8 affine scalar quantization + exact re-rank —
+    #   demoted r12 for vs_mrl_rerank (Matryoshka prefix retrieval);
+    #   the quantize→shortlist→re-rank pattern keeps THREE recorded
+    #   tiers (PQ codebook ADC, BQ 1-bit Hamming, MRL prefix
+    #   truncation) and the affine decode arithmetic stays
+    #   value-hash-checked here locally;
+    "vs_sq8_topk": (q_vs_sq8_topk, ORACLE_VS_SQ8_TOPK),
     # pipe_jsonl_roundtrip: gzip-JSONL export/import of the corpus
     #   (round 7) — the LLM-interchange serialization surface, with
     #   content-sensitive md5 extrema from the RE-READ text; the
@@ -7862,25 +7903,30 @@ REGISTRY: dict[
     # covered by tpch_q4's EXISTS; vs_topk_fixedq: fixed-query
     # variant of recorded vs_topk.
     "pipe_dataset_split": (q_pipe_dataset_split, ORACLE_PIPE_SPLIT),
-    # pipe_leakage_split: near-dup-group-keyed fold assignment (round
-    #   11) — full oracle (pairs -> recursive-CTE closure -> md5 fold
-    #   of the group canonical); the split capability's window slot
-    #   is held by pipe_curate's split stage and pipe_dsir_select;
-    #   locally green;
-    "pipe_leakage_split": (q_pipe_leakage_split, ORACLE_PIPE_LEAKAGE_SPLIT),
-    # text_heavy_ngrams: EXACT heavy-hitter n-grams, CMS-shortlisted
-    #   (round 11) — full oracle (plain GROUP BY/HAVING: the sketch
-    #   only accelerates, no false negatives by over-count); the
-    #   exact top-ngram window capability stays via text_boilerplate
-    #   (recorded) and text_top_ngrams (locally green);
-    "text_heavy_ngrams": (q_text_heavy_ngrams, ORACLE_TEXT_HEAVY_NGRAMS),
-    # stream_dedup_mirror: stateful streaming dedup with watermark
-    #   eviction (round 11) — full oracle (planted re-deliveries must
-    #   collapse back to exactly the source table through the
-    #   micro-batch state store); the streaming-execution window
-    #   slots are held by stream_join_mirror (stateful join) and
-    #   stream_ppl_filter (stateless scoring); locally green;
-    "stream_dedup_mirror": (q_stream_dedup_mirror, ORACLE_STREAM_DEDUP_MIRROR),
+    # mm_color_roundtrip: COLOR JPEG (YCbCr 4:2:0, dual table pairs,
+    #   interleaved MCUs; lossless-by-construction flat tiles) —
+    #   demoted r12 for pipe_leakage_split: the baseline-JPEG
+    #   entropy-decode layer runs RECORDED inside dedup_video's
+    #   per-frame decode and dedup_dhash pins decoded-pixel stats;
+    #   the chroma-subsampling delta specific to this row stays
+    #   value-hash-checked here locally, and the multimodal family
+    #   keeps five recorded reps (png, flac, h264, mp2, dedup_video);
+    "mm_color_roundtrip": (q_mm_color_roundtrip, ORACLE_MM_COLOR),
+    # text_boilerplate: repeated-line boilerplate detection — demoted
+    #   r12 for text_heavy_ngrams (exact CMS-shortlisted heavy
+    #   hitters): both answer the repeated-content question, the
+    #   promoted row with strictly more machinery (sketch + broadcast
+    #   shortlist + exact verify vs a plain normalize+groupBy); the
+    #   per-line normalization spine stays value-hash-checked here
+    #   locally;
+    "text_boilerplate": (q_text_boilerplate, ORACLE_TEXT_BOILERPLATE),
+    # events_funnel: ordered-step conversion funnel — demoted r12 for
+    #   stream_dedup_mirror (stateful streaming dedup, the first
+    #   recorded state-EVICTION row): the per-user ordered
+    #   conditional min-ts chain is the conditional-aggregation shape
+    #   tpch_q21 pins in-window, and the events family keeps
+    #   events_sessions + events_asof_signup recorded; locally green;
+    "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
     "tpch_q5": (q_tpch_q5, ORACLE_TPCH_Q5),

@@ -61,8 +61,12 @@ _REQUIRED_IN_WINDOW = {
     # vs_bq_rerank promoted r9: binary-quantization tier — packed
     # XOR+POPCNT Hamming shortlist + exact re-rank, the coarsest
     # compression level, previously unrecorded)
+    # (vs_sq8_topk demoted r12 for vs_mrl_rerank — Matryoshka prefix
+    # shortlist + exact re-rank; the quantize→shortlist→re-rank
+    # pattern keeps three recorded tiers: PQ codebook ADC, BQ 1-bit
+    # Hamming, MRL prefix truncation)
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
-    "vs_ivf_batch", "vs_pq_topk", "vs_sq8_topk", "vs_doc_maxsim",
+    "vs_ivf_batch", "vs_pq_topk", "vs_mrl_rerank", "vs_doc_maxsim",
     "vs_bq_rerank",
     # cosine-threshold selection (r10: vs_range_search — the radius
     # query engine-API form — takes vs_neardup_cos's slot; the exact
@@ -101,8 +105,12 @@ _REQUIRED_IN_WINDOW = {
     # tokenize+count runs recorded inside text_lm3_perplexity's
     # n_trans and text_quality; the regex BPE estimate is superseded
     # by the real BPE trainer)
+    # (text_boilerplate demoted r12 for text_heavy_ngrams — exact
+    # CMS-shortlisted heavy-hitter n-grams: the same repeated-content
+    # question with strictly more machinery; the normalize+groupBy
+    # spine stays locally green)
     "text_quality", "text_langid",
-    "text_boilerplate", "text_lm3_perplexity",
+    "text_heavy_ngrams", "text_lm3_perplexity",
     # hybrid retrieval (hybrid_search demoted r9, hybrid_rrf demoted
     # r10: the BM25+kNN RRF row shares the rank-fusion + join spine
     # and additionally records the BM25 scorer)
@@ -116,6 +124,9 @@ _REQUIRED_IN_WINDOW = {
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_dsir_select",
     "pipe_upsert_latest", "pipe_curate",
+    # leakage-safe group-keyed split (promoted r12): near-dup groups
+    # land wholly in one fold — takes mm_color_roundtrip's slot
+    "pipe_leakage_split",
     # SemDeDup (promoted r10): cluster-based semantic dedup with the
     # full pass SQL-replayed — see queries.py's in-window comment
     "dedup_semdedup",
@@ -139,8 +150,11 @@ _REQUIRED_IN_WINDOW = {
     # both MKV and AVI through the same decoders and adds per-frame
     # dHash + temporal alignment; the container walk keeps a
     # recorded rep with strictly more machinery)
+    # (mm_color_roundtrip demoted r12 for pipe_leakage_split — the
+    # baseline-JPEG entropy decode runs recorded inside dedup_video's
+    # frame decode; the chroma-subsampling delta stays locally green)
     "mm_png_roundtrip", "mm_flac_audio", "dedup_video",
-    "mm_color_roundtrip", "mm_h264_iframes", "mm_mp2_audio",
+    "mm_h264_iframes", "mm_mp2_audio",
     # transactional storage (snap_engine_lifecycle promoted r9: the
     # VectorEngine facade driving store → search → ACID delete →
     # multi-search end-to-end; snap_delete_read demoted r11 for
@@ -168,8 +182,11 @@ _REQUIRED_IN_WINDOW = {
     # hour-truncated groupBy agg is the partial/final hash-agg path
     # tpch_q1 pins and the family keeps three recorded reps plus the
     # streaming mirror)
+    # (events_funnel demoted r12 for stream_dedup_mirror — the
+    # ordered-step conditional min-ts chain is the conditional-agg
+    # shape tpch_q21 pins; the family keeps two recorded reps)
     "events_sessions",
-    "events_asof_signup", "events_funnel",
+    "events_asof_signup",
     # streaming execution path (promoted r6): stream-stream join via
     # the micro-batch engine, hash-matched to the batch range join
     "stream_join_mirror",
@@ -180,6 +197,10 @@ _REQUIRED_IN_WINDOW = {
     # real-tokenizer trainer (promoted r11, sanctioned rows-only):
     # the unigram-LM EM fit — the family's first recorded rep
     "text_unigram_train",
+    # stateful streaming dedup (promoted r12): watermark-evicted
+    # keyed state through the micro-batch engine, hash-matched
+    # stream ≡ batch — the first recorded state-EVICTION row
+    "stream_dedup_mirror",
 }
 
 
