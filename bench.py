@@ -1758,6 +1758,76 @@ def main() -> None:
     )
     _sh.rmtree(b19_root, ignore_errors=True)
 
+    # ---- B20 (round 12): incremental cross-snapshot dedup — the
+    # daily-ingest operation: dedup a 1/16 delta against the PERSISTED
+    # band index instead of re-fingerprinting the corpus. Same 80k
+    # synthetic corpus as b11's 80k tier so the from-scratch baseline
+    # is the ALREADY MEASURED b11_minhash_sweep_80k. The b19 CDC
+    # discipline applies to the recorded rows: at this scale the wall
+    # ratio measures the HARNESS, not the algorithm (the ingest is a
+    # ~12-job pipeline of ~0.15-0.35 s dispatch floors + a full-row
+    # exceptAll in the change feed, while the 80k from-scratch pass is
+    # 3 heavily-parallel jobs — local[32] hides O(corpus) work that a
+    # 1000-executor cluster cannot hide); the 100 TB-relevant numbers
+    # are the pinned fractions — the ingest fingerprints ONLY the
+    # delta's documents (b20_churn_fraction of the corpus text) and
+    # verifies ONLY candidate pairs, vs the full pass re-reading and
+    # re-hashing everything. Incremental ≡ from-scratch restricted to
+    # the delta is hash-certified by the dedup_incremental oracle row;
+    # b20_incremental_pairs_total pins the planted-pair count here.
+    # Ingest runs median-of-3 into FRESH index clones (each ingest
+    # advances the index — reusing one would double bands).
+    from nebuia_vector_db_spark.operators.incremental import (
+        MinhashBandIndex as _MBI,
+        release_cached_relations as _release_inc,
+    )
+
+    b20_root = _tf.mkdtemp(prefix="nvdb_bench_inc_")
+    b20_docs = _synth_docs(80_000).cache()
+    b20_n = b20_docs.count()
+    b20_base = b20_docs.where(F.col("doc_id") % 16 != 0)
+    b20_delta = b20_docs.where(F.col("doc_id") % 16 == 0)
+    b20_nd = b20_delta.count()
+    timings["b20_corpus_docs_total"] = int(b20_n)
+    timings["b20_delta_docs_fingerprinted"] = int(b20_nd)
+    timings["b20_churn_fraction"] = round(b20_nd / max(b20_n, 1), 4)
+    t0 = time.perf_counter()
+    _MBI.create(
+        spark, os.path.join(b20_root, "seed"),
+        corpus=b20_base, threshold=0.9,
+    )
+    timings["b20_index_seed_build_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    b20_corpus = _ST.create(
+        spark, os.path.join(b20_root, "corpus"), b20_base
+    )
+    b20_corpus.append(b20_delta)
+    b20_times, b20_pairs = [], 0
+    for b20_i in range(3):
+        # a SnapshotTable is just files: clone the seed instead of
+        # re-fingerprinting the 80k corpus per iteration
+        b20_dir = os.path.join(b20_root, f"i{b20_i}")
+        _sh.copytree(os.path.join(b20_root, "seed"), b20_dir)
+        b20_idx = _MBI(spark, b20_dir, threshold=0.9)
+        t0 = time.perf_counter()
+        b20_pairs = b20_idx.ingest_commit(b20_corpus).count()
+        b20_times.append(time.perf_counter() - t0)
+        _release_inc()
+    timings["b20_incremental_ingest_sec"] = round(
+        statistics.median(b20_times), 4
+    )
+    timings["b20_incremental_pairs_total"] = int(b20_pairs)
+    # recorded, not a gate: see the block comment — at 80k this is a
+    # floor-count comparison, not a scalability statement
+    timings["b20_ingest_vs_full_ratio"] = round(
+        timings["b20_incremental_ingest_sec"]
+        / max(timings["b11_minhash_sweep_80k"], 1e-9),
+        4,
+    )
+    b20_docs.unpersist()
+    _sh.rmtree(b20_root, ignore_errors=True)
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile

@@ -243,6 +243,40 @@ def minhash_signatures(
     return mins.select("_id", F.array(*cols).alias("sig"))
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(_id, band_id, band_hash) — the LSH blocking relation: each
+    doc's signature cut into ``bands`` bands of ``num_perm // bands``
+    rows, each band folded to one xxhash64. Factored out of
+    :func:`minhash_lsh_pairs` (round 12) so the incremental
+    cross-snapshot tier (operators/incremental.py) can persist this
+    exact relation as its index and band-join NEW commits against it
+    — same permutations (seeded), same band fold, so incremental
+    candidates are bit-identical to the full-corpus join's."""
+    r = num_perm // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_perm, postings=postings
+    )
+    return sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -265,18 +299,8 @@ def minhash_lsh_pairs(
     Scale: candidates come from one equi-join on (band_id, band_hash);
     signatures are map-side; verification joins only candidate pairs.
     """
-    r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, postings=postings)
-    band_rows = sigs.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+    band_rows = minhash_band_rows(
+        df, text_col, id_col, n, num_perm, bands, postings=postings
     ).cache()
     # registered so long-lived sessions can release it (same contract
     # as the tf-idf weight relations — ADVICE r2: caches on query

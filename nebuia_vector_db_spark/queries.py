@@ -1915,6 +1915,62 @@ ORDER BY shard, rk
 """
 
 
+def q_pipe_mixture_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-weighted epoch materialization (round
+    12, VERDICT r11 stretch #7 — the consumer of pipe_doremi_weights):
+    domain d contributes exactly min(floor(400·w_d + 0.5), |d|) docs,
+    the quota smallest by md5 order key — the oracle replays quotas
+    (including the cap: at sf0.001 'en' has fewer docs than its
+    quota), the md5 ranking and the cutoffs. The skew-safe candidate
+    pre-cut is invisible to the result by construction (a prefix cut
+    of the same order key) — the hash match certifies that. The
+    doremi→epoch COMPOSITION (optimized weights in, epoch out) is
+    pinned in tests/test_mixture.py (doremi weights are an iterative
+    fit, the sanctioned non-SQL case)."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        sample_by_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_by_mixture(
+        docs,
+        {"en": 0.5, "zh": 0.05, "es": 0.15, "de": 0.15, "fr": 0.15},
+        epoch_size=400,
+        seed=1,
+    )
+    return out.select(
+        "lang", "epoch_rank", "doc_id", "order_key"
+    ).orderBy("lang", "epoch_rank")
+
+
+ORACLE_PIPE_MIXTURE_EPOCH = """
+WITH w(lang, wt) AS (
+  VALUES ('en', 0.5), ('zh', 0.05), ('es', 0.15), ('de', 0.15),
+         ('fr', 0.15)
+),
+c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+q AS (
+  SELECT w.lang,
+         least(CAST(floor(400 * wt + 0.5) AS BIGINT), c.n) AS quota
+  FROM w JOIN c USING (lang)
+),
+r AS (
+  SELECT d.lang, d.doc_id,
+         md5('1:' || CAST(d.doc_id AS VARCHAR)) AS order_key,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('1:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rk
+  FROM documents d JOIN w ON w.lang = d.lang
+)
+SELECT r.lang AS lang, CAST(r.rk AS BIGINT) AS epoch_rank, r.doc_id,
+       r.order_key
+FROM r JOIN q ON q.lang = r.lang
+WHERE r.rk <= q.quota
+ORDER BY r.lang, epoch_rank
+"""
+
+
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the 20 most document-frequent 3-token
     shingles over the session-shared posting relation ("what
@@ -3624,6 +3680,82 @@ ORDER BY _commit_version, _change, doc_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (round 12, VERDICT r11 task
+    #4): the corpus SnapshotTable starts at v1 with the ODD doc_ids,
+    v2 appends the EVEN ones; the persisted MinHash band index
+    (operators/incremental.py) fingerprints ONLY the v2 delta,
+    band-joins it against the v1 index + itself, and exact-Jaccard
+    verifies against the current snapshot — O(churn), the corpus is
+    never re-fingerprinted. The oracle replays full-corpus exact
+    Jaccard RESTRICTED to pairs touching the delta, so the hash match
+    certifies incremental ≡ from-scratch (both the cross-commit and
+    within-delta candidate paths produce rows on this corpus)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        MinhashBandIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    root = posix_scratch_dir(spark, "incdedup")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = MinhashBandIndex.create(
+            spark, root + "/index", corpus=base, threshold=0.8
+        )
+        corpus_tbl.append(delta)
+        out = (
+            idx.ingest_commit(corpus_tbl)
+            .select(
+                "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+# full-corpus exact Jaccard restricted to pairs touching the delta
+# (even doc_ids) — what the incremental band-join + verify must equal
+ORACLE_DEDUP_INCREMENTAL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(i * 1.0 / (sa.n_sh + sb.n_sh - i) * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+  AND (doc_a % 2 = 0 OR doc_b % 2 = 0)
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the PAPER'S clustering (Abbas et al. 2023 use
     k-means): operators/ann.py's seeded MLlib k-means assigns the
@@ -4164,6 +4296,160 @@ WHERE bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
     + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3)) <= 3
 ORDER BY doc_a, doc_b
 """
+
+
+def q_dedup_audiofp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup at the LOSSY codec boundary (round 12,
+    VERDICT r11 task #6): every selected document carries the same
+    curated tonal signal TWICE — lossless WAV PCM-16 (id 2·doc) and a
+    REAL IMA ADPCM re-encode (WAV format 0x11, 4 bits/sample, id
+    2·doc+1) whose quantization noise perturbs the decoded PCM. The
+    fingerprint/band/verify machinery (operators/audiofp.py +
+    hash_band_pairs, shared verbatim with the recorded dedup_audiofp
+    row) must still pair them at hamming ≤ 3; the 16 signals are
+    curated so the planted maximum is EXACTLY 3 (the boundary is
+    exercised) while distinct signals stay ≥ 4 apart (no spurious
+    cross pairs). Because the IMA encoder+decoder is a deterministic
+    integer state machine, the oracle replays it SAMPLE-EXACTLY with
+    a recursive CTE (quantize → reconstruct → step-index walk), then
+    the standard correlator → bits → bands → blocking → verify tail —
+    so the lossy-robustness claim is value-hash-certified end to end,
+    not just pytest-pinned (closing the r11 oracle/pytest split)."""
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_audio_lossy_assets,
+    )
+    from nebuia_vector_db_spark.operators.audiofp import (
+        audio_fingerprint_bands,
+    )
+    from nebuia_vector_db_spark.operators.imagehash import hash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = audio_fingerprint_bands(attach_audio_lossy_assets(docs))
+    return hash_band_pairs(hashed, max_hamming=3, max_band_df=64).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _ima_steps_sql() -> str:
+    from nebuia_vector_db_spark.multimodal.wav import _IMA_STEPS
+
+    return ",".join(str(int(s)) for s in _IMA_STEPS)
+
+
+# Replays attach_audio_lossy_assets end to end: the curated tonal
+# signal (two triangle waves + a correlator-aligned square, closed
+# form), the IMA ADPCM encode→decode as a recursive CTE over the
+# per-sample (predictor, step-index) state machine — quantizer bit
+# tests as sequential threshold CASEs, reconstruction delta
+# step/8 + bits, clamps, index walk via the spec table — and then the
+# identical fingerprint tail as ORACLE_DEDUP_AUDIOFP. y[0] = x[0]
+# (block header carries the first sample verbatim; one block per clip
+# at samples_per_block=505 ≥ n ≤ 320).
+ORACLE_DEDUP_AUDIOFP_LOSSY = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id AS src, (doc_id // 16) % 16 AS key,
+         ((doc_id // 16) % 16) * 12 + 140 AS n
+  FROM documents WHERE doc_id % 16 = 0
+),
+xs AS (
+  SELECT src, n, CAST(t.i AS BIGINT) AS i,
+         least(32767, greatest(-32768,
+           (CASE WHEN i % (2*(4*key+6)) < (4*key+6)
+                 THEN i % (2*(4*key+6))
+                 ELSE 2*(4*key+6) - i % (2*(4*key+6)) END) * 320
+             - (320*(4*key+6))//2
+           + (CASE WHEN i % (2*(70-4*key)) < (70-4*key)
+                   THEN i % (2*(70-4*key))
+                   ELSE 2*(70-4*key) - i % (2*(70-4*key)) END) * 280
+             - (280*(70-4*key))//2
+           + 1200 * (1 - 2 * ((i // ([1,2,3,4,5,6,8,10,12,16,20,24,
+                                      32,40,48,64])[key+1]) % 2))
+         )) AS x
+  FROM d, LATERAL unnest(range(n)) AS t(i)
+),
+adp AS (
+  SELECT src, CAST(0 AS BIGINT) AS i, x AS pred, 0 AS idx
+  FROM xs WHERE i = 0
+  UNION ALL
+  SELECT src, i,
+         least(32767, greatest(-32768, pred + (1 - 2*sign) * delta)) AS pred,
+         least(88, greatest(0,
+           idx + CASE WHEN c4 = 1 THEN 2 + 4*c2 + 2*c1 ELSE -1 END)) AS idx
+  FROM (
+    SELECT src, i, pred, idx, sign, c4, c2, c1,
+           step//8 + c1*(step//4) + c2*(step//2) + c4*step AS delta
+    FROM (
+      SELECT *, CASE WHEN ad - c4*step - c2*(step//2) >= step//4
+                     THEN 1 ELSE 0 END AS c1
+      FROM (
+        SELECT *, CASE WHEN ad - c4*step >= step//2 THEN 1 ELSE 0 END AS c2
+        FROM (
+          SELECT *, CASE WHEN ad >= step THEN 1 ELSE 0 END AS c4
+          FROM (
+            SELECT r.src, x1.i AS i, r.pred AS pred, r.idx AS idx,
+                   CASE WHEN x1.x < r.pred THEN 1 ELSE 0 END AS sign,
+                   abs(x1.x - r.pred) AS ad,
+                   ([{{steps}}])[r.idx + 1] AS step
+            FROM adp r JOIN xs x1 ON x1.src = r.src AND x1.i = r.i + 1
+          )
+        )
+      )
+    )
+  )
+),
+v AS (
+  SELECT src*2 AS doc_id, n, i, x FROM xs
+  UNION ALL
+  SELECT a.src*2 + 1, dd.n, a.i, a.pred
+  FROM adp a JOIN d dd ON dd.src = a.src
+),
+corr AS (
+  SELECT v.doc_id, (v.i * 4) // v.n AS t, hp.b AS b,
+         CAST(sum(v.x * (1 - 2 * ((v.i // hp.h) % 2))) AS HUGEINT) AS c
+  FROM v, (VALUES (0,1),(1,2),(2,3),(3,4),(4,5),(5,6),(6,8),(7,10),
+                  (8,12),(9,16),(10,20),(11,24),(12,32),(13,40),
+                  (14,48),(15,64)) AS hp(b, h)
+  GROUP BY 1, 2, 3
+),
+e AS (SELECT doc_id, t, b, c * c AS e FROM corr),
+tot AS (SELECT doc_id, t, sum(e) AS tot FROM e GROUP BY 1, 2),
+bits AS (
+  SELECT e.doc_id, e.t, e.b,
+         CASE WHEN e.e * 16 > tot.tot THEN 1 ELSE 0 END AS bit
+  FROM e JOIN tot USING (doc_id, t)
+),
+bands AS (
+  SELECT doc_id, t AS k,
+         CAST(sum(bit * power(2, b)) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2
+),
+ok_bands AS (
+  SELECT k, val FROM bands GROUP BY 1, 2 HAVING count(*) <= 64
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN ok_bands o ON x.k = o.k AND x.val = o.val
+  JOIN bands y ON y.k = x.k AND y.val = x.val AND x.doc_id < y.doc_id
+),
+hs AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN val END) AS b0,
+         max(CASE WHEN k = 1 THEN val END) AS b1,
+         max(CASE WHEN k = 2 THEN val END) AS b2,
+         max(CASE WHEN k = 3 THEN val END) AS b3
+  FROM bands GROUP BY 1
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
+          + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3))
+            AS INT) AS hamming
+FROM cand
+JOIN hs xa ON xa.doc_id = doc_a
+JOIN hs xb ON xb.doc_id = doc_b
+WHERE bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
+    + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3)) <= 3
+ORDER BY doc_a, doc_b
+""".replace("{steps}", _ima_steps_sql())
 
 
 ORACLE_DEDUP_DHASH = f"""
@@ -7320,11 +7606,21 @@ REGISTRY: dict[
     "dedup_video": (q_dedup_video, ORACLE_DEDUP_VIDEO_ALIGN),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
     "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
-    # span-level exact-substring dedup (round-4 promotion): the Lee
-    # et al. 2022 pass — a DISTINCT capability (span granularity) no
-    # doc-level row covers; displaces text_fingerprint (see its
-    # below-window justification)
-    "dedup_substring": (q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
+    # acoustic near-dup at the LOSSY boundary (round-12 promotion,
+    # VERDICT r11 task #6): real IMA ADPCM re-encodes of 16 curated
+    # tonal signals paired with their lossless WAV originals at
+    # hamming ≤ 3 — the planted maximum is EXACTLY 3, so the verify
+    # boundary itself is exercised — with the IMA encoder+decoder
+    # state machine replayed SAMPLE-EXACTLY by a recursive-CTE oracle
+    # (the r11 split left the lossy envelope pytest-only). Takes
+    # dedup_substring's slot: the positional-winnowing anchor + span
+    # diagnosis machinery runs RECORDED inside dedup_drop_spans
+    # (which excises the spans that row only lists); substring stays
+    # locally green below.
+    "dedup_audiofp_lossy": (
+        q_dedup_audiofp_lossy,
+        ORACLE_DEDUP_AUDIOFP_LOSSY,
+    ),
     # span REMOVAL (round-6 promotion): excises the duplicated spans
     # dedup_substring only diagnoses — the actionable Lee et al. 2022
     # §4.2 pass (keep-first owner, merged-interval cut, cleaned corpus
@@ -7564,6 +7860,13 @@ REGISTRY: dict[
     #   fingerprint groupBy inside dedup_groups' edge relation;
     #   locally green;
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    # dedup_substring: span-level exact-substring DIAGNOSIS — demoted
+    #   r12 for dedup_audiofp_lossy (the lossy-codec fingerprint
+    #   boundary, previously pytest-only): the positional-winnowing
+    #   anchors and span-merge arithmetic run RECORDED inside
+    #   dedup_drop_spans, which excises exactly the spans this row
+    #   lists; locally green;
+    "dedup_substring": (q_dedup_substring, ORACLE_DEDUP_SUBSTRING),
     # Round-9 demotions (VERDICT r8 task #1 rotation):
     # mm_video_frames: RIFF/AVI demux + JPEG decode — its oracle was
     #   shared VERBATIM with the recorded mm_mp4_frames (two window
@@ -7816,6 +8119,21 @@ REGISTRY: dict[
     #   by pipe_dsir_select (document-level importance resampling —
     #   this is its domain-level sibling);
     "pipe_doremi_weights": (q_pipe_doremi_weights, None),
+    # pipe_mixture_epoch: deterministic mixture-weighted epoch
+    #   materialization (round 12) — full oracle (per-domain quotas
+    #   incl. the corpus-size cap, md5-rank cutoffs); the md5-order
+    #   machinery runs recorded inside pipe_curate/pipe_dsir_select,
+    #   and the doremi→epoch composition is pytest-pinned; locally
+    #   green;
+    "pipe_mixture_epoch": (q_pipe_mixture_epoch, ORACLE_PIPE_MIXTURE_EPOCH),
+    # dedup_incremental: cross-snapshot MinHash dedup of a new commit
+    #   against the persisted band index (round 12) — full oracle
+    #   (full-corpus exact Jaccard restricted to pairs touching the
+    #   delta: incremental ≡ from-scratch); the minhash band/verify
+    #   machinery is recorded via dedup_minhash_lsh and the CDC spine
+    #   via snap_change_feed — this row certifies their COMPOSITION;
+    #   locally green;
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine

@@ -210,3 +210,67 @@ def test_fingerprint_algebraic_invariances():
         assert fp == _ref_fp(x)
 
     prop()
+
+
+def test_lossy_probe_signals_envelope_and_separation():
+    """Round 12: the 16 curated tonal signals behind
+    dedup_audiofp_lossy — every WAV↔ADPCM planted pair within
+    hamming ≤ 3 with the maximum EXACTLY 3 (the verify boundary is
+    exercised), every cross-signal distance ≥ 4 (no spurious pairs at
+    the threshold)."""
+    import itertools
+
+    from nebuia_vector_db_spark.multimodal.assets import (
+        _lossy_probe_signal,
+    )
+
+    def _ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    fps = {}
+    planted = []
+    for key in range(16):
+        x = _lossy_probe_signal(key)
+        _, dec = decode_pcm_any(encode_wav_adpcm(x, 8000))
+        a = fingerprint_bands(x)
+        b = fingerprint_bands(dec)
+        fps[key] = (a, b)
+        planted.append(_ham(a, b))
+    assert max(planted) == 3, planted  # at the boundary, inside it
+    assert all(h <= 3 for h in planted)
+    cross = min(
+        _ham(a, b)
+        for k1, k2 in itertools.combinations(range(16), 2)
+        for a in fps[k1]
+        for b in fps[k2]
+    )
+    assert cross >= 4, cross
+
+
+def test_lossy_assets_pair_every_planted_duplicate(spark, sf_smoke):
+    """End-to-end through Spark: every selected doc's WAV/ADPCM pair
+    (2d, 2d+1) must come out of hash_band_pairs at hamming ≤ 3."""
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.multimodal.assets import (
+        attach_audio_lossy_assets,
+    )
+    from nebuia_vector_db_spark.operators.imagehash import hash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    sel = [
+        r[0]
+        for r in docs.where(F.col("doc_id") % 16 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    hashed = audio_fingerprint_bands(attach_audio_lossy_assets(docs))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hash_band_pairs(
+            hashed, max_hamming=3, max_band_df=64
+        ).collect()
+    }
+    assert sel
+    for d in sel:
+        assert (2 * d, 2 * d + 1) in pairs, d

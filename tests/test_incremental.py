@@ -1,0 +1,117 @@
+"""Incremental cross-snapshot MinHash dedup (operators/incremental.py,
+round 12 — VERDICT r11 task #4): incremental ≡ from-scratch on the
+real corpus, multi-commit ingest, delete hygiene, and the sketch-
+parameter guard. The `dedup_incremental` registry row additionally
+hash-certifies the composition against a DuckDB replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.dedup import minhash_lsh_pairs
+from nebuia_vector_db_spark.operators.incremental import (
+    MinhashBandIndex,
+    release_cached_relations,
+)
+from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _pairs_set(df):
+    return {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_from_scratch(spark, sf_oracle, tmp_path):
+    """ingest(delta) must equal full-corpus minhash_lsh_pairs
+    restricted to pairs touching the delta — the module's defining
+    contract, on the real corpus (both cross-commit and within-delta
+    pairs exist at sf0.01)."""
+    docs = _docs(spark, sf_oracle)
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "corpus"), base)
+    idx = MinhashBandIndex.create(
+        spark, str(tmp_path / "idx"), corpus=base
+    )
+    corpus.append(delta)
+    got = _pairs_set(idx.ingest_commit(corpus))
+    want_full = minhash_lsh_pairs(docs, threshold=0.8)
+    want = {
+        t
+        for t in _pairs_set(want_full)
+        if t[0] % 2 == 0 or t[1] % 2 == 0
+    }
+    release_cached_relations()
+    assert got == want and got
+    # both candidate paths actually fired on this corpus
+    assert any(a % 2 == 0 and b % 2 == 0 for a, b, _ in got)  # delta×delta
+    assert any((a % 2 == 0) != (b % 2 == 0) for a, b, _ in got)  # cross
+
+
+def test_multi_commit_ingest_tracks_churn(spark, tmp_path):
+    """Three commits: each ingest pairs ONLY against its own delta,
+    the index accumulates, and a duplicate planted two commits apart
+    is still found (the index remembers the whole history)."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words about spark shuffles and parquet files"
+    t3 = "a third unrelated document mentioning watermarks and state stores"
+    base = mk([(1, t1), (2, t2)])
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = MinhashBandIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    # commit 2: no dups
+    corpus.append(mk([(3, t3)]))
+    assert _pairs_set(idx.ingest_commit(corpus)) == set()
+    # commit 3: dup of doc 1 (two commits back) + dups within the
+    # delta; 11/12 are also near-dups of doc 3 (one commit back) at
+    # jaccard 8/9 — the index must catch BOTH history depths
+    corpus.append(mk([(10, t1), (11, t3 + " x"), (12, t3 + " x")]))
+    got = _pairs_set(idx.ingest_commit(corpus))
+    release_cached_relations()
+    assert {(a, b) for a, b, _ in got} == {
+        (1, 10), (3, 11), (3, 12), (11, 12)
+    }
+    # the index holds bands for every doc ingested so far
+    assert (
+        idx.tbl.read().select("_id").distinct().count() == 6
+    )
+
+
+def test_deleted_partner_never_pairs(spark, tmp_path):
+    """A doc deleted from the corpus leaves stale bands, but the
+    verify join against the CURRENT snapshot drops its pairs; after
+    retract() the stale bands are gone too."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "one two three four five six seven eight nine ten eleven twelve"
+    base = mk([(1, t1), (2, "unrelated content entirely " * 3)])
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = MinhashBandIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    corpus.delete_where("doc_id = 1")
+    corpus.append(mk([(9, t1)]))  # duplicate of the DELETED doc
+    got = _pairs_set(idx.ingest_commit(corpus))
+    release_cached_relations()
+    assert got == set()  # partner no longer in the corpus
+    assert idx.tbl.read().where("_id = 1").count() > 0  # stale bands
+    idx.retract([1])
+    assert idx.tbl.read().where("_id = 1").count() == 0
+
+
+def test_mismatched_params_raise_on_reopen(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    MinhashBandIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    with pytest.raises(ValueError, match="sketch parameters"):
+        MinhashBandIndex(spark, str(tmp_path / "i"), bands=16)
+    # matching params reopen fine
+    MinhashBandIndex(spark, str(tmp_path / "i"))
+    release_cached_relations()

@@ -89,8 +89,12 @@ _REQUIRED_IN_WINDOW = {
     # blocking + XOR/POPCNT verify machinery is recorded verbatim via
     # dedup_dhash and dedup_audiofp, text sketching via
     # dedup_minhash_lsh)
-    "dedup_dhash", "dedup_audiofp", "dedup_minhash_lsh",
-    "dedup_groups", "dedup_substring",
+    # (dedup_substring demoted r12 for dedup_audiofp_lossy — the
+    # IMA-ADPCM lossy fingerprint boundary, recursive-CTE oracle;
+    # the winnowing-anchor/span machinery runs recorded inside
+    # dedup_drop_spans, which excises the spans substring lists)
+    "dedup_dhash", "dedup_audiofp", "dedup_audiofp_lossy",
+    "dedup_minhash_lsh", "dedup_groups",
     "dedup_drop_spans",
     # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
     # banding stays recorded via dedup_minhash_lsh; the MLlib row's
