@@ -127,7 +127,11 @@ class MinhashBandIndex:
     ) -> "MinhashBandIndex":
         """Create the index table; with ``corpus``, seed it with the
         existing corpus's bands (the one-time full fingerprint pass —
-        every later ingest is O(churn))."""
+        every later ingest is O(churn)). With ``corpus=None`` the
+        empty seed declares ``_id long`` — for string-keyed corpora
+        pass the (possibly empty-filtered) corpus instead, so the
+        band schema carries the real id type (appending string ids
+        into a long-typed table would cast-mangle them)."""
         params = {
             "n": kw.get("n", 3),
             "num_perm": kw.get("num_perm", 128),
