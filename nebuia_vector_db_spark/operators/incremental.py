@@ -155,7 +155,12 @@ class MinhashBandIndex:
         return cls(spark, path, **kw)
 
     # ----------------------------------------------------------- ingest
-    def ingest(self, delta: DataFrame, corpus_now: DataFrame) -> DataFrame:
+    def ingest(
+        self,
+        delta: DataFrame,
+        corpus_now: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> DataFrame:
         """Fingerprint ``delta``, pair it against the persisted index
         and itself, verify with exact Jaccard against ``corpus_now``
         (the POST-commit corpus — must contain the delta rows), and
@@ -165,7 +170,16 @@ class MinhashBandIndex:
         the full-corpus ``minhash_lsh_pairs`` output restricted to
         pairs touching the delta. ``delta`` ids must be NEW to the
         index (the snapshot change feed guarantees this when driven
-        via :meth:`ingest_commit`)."""
+        via :meth:`ingest_commit`).
+
+        ``txn=(app, batch_id)`` makes the band append IDEMPOTENT for
+        streaming replays (the foreachBatch at-least-once contract):
+        it routes through the stream-watermark CAS append, so a
+        replayed micro-batch skips the duplicate band write — and the
+        recomputed pair set is unchanged anyway (the delta's bands
+        being already IN the index only moves within-delta pairs from
+        the self-join to the cross join; ``distinct`` collapses
+        them)."""
         idc = self.id_col
         delta_bands = minhash_band_rows(
             delta, self.text_col, idc, self.n, self.num_perm, self.bands
@@ -247,7 +261,16 @@ class MinhashBandIndex:
             .select("doc_a", "doc_b", "jaccard")
         )
         # atomic index advance: the delta's bands land as ONE commit
-        self.tbl.append(delta_bands)
+        if txn is None:
+            self.tbl.append(delta_bands)
+        else:
+            from nebuia_vector_db_spark.streaming.sinks import (
+                transactional_append,
+            )
+
+            transactional_append(
+                self.spark, self.tbl.path, delta_bands, txn[1], txn[0]
+            )
         return verified
 
     def ingest_commit(
@@ -271,3 +294,75 @@ class MinhashBandIndex:
         optional: stale bands cost candidate noise, not correctness).
         ``ids`` is driver-side and churn-bounded by contract."""
         return self.tbl.delete_where(F.col("_id").isin(list(ids)))
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    corpus_path: str,
+    index: "MinhashBandIndex",
+    pairs_path: str,
+    checkpoint: str,
+    start_version: int = 1,
+    app: str | None = None,
+):
+    """Continuous incremental dedup (round 12): subscribe to the
+    corpus SnapshotTable's CHANGE FEED and, per micro-batch, ingest
+    the inserts into the band index and append the discovered pairs
+    to a pairs SnapshotTable — the daily dedup-at-ingest loop as a
+    standing streaming query instead of a scheduled batch job.
+
+    Exactly-once end to end under foreachBatch's at-least-once
+    replays: BOTH writes ride the stream-watermark CAS append
+    (streaming/sinks.py::transactional_append) — the band append via
+    ``ingest(txn=...)``, the pairs append directly — so a replayed
+    batch is acknowledged without duplicating bands or pair rows, and
+    the recomputed pair set is deterministic (verify reads the corpus
+    at the batch's MAX commit version, not "now").
+
+    ``start_version`` defaults to 1: the seed commit's documents are
+    already fingerprinted by ``MinhashBandIndex.create(corpus=...)``,
+    so the feed must begin AFTER it (delivering commits
+    ``(start_version, ...]``). Runs Trigger.AvailableNow — call again
+    to drain new commits; tests assert stream ≡ the per-commit batch
+    ``ingest_commit`` replay."""
+    from nebuia_vector_db_spark.sources.changes_stream import (
+        SnapshotChangesDataSource,
+    )
+    from nebuia_vector_db_spark.streaming.sinks import (
+        transactional_append,
+    )
+
+    spark.dataSource.register(SnapshotChangesDataSource)
+    feed = (
+        spark.readStream.format("nebuia_snapshot_changes")
+        .option("path", corpus_path)
+        .option("startVersion", start_version)
+        .load()
+    )
+    lane = app if app is not None else checkpoint
+    corpus = SnapshotTable(spark, corpus_path)
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        v_max = batch.agg(
+            F.max("_commit_version").alias("v")
+        ).head()["v"]
+        inserts = batch.where(F.col("_change") == "insert").drop(
+            "_change", "_commit_version"
+        )
+        pairs = index.ingest(
+            inserts,
+            corpus.read(int(v_max)),
+            txn=(lane + ":bands", batch_id),
+        )
+        transactional_append(
+            spark, pairs_path, pairs, batch_id, lane + ":pairs"
+        )
+
+    return (
+        feed.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -383,18 +383,32 @@ def sample_by_mixture(
     domain_col: str = "lang",
     id_col: str = "doc_id",
     seed: int = 1,
+    with_replacement: bool = False,
     _safety: float = 4.0,
 ) -> DataFrame:
     """Materialize a training EPOCH with the given domain proportions
     (round 12, VERDICT r11 stretch #7 — the consumer of
     ``doremi_weights``): domain ``d`` contributes
-    ``min(floor(epoch_size·w_d + 0.5), |d|)`` documents — the exact
-    quota, not a Bernoulli approximation — chosen as the quota
-    SMALLEST by the md5 order key ``md5('{seed}:' || id)`` (ties by
-    id). No RNG anywhere: the same epoch materializes on any cluster
-    size, epoch N+1 is a different ``seed``, and an ANSI-SQL engine
-    replays the exact member set (the pipe_mixture_epoch oracle).
-    Domains absent from ``weights`` contribute nothing.
+    ``floor(epoch_size·w_d + 0.5)`` documents — the exact quota, not
+    a Bernoulli approximation — chosen as the quota SMALLEST by the
+    md5 order key ``md5('{seed}:' || id)`` (ties by id). No RNG
+    anywhere: the same epoch materializes on any cluster size, epoch
+    N+1 is a different ``seed``, and an ANSI-SQL engine replays the
+    exact member set (the pipe_mixture_epoch oracles). Domains absent
+    from ``weights`` contribute nothing.
+
+    ``with_replacement=False`` (default) CAPS each quota at the
+    domain size — the epoch under-represents a domain whose optimized
+    weight exceeds its corpus share. ``with_replacement=True``
+    implements the paper's actual resampling semantics for that case
+    (DoReMi upweights exactly the small worst-served domains, so
+    quota > |d| is the expected regime, not an edge): every domain
+    member repeats ``quota // |d|`` times and the ``quota % |d|``
+    smallest by order key repeat once more — deterministic
+    replication, not sampling noise. ``copy_id`` (1-based pass
+    number) is appended and ``epoch_rank`` cycles the domain, so
+    copies of one document land maximally far apart in the read
+    order (rank = (copy-1)·|d| + within-pass rank).
 
     Scale shape (the skew trap avoided): a naive per-domain
     row_number window puts the dominant domain's ENTIRE corpus slice
@@ -402,12 +416,14 @@ def sample_by_mixture(
     quota candidates per domain (the md5 prefix is uniform), verified
     by a count and widened (×4, then take-all) in the rare undershoot
     — so the ranked relation is bounded by the EPOCH size, not the
-    corpus, and the window runs over candidates only. Exact because
-    the pre-cut is a PREFIX cut of the same order key: if ≥ quota
-    candidates survive, the global top-quota are all among them.
+    corpus, and the window runs over candidates only. (A replicated
+    domain ranks all |d| < quota ≤ epoch_size rows — epoch-bounded by
+    definition.) Exact because the pre-cut is a PREFIX cut of the
+    same order key: if ≥ quota candidates survive, the global
+    top-quota are all among them.
 
-    Output: the input schema + ``order_key`` + ``epoch_rank`` (the
-    dataloader read order within the domain)."""
+    Output: the input schema + ``order_key`` + ``copy_id`` +
+    ``epoch_rank`` (the dataloader read order within the domain)."""
     import math
 
     if epoch_size <= 0:
@@ -421,14 +437,22 @@ def sample_by_mixture(
         .count()
         .collect()
     }
-    quotas = {
-        d: min(int(math.floor(epoch_size * w + 0.5)), counts.get(d, 0))
+    raw = {
+        d: int(math.floor(epoch_size * w + 0.5))
         for d, w in weights.items()
+        if counts.get(d, 0) > 0
     }
-    quotas = {d: q for d, q in quotas.items() if q > 0}
+    if with_replacement:
+        quotas = {d: q for d, q in raw.items() if q > 0}
+    else:
+        quotas = {
+            d: min(q, counts[d]) for d, q in raw.items() if q > 0
+        }
+        quotas = {d: q for d, q in quotas.items() if q > 0}
     if not quotas:
         return (
             docs.withColumn("order_key", F.lit(""))
+            .withColumn("copy_id", F.lit(0).cast("long"))
             .withColumn("epoch_rank", F.lit(0).cast("long"))
             .limit(0)
         )
@@ -442,6 +466,8 @@ def sample_by_mixture(
     base = docs.where(F.col(domain_col).isin(list(quotas))).withColumn(
         "order_key", ok
     )
+    # the pre-cut only applies where quota < |d| (no replication);
+    # a replicated domain keeps every row (rate 1.0)
     safety = _safety
     for _ in range(6):
         rate = F.lit(0.0)
@@ -455,20 +481,50 @@ def sample_by_mixture(
             r[0]: r[1]
             for r in cand.groupBy(domain_col).count().collect()
         }
-        if all(got.get(d, 0) >= q for d, q in quotas.items()):
+        if all(
+            got.get(d, 0) >= min(q, counts[d])
+            for d, q in quotas.items()
+        ):
             break
         safety *= 4.0
     else:
         cand = base  # take-all fallback: still exact, just unbounded
     w = Window.partitionBy(domain_col).orderBy("order_key", id_col)
-    quota_expr = F.lit(0)
+    ranked = cand.withColumn(
+        "_rk", F.row_number().over(w).cast("long")
+    )
+    quota_expr = F.lit(0).cast("long")
+    n_expr = F.lit(0).cast("long")
     for d, q in quotas.items():
         quota_expr = F.when(
-            F.col(domain_col) == d, F.lit(q)
+            F.col(domain_col) == d, F.lit(q).cast("long")
         ).otherwise(quota_expr)
-    return (
-        cand.withColumn(
-            "epoch_rank", F.row_number().over(w).cast("long")
+        n_expr = F.when(
+            F.col(domain_col) == d, F.lit(counts[d]).cast("long")
+        ).otherwise(n_expr)
+    if not with_replacement:
+        return (
+            ranked.where(F.col("_rk") <= quota_expr)
+            .withColumn("copy_id", F.lit(1).cast("long"))
+            .withColumnRenamed("_rk", "epoch_rank")
         )
-        .where(F.col("epoch_rank") <= quota_expr)
+    # replication: quota // n full passes over the domain, plus the
+    # (quota % n) smallest by order key once more; empty sequence when
+    # a row gets zero copies (sequence(1,0) would DESCEND — guard it)
+    n_copies = (
+        F.floor(quota_expr / n_expr).cast("long")
+        + F.when(F.col("_rk") <= quota_expr % n_expr, 1).otherwise(0)
+    )
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        ranked.withColumn("copy_id", F.explode(copies))
+        .withColumn(
+            "epoch_rank",
+            ((F.col("copy_id") - 1) * n_expr + F.col("_rk")).cast(
+                "long"
+            ),
+        )
+        .drop("_rk")
     )

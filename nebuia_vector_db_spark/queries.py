@@ -1971,6 +1971,66 @@ ORDER BY r.lang, epoch_rank
 """
 
 
+def q_pipe_mixture_epoch_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture epoch WITH REPLACEMENT (round 12): DoReMi upweights
+    exactly the small worst-served domains, so a quota above the
+    domain's corpus size is the expected regime — every member
+    repeats quota // |d| times, the quota % |d| smallest by md5 order
+    repeat once more, and epoch_rank cycles the domain so copies land
+    maximally far apart in the read order. On this corpus 'zh'
+    (quota 160 > 75 docs) replicates 2×+10, 'fr' 1×+56, while 'en'
+    stays a plain top-120 cut — all three regimes in one row, quotas
+    and replication arithmetic replayed by the oracle."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        sample_by_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_by_mixture(
+        docs,
+        {"zh": 0.4, "en": 0.3, "fr": 0.3},
+        epoch_size=400,
+        seed=1,
+        with_replacement=True,
+    )
+    return out.select(
+        "lang", "copy_id", "epoch_rank", "doc_id", "order_key"
+    ).orderBy("lang", "epoch_rank")
+
+
+ORACLE_PIPE_MIXTURE_EPOCH_REP = """
+WITH w(lang, wt) AS (
+  VALUES ('zh', 0.4), ('en', 0.3), ('fr', 0.3)
+),
+c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+q AS (
+  SELECT w.lang, CAST(floor(400 * wt + 0.5) AS BIGINT) AS quota, c.n
+  FROM w JOIN c USING (lang)
+),
+r AS (
+  SELECT d.lang, d.doc_id,
+         md5('1:' || CAST(d.doc_id AS VARCHAR)) AS order_key,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('1:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rk
+  FROM documents d JOIN w ON w.lang = d.lang
+),
+e AS (
+  SELECT r.lang, r.doc_id, r.order_key, r.rk, q.n,
+         q.quota // q.n
+           + CASE WHEN r.rk <= q.quota % q.n THEN 1 ELSE 0 END
+           AS n_copies
+  FROM r JOIN q ON q.lang = r.lang
+)
+SELECT e.lang AS lang, CAST(t.c AS BIGINT) AS copy_id,
+       CAST((t.c - 1) * e.n + e.rk AS BIGINT) AS epoch_rank,
+       e.doc_id, e.order_key
+FROM e, LATERAL unnest(range(1, n_copies + 1)) AS t(c)
+ORDER BY e.lang, epoch_rank
+"""
+
+
 def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the 20 most document-frequent 3-token
     shingles over the session-shared posting relation ("what
@@ -3713,6 +3773,57 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_tbl.append(delta)
         out = (
             idx.ingest_commit(corpus_tbl)
+            .select(
+                "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+def q_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of dedup_incremental (round 12): the same
+    even-delta commit is delivered through the CDC change-feed stream
+    source and ingested by the standing foreachBatch query
+    (operators/incremental.py::stream_dedup_ingest — band append and
+    pairs append both ride the stream-watermark CAS, exactly-once
+    under replays), and the pairs SnapshotTable is returned. SHARES
+    the batch row's oracle — the recorded hash match certifies
+    stream ≡ batch ≡ ANSI SQL through the micro-batch engine (the
+    stream_ppl_filter discipline)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        MinhashBandIndex,
+        release_cached_relations,
+        stream_dedup_ingest,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    root = posix_scratch_dir(spark, "incdedupstream")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = MinhashBandIndex.create(
+            spark, root + "/index", corpus=base, threshold=0.8
+        )
+        corpus_tbl.append(delta)
+        q = stream_dedup_ingest(
+            spark, root + "/corpus", idx,
+            root + "/pairs", root + "/ck",
+        )
+        q.awaitTermination()
+        out = (
+            SnapshotTable(spark, root + "/pairs")
+            .read()
             .select(
                 "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
             )
@@ -8126,6 +8237,14 @@ REGISTRY: dict[
     #   and the doremi→epoch composition is pytest-pinned; locally
     #   green;
     "pipe_mixture_epoch": (q_pipe_mixture_epoch, ORACLE_PIPE_MIXTURE_EPOCH),
+    # pipe_mixture_epoch_rep: the WITH-REPLACEMENT variant (round 12)
+    #   — deterministic replication for quotas above the domain size
+    #   (the DoReMi small-domain regime); full oracle (replication
+    #   counts + cycling rank arithmetic); locally green;
+    "pipe_mixture_epoch_rep": (
+        q_pipe_mixture_epoch_rep,
+        ORACLE_PIPE_MIXTURE_EPOCH_REP,
+    ),
     # dedup_incremental: cross-snapshot MinHash dedup of a new commit
     #   against the persisted band index (round 12) — full oracle
     #   (full-corpus exact Jaccard restricted to pairs touching the
@@ -8134,6 +8253,15 @@ REGISTRY: dict[
     #   via snap_change_feed — this row certifies their COMPOSITION;
     #   locally green;
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    # dedup_incremental_stream: the CDC-stream-driven twin (round 12)
+    #   — foreachBatch ingest with exactly-once band + pairs appends;
+    #   SHARES the batch row's oracle, so the hash certifies
+    #   stream ≡ batch ≡ SQL through the micro-batch engine; locally
+    #   green;
+    "dedup_incremental_stream": (
+        q_dedup_incremental_stream,
+        ORACLE_DEDUP_INCREMENTAL,
+    ),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine

@@ -152,3 +152,74 @@ def test_ingest_plan_shape(spark, sf_oracle, tmp_path):
     # of its consumers, so the text shows ~10× the exchanges that
     # execute; the executed-shape witnesses are the bench b20 rows
     release_cached_relations()
+
+
+def test_stream_ingest_mirrors_batch_and_is_exactly_once(spark, tmp_path):
+    """The standing streaming query (CDC feed → foreachBatch ingest →
+    transactional pairs sink) must produce exactly the per-commit
+    batch ingest_commit pairs, drain idempotently (a second
+    AvailableNow run adds nothing), and pick up NEW commits on the
+    next drain — the daily dedup-at-ingest loop end to end."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        stream_dedup_ingest,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words about spark shuffles and parquet files"
+    t3 = "a third unrelated document mentioning watermarks and state stores"
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    ppath, ck = str(tmp_path / "pairs"), str(tmp_path / "ck")
+    corpus = SnapshotTable.create(spark, cpath, mk([(1, t1), (2, t2)]))
+    idx = MinhashBandIndex.create(spark, ipath, corpus=mk([(1, t1), (2, t2)]))
+    corpus.append(mk([(3, t3)]))
+    corpus.append(mk([(10, t1), (11, t3 + " x"), (12, t3 + " x")]))
+    q = stream_dedup_ingest(spark, cpath, idx, ppath, ck)
+    q.awaitTermination()
+    release_cached_relations()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in SnapshotTable(spark, ppath).read().collect()
+    }
+    assert got == {(1, 10), (3, 11), (3, 12), (11, 12)}
+    # second drain with no new commits: nothing added, nothing re-run
+    n_index_v = idx.tbl.current_version()
+    q2 = stream_dedup_ingest(spark, cpath, idx, ppath, ck)
+    q2.awaitTermination()
+    release_cached_relations()
+    assert SnapshotTable(spark, ppath).read().count() == 4
+    assert idx.tbl.current_version() == n_index_v
+    # a NEW commit is picked up by the next drain, exactly once
+    corpus.append(mk([(20, t2 + " tail")]))
+    q3 = stream_dedup_ingest(spark, cpath, idx, ppath, ck)
+    q3.awaitTermination()
+    release_cached_relations()
+    got3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in SnapshotTable(spark, ppath).read().collect()
+    }
+    assert got3 == got | {(2, 20)}
+
+
+def test_txn_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must not duplicate index
+    bands, and the recomputed pair set is identical even though the
+    delta's bands are already in the index (within-delta pairs migrate
+    from the self-join to the cross join; distinct collapses them)."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base = mk([(1, t1)])
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = MinhashBandIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    delta = mk([(7, t1), (8, t1)])
+    corpus.append(delta)
+    first = _pairs_set(
+        idx.ingest(delta, corpus.read(2), txn=("lane", 0))
+    )
+    n_bands = idx.tbl.read().count()
+    replay = _pairs_set(
+        idx.ingest(delta, corpus.read(2), txn=("lane", 0))
+    )
+    release_cached_relations()
+    assert first == replay == {(1, 7, 1.0), (1, 8, 1.0), (7, 8, 1.0)}
+    assert idx.tbl.read().count() == n_bands  # no duplicate bands

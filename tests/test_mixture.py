@@ -115,3 +115,42 @@ def test_doremi_to_epoch_composition(spark):
         assert got.get(d, 0) == min(
             int(math.floor(50 * w + 0.5)), n_by_dom[d]
         ), d
+
+
+def test_with_replacement_replicates_small_domains(spark, sf_smoke):
+    """quota > |domain| replicates deterministically: quota // n full
+    passes + the (quota % n) md5-smallest once more; copies of one doc
+    sit |domain| apart in the read order; without-replacement would
+    have capped."""
+    docs = _docs(spark, sf_smoke)
+    n_zh = docs.where(F.col("lang") == "zh").count()
+    out = sample_by_mixture(
+        docs, {"zh": 0.5}, epoch_size=400, seed=1, with_replacement=True
+    ).cache()
+    quota = 200
+    assert out.count() == quota  # NOT capped at n_zh
+    per_doc = {
+        r["doc_id"]: r["cnt"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    full, rem = quota // n_zh, quota % n_zh
+    assert set(per_doc.values()) <= {full, full + 1}
+    assert sum(1 for v in per_doc.values() if v == full + 1) == rem
+    # epoch_rank is a permutation of 1..quota and copies cycle
+    ranks = sorted(r["epoch_rank"] for r in out.collect())
+    assert ranks == list(range(1, quota + 1))
+    rows = out.where(F.col("copy_id") == 2).collect()
+    assert all(r["epoch_rank"] > n_zh for r in rows)
+    out.unpersist()
+    # a domain whose quota fits is identical in both modes
+    a = sorted(
+        (r["doc_id"], r["epoch_rank"])
+        for r in sample_by_mixture(
+            docs, {"en": 0.2}, 100, seed=5, with_replacement=True
+        ).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["epoch_rank"])
+        for r in sample_by_mixture(docs, {"en": 0.2}, 100, seed=5).collect()
+    )
+    assert a == b
