@@ -734,6 +734,60 @@ def _cosine_pairs_blocked(
 # --------------------------------------------- embedding near-dup (RP-LSH)
 
 
+def rp_sketch_udf(n_planes: int, n_tables: int, dim: int, seed: int):
+    """Arrow-batched random-hyperplane sign-sketch kernel (factored
+    round 12 so the incremental embedding tier shares the exact
+    arithmetic): array<long> of ``n_tables`` sketches per vector, all
+    T·n_planes hyperplane dots in ONE GEMM per batch — the expression
+    alternative (T·n_planes interpreted aggregate() HOFs) was
+    measured ~50s at 500×96×6; this is <1s. Draw order matches the
+    historical per-table loop so seeds keep producing the same
+    planes."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    planes_all = np.concatenate(
+        [rng.normal(size=(n_planes, dim)) for _ in range(n_tables)], axis=0
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    n_t, n_p = n_tables, n_planes
+
+    @pandas_udf("array<long>")
+    def _sketches(vs: pd.Series) -> pd.Series:
+        m = np.array(list(vs), dtype=np.float64)
+        if len(m) == 0:
+            return pd.Series([], dtype=object)
+        bits = (m @ planes_all.T) > 0  # (b, T·P)
+        sk = (bits.reshape(len(m), n_t, n_p) * weights).sum(axis=2)
+        return pd.Series(list(sk))
+
+    return _sketches
+
+
+def rp_sketch_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, table_id, sketch) — the RP-LSH blocking relation alone
+    (no vectors carried): what the incremental embedding index
+    persists; same kernel, so incremental candidates are bit-identical
+    to :func:`embedding_neardup_lsh`'s."""
+    _sketches = rp_sketch_udf(n_planes, n_tables, dim, seed)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_sketches(F.col(vec_col))).alias(
+            "table_id", "sketch"
+        ),
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float = 0.85,
@@ -766,30 +820,9 @@ def embedding_neardup_lsh(
         # rapidly → 1 above it
         n_planes = max(4, int(math.log(1.0 / (2 * n_tables)) / math.log(p)))
 
-    from pyspark.sql.functions import pandas_udf
-
-    rng = np.random.default_rng(seed)
     from nebuia_vector_db_spark.functions.vector import dot, l2_norm
 
-    # all T·n_planes hyperplane dots in ONE Arrow-batched GEMM per
-    # batch — the expression alternative (T·n_planes interpreted
-    # aggregate() HOFs) was measured ~50s at 500×96×6; this is <1s.
-    # Draw order matches the historical per-table loop so seeds keep
-    # producing the same planes.
-    planes_all = np.concatenate(
-        [rng.normal(size=(n_planes, dim)) for _ in range(n_tables)], axis=0
-    )
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    n_t, n_p = n_tables, n_planes
-
-    @pandas_udf("array<long>")
-    def _sketches(vs: pd.Series) -> pd.Series:
-        m = np.array(list(vs), dtype=np.float64)
-        if len(m) == 0:
-            return pd.Series([], dtype=object)
-        bits = (m @ planes_all.T) > 0  # (b, T·P)
-        sk = (bits.reshape(len(m), n_t, n_p) * weights).sum(axis=2)
-        return pd.Series(list(sk))
+    _sketches = rp_sketch_udf(n_planes, n_tables, dim, seed)
 
     base = df.select(
         F.col(id_col).alias("_id"),

@@ -366,3 +366,204 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------- embedding modality (RP-LSH)
+
+_EMB_PARAMS_KEY = "rp_sketch_index_params"
+
+
+class EmbeddingSketchIndex:
+    """The embedding-modality twin of :class:`MinhashBandIndex`
+    (round 12): random-hyperplane sign sketches
+    (``dedup.rp_sketch_rows`` — same seeded kernel as
+    ``embedding_neardup_lsh``, so incremental candidates are
+    bit-identical to the full-corpus join's) persisted as a
+    SnapshotTable of (_id, table_id, sketch); per commit, sketch ONLY
+    the delta, join it against the index + itself, exact-cosine
+    verify against the current corpus (vectors fetched for candidate
+    ids only), append the delta's sketches atomically. Same delete
+    semantics (stale sketches are candidate noise, never correctness)
+    and the same incremental ≡ from-scratch contract, hash-certified
+    by the ``vs_neardup_incremental`` registry row at the recall-1
+    sketch settings the vs_neardup_lsh row pins."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        threshold: float = 0.85,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_planes: int = 6,
+        n_tables: int = 16,
+        dim: int = 64,
+        seed: int = 42,
+    ) -> None:
+        self.spark = spark
+        self.tbl = SnapshotTable(spark, path)
+        self.threshold = threshold
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.dim = dim
+        self.seed = seed
+        stored = (
+            self.tbl.meta(_EMB_PARAMS_KEY) if self.tbl.versions() else None
+        )
+        if stored is not None and stored != self._params():
+            raise ValueError(
+                f"index at {path} was built with {stored}, opened with "
+                f"{self._params()} — mismatched sketch parameters would "
+                "join garbage; reopen with the stored parameters or "
+                "rebuild"
+            )
+
+    def _params(self) -> dict:
+        return {
+            "n_planes": self.n_planes,
+            "n_tables": self.n_tables,
+            "dim": self.dim,
+            "seed": self.seed,
+        }
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame | None = None,
+        **kw,
+    ) -> "EmbeddingSketchIndex":
+        from nebuia_vector_db_spark.operators.dedup import rp_sketch_rows
+
+        params = {
+            "n_planes": kw.get("n_planes", 6),
+            "n_tables": kw.get("n_tables", 16),
+            "dim": kw.get("dim", 64),
+            "seed": kw.get("seed", 42),
+        }
+        vec_col = kw.get("vec_col", "embedding")
+        id_col = kw.get("id_col", "vec_id")
+        seed_rows = (
+            rp_sketch_rows(corpus, vec_col, id_col, **params)
+            if corpus is not None
+            else spark.createDataFrame(
+                [], "_id long, table_id int, sketch long"
+            )
+        )
+        SnapshotTable.create(
+            spark, path, seed_rows, extra_meta={_EMB_PARAMS_KEY: params}
+        )
+        return cls(spark, path, **kw)
+
+    def ingest(
+        self,
+        delta: DataFrame,
+        corpus_now: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> DataFrame:
+        """(vec_a, vec_b, cosine) with vec_a < vec_b — the full-corpus
+        ``embedding_neardup_lsh`` output restricted to pairs touching
+        the delta (see MinhashBandIndex.ingest for the txn and
+        caching contracts, which are identical)."""
+        from nebuia_vector_db_spark.functions.vector import dot, l2_norm
+        from nebuia_vector_db_spark.operators.dedup import rp_sketch_rows
+
+        idc = self.id_col
+        delta_rows = rp_sketch_rows(
+            delta, self.vec_col, idc, **self._params()
+        ).cache()
+        _CACHED_RELATIONS.append(delta_rows)
+        index_rows = self.tbl.read()
+        cross = (
+            delta_rows.alias("x")
+            .join(
+                index_rows.alias("y"),
+                (F.col("x.table_id") == F.col("y.table_id"))
+                & (F.col("x.sketch") == F.col("y.sketch"))
+                & (F.col("x._id") != F.col("y._id")),
+            )
+            .select(
+                F.least("x._id", "y._id").alias("vec_a"),
+                F.greatest("x._id", "y._id").alias("vec_b"),
+            )
+        )
+        within = (
+            delta_rows.alias("x")
+            .join(
+                delta_rows.alias("y"),
+                (F.col("x.table_id") == F.col("y.table_id"))
+                & (F.col("x.sketch") == F.col("y.sketch"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("vec_a"), F.col("y._id").alias("vec_b")
+            )
+        )
+        cand = cross.unionByName(within).distinct().cache()
+        _CACHED_RELATIONS.append(cand)
+        cand_ids = (
+            cand.select(F.col("vec_a").alias(idc))
+            .unionByName(cand.select(F.col("vec_b").alias(idc)))
+            .distinct()
+        )
+        vecs = (
+            corpus_now.join(cand_ids, idc, "left_semi")
+            .select(
+                F.col(idc).alias("_id"),
+                F.col(self.vec_col).alias("_v"),
+                l2_norm(self.vec_col).alias("_n"),
+            )
+            .cache()
+        )
+        _CACHED_RELATIONS.append(vecs)
+        verified = (
+            cand.join(
+                vecs.select(
+                    F.col("_id").alias("vec_a"),
+                    F.col("_v").alias("va"),
+                    F.col("_n").alias("na"),
+                ),
+                "vec_a",
+            )
+            .join(
+                vecs.select(
+                    F.col("_id").alias("vec_b"),
+                    F.col("_v").alias("vb"),
+                    F.col("_n").alias("nb"),
+                ),
+                "vec_b",
+            )
+            .withColumn(
+                "cosine", dot("va", F.col("vb")) / (F.col("na") * F.col("nb"))
+            )
+            .where(F.col("cosine") >= self.threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
+        if txn is None:
+            self.tbl.append(delta_rows)
+        else:
+            from nebuia_vector_db_spark.streaming.sinks import (
+                transactional_append,
+            )
+
+            transactional_append(
+                self.spark, self.tbl.path, delta_rows, txn[1], txn[0]
+            )
+        return verified
+
+    def ingest_commit(
+        self, corpus_tbl: SnapshotTable, version: int | None = None
+    ) -> DataFrame:
+        v = corpus_tbl.current_version() if version is None else version
+        delta = (
+            corpus_tbl.changes(v - 1, v)
+            .where(F.col("_change") == "insert")
+            .drop("_change", "_commit_version")
+        )
+        return self.ingest(delta, corpus_tbl.read(v))
+
+    def retract(self, ids: list) -> int:
+        return self.tbl.delete_where(F.col("_id").isin(list(ids)))

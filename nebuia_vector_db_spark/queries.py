@@ -1015,6 +1015,66 @@ ORDER BY vec_a, vec_b
 """
 
 
+def q_vs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup (round 12 — the RP-LSH twin of
+    dedup_incremental): the corpus snapshot starts with the ODD
+    vec_ids, v2 appends the EVEN ones; the persisted sketch index
+    (operators/incremental.py::EmbeddingSketchIndex) sketches ONLY
+    the delta and joins it against the stored sketches + itself, then
+    exact-cosine verifies against the current snapshot. At the
+    recall-1 sketch settings the vs_neardup_lsh row pins (6 planes ×
+    96 seeded tables at threshold 0.45) the output IS the exact pair
+    set restricted to pairs touching the delta — which is what the
+    oracle replays, so the hash certifies incremental ≡ from-scratch
+    on the embedding modality too."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        EmbeddingSketchIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 2 == 1)
+    delta = emb.where(F.col("vec_id") % 2 == 0)
+    root = posix_scratch_dir(spark, "incemb")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = EmbeddingSketchIndex.create(
+            spark, root + "/index", corpus=base,
+            threshold=0.45, n_planes=6, n_tables=96,
+        )
+        corpus_tbl.append(delta)
+        out = (
+            idx.ingest_commit(corpus_tbl)
+            .select(
+                "vec_a", "vec_b", _r(F.col("cosine"), 6).alias("cosine")
+            )
+            .orderBy("vec_a", "vec_b")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+ORACLE_VS_NEARDUP_INCREMENTAL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_r(_COS_SQL, 6)} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= 0.45
+  AND (a.vec_id % 2 = 0 OR b.vec_id % 2 = 0)
+ORDER BY vec_a, vec_b
+"""
+
+
 def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, round 10): cluster-then-dedup over
     the embedding corpus — md5-hyperplane sign buckets (8 clusters),
@@ -8261,6 +8321,15 @@ REGISTRY: dict[
     "dedup_incremental_stream": (
         q_dedup_incremental_stream,
         ORACLE_DEDUP_INCREMENTAL,
+    ),
+    # vs_neardup_incremental: the embedding-modality incremental twin
+    #   (round 12) — persisted RP-LSH sketch index, delta-only
+    #   sketching, exact-cosine verify; full oracle (exact all-pairs
+    #   restricted to the delta at the recall-1 sketch settings);
+    #   locally green;
+    "vs_neardup_incremental": (
+        q_vs_neardup_incremental,
+        ORACLE_VS_NEARDUP_INCREMENTAL,
     ),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new

@@ -223,3 +223,70 @@ def test_txn_ingest_replay_is_idempotent(spark, tmp_path):
     release_cached_relations()
     assert first == replay == {(1, 7, 1.0), (1, 8, 1.0), (7, 8, 1.0)}
     assert idx.tbl.read().count() == n_bands  # no duplicate bands
+
+
+def test_index_survives_compaction_and_vacuum(spark, tmp_path):
+    """Daily ingest = one small band file per commit; SnapshotTable
+    maintenance (compact + vacuum) must leave the index answering
+    identically — params metadata survives the rewrite (the _app_meta
+    carry-forward contract) and the next ingest still works."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [(i, f"doc {i} unique words " + " ".join(f"w{i}_{j}" for j in range(8))) for i in range(1, 6)]
+    base = mk(texts)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = MinhashBandIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    for k in range(3):  # three daily commits -> three band files
+        corpus.append(mk([(100 + k, f"filler {k} " + " ".join(f"f{k}_{j}" for j in range(8)))]))
+        idx.ingest_commit(corpus)
+    files_before = idx.tbl.n_files()
+    idx.tbl.compact(target_partitions=1)
+    idx.tbl.vacuum(keep_last=1)
+    assert idx.tbl.n_files() < files_before
+    # params metadata carried through the maintenance rewrite
+    MinhashBandIndex(spark, str(tmp_path / "i"))  # reopen validates
+    # and the compacted index still pairs a new duplicate correctly
+    corpus.append(mk([(200, t1), (201, t1)]))
+    got = _pairs_set(idx.ingest_commit(corpus))
+    release_cached_relations()
+    assert {(a, b) for a, b, _ in got} == {(200, 201)}
+
+
+def test_embedding_incremental_equals_from_scratch(spark, sf_oracle, tmp_path):
+    """EmbeddingSketchIndex.ingest ≡ embedding_neardup_lsh restricted
+    to pairs touching the delta (same seeded sketch kernel — factored
+    rp_sketch_rows — so candidates are bit-identical)."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        embedding_neardup_lsh,
+    )
+    from nebuia_vector_db_spark.operators.incremental import (
+        EmbeddingSketchIndex,
+    )
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 2 == 1)
+    delta = emb.where(F.col("vec_id") % 2 == 0)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = EmbeddingSketchIndex.create(
+        spark, str(tmp_path / "i"), corpus=base,
+        threshold=0.45, n_planes=6, n_tables=96,
+    )
+    corpus.append(delta)
+    got = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 6))
+        for r in idx.ingest_commit(corpus).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 6))
+        for r in embedding_neardup_lsh(
+            emb, threshold=0.45, n_planes=6, n_tables=96
+        ).collect()
+        if r["vec_a"] % 2 == 0 or r["vec_b"] % 2 == 0
+    }
+    release_cached_relations()
+    assert got == want and got
+    # param guard on reopen
+    with pytest.raises(ValueError, match="sketch parameters"):
+        EmbeddingSketchIndex(spark, str(tmp_path / "i"), n_tables=8)
