@@ -7981,7 +7981,22 @@ REGISTRY: dict[
     # join is pinned in-window by tpch_q3 and the per-order
     # conditional-count pattern here; see its below-window note.
     "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
-    "approx_cardinality": (q_approx_cardinality, ORACLE_APPROX_CARDINALITY),
+    # incremental cross-snapshot dedup (round-12 promotion — the
+    # round's flagship composition, VERDICT r11 missing #1): dedup a
+    # NEW commit against the PERSISTED MinHash band index — O(churn)
+    # delta fingerprint, band join vs the index + itself, exact
+    # verify against the current snapshot, atomic band append — with
+    # the oracle replaying full-corpus exact Jaccard RESTRICTED to
+    # pairs touching the delta, so the hash certifies incremental ≡
+    # from-scratch end to end (CDC derivation + band-fold identity +
+    # verify). Takes approx_cardinality's slot: the HLL row is ONE
+    # built-in sketch aggregate whose property-check oracle
+    # (estimate-within-bound booleans) certifies comparatively little
+    # machinery; the sketch-family recorded rep is now
+    # text_heavy_ngrams' CMS pipeline, exact distinct-count
+    # aggregation stays recorded inside pipe_curate's corpus card and
+    # dedup_groups' sizes, and the HLL row stays locally green below.
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
     "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
     # skew handling made hash-checkable: salted join ≡ plain join
@@ -8305,14 +8320,14 @@ REGISTRY: dict[
         q_pipe_mixture_epoch_rep,
         ORACLE_PIPE_MIXTURE_EPOCH_REP,
     ),
-    # dedup_incremental: cross-snapshot MinHash dedup of a new commit
-    #   against the persisted band index (round 12) — full oracle
-    #   (full-corpus exact Jaccard restricted to pairs touching the
-    #   delta: incremental ≡ from-scratch); the minhash band/verify
-    #   machinery is recorded via dedup_minhash_lsh and the CDC spine
-    #   via snap_change_feed — this row certifies their COMPOSITION;
-    #   locally green;
-    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    # approx_cardinality: HyperLogLog++ count-distinct — demoted r12
+    #   for dedup_incremental (the round's flagship composition): one
+    #   built-in sketch aggregate with a property-check oracle; the
+    #   sketch-family recorded rep is text_heavy_ngrams' CMS pipeline
+    #   and exact distinct-count aggregation runs recorded inside
+    #   pipe_curate's corpus card and dedup_groups' sizes; locally
+    #   green;
+    "approx_cardinality": (q_approx_cardinality, ORACLE_APPROX_CARDINALITY),
     # dedup_incremental_stream: the CDC-stream-driven twin (round 12)
     #   — foreachBatch ingest with exactly-once band + pairs appends;
     #   SHARES the batch row's oracle, so the hash certifies

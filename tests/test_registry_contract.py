@@ -178,8 +178,12 @@ _REQUIRED_IN_WINDOW = {
     # derived partsupp, so the partsupp derivation stays
     # hash-certified while q9's 5-table join/agg shape stays pinned
     # by tpch_q21 + tpch_q1; q9 remains a headline bench row)
+    # (approx_cardinality demoted r12 for dedup_incremental — the
+    # persisted-band-index composition; HLL's property-check oracle
+    # certifies one built-in aggregate, the sketch family's recorded
+    # rep is text_heavy_ngrams' CMS pipeline)
     "tpch_q1", "tpch_q2", "tpch_q21",
-    "approx_cardinality", "orders_running_revenue",
+    "dedup_incremental", "orders_running_revenue",
     "fuzzy_name_match", "skew_salted_join",
     # events (events_sliding demoted r6, events_retention demoted
     # r9, events_hourly demoted r11 for text_unigram_train — the
