@@ -528,3 +528,92 @@ def sample_by_mixture(
         )
         .drop("_rk")
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score_micro",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    _acc: int = 10_000,
+) -> DataFrame:
+    """Budget-constrained selection (round 12): keep the MAXIMAL
+    prefix of ``(score desc, id asc)`` whose cumulative token count
+    fits ``budget_tokens`` — the "fill a 10B-token training budget
+    with the best documents" op (the DSIR/quality-filter sibling with
+    a budget instead of a count). Exact and deterministic: integer
+    scores + the id tie-break give one well-defined prefix, so an
+    ANSI-SQL engine replays the member set with a window cumsum
+    (pipe_budget_select's oracle).
+
+    Scale shape — the global-prefix-sum trap avoided: a naive
+    ``sum(tokens) OVER (ORDER BY score)`` puts the whole corpus
+    through ONE task. Instead the lm.py ``_rank_boundary`` pattern,
+    token-weighted: a percentile_approx sketch brackets the boundary
+    score between two VALUE thresholds whose above-mass straddles the
+    budget (one two-sided conditional agg per probe, ~1-3 rounds);
+    everything above the bracket is kept outright, and the running
+    sum runs ONLY inside the bracket band — sketch-bounded
+    (~4·n/accuracy rows), independent of corpus size. Tie groups lie
+    wholly inside the band (value comparisons), so the id tie-break
+    is applied exactly where it matters. Extreme tie mass degrades to
+    a whole-relation band — still correct, just unbounded, same
+    documented fallback as _rank_boundary."""
+    rel = docs
+    total = rel.agg(F.sum(token_col).alias("t")).head()["t"]
+    if total is None:
+        return rel.limit(0)
+    if int(total) <= budget_tokens:
+        return rel
+    n = rel.count()
+    # bracket the boundary score: mass_above(t_hi) <= budget <
+    # mass_above(t_lo)
+    q = max(0.0, min(1.0, 1.0 - budget_tokens / int(total)))
+    margin = 2.0 / _acc
+    t_lo = t_hi = None
+    for _ in range(6):
+        qs = [max(0.0, q - margin), min(1.0, q + margin)]
+        t = rel.agg(
+            F.percentile_approx(score_col, qs, _acc).alias("t")
+        ).head()["t"]
+        c_lo, c_hi = t[0], t[1]  # qs[1] → larger score threshold
+        got = rel.agg(
+            F.sum(
+                F.when(F.col(score_col) > c_hi, F.col(token_col))
+            ).alias("hi"),
+            F.sum(
+                F.when(F.col(score_col) > c_lo, F.col(token_col))
+            ).alias("lo"),
+        ).head()
+        m_hi = int(got["hi"] or 0)
+        m_lo = int(got["lo"] or 0)
+        if m_hi <= budget_tokens < m_lo:
+            t_lo, t_hi = c_lo, c_hi
+            break
+        margin *= 4.0
+    if t_lo is None:
+        # degenerate tie mass: whole relation becomes the band
+        kept_above = rel.limit(0)
+        band = rel
+        m_above = 0
+    else:
+        kept_above = rel.where(F.col(score_col) > t_hi)
+        band = rel.where(
+            (F.col(score_col) > t_lo) & (F.col(score_col) <= t_hi)
+        )
+        m_above = int(
+            rel.agg(
+                F.sum(
+                    F.when(F.col(score_col) > t_hi, F.col(token_col))
+                )
+            ).head()[0]
+            or 0
+        )
+    w = Window.orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    band_kept = band.withColumn("_cum", F.sum(token_col).over(w)).where(
+        F.col("_cum") + F.lit(m_above) <= F.lit(budget_tokens)
+    ).drop("_cum")
+    return kept_above.unionByName(band_kept)

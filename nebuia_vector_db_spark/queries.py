@@ -1250,6 +1250,67 @@ ORDER BY doc_id
 """
 
 
+def q_pipe_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection (round 12): fill an 8000-token
+    budget with the highest-quality documents — the maximal prefix of
+    (quality desc, doc_id asc) whose cumulative token count fits.
+    Scores are the text_quality heuristic quantized to integer
+    micro-units (engine-exact ordering); the Spark side finds the
+    boundary with a percentile-sketch bracket + band-only running sum
+    (never a corpus-wide single-partition window — the lm.py
+    _rank_boundary pattern, token-weighted), and the oracle replays
+    the straightforward window cumsum, so the hash match certifies
+    the distributed boundary finding ≡ the naive global prefix."""
+    from nebuia_vector_db_spark.operators.pipeline import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = text_fns.with_tokens(docs)
+    scored = toked.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.floor(
+            text_fns.quality_score("text") * F.lit(1_000_000) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return budget_select(scored, budget_tokens=8000).select(
+        "doc_id", "score_micro", "n_tokens"
+    ).orderBy("doc_id")
+
+
+ORACLE_PIPE_BUDGET_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, s -> s IN ({_STOP_SQL}))) * 1.0 / len(toks) AS sr,
+         len(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / len(text) AS ar
+  FROM t
+),
+q AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(floor((0.5 * least(n_tokens / 50.0, 1.0)
+                     + 0.25 * (1.0 - sr) + 0.25 * ar)
+                    * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM m
+),
+c AS (
+  SELECT doc_id, score_micro, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY score_micro DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM q
+)
+SELECT doc_id, score_micro, n_tokens
+FROM c WHERE cum <= 8000
+ORDER BY doc_id
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -8346,6 +8407,13 @@ REGISTRY: dict[
         q_vs_neardup_incremental,
         ORACLE_VS_NEARDUP_INCREMENTAL,
     ),
+    # pipe_budget_select: budget-constrained best-first selection
+    #   (round 12) — full oracle (window cumsum replay certifies the
+    #   distributed percentile-bracket boundary ≡ the naive global
+    #   prefix); the quality-score spine is recorded via text_quality
+    #   and the boundary machinery is the lm.py _rank_boundary
+    #   pattern pipe_dsir_select records; locally green;
+    "pipe_budget_select": (q_pipe_budget_select, ORACLE_PIPE_BUDGET_SELECT),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
