@@ -1,6 +1,6 @@
-"""Incremental cross-snapshot MinHash dedup (round 12, VERDICT r11
-"What's missing" #1): dedup a NEW commit's rows against the existing
-corpus WITHOUT rescanning it.
+"""Incremental cross-snapshot dedup (round 12, VERDICT r11 "What's
+missing" #1): dedup a NEW commit's rows against the existing corpus
+WITHOUT rescanning it.
 
 The continuously-crawled-corpus operation: a 100 TB corpus ingests a
 daily delta that is a fraction of a percent of the table, and the
@@ -8,42 +8,48 @@ near-dup question for that delta is "does any NEW doc duplicate any
 EXISTING doc (or another new doc)?". Re-running full-corpus
 ``minhash_lsh_pairs`` per ingest re-tokenizes, re-hashes and re-joins
 the entire history — O(corpus) per day. This module persists the LSH
-BAND relation (``dedup.minhash_band_rows`` — (_id, band_id,
-band_hash), ~bands·16 B per doc, orders of magnitude smaller than
-text) as its own :class:`SnapshotTable` index, and per commit:
+blocking relation as its own :class:`SnapshotTable` index — MinHash
+bands for text (``dedup.minhash_band_rows`` — (_id, band_id,
+band_hash), ~bands·16 B per doc) or random-hyperplane sign sketches
+for embeddings (``dedup.rp_sketch_rows``) — and per commit:
 
-1. fingerprints ONLY the delta (one Arrow minhash pass over the new
-   rows — O(churn));
-2. band-joins the delta's bands against the persisted index (the
+1. sketches ONLY the delta (one Arrow pass over the new rows —
+   O(churn));
+2. joins the delta's sketch rows against the persisted index (the
    delta side is churn-sized, so AQE broadcasts it; the index side is
-   an equi-join on (band_id, band_hash) — posting-list sized, never
+   an equi-join on the sketch key — posting-list sized, never
    all-pairs) plus a delta×delta self-join;
-3. verifies candidates with EXACT Jaccard against the CURRENT corpus
-   snapshot, reading text for candidate ids only (a churn-bounded
-   semi-join; with the corpus Z-ordered/clustered by id the snapshot
-   scan is also file-skipped);
-4. appends the delta's bands to the index ATOMICALLY (CAS commit), so
-   a crashed ingest never half-updates the index and the index
-   version history mirrors the corpus's.
+3. verifies candidates EXACTLY (Jaccard on shingle sets / cosine on
+   raw vectors) against the CURRENT corpus snapshot, reading payload
+   for candidate ids only (a churn-bounded semi-join; with the corpus
+   Z-ordered/clustered by id the snapshot scan is also file-skipped);
+4. appends the delta's sketch rows to the index ATOMICALLY (CAS
+   commit), so a crashed ingest never half-updates the index and the
+   index version history mirrors the corpus's.
 
-Because the permutations are seeded and the band fold is the same
-xxhash64 expression, incremental candidates are bit-identical to the
-ones the full-corpus band self-join would generate for pairs touching
-the delta — so ``ingest() ≡ minhash_lsh_pairs(full corpus) restricted
-to pairs with a delta member`` (the ``dedup_incremental`` registry row
-hash-certifies this against a DuckDB replay; tests pin incremental ≡
-from-scratch on planted duplicates).
+Because the permutations/planes are seeded and the fold expressions
+are shared with the batch operators, incremental candidates are
+bit-identical to the full-corpus self-join's for pairs touching the
+delta — so ``ingest() ≡ <full-corpus pairs> restricted to pairs with
+a delta member`` (the ``dedup_incremental`` /
+``vs_neardup_incremental`` registry rows hash-certify this against
+DuckDB replays; tests pin incremental ≡ from-scratch on planted
+duplicates).
 
-Deletes: a doc deleted from the corpus leaves stale bands in the
-index. That costs candidate-generation noise, never correctness — the
-verify join against the CURRENT corpus drops pairs whose partner no
-longer exists. :meth:`MinhashBandIndex.retract` removes the stale
-bands (COW delete on the index) when churn makes the noise matter.
+Deletes and updates: :meth:`ingest_commit` retracts the bands of the
+commit's DELETED ids before ingesting its inserts (COW delete on the
+index, churn-bounded), so an UPDATE commit (delete+insert at one
+version, the CDF upsert convention) replaces the doc's bands instead
+of silently accumulating a second set per ``_id``. With
+``retract_deletes=False`` stale bands stay — candidate noise, never
+correctness (the verify join against the current corpus drops pairs
+whose partner no longer exists) — and :meth:`retract` is the manual
+hygiene pass.
 
 Reference scope note: the reference engine (main.go) has no
 incremental anything — this is extension tier, composed entirely from
-existing parts (snapshot.changes + dedup.minhash_band_rows + the
-exact-Jaccard verify tail).
+existing parts (snapshot.changes + the dedup sketch kernels + the
+exact verify tails).
 """
 
 from __future__ import annotations
@@ -63,12 +69,6 @@ from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
 _CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
-# application-metadata key holding the index's sketch parameters —
-# carried forward by every commit (SnapshotTable._app_meta), validated
-# on every ingest: bands built with different (n, num_perm, bands)
-# would join garbage silently
-_PARAMS_KEY = "minhash_index_params"
-
 
 def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(_id, _shingles) — the exact-Jaccard verify input, same
@@ -79,9 +79,219 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     )
 
 
-class MinhashBandIndex:
+class _SketchIndexBase:
+    """Shared skeleton of the two incremental sketch indexes (the
+    code-review r12 dedup: the txn/append tail, the pinned-read
+    ordering, the cross/within join shape, the parameter guard and
+    the change-feed driver live ONCE — subclasses supply the sketch
+    kernel, the sketch key columns, the pair column names and the
+    exact verify tail)."""
+
+    # subclass contract ------------------------------------------------
+    _PARAMS_META_KEY: str = ""
+    _KEY_COLS: tuple[str, str] = ("", "")
+    _OUT_A: str = "a"
+    _OUT_B: str = "b"
+    _EMPTY_SEED_SCHEMA: str = ""
+
+    def _params(self) -> dict:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _sketch_rows(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def _verify(
+        self, cand: DataFrame, corpus_now: DataFrame
+    ) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # shared ------------------------------------------------------------
+    def _open(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.tbl = SnapshotTable(spark, path)
+        stored = (
+            self.tbl.meta(self._PARAMS_META_KEY)
+            if self.tbl.versions()
+            else None
+        )
+        if stored is not None and stored != self._params():
+            raise ValueError(
+                f"index at {path} was built with {stored}, opened with "
+                f"{self._params()} — mismatched sketch parameters would "
+                "join garbage; reopen with the stored parameters or "
+                "rebuild"
+            )
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame | None = None,
+        **kw,
+    ):
+        """Create the index table; with ``corpus``, seed it with the
+        existing corpus's sketch rows (the one-time full pass — every
+        later ingest is O(churn)). With ``corpus=None`` the empty
+        seed declares ``_id long`` — for string-keyed corpora pass
+        the (possibly empty-filtered) corpus instead, so the schema
+        carries the real id type (appending string ids into a
+        long-typed table would cast-mangle them)."""
+        # a throwaway instance against a phantom path: resolves kw
+        # defaults + the sketch kernel without touching disk (the
+        # phantom table has no versions, so the param guard is inert)
+        probe = cls(spark, path + ".__param_probe__", **kw)
+        seed = (
+            probe._sketch_rows(corpus)
+            if corpus is not None
+            else spark.createDataFrame([], cls._EMPTY_SEED_SCHEMA)
+        )
+        SnapshotTable.create(
+            spark, path, seed,
+            extra_meta={cls._PARAMS_META_KEY: probe._params()},
+        )
+        return cls(spark, path, **kw)
+
+    def ingest(
+        self,
+        delta: DataFrame,
+        corpus_now: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> DataFrame:
+        """Sketch ``delta``, pair it against the persisted index and
+        itself, verify exactly against ``corpus_now`` (the POST-commit
+        corpus — must contain the delta rows), and atomically append
+        the delta's sketch rows to the index.
+
+        Returns (a, b, score) with a < b — exactly the full-corpus
+        batch operator's output restricted to pairs touching the
+        delta. ``delta`` ids must be NEW to the index
+        (:meth:`ingest_commit` guarantees this, retracting an update
+        commit's deleted ids first).
+
+        ``txn=(app, txn_id)`` makes the sketch append IDEMPOTENT for
+        streaming replays (the foreachBatch at-least-once contract):
+        it routes through the stream-watermark CAS append, so a
+        replayed micro-batch skips the duplicate write — and the
+        recomputed pair set is unchanged anyway (the delta's rows
+        being already IN the index only moves within-delta pairs from
+        the self-join to the cross join; ``distinct`` collapses
+        them)."""
+        k1, k2 = self._KEY_COLS
+        a, b = self._OUT_A, self._OUT_B
+        delta_rows = self._sketch_rows(delta).cache()
+        _CACHED_RELATIONS.append(delta_rows)
+        # pin the index snapshot BEFORE appending the delta's rows
+        # (read() resolves the file list eagerly, so the later append
+        # cannot leak delta×delta pairs through the cross join)
+        index_rows = self.tbl.read()
+        cross = (
+            delta_rows.alias("x")
+            .join(
+                index_rows.alias("y"),
+                (F.col(f"x.{k1}") == F.col(f"y.{k1}"))
+                & (F.col(f"x.{k2}") == F.col(f"y.{k2}"))
+                & (F.col("x._id") != F.col("y._id")),
+            )
+            .select(
+                F.least("x._id", "y._id").alias(a),
+                F.greatest("x._id", "y._id").alias(b),
+            )
+        )
+        within = (
+            delta_rows.alias("x")
+            .join(
+                delta_rows.alias("y"),
+                (F.col(f"x.{k1}") == F.col(f"y.{k1}"))
+                & (F.col(f"x.{k2}") == F.col(f"y.{k2}"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(F.col("x._id").alias(a), F.col("y._id").alias(b))
+        )
+        # candidate pairs are churn-bounded: persist them, or the
+        # union feeding the verify id set + the two verify joins would
+        # re-run the sketch joins THREE times (measured 3× at the 80k
+        # bench tier, round 12)
+        cand = cross.unionByName(within).distinct().cache()
+        _CACHED_RELATIONS.append(cand)
+        verified = self._verify(cand, corpus_now)
+        # atomic index advance: the delta's rows land as ONE commit
+        if txn is None:
+            self.tbl.append(delta_rows)
+        else:
+            from nebuia_vector_db_spark.streaming.sinks import (
+                transactional_append,
+            )
+
+            transactional_append(
+                self.spark, self.tbl.path, delta_rows, txn[1], txn[0]
+            )
+        return verified
+
+    def _cand_ids(self, cand: DataFrame, id_col: str) -> DataFrame:
+        """Distinct candidate ids — the churn-bounded verify fetch
+        set; the semi-join against the corpus is deliberately
+        unhinted (AQE broadcasts when it fits; a hot-crawl day can
+        make the candidate set large — the leakage_safe_split
+        discipline)."""
+        return (
+            cand.select(F.col(self._OUT_A).alias(id_col))
+            .unionByName(cand.select(F.col(self._OUT_B).alias(id_col)))
+            .distinct()
+        )
+
+    def ingest_commit(
+        self,
+        corpus_tbl: SnapshotTable,
+        version: int | None = None,
+        retract_deletes: bool = True,
+    ) -> DataFrame:
+        """Drive :meth:`ingest` from a corpus SnapshotTable's change
+        feed for ONE commit: retract the commit's deleted ids from the
+        index (so an UPDATE commit — delete+insert at one version —
+        REPLACES its doc's sketch rows instead of accumulating a
+        second set), then ingest its inserts, verifying against the
+        post-commit snapshot. The retract is naturally idempotent
+        (re-deleting absent ids is a no-op), so a crash between
+        retract and append converges on replay."""
+        v = corpus_tbl.current_version() if version is None else version
+        feed = corpus_tbl.changes(v - 1, v)
+        id_col = self._corpus_id_col()
+        if retract_deletes:
+            dels = [
+                r[0]
+                for r in feed.where(F.col("_change") == "delete")
+                .select(id_col)
+                .distinct()
+                .collect()
+            ]
+            if dels:
+                self.retract(dels)
+        delta = feed.where(F.col("_change") == "insert").drop(
+            "_change", "_commit_version"
+        )
+        return self.ingest(delta, corpus_tbl.read(v))
+
+    def _corpus_id_col(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def retract(self, ids: list) -> int:
+        """COW-delete the sketch rows of removed docs (stale-row
+        hygiene — optional when deletes aren't retracted at ingest:
+        stale rows cost candidate noise, not correctness). ``ids`` is
+        driver-side and churn-bounded by contract."""
+        return self.tbl.delete_where(F.col("_id").isin(list(ids)))
+
+
+class MinhashBandIndex(_SketchIndexBase):
     """A persisted MinHash band index over a document corpus, stored
-    as a :class:`SnapshotTable` of (_id, band_id, band_hash)."""
+    as a :class:`SnapshotTable` of (_id, band_id, band_hash); pairs
+    verified with exact Jaccard on shingle sets."""
+
+    _PARAMS_META_KEY = "minhash_index_params"
+    _KEY_COLS = ("band_id", "band_hash")
+    _OUT_A, _OUT_B = "doc_a", "doc_b"
+    _EMPTY_SEED_SCHEMA = "_id long, band_id int, band_hash long"
 
     def __init__(
         self,
@@ -94,149 +304,37 @@ class MinhashBandIndex:
         num_perm: int = 128,
         bands: int = 32,
     ) -> None:
-        self.spark = spark
-        self.tbl = SnapshotTable(spark, path)
         self.threshold = threshold
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
         self.num_perm = num_perm
         self.bands = bands
-        stored = self.tbl.meta(_PARAMS_KEY) if self.tbl.versions() else None
-        if stored is not None:
-            mine = self._params()
-            if stored != mine:
-                raise ValueError(
-                    f"index at {path} was built with {stored}, opened "
-                    f"with {mine} — mismatched sketch parameters would "
-                    "band-join garbage; reopen with the stored "
-                    "parameters or rebuild"
-                )
+        self._open(spark, path)
 
     def _params(self) -> dict:
         return {"n": self.n, "num_perm": self.num_perm, "bands": self.bands}
 
-    # ------------------------------------------------------------ build
-    @classmethod
-    def create(
-        cls,
-        spark: SparkSession,
-        path: str,
-        corpus: DataFrame | None = None,
-        **kw,
-    ) -> "MinhashBandIndex":
-        """Create the index table; with ``corpus``, seed it with the
-        existing corpus's bands (the one-time full fingerprint pass —
-        every later ingest is O(churn)). With ``corpus=None`` the
-        empty seed declares ``_id long`` — for string-keyed corpora
-        pass the (possibly empty-filtered) corpus instead, so the
-        band schema carries the real id type (appending string ids
-        into a long-typed table would cast-mangle them)."""
-        params = {
-            "n": kw.get("n", 3),
-            "num_perm": kw.get("num_perm", 128),
-            "bands": kw.get("bands", 32),
-        }
-        text_col = kw.get("text_col", "text")
-        id_col = kw.get("id_col", "doc_id")
-        seed = (
-            minhash_band_rows(
-                corpus, text_col, id_col,
-                params["n"], params["num_perm"], params["bands"],
-            )
-            if corpus is not None
-            else spark.createDataFrame(
-                [], "_id long, band_id int, band_hash long"
-            )
+    def _corpus_id_col(self) -> str:
+        return self.id_col
+
+    def _sketch_rows(self, df: DataFrame) -> DataFrame:
+        return minhash_band_rows(
+            df, self.text_col, self.id_col,
+            self.n, self.num_perm, self.bands,
         )
-        SnapshotTable.create(
-            spark, path, seed, extra_meta={_PARAMS_KEY: params}
-        )
-        return cls(spark, path, **kw)
 
-    # ----------------------------------------------------------- ingest
-    def ingest(
-        self,
-        delta: DataFrame,
-        corpus_now: DataFrame,
-        txn: tuple[str, int] | None = None,
-    ) -> DataFrame:
-        """Fingerprint ``delta``, pair it against the persisted index
-        and itself, verify with exact Jaccard against ``corpus_now``
-        (the POST-commit corpus — must contain the delta rows), and
-        atomically append the delta's bands to the index.
-
-        Returns (doc_a, doc_b, jaccard) with doc_a < doc_b — exactly
-        the full-corpus ``minhash_lsh_pairs`` output restricted to
-        pairs touching the delta. ``delta`` ids must be NEW to the
-        index (the snapshot change feed guarantees this when driven
-        via :meth:`ingest_commit`).
-
-        ``txn=(app, batch_id)`` makes the band append IDEMPOTENT for
-        streaming replays (the foreachBatch at-least-once contract):
-        it routes through the stream-watermark CAS append, so a
-        replayed micro-batch skips the duplicate band write — and the
-        recomputed pair set is unchanged anyway (the delta's bands
-        being already IN the index only moves within-delta pairs from
-        the self-join to the cross join; ``distinct`` collapses
-        them)."""
+    def _verify(self, cand: DataFrame, corpus_now: DataFrame) -> DataFrame:
+        """Exact-Jaccard verify over candidate ids only; the shingle
+        sets are persisted — joined once per pair side, and each
+        recompute would re-scan the corpus."""
         idc = self.id_col
-        delta_bands = minhash_band_rows(
-            delta, self.text_col, idc, self.n, self.num_perm, self.bands
-        ).cache()
-        _CACHED_RELATIONS.append(delta_bands)
-        # pin the index snapshot BEFORE appending the delta's bands
-        # (read() resolves the file list eagerly, so the later append
-        # cannot leak delta×delta pairs through the cross join)
-        index_bands = self.tbl.read()
-        cross = (
-            delta_bands.alias("x")
-            .join(
-                index_bands.alias("y"),
-                (F.col("x.band_id") == F.col("y.band_id"))
-                & (F.col("x.band_hash") == F.col("y.band_hash"))
-                & (F.col("x._id") != F.col("y._id")),
-            )
-            .select(
-                F.least("x._id", "y._id").alias("doc_a"),
-                F.greatest("x._id", "y._id").alias("doc_b"),
-            )
-        )
-        within = (
-            delta_bands.alias("x")
-            .join(
-                delta_bands.alias("y"),
-                (F.col("x.band_id") == F.col("y.band_id"))
-                & (F.col("x.band_hash") == F.col("y.band_hash"))
-                & (F.col("x._id") < F.col("y._id")),
-            )
-            .select(
-                F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b")
-            )
-        )
-        # candidate pairs are churn-bounded: persist them, or the
-        # union feeding cand_ids + the two verify joins would re-run
-        # the band joins THREE times (measured 3× at the 80k bench
-        # tier, round 12)
-        cand = cross.unionByName(within).distinct().cache()
-        _CACHED_RELATIONS.append(cand)
-        # exact-Jaccard verify: shingle sets for CANDIDATE ids only —
-        # the semi-join is churn-bounded and deliberately unhinted
-        # (AQE broadcasts when it fits; a hot-crawl day can make the
-        # candidate set large, the leakage_safe_split discipline).
-        # Persisted: joined once per pair side, and each recompute
-        # would re-scan the corpus.
-        cand_ids = (
-            cand.select(F.col("doc_a").alias(idc))
-            .unionByName(cand.select(F.col("doc_b").alias(idc)))
-            .distinct()
-        )
         sets = _shingle_sets(
-            corpus_now.join(cand_ids, idc, "left_semi"),
+            corpus_now.join(self._cand_ids(cand, idc), idc, "left_semi"),
             self.text_col, idc, self.n,
         ).cache()
         _CACHED_RELATIONS.append(sets)
-        verified = (
+        return (
             cand.join(
                 sets.select(
                     F.col("_id").alias("doc_a"),
@@ -260,133 +358,22 @@ class MinhashBandIndex:
             .where(F.col("jaccard") >= self.threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-        # atomic index advance: the delta's bands land as ONE commit
-        if txn is None:
-            self.tbl.append(delta_bands)
-        else:
-            from nebuia_vector_db_spark.streaming.sinks import (
-                transactional_append,
-            )
-
-            transactional_append(
-                self.spark, self.tbl.path, delta_bands, txn[1], txn[0]
-            )
-        return verified
-
-    def ingest_commit(
-        self, corpus_tbl: SnapshotTable, version: int | None = None
-    ) -> DataFrame:
-        """Drive :meth:`ingest` from a corpus SnapshotTable's change
-        feed: the delta is commit ``version``'s INSERTS (deletes leave
-        stale bands — see the module docstring / :meth:`retract`), the
-        verify corpus is the post-commit snapshot."""
-        v = corpus_tbl.current_version() if version is None else version
-        delta = (
-            corpus_tbl.changes(v - 1, v)
-            .where(F.col("_change") == "insert")
-            .drop("_change", "_commit_version")
-        )
-        return self.ingest(delta, corpus_tbl.read(v))
-
-    # -------------------------------------------------------- maintain
-    def retract(self, ids: list) -> int:
-        """COW-delete the bands of removed docs (stale-band hygiene —
-        optional: stale bands cost candidate noise, not correctness).
-        ``ids`` is driver-side and churn-bounded by contract."""
-        return self.tbl.delete_where(F.col("_id").isin(list(ids)))
 
 
-def stream_dedup_ingest(
-    spark: SparkSession,
-    corpus_path: str,
-    index: "MinhashBandIndex",
-    pairs_path: str,
-    checkpoint: str,
-    start_version: int = 1,
-    app: str | None = None,
-):
-    """Continuous incremental dedup (round 12): subscribe to the
-    corpus SnapshotTable's CHANGE FEED and, per micro-batch, ingest
-    the inserts into the band index and append the discovered pairs
-    to a pairs SnapshotTable — the daily dedup-at-ingest loop as a
-    standing streaming query instead of a scheduled batch job.
+class EmbeddingSketchIndex(_SketchIndexBase):
+    """The embedding-modality twin of :class:`MinhashBandIndex`:
+    random-hyperplane sign sketches (``dedup.rp_sketch_rows`` — same
+    seeded kernel as ``embedding_neardup_lsh``, so incremental
+    candidates are bit-identical to the full-corpus join's) persisted
+    as (_id, table_id, sketch); pairs verified with exact cosine on
+    vectors fetched for candidate ids only. Hash-certified by the
+    ``vs_neardup_incremental`` registry row at the recall-1 sketch
+    settings the vs_neardup_lsh row pins."""
 
-    Exactly-once end to end under foreachBatch's at-least-once
-    replays: BOTH writes ride the stream-watermark CAS append
-    (streaming/sinks.py::transactional_append) — the band append via
-    ``ingest(txn=...)``, the pairs append directly — so a replayed
-    batch is acknowledged without duplicating bands or pair rows, and
-    the recomputed pair set is deterministic (verify reads the corpus
-    at the batch's MAX commit version, not "now").
-
-    ``start_version`` defaults to 1: the seed commit's documents are
-    already fingerprinted by ``MinhashBandIndex.create(corpus=...)``,
-    so the feed must begin AFTER it (delivering commits
-    ``(start_version, ...]``). Runs Trigger.AvailableNow — call again
-    to drain new commits; tests assert stream ≡ the per-commit batch
-    ``ingest_commit`` replay."""
-    from nebuia_vector_db_spark.sources.changes_stream import (
-        SnapshotChangesDataSource,
-    )
-    from nebuia_vector_db_spark.streaming.sinks import (
-        transactional_append,
-    )
-
-    spark.dataSource.register(SnapshotChangesDataSource)
-    feed = (
-        spark.readStream.format("nebuia_snapshot_changes")
-        .option("path", corpus_path)
-        .option("startVersion", start_version)
-        .load()
-    )
-    lane = app if app is not None else checkpoint
-    corpus = SnapshotTable(spark, corpus_path)
-
-    def _ingest(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        v_max = batch.agg(
-            F.max("_commit_version").alias("v")
-        ).head()["v"]
-        inserts = batch.where(F.col("_change") == "insert").drop(
-            "_change", "_commit_version"
-        )
-        pairs = index.ingest(
-            inserts,
-            corpus.read(int(v_max)),
-            txn=(lane + ":bands", batch_id),
-        )
-        transactional_append(
-            spark, pairs_path, pairs, batch_id, lane + ":pairs"
-        )
-
-    return (
-        feed.writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-# ------------------------------------------- embedding modality (RP-LSH)
-
-_EMB_PARAMS_KEY = "rp_sketch_index_params"
-
-
-class EmbeddingSketchIndex:
-    """The embedding-modality twin of :class:`MinhashBandIndex`
-    (round 12): random-hyperplane sign sketches
-    (``dedup.rp_sketch_rows`` — same seeded kernel as
-    ``embedding_neardup_lsh``, so incremental candidates are
-    bit-identical to the full-corpus join's) persisted as a
-    SnapshotTable of (_id, table_id, sketch); per commit, sketch ONLY
-    the delta, join it against the index + itself, exact-cosine
-    verify against the current corpus (vectors fetched for candidate
-    ids only), append the delta's sketches atomically. Same delete
-    semantics (stale sketches are candidate noise, never correctness)
-    and the same incremental ≡ from-scratch contract, hash-certified
-    by the ``vs_neardup_incremental`` registry row at the recall-1
-    sketch settings the vs_neardup_lsh row pins."""
+    _PARAMS_META_KEY = "rp_sketch_index_params"
+    _KEY_COLS = ("table_id", "sketch")
+    _OUT_A, _OUT_B = "vec_a", "vec_b"
+    _EMPTY_SEED_SCHEMA = "_id long, table_id int, sketch long"
 
     def __init__(
         self,
@@ -400,8 +387,6 @@ class EmbeddingSketchIndex:
         dim: int = 64,
         seed: int = 42,
     ) -> None:
-        self.spark = spark
-        self.tbl = SnapshotTable(spark, path)
         self.threshold = threshold
         self.vec_col = vec_col
         self.id_col = id_col
@@ -409,16 +394,7 @@ class EmbeddingSketchIndex:
         self.n_tables = n_tables
         self.dim = dim
         self.seed = seed
-        stored = (
-            self.tbl.meta(_EMB_PARAMS_KEY) if self.tbl.versions() else None
-        )
-        if stored is not None and stored != self._params():
-            raise ValueError(
-                f"index at {path} was built with {stored}, opened with "
-                f"{self._params()} — mismatched sketch parameters would "
-                "join garbage; reopen with the stored parameters or "
-                "rebuild"
-            )
+        self._open(spark, path)
 
     def _params(self) -> dict:
         return {
@@ -428,89 +404,22 @@ class EmbeddingSketchIndex:
             "seed": self.seed,
         }
 
-    @classmethod
-    def create(
-        cls,
-        spark: SparkSession,
-        path: str,
-        corpus: DataFrame | None = None,
-        **kw,
-    ) -> "EmbeddingSketchIndex":
+    def _corpus_id_col(self) -> str:
+        return self.id_col
+
+    def _sketch_rows(self, df: DataFrame) -> DataFrame:
         from nebuia_vector_db_spark.operators.dedup import rp_sketch_rows
 
-        params = {
-            "n_planes": kw.get("n_planes", 6),
-            "n_tables": kw.get("n_tables", 16),
-            "dim": kw.get("dim", 64),
-            "seed": kw.get("seed", 42),
-        }
-        vec_col = kw.get("vec_col", "embedding")
-        id_col = kw.get("id_col", "vec_id")
-        seed_rows = (
-            rp_sketch_rows(corpus, vec_col, id_col, **params)
-            if corpus is not None
-            else spark.createDataFrame(
-                [], "_id long, table_id int, sketch long"
-            )
+        return rp_sketch_rows(
+            df, self.vec_col, self.id_col, **self._params()
         )
-        SnapshotTable.create(
-            spark, path, seed_rows, extra_meta={_EMB_PARAMS_KEY: params}
-        )
-        return cls(spark, path, **kw)
 
-    def ingest(
-        self,
-        delta: DataFrame,
-        corpus_now: DataFrame,
-        txn: tuple[str, int] | None = None,
-    ) -> DataFrame:
-        """(vec_a, vec_b, cosine) with vec_a < vec_b — the full-corpus
-        ``embedding_neardup_lsh`` output restricted to pairs touching
-        the delta (see MinhashBandIndex.ingest for the txn and
-        caching contracts, which are identical)."""
+    def _verify(self, cand: DataFrame, corpus_now: DataFrame) -> DataFrame:
         from nebuia_vector_db_spark.functions.vector import dot, l2_norm
-        from nebuia_vector_db_spark.operators.dedup import rp_sketch_rows
 
         idc = self.id_col
-        delta_rows = rp_sketch_rows(
-            delta, self.vec_col, idc, **self._params()
-        ).cache()
-        _CACHED_RELATIONS.append(delta_rows)
-        index_rows = self.tbl.read()
-        cross = (
-            delta_rows.alias("x")
-            .join(
-                index_rows.alias("y"),
-                (F.col("x.table_id") == F.col("y.table_id"))
-                & (F.col("x.sketch") == F.col("y.sketch"))
-                & (F.col("x._id") != F.col("y._id")),
-            )
-            .select(
-                F.least("x._id", "y._id").alias("vec_a"),
-                F.greatest("x._id", "y._id").alias("vec_b"),
-            )
-        )
-        within = (
-            delta_rows.alias("x")
-            .join(
-                delta_rows.alias("y"),
-                (F.col("x.table_id") == F.col("y.table_id"))
-                & (F.col("x.sketch") == F.col("y.sketch"))
-                & (F.col("x._id") < F.col("y._id")),
-            )
-            .select(
-                F.col("x._id").alias("vec_a"), F.col("y._id").alias("vec_b")
-            )
-        )
-        cand = cross.unionByName(within).distinct().cache()
-        _CACHED_RELATIONS.append(cand)
-        cand_ids = (
-            cand.select(F.col("vec_a").alias(idc))
-            .unionByName(cand.select(F.col("vec_b").alias(idc)))
-            .distinct()
-        )
         vecs = (
-            corpus_now.join(cand_ids, idc, "left_semi")
+            corpus_now.join(self._cand_ids(cand, idc), idc, "left_semi")
             .select(
                 F.col(idc).alias("_id"),
                 F.col(self.vec_col).alias("_v"),
@@ -519,7 +428,7 @@ class EmbeddingSketchIndex:
             .cache()
         )
         _CACHED_RELATIONS.append(vecs)
-        verified = (
+        return (
             cand.join(
                 vecs.select(
                     F.col("_id").alias("vec_a"),
@@ -542,28 +451,94 @@ class EmbeddingSketchIndex:
             .where(F.col("cosine") >= self.threshold)
             .select("vec_a", "vec_b", "cosine")
         )
-        if txn is None:
-            self.tbl.append(delta_rows)
-        else:
-            from nebuia_vector_db_spark.streaming.sinks import (
-                transactional_append,
-            )
 
-            transactional_append(
-                self.spark, self.tbl.path, delta_rows, txn[1], txn[0]
-            )
-        return verified
 
-    def ingest_commit(
-        self, corpus_tbl: SnapshotTable, version: int | None = None
-    ) -> DataFrame:
-        v = corpus_tbl.current_version() if version is None else version
-        delta = (
-            corpus_tbl.changes(v - 1, v)
-            .where(F.col("_change") == "insert")
-            .drop("_change", "_commit_version")
+def stream_dedup_ingest(
+    spark: SparkSession,
+    corpus_path: str,
+    index: _SketchIndexBase,
+    pairs_path: str,
+    checkpoint: str,
+    start_version: int = 1,
+    app: str | None = None,
+):
+    """Continuous incremental dedup (round 12): subscribe to the
+    corpus SnapshotTable's CHANGE FEED and, PER COMMIT, ingest the
+    inserts into the sketch index and append the discovered pairs to
+    a pairs SnapshotTable — the daily dedup-at-ingest loop as a
+    standing streaming query instead of a scheduled batch job.
+
+    A micro-batch may carry SEVERAL commits; they are processed in
+    version order, each verified against the corpus AT ITS OWN
+    version — so the stream is exactly the per-commit
+    ``ingest_commit`` replay even when a doc is inserted and deleted
+    within one drain (processing the drain as a single merged delta
+    would silently lose the transient pairs, the code-review r12
+    finding). Deletes retract the ids' sketch rows (idempotent —
+    re-deleting absent ids is a no-op).
+
+    Exactly-once end to end under foreachBatch's at-least-once
+    replays: both the sketch append and the pairs append ride the
+    stream-watermark CAS (streaming/sinks.py::transactional_append)
+    keyed by the COMMIT VERSION — monotonic and unique across the
+    stream, so a replayed micro-batch (same or re-split versions)
+    duplicates nothing.
+
+    ``start_version`` defaults to 1: the seed commit's documents are
+    already sketched by ``create(corpus=...)``, so the feed begins
+    AFTER it (delivering commits ``(start_version, ...]``). Runs
+    Trigger.AvailableNow — call again to drain new commits."""
+    from nebuia_vector_db_spark.sources.changes_stream import (
+        SnapshotChangesDataSource,
+    )
+    from nebuia_vector_db_spark.streaming.sinks import (
+        transactional_append,
+    )
+
+    spark.dataSource.register(SnapshotChangesDataSource)
+    feed = (
+        spark.readStream.format("nebuia_snapshot_changes")
+        .option("path", corpus_path)
+        .option("startVersion", start_version)
+        .load()
+    )
+    lane = app if app is not None else checkpoint
+    corpus = SnapshotTable(spark, corpus_path)
+    id_col = index._corpus_id_col()
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        versions = sorted(
+            r[0]
+            for r in batch.select("_commit_version").distinct().collect()
         )
-        return self.ingest(delta, corpus_tbl.read(v))
+        for v in versions:
+            sub = batch.where(F.col("_commit_version") == v)
+            dels = [
+                r[0]
+                for r in sub.where(F.col("_change") == "delete")
+                .select(id_col)
+                .distinct()
+                .collect()
+            ]
+            if dels:
+                index.retract(dels)
+            inserts = sub.where(F.col("_change") == "insert").drop(
+                "_change", "_commit_version"
+            )
+            pairs = index.ingest(
+                inserts,
+                corpus.read(int(v)),
+                txn=(lane + ":bands", int(v)),
+            )
+            transactional_append(
+                spark, pairs_path, pairs, int(v), lane + ":pairs"
+            )
 
-    def retract(self, ids: list) -> int:
-        return self.tbl.delete_where(F.col("_id").isin(list(ids)))
+    return (
+        feed.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -155,7 +155,10 @@ def leakage_safe_split(
         groups.groupBy(id_col)
         .agg(
             F.min("group_id").alias("_g1"),
-            F.count("*").alias("_gn"),
+            # DISTINCT group ids, not rows: a functional relation with
+            # duplicated identical rows (e.g. two unioned closure
+            # outputs) must split fine, not spuriously raise
+            F.countDistinct("group_id").alias("_gn"),
         )
         .select(
             F.col(id_col),
@@ -503,10 +506,14 @@ def sample_by_mixture(
             F.col(domain_col) == d, F.lit(counts[d]).cast("long")
         ).otherwise(n_expr)
     if not with_replacement:
+        # same trailing column order as the replacement and
+        # empty-quota paths (..., copy_id, epoch_rank): a positional
+        # union across modes must not silently swap the two longs
         return (
             ranked.where(F.col("_rk") <= quota_expr)
             .withColumn("copy_id", F.lit(1).cast("long"))
-            .withColumnRenamed("_rk", "epoch_rank")
+            .withColumn("epoch_rank", F.col("_rk"))
+            .drop("_rk")
         )
     # replication: quota // n full passes over the domain, plus the
     # (quota % n) smallest by order key once more; empty sequence when
@@ -566,12 +573,12 @@ def budget_select(
         return rel.limit(0)
     if int(total) <= budget_tokens:
         return rel
-    n = rel.count()
     # bracket the boundary score: mass_above(t_hi) <= budget <
     # mass_above(t_lo)
     q = max(0.0, min(1.0, 1.0 - budget_tokens / int(total)))
     margin = 2.0 / _acc
     t_lo = t_hi = None
+    m_above = 0
     for _ in range(6):
         qs = [max(0.0, q - margin), min(1.0, q + margin)]
         t = rel.agg(
@@ -590,6 +597,7 @@ def budget_select(
         m_lo = int(got["lo"] or 0)
         if m_hi <= budget_tokens < m_lo:
             t_lo, t_hi = c_lo, c_hi
+            m_above = m_hi  # already the exact above-bracket mass
             break
         margin *= 4.0
     if t_lo is None:
@@ -601,14 +609,6 @@ def budget_select(
         kept_above = rel.where(F.col(score_col) > t_hi)
         band = rel.where(
             (F.col(score_col) > t_lo) & (F.col(score_col) <= t_hi)
-        )
-        m_above = int(
-            rel.agg(
-                F.sum(
-                    F.when(F.col(score_col) > t_hi, F.col(token_col))
-                )
-            ).head()[0]
-            or 0
         )
     w = Window.orderBy(
         F.col(score_col).desc(), F.col(id_col)

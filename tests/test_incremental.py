@@ -290,3 +290,60 @@ def test_embedding_incremental_equals_from_scratch(spark, sf_oracle, tmp_path):
     # param guard on reopen
     with pytest.raises(ValueError, match="sketch parameters"):
         EmbeddingSketchIndex(spark, str(tmp_path / "i"), n_tables=8)
+
+
+def test_update_commit_replaces_bands_not_accumulates(spark, tmp_path):
+    """An UPDATE commit (delete+insert at one version — the CDF upsert
+    convention) must REPLACE the doc's bands: code-review r12 found the
+    old insert-only filter silently accumulated a second band set per
+    _id. After the update, the doc pairs by its NEW text, not its old
+    one, and the index holds exactly one band set for it."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    old = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new = "completely different updated words about snapshots and bands"
+    base = mk([(1, old), (2, "unrelated filler " + " ".join(f"u{j}" for j in range(8)))])
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = MinhashBandIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    n_per_doc = idx.tbl.read().where("_id = 1").count()
+    # upsert doc 1: COW delete + re-insert with new text
+    corpus.delete_where("doc_id = 1")
+    corpus.append(mk([(1, new)]))
+    idx.ingest_commit(corpus, version=2).collect()  # delete commit
+    idx.ingest_commit(corpus, version=3).collect()  # re-insert commit
+    release_cached_relations()
+    assert idx.tbl.read().where("_id = 1").count() == n_per_doc
+    # a dup of the NEW text pairs; a dup of the OLD text does not
+    corpus.append(mk([(50, new), (51, old)]))
+    got = _pairs_set(idx.ingest_commit(corpus))
+    release_cached_relations()
+    assert {(a, b) for a, b, _ in got} == {(1, 50)}
+
+
+def test_stream_transient_doc_matches_per_commit_replay(spark, tmp_path):
+    """A doc inserted (v2) and deleted (v3) within ONE drain: the
+    per-commit stream loop must still emit its v2 pair — processing
+    the drain as a merged delta would verify against read(v3), where
+    the doc is gone, and silently lose it (code-review r12)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        stream_dedup_ingest,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    ppath, ck = str(tmp_path / "pairs"), str(tmp_path / "ck")
+    base = mk([(1, t1)])
+    corpus = SnapshotTable.create(spark, cpath, base)
+    idx = MinhashBandIndex.create(spark, ipath, corpus=base)
+    corpus.append(mk([(9, t1)]))      # v2: transient duplicate of 1
+    corpus.delete_where("doc_id = 9")  # v3: gone again
+    q = stream_dedup_ingest(spark, cpath, idx, ppath, ck)
+    q.awaitTermination()
+    release_cached_relations()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in SnapshotTable(spark, ppath).read().collect()
+    }
+    assert got == {(1, 9)}  # the transient pair was seen at v2
+    # and v3's retract cleaned the index
+    assert idx.tbl.read().where("_id = 9").count() == 0

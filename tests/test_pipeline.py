@@ -218,3 +218,14 @@ def test_leakage_safe_split_groups_never_span_folds(spark):
     )
     with _pytest.raises(Exception, match="group_ids"):
         leakage_safe_split(docs, bad).collect()
+    # duplicated IDENTICAL rows are still functional (e.g. two unioned
+    # closure outputs): must split fine, not spuriously raise — the
+    # guard counts DISTINCT group ids (code-review r12)
+    dup_rows = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 0), (1, 0)], "doc_id long, group_id long"
+    )
+    out2 = {
+        r["doc_id"]: r["group_id"]
+        for r in leakage_safe_split(docs, dup_rows).collect()
+    }
+    assert len(out2) == 400 and out2[0] == 0 and out2[1] == 0
