@@ -240,37 +240,56 @@ class _SketchIndexBase:
             .distinct()
         )
 
-    def ingest_commit(
+    def ingest_feed(
         self,
-        corpus_tbl: SnapshotTable,
-        version: int | None = None,
+        feed_slice: DataFrame,
+        corpus_at_v: DataFrame,
+        txn: tuple[str, int] | None = None,
         retract_deletes: bool = True,
     ) -> DataFrame:
-        """Drive :meth:`ingest` from a corpus SnapshotTable's change
-        feed for ONE commit: retract the commit's deleted ids from the
-        index (so an UPDATE commit — delete+insert at one version —
+        """Drive :meth:`ingest` from ONE commit's change-feed slice
+        (rows carrying ``_change``/``_commit_version``): retract the
+        commit's deleted ids from the index (so an UPDATE commit —
+        delete+insert at one version, the CDF upsert convention —
         REPLACES its doc's sketch rows instead of accumulating a
         second set), then ingest its inserts, verifying against the
-        post-commit snapshot. The retract is naturally idempotent
-        (re-deleting absent ids is a no-op), so a crash between
-        retract and append converges on replay."""
-        v = corpus_tbl.current_version() if version is None else version
-        feed = corpus_tbl.changes(v - 1, v)
+        commit's snapshot. The single change-feed driver for BOTH the
+        batch path (:meth:`ingest_commit`) and the streaming loop
+        (code-review r12: the convention must not exist twice). The
+        retract alone is naturally idempotent (re-deleting absent ids
+        is a no-op) — but see stream_dedup_ingest's watermark guard
+        for why a REPLAYED already-committed version must skip this
+        whole method, retract included."""
         id_col = self._corpus_id_col()
         if retract_deletes:
             dels = [
                 r[0]
-                for r in feed.where(F.col("_change") == "delete")
+                for r in feed_slice.where(F.col("_change") == "delete")
                 .select(id_col)
                 .distinct()
                 .collect()
             ]
             if dels:
                 self.retract(dels)
-        delta = feed.where(F.col("_change") == "insert").drop(
+        delta = feed_slice.where(F.col("_change") == "insert").drop(
             "_change", "_commit_version"
         )
-        return self.ingest(delta, corpus_tbl.read(v))
+        return self.ingest(delta, corpus_at_v, txn=txn)
+
+    def ingest_commit(
+        self,
+        corpus_tbl: SnapshotTable,
+        version: int | None = None,
+        retract_deletes: bool = True,
+    ) -> DataFrame:
+        """:meth:`ingest_feed` over commit ``version``'s change feed,
+        verified against the post-commit snapshot."""
+        v = corpus_tbl.current_version() if version is None else version
+        return self.ingest_feed(
+            corpus_tbl.changes(v - 1, v),
+            corpus_tbl.read(v),
+            retract_deletes=retract_deletes,
+        )
 
     def _corpus_id_col(self) -> str:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -474,15 +493,22 @@ def stream_dedup_ingest(
     ``ingest_commit`` replay even when a doc is inserted and deleted
     within one drain (processing the drain as a single merged delta
     would silently lose the transient pairs, the code-review r12
-    finding). Deletes retract the ids' sketch rows (idempotent —
-    re-deleting absent ids is a no-op).
+    finding). The batch is persisted for the loop (a 100-commit
+    catch-up drain would otherwise re-read the source files ~2× per
+    version) and each iteration's churn-bounded caches are released
+    once its pairs are committed.
 
     Exactly-once end to end under foreachBatch's at-least-once
     replays: both the sketch append and the pairs append ride the
     stream-watermark CAS (streaming/sinks.py::transactional_append)
     keyed by the COMMIT VERSION — monotonic and unique across the
     stream, so a replayed micro-batch (same or re-split versions)
-    duplicates nothing.
+    duplicates nothing. Crucially a version AT OR BELOW the
+    sketch-lane watermark is skipped WHOLE — retract included: a
+    replayed update commit would otherwise delete the doc's NEW
+    sketch rows while the watermark-guarded append declines to
+    rewrite them, silently losing the doc from the index (the
+    second-review r12 finding).
 
     ``start_version`` defaults to 1: the seed commit's documents are
     already sketched by ``create(corpus=...)``, so the feed begins
@@ -504,37 +530,59 @@ def stream_dedup_ingest(
     )
     lane = app if app is not None else checkpoint
     corpus = SnapshotTable(spark, corpus_path)
-    id_col = index._corpus_id_col()
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        versions = sorted(
-            r[0]
-            for r in batch.select("_commit_version").distinct().collect()
-        )
-        for v in versions:
-            sub = batch.where(F.col("_commit_version") == v)
-            dels = [
+        batch = batch.persist()
+        try:
+            versions = sorted(
                 r[0]
-                for r in sub.where(F.col("_change") == "delete")
-                .select(id_col)
+                for r in batch.select("_commit_version")
                 .distinct()
                 .collect()
-            ]
-            if dels:
-                index.retract(dels)
-            inserts = sub.where(F.col("_change") == "insert").drop(
-                "_change", "_commit_version"
             )
-            pairs = index.ingest(
-                inserts,
-                corpus.read(int(v)),
-                txn=(lane + ":bands", int(v)),
-            )
-            transactional_append(
-                spark, pairs_path, pairs, int(v), lane + ":pairs"
-            )
+            def _lane_done(tbl_path: str, lane_key: str, v: int) -> bool:
+                t = SnapshotTable(spark, tbl_path)
+                if not t.versions():
+                    return False
+                last = (t.meta("stream_watermarks") or {}).get(lane_key)
+                return last is not None and v <= last
+
+            for v in versions:
+                v = int(v)
+                # replay guards (second-review r12): a version whose
+                # sketch append already committed must NOT re-run the
+                # retract — the watermark-skipped append would decline
+                # to rewrite the updated doc's new rows and the
+                # re-retract would delete them for good. If the pairs
+                # append ALSO committed, the version is fully applied
+                # and skipped whole; if only the sketch lane is done
+                # (crash between the two appends), pairs are
+                # recomputed retract-free — the delta's rows already
+                # being in the index leaves the verified set unchanged
+                # (see ingest's txn note) — and re-appended.
+                bands_done = _lane_done(
+                    index.tbl.path, lane + ":bands", v
+                )
+                if bands_done and _lane_done(
+                    pairs_path, lane + ":pairs", v
+                ):
+                    continue
+                pairs = index.ingest_feed(
+                    batch.where(F.col("_commit_version") == v),
+                    corpus.read(v),
+                    txn=(lane + ":bands", v),
+                    retract_deletes=not bands_done,
+                )
+                transactional_append(
+                    spark, pairs_path, pairs, v, lane + ":pairs"
+                )
+                # this version's churn-bounded caches served their
+                # joins; don't let a catch-up drain accumulate them
+                release_cached_relations()
+        finally:
+            batch.unpersist()
 
     return (
         feed.writeStream.foreachBatch(_ingest)

@@ -152,7 +152,12 @@ def leakage_safe_split(
             "drop or rename the existing columns first"
         )
     g = (
-        groups.groupBy(id_col)
+        # a NULL group_id means "no group": drop it up front, so an id
+        # whose only row is NULL routes by its own id (countDistinct
+        # skips NULLs — without the filter such an id would hit the
+        # guard with _gn=0, second-review r12)
+        groups.where(F.col("group_id").isNotNull())
+        .groupBy(id_col)
         .agg(
             F.min("group_id").alias("_g1"),
             # DISTINCT group ids, not rows: a functional relation with

@@ -347,3 +347,79 @@ def test_stream_transient_doc_matches_per_commit_replay(spark, tmp_path):
     assert got == {(1, 9)}  # the transient pair was seen at v2
     # and v3's retract cleaned the index
     assert idx.tbl.read().where("_id = 9").count() == 0
+
+
+def test_stream_driver_is_index_generic(spark, tmp_path):
+    """stream_dedup_ingest takes any _SketchIndexBase: drive it with
+    the EMBEDDING index over a vector corpus snapshot and assert the
+    pairs mirror the batch ingest (the base-class refactor's claim)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        EmbeddingSketchIndex,
+        stream_dedup_ingest,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    v1 = [1.0, 0.0, 0.0, 0.0] * 16
+    v2 = [0.0, 1.0, 0.0, 0.0] * 16
+    base = mk([(1, v1), (2, v2)])
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    ppath, ck = str(tmp_path / "p"), str(tmp_path / "ck")
+    corpus = SnapshotTable.create(spark, cpath, base)
+    idx = EmbeddingSketchIndex.create(
+        spark, ipath, corpus=base, threshold=0.9, n_planes=6, n_tables=96
+    )
+    corpus.append(mk([(9, v1), (10, v2)]))  # dups of both
+    q = stream_dedup_ingest(spark, cpath, idx, ppath, ck)
+    q.awaitTermination()
+    release_cached_relations()
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in SnapshotTable(spark, ppath).read().collect()
+    }
+    assert got == {(1, 9), (2, 10)}
+
+
+def test_replayed_update_batch_keeps_new_rows(spark, tmp_path):
+    """Second-review r12: replaying a micro-batch that carried an
+    UPDATE commit must not delete the doc's new sketch rows (the
+    first attempt's retract+append already applied; a bare re-retract
+    with a watermark-skipped append would lose the doc forever).
+    Driven through the stream's own per-version body by re-running
+    the drain against a fresh checkpoint (same versions redelivered —
+    the at-least-once shape)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        stream_dedup_ingest,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    old = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new = "fresh updated content with totally different words here now"
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    ppath = str(tmp_path / "p")
+    base = mk([(1, old)])
+    corpus = SnapshotTable.create(spark, cpath, base)
+    idx = MinhashBandIndex.create(spark, ipath, corpus=base)
+    corpus.delete_where("doc_id = 1")   # v2
+    corpus.append(mk([(1, new)]))        # v3: the update's re-insert
+    q = stream_dedup_ingest(spark, cpath, idx, ppath, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    release_cached_relations()
+    n_rows = idx.tbl.read().where("_id = 1").count()
+    assert n_rows > 0
+    # redeliver the SAME versions (fresh checkpoint = full replay)
+    q2 = stream_dedup_ingest(spark, cpath, idx, ppath, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    release_cached_relations()
+    assert idx.tbl.read().where("_id = 1").count() == n_rows
+    # and the doc still pairs by its new text after the replay
+    corpus.append(mk([(9, new)]))
+    q3 = stream_dedup_ingest(spark, cpath, idx, ppath, str(tmp_path / "ck1"))
+    q3.awaitTermination()
+    release_cached_relations()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in SnapshotTable(spark, ppath).read().collect()
+    }
+    assert (1, 9) in got

@@ -229,3 +229,27 @@ def test_leakage_safe_split_groups_never_span_folds(spark):
         for r in leakage_safe_split(docs, dup_rows).collect()
     }
     assert len(out2) == 400 and out2[0] == 0 and out2[1] == 0
+
+
+def test_leakage_split_null_group_routes_by_own_id(spark):
+    """Second-review r12: a NULL group_id means 'no group' — the doc
+    must route by its own id (like any singleton), not trip the
+    functional guard with _gn=0."""
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.operators.pipeline import (
+        dataset_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    groups = spark.createDataFrame(
+        [(7, None), (3, 3), (4, 3)], "doc_id long, group_id long"
+    )
+    out = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in leakage_safe_split(docs, groups).collect()
+    }
+    plain = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert out[7] == (7, plain[7])        # NULL group -> own id
+    assert out[3][0] == out[4][0] == 3    # real group intact
