@@ -508,8 +508,12 @@ def exact_cosine_pairs(
       NO driver materialization anywhere on the path; shuffle volume is
       N·(B+1) rows for B blocks, the textbook all-pairs trade.
 
-    Both paths compute identical float64 arithmetic, so the result set
-    is bit-identical whichever strategy runs; and both chunk their
+    Both paths compute the same float64 arithmetic; results agree to
+    the last ULP whichever strategy runs (BLAS may pick a different
+    gemm micro-kernel per matrix shape, so bit-equality across the
+    two paths is NOT guaranteed — a pair whose cosine sits within one
+    ULP of ``threshold`` could in principle appear in one path only).
+    Both chunk their
     GEMMs so no task materializes more than ``_MAX_SCORE_CELLS``
     (256 MB) of scores regardless of block/broadcast sizes.
     """

@@ -1,0 +1,189 @@
+"""Integer-exact iterative graph algorithms: PageRank power iteration
+and out-degree link stats over a DataFrame edge list.
+
+Why this operator exists in a training-data engine: web-scale corpora
+carry a link graph (URL -> URL, domain -> domain), and link-centrality
+is a standard quality prior for selection — Common Crawl ranks hosts
+by harmonic centrality / PageRank, and pipelines like CCNet and
+RefinedWeb use those ranks as keep/weight signals. At 100 TB the graph
+has billions of edges; PageRank is THE canonical iterative DataFrame
+algorithm, so it also pins the repo's iterative-loop discipline
+(persist + unpersist per iteration, lineage truncation) the way
+``doremi.py`` pins the iterative-fit discipline.
+
+Determinism contract (what makes a full DuckDB oracle possible for an
+iterative float algorithm): ranks are BIGINT micro-units, never
+floats. With ``damping_pct=85`` and ``init_micro=1_000_000``:
+
+- ``rank_0(u) = init_micro`` for every node (union of src and dst);
+- each edge (u, v) contributes ``(rank_t(u) * damping_pct) div
+  (100 * outdeg(u))`` — integer floor division of non-negative longs,
+  so PER-EDGE values are exact and their SUM is order-independent
+  (integer addition commutes; float addition does not — this is the
+  same engine-exactness trick as lm.py's nll_micro);
+- ``rank_{t+1}(v) = teleport + sum(in-edge contributions)`` with
+  ``teleport = (init_micro * (100 - damping_pct)) div 100``;
+- dangling nodes (outdeg 0) leak their damped mass — the common
+  "dangling mass dropped" variant (networkx redistributes it; either
+  is a valid PageRank; ours is chosen because it keeps every quantity
+  a per-edge integer, hence oracle-replayable). Floor-division
+  remainders leak the same way. Total mass is therefore monotonically
+  non-increasing, bounded by n * init_micro — no int64 overflow until
+  ~9e12 nodes.
+
+Scale posture: each iteration is ONE shuffle (the groupBy(dst) partial
+sum; map-side combine applies because the aggregate is a LongType
+sum) plus a ranks-by-src join. The edge relation is analyzed once
+(out-degree) and persisted WITH the precomputed denominator, so
+iterations never re-derive degrees; ranks are persisted per iteration
+and the previous iteration is unpersisted immediately (bounded
+memory); every ``iters`` iterations of lazily-stacked joins the loop
+cuts lineage with ``localCheckpoint`` so the final plan does not grow
+O(iters) deep — the classic iterative-DataFrame failure mode at
+cluster scale (driver-side planning blowup), not a local-mode one.
+
+Reference scope note: the reference engine (main.go, 458 lines) has
+no graph surface at all — this is extension tier (SURVEY §2.4),
+composed from joins + integer aggregates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators._cache import (
+    cached_relation_registry,
+)
+
+_CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
+
+
+def graph_nodes(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Distinct node set of an edge list: union of both endpoints.
+
+    One column ``node``, typed as the (shared) endpoint type. A node
+    that only ever appears as a destination is still a node — it
+    receives teleport mass every iteration.
+    """
+    return (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+
+
+def out_degrees(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, out_deg) for every node; 0 for pure sinks (dangling).
+
+    Parallel edges count multiply — a page linking twice sends twice
+    the mass, matching the multigraph PageRank convention.
+    """
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    return (
+        graph_nodes(edges, src_col, dst_col)
+        .join(deg, "node", "left")
+        .select(
+            "node", F.coalesce("out_deg", F.lit(0).cast("long")).alias("out_deg")
+        )
+    )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    init_micro: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Integer-exact PageRank over an edge list; returns
+    (node, rank_micro BIGINT) — see the module docstring for the
+    exact recurrence the micro-units pin down.
+
+    ``damping_pct`` is an integer percentage (85 ≙ the classic 0.85)
+    so the damped contribution stays inside integer arithmetic.
+    ``checkpoint_every`` bounds plan depth on long runs; the default
+    never triggers for typical iters<=8 but protects a 50-iteration
+    convergence run from O(iters) plan growth.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    teleport = (init_micro * (100 - damping_pct)) // 100
+
+    nodes = graph_nodes(edges, src_col, dst_col).persist()
+    _CACHED_RELATIONS.append(nodes)
+
+    # Edge relation with the contribution denominator precomputed
+    # once: (src, dst, den = 100 * outdeg(src)). outdeg >= 1 for every
+    # src by construction (it appears in an edge), so den >= 100.
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
+    edge_rel = (
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+        .join(deg.select(F.col(src_col).alias("_src"), "_deg"), "_src")
+        .select(
+            "_src",
+            "_dst",
+            (F.lit(100).cast("long") * F.col("_deg").cast("long")).alias(
+                "_den"
+            ),
+        )
+        .persist()
+    )
+    _CACHED_RELATIONS.append(edge_rel)
+
+    ranks = nodes.select(
+        "node", F.lit(int(init_micro)).cast("long").alias("rank_micro")
+    ).persist()
+    _CACHED_RELATIONS.append(ranks)
+
+    for it in range(iters):
+        contrib = (
+            edge_rel.join(
+                ranks.select(
+                    F.col("node").alias("_src"), "rank_micro"
+                ),
+                "_src",
+            )
+            # div = integral division on longs; per-edge floor, THEN
+            # the order-independent integer sum (map-side combine).
+            .select(
+                "_dst",
+                F.expr("(rank_micro * {d}) div _den".format(d=int(damping_pct)))
+                .cast("long")
+                .alias("_c"),
+            )
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        new_ranks = nodes.join(
+            contrib.select(F.col("_dst").alias("node"), "_in"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            (
+                F.lit(int(teleport)).cast("long")
+                + F.coalesce(F.col("_in"), F.lit(0).cast("long"))
+            ).alias("rank_micro"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            # cut lineage so plan depth stays O(checkpoint_every);
+            # eager so the old cache below is truly releasable.
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = new_ranks.persist()
+        _CACHED_RELATIONS.append(new_ranks)
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select("node", "rank_micro")

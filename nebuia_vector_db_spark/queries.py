@@ -7736,6 +7736,299 @@ LIMIT 100
 """
 
 
+def q_vs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (operators/mining.py, round 12): for each query drawn from the
+    labeled embedding corpus, the 5 most-similar vectors whose LABEL
+    DIFFERS (and that aren't the query row itself) — the
+    highest-gradient negatives for a DPR-style trainer. One corpus
+    scan, broadcast query side, label exclusion pushed below the
+    WindowGroupLimit ranking cut."""
+    from nebuia_vector_db_spark.operators.mining import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(
+        queries,
+        emb,
+        k=5,
+        tie_cols=["vec_id"],
+        exclude_ids=("query_id", "vec_id"),
+    )
+    return out.select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round("similarity", 6).alias(SIM6),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("query_id", "rk")
+
+
+ORACLE_VS_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IS NOT NULL
+    AND e.label <> q.query_label
+    AND e.vec_id <> q.query_id
+)
+SELECT query_id, query_label, vec_id, neg_label,
+       round(s, 6) AS similarity,
+       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+FROM scored
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+def q_vs_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (round 12,
+    operators/mining.py::rocchio_expand): each query is expanded
+    toward the integer-micro-unit centroid of its own top-5 results
+    (Rocchio blind feedback, α=100% β=75%), then re-searched. The
+    feedback accumulation is order-independent BIGINT arithmetic, so
+    the full two-stage loop — retrieve → quantize → accumulate →
+    expand → re-normalize → re-retrieve — is hash-certified against
+    the DuckDB replay."""
+    from nebuia_vector_db_spark.operators.mining import rocchio_expand
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(0, 1, 7)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    expanded = rocchio_expand(queries, emb, fb_k=5)
+    out = knn_join(
+        expanded.select(
+            "query_id", F.col("expanded_vec").alias("query_vec")
+        ),
+        emb,
+        k=5,
+        tie_cols=["vec_id"],
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("similarity", 6).alias(SIM6),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("query_id", "rk")
+
+
+ORACLE_VS_PRF_ROCCHIO = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 7)
+),
+top AS (
+  SELECT query_id, vec_id, v FROM (
+    SELECT q.query_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                                       e.vec_id) AS rk1
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rk1 <= 5
+),
+fb AS (
+  SELECT t.query_id, u.d,
+         SUM(CAST(floor(t.v[u.d] * 1000000 + 0.5) AS BIGINT)) AS fb
+  FROM top t, unnest(generate_series(1, len(t.v))) AS u(d)
+  GROUP BY t.query_id, u.d
+),
+qm AS (
+  SELECT q.query_id, u.d,
+         CAST(floor(q.qv[u.d] * 1000000 + 0.5) AS BIGINT) AS qm
+  FROM q, unnest(generate_series(1, len(q.qv))) AS u(d)
+),
+ev AS (
+  -- alpha_pct * fb_k * q_micro + beta_pct * sum(top-k micro)
+  SELECT qm.query_id,
+         list(CAST(100 * 5 * qm.qm + 75 * COALESCE(fb.fb, 0) AS DOUBLE)
+              ORDER BY qm.d) AS e
+  FROM qm LEFT JOIN fb ON fb.query_id = qm.query_id AND fb.d = qm.d
+  GROUP BY qm.query_id
+),
+q2 AS (
+  SELECT query_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS qv2
+  FROM ev
+),
+s2 AS (
+  SELECT q2.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q2.qv2) AS s
+  FROM embeddings e CROSS JOIN q2
+)
+SELECT query_id, vec_id, round(s, 6) AS similarity,
+       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rk
+FROM s2
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+def q_pipe_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard interchange round trip (round 12,
+    sources/webdataset.py): the corpus is exported as byte-
+    deterministic ``shard-%05d.tar`` files — the sharded-tar layout
+    GPU training loaders stream — with one ``{doc_id}.txt`` +
+    ``{doc_id}.json`` member pair per document, then read back via the
+    binaryFile source + Arrow untar and re-aggregated per document.
+    The output md5 comes from the RE-READ tar member bytes and the
+    lang from the RE-READ json member, so any archive-layer defect
+    (truncated member, wrong size header, encoding corruption,
+    sample/key mixups across shards) breaks the hash against the
+    oracle, which reads the original table directly. Uses POSIX
+    scratch (the tarfile writer's documented requirement)."""
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = posix_scratch_dir(spark, "wds")
+    try:
+        staged = docs.withColumn(
+            "_json", F.to_json(F.struct("lang", "source"))
+        )
+        write_webdataset(
+            staged,
+            out_dir,
+            key_col="doc_id",
+            members={"txt": "text", "json": "_json"},
+            num_shards=6,
+        ).collect()  # materialize = run the export
+        back = read_webdataset(spark, out_dir)
+        per = (
+            back.groupBy("key")
+            .agg(
+                F.md5(
+                    F.max(F.when(F.col("ext") == "txt", F.col("content")))
+                ).alias("text_md5"),
+                F.get_json_object(
+                    F.max(
+                        F.when(F.col("ext") == "json", F.col("content"))
+                    ).cast("string"),
+                    "$.lang",
+                ).alias("lang"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+            .select(
+                F.col("key").cast("long").alias("doc_id"),
+                "text_md5",
+                "lang",
+                F.col("n_members").cast("long").alias("n_members"),
+            )
+            .orderBy("doc_id")
+        )
+        out = spark.createDataFrame(per.collect(), per.schema)
+    finally:
+        remove_scratch(spark, out_dir)
+    return out
+
+
+ORACLE_PIPE_WEBDATASET = """
+SELECT doc_id, md5(text) AS text_md5, lang,
+       CAST(2 AS BIGINT) AS n_members
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ==========================================================================
+# Graph family (extension surface, SURVEY §2.4): link-centrality as a
+# training-data quality prior (Common Crawl host ranks, RefinedWeb)
+# ==========================================================================
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py::pagerank_exact,
+    round 12): 5 power iterations over a deterministic synthetic link
+    graph (3 out-edges per document, targets by modular arithmetic on
+    doc_id — pure-SQL-replayable scaffolding; real usage takes a
+    crawl's edge list). Ranks are BIGINT micro-units so every
+    per-edge contribution is an exact integer and the per-node sum is
+    order-independent — that is what makes a full DuckDB oracle of an
+    ITERATIVE algorithm possible (the oracle unrolls the 5 iterations
+    as chained CTEs replaying the same recurrence). Each Spark
+    iteration is one groupBy(dst) shuffle with map-side combine plus
+    a ranks⋈edges join; degrees are computed once and persisted with
+    the edge relation."""
+    from nebuia_vector_db_spark.operators.graph import pagerank_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    parts = [
+        docs.crossJoin(F.broadcast(n)).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(a) + F.lit(b)) % F.col("_n")).alias(
+                "dst"
+            ),
+        )
+        for a, b in ((17, 3), (29, 7), (43, 11))
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        pagerank_exact(edges, iters=5, damping_pct=85)
+        .select(F.col("node").alias("doc_id"), "rank_micro")
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_iters_sql(iters: int) -> str:
+    """Chained CTEs r0..r{iters} replaying pagerank_exact's integer
+    recurrence: r_{t+1}(v) = 150000 + SUM over in-edges of
+    (r_t(u) * 85) // (100 * outdeg(u)) — all-BIGINT, so the unordered
+    SQL SUM is exactly the Spark sum."""
+    ctes = ["r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes)"]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT nodes.node, CAST(150000 + COALESCE(s.s, 0) AS BIGINT) AS rm
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rm * 85) // (100 * deg.d)) AS s
+    FROM e JOIN deg ON deg.src = e.src JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+ORACLE_GRAPH_PAGERANK = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 43 + 11) % n.n FROM documents, n
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+{_pagerank_iters_sql(5)}
+SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8578,6 +8871,34 @@ REGISTRY: dict[
     "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
+    # vs_hard_negatives: label-excluded top-k over the embedding
+    #   corpus (round 12) — the contrastive-training mining op; the
+    #   retrieval spine (broadcast queries + HOF dot + WindowGroupLimit
+    #   cut) is recorded via vs_knn_join; full oracle; locally green;
+    "vs_hard_negatives": (q_vs_hard_negatives, ORACLE_VS_HARD_NEGATIVES),
+    # vs_prf_rocchio: two-stage pseudo-relevance-feedback retrieval
+    #   (round 12) — integer-micro-unit Rocchio expansion makes the
+    #   iterate-then-re-search loop fully hash-certifiable; the
+    #   single-stage retrieval spine is recorded via vs_knn_join;
+    #   full oracle; locally green;
+    "vs_prf_rocchio": (q_vs_prf_rocchio, ORACLE_VS_PRF_ROCCHIO),
+    # pipe_webdataset_roundtrip: byte-deterministic tar-shard export
+    #   + binaryFile/untar re-read (round 12) — the GPU-loader
+    #   interchange sibling of pipe_jsonl_roundtrip (which holds the
+    #   interchange family's story); full oracle (content-sensitive
+    #   md5 from re-read member bytes); locally green;
+    "pipe_webdataset_roundtrip": (
+        q_pipe_webdataset_roundtrip,
+        ORACLE_PIPE_WEBDATASET,
+    ),
+    # graph_pagerank: integer-exact PageRank power iteration (round
+    #   12) — the iterative-graph family's first representative; FULL
+    #   oracle despite being iterative (BIGINT micro-unit recurrence,
+    #   unrolled-CTE replay). Below the window: new capability, but
+    #   the window is at capacity and every slot holds a distinct
+    #   recorded family; candidate for promotion next rotation;
+    #   locally green;
+    "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
 }
 
 

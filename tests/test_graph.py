@@ -1,0 +1,101 @@
+"""operators/graph.py — integer-exact PageRank.
+
+The oracle row (graph_pagerank) hash-certifies the full pipeline
+against DuckDB's unrolled-CTE replay; these tests pin the recurrence
+against a from-scratch pure-Python reference on adversarial shapes
+(dangling nodes, parallel edges, self-loops, sink-only nodes) plus the
+checkpoint path and the degenerate parameter space.
+"""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebuia_vector_db_spark.operators.graph import (
+    graph_nodes,
+    out_degrees,
+    pagerank_exact,
+)
+
+
+def _ref_pagerank(edges, iters, damping_pct=85, init_micro=1_000_000):
+    nodes = {u for e in edges for u in e}
+    deg = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    tel = (init_micro * (100 - damping_pct)) // 100
+    r = {u: init_micro for u in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for u, v in edges:
+            inc[v] += (r[u] * damping_pct) // (100 * deg[u])
+        r = {u: tel + inc[u] for u in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.rank_micro for r in pagerank_exact(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_reference_adversarial(spark):
+    # dangling node 3 (sink), parallel edge 0->2 twice, self-loop 4->4,
+    # node 5 appears only as a destination
+    edges = [(0, 1), (0, 2), (0, 2), (1, 2), (2, 0), (2, 3), (4, 4), (1, 5)]
+    for iters in (0, 1, 3, 6):
+        assert _run(spark, edges, iters=iters) == _ref_pagerank(
+            edges, iters
+        ), iters
+
+
+def test_pagerank_checkpoint_path_identical(spark):
+    edges = [(i, (i * 7 + 1) % 20) for i in range(20)] + [
+        (i, (i * 3 + 5) % 20) for i in range(20)
+    ]
+    base = _run(spark, edges, iters=5)
+    # force the lineage cut mid-run; results must be unchanged
+    assert _run(spark, edges, iters=5, checkpoint_every=2) == base
+    assert base == _ref_pagerank(edges, 5)
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # total mass never exceeds n * init (dangling + floor remainders
+    # only LEAK mass under the documented variant)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    got = _run(spark, edges, iters=4)
+    assert sum(got.values()) <= 4 * 1_000_000
+    assert all(v >= 150_000 for v in got.values())  # teleport floor
+
+
+def test_pagerank_param_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_exact(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank_exact(df, iters=-1)
+
+
+def test_nodes_and_degrees(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    assert {r.node for r in graph_nodes(edges).collect()} == {0, 1, 2, 3}
+    deg = {r.node: r.out_deg for r in out_degrees(edges).collect()}
+    # parallel edges count multiply; sinks get explicit 0
+    assert deg == {0: 3, 1: 0, 2: 1, 3: 0}
+
+
+def test_pagerank_string_node_ids(spark):
+    # node type is generic — domains/URLs are the production key
+    edges = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "a.com"), ("c.com", "a.com")],
+        "src string, dst string",
+    )
+    got = {r.node: r.rank_micro for r in pagerank_exact(edges, iters=2).collect()}
+    ref = _ref_pagerank(
+        [("a.com", "b.com"), ("b.com", "a.com"), ("c.com", "a.com")], 2
+    )
+    assert got == ref
