@@ -153,6 +153,7 @@ GATE_RATIO_KEYS = (
     "b15_bq_packed_scan_slope_9600k",
     "b16_lm_slope_64x",
     "b18_semdedup_dropped_total",
+    "b21_pagerank_slope_800k",
 )
 
 
@@ -1827,6 +1828,109 @@ def main() -> None:
     )
     b20_docs.unpersist()
     _sh.rmtree(b20_root, ignore_errors=True)
+
+    # ---- B21: late-round-12 tiers — iterative PageRank scaling,
+    # hard-negative mining throughput, WebDataset shard interchange.
+    # b21_pagerank: 5 power iterations over synthetic 3-out-degree
+    # graphs at 200k and 800k nodes (0.6M / 2.4M edges, generated by
+    # modular arithmetic on spark.range — zero data-gen cost). The
+    # slope (time ratio / 4x size ratio) gates near-linearity: each
+    # iteration is one groupBy shuffle + one ranks join, so superlinear
+    # drift here means the iterative-loop plan regressed (lineage
+    # blowup / lost map-side combine).
+    from nebuia_vector_db_spark.operators.graph import (
+        pagerank_exact,
+        release_cached_relations as _release_graph,
+    )
+
+    def _synth_edges(n_nodes: int):
+        base = spark.range(n_nodes).select(F.col("id").alias("src"))
+        return (
+            base.select(
+                "src", ((F.col("src") * 17 + 3) % n_nodes).alias("dst")
+            )
+            .unionByName(
+                base.select(
+                    "src", ((F.col("src") * 29 + 7) % n_nodes).alias("dst")
+                )
+            )
+            .unionByName(
+                base.select(
+                    "src", ((F.col("src") * 43 + 11) % n_nodes).alias("dst")
+                )
+            )
+        )
+
+    b21_prev = None
+    for b21_n in (200_000, 800_000):
+        b21_e = _synth_edges(b21_n)
+
+        def _b21_run(e=b21_e):
+            pagerank_exact(e, iters=5).agg(F.sum("rank_micro")).collect()
+            _release_graph()
+
+        b21_dt = _median_time(_b21_run, runs=3, warmup=1)
+        timings[f"b21_pagerank_{b21_n // 1000}k_sec"] = round(b21_dt, 4)
+        if b21_prev is not None:
+            timings["b21_pagerank_slope_800k"] = round(
+                (b21_dt / max(b21_prev, 1e-9)) / 4.0, 4
+            )
+        b21_prev = b21_dt
+
+    # b21_hardneg: 16 queries x 600k corpus, label-excluded top-10
+    # through the codegen'd HOF dot + WindowGroupLimit cut (the
+    # oracle-exact sql path; the masked-GEMM arrow variant would only
+    # be faster). Labels synthesized as vec_id % 16.
+    from nebuia_vector_db_spark.operators.mining import hard_negatives
+
+    b21_corpus = big.withColumn("label", (F.col("vec_id") % 16).cast("int"))
+    b21_q = queries_df.limit(16).withColumn(
+        "query_label", F.lit(0).cast("int")
+    )
+    b21_q.cache().count()
+
+    def _b21_hn():
+        hard_negatives(
+            b21_q,
+            b21_corpus,
+            k=10,
+            tie_cols=["vec_id"],
+            exclude_ids=("query_id", "vec_id"),
+        ).collect()
+
+    timings["b21_hardneg_16q_600k_sec"] = round(
+        _median_time(_b21_hn, runs=3), 4
+    )
+    b21_q.unpersist()
+
+    # b21_wds: WebDataset tar-shard export of 40k synthetic docs into
+    # 32 shards + full re-read (docs/sec both ways, recorded, no
+    # gate — tarfile is single-stream per shard by design; shard
+    # count is the parallelism knob).
+    from nebuia_vector_db_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    b21_docs = _synth_docs(40_000).cache()
+    b21_nd = b21_docs.count()
+    b21_dir = _tf.mkdtemp(prefix="nvdb_bench_wds_")
+    t0 = time.perf_counter()
+    write_webdataset(
+        b21_docs, b21_dir, key_col="doc_id",
+        members={"txt": "text"}, num_shards=32,
+    ).collect()
+    timings["b21_wds_write_docs_per_sec"] = round(
+        b21_nd / (time.perf_counter() - t0), 1
+    )
+    t0 = time.perf_counter()
+    b21_back = read_webdataset(spark, b21_dir).count()
+    timings["b21_wds_read_docs_per_sec"] = round(
+        b21_nd / (time.perf_counter() - t0), 1
+    )
+    assert b21_back == b21_nd, "webdataset round-trip lost samples"
+    b21_docs.unpersist()
+    _sh.rmtree(b21_dir, ignore_errors=True)
 
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine

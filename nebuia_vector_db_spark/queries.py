@@ -8082,17 +8082,19 @@ REGISTRY: dict[
     # shortlist→re-rank pattern on bit codes. Displaces rollup_lineitem
     # (see its below-window justification).
     "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
-    # radius/range vector search (round-10 promotion, VERDICT r9 task
-    # #1): ALL vectors above a similarity threshold — the
-    # selection-shaped vector query the reference's top-k-only API
-    # lacks (a pure pushed-down filter, no shuffle, no TakeOrdered
-    # cut: the only vs_* row whose result size is data-dependent).
-    # Takes vs_neardup_cos's slot: both are cosine-THRESHOLD
-    # selections, and the near-dup row's exact kernel (the same
-    # SQL-HOF dot product) stays recorded via every other vs_* row
-    # while its all-pairs blocking stays recorded via
-    # dedup_minhash_lsh/dedup_simhash; see the below-window note.
-    "vs_range_search": (q_vs_range_search, ORACLE_VS_RANGE),
+    # two-stage pseudo-relevance-feedback retrieval (late-r12
+    # promotion): Rocchio expansion toward the integer-micro-unit
+    # centroid of each query's own top-5, then re-search — the first
+    # recorded ITERATE-THEN-RE-SEARCH retrieval loop (every other
+    # vs_* row is single-stage or shortlist+re-rank of the SAME
+    # query). The BIGINT feedback accumulation is what lets the full
+    # loop hash-certify. Takes vs_range_search's slot: the vector
+    # family held 10 of 50, and the radius row is its most redundant
+    # member — a pure threshold select over the SAME HOF dot kernel
+    # every vs_* row records, with threshold-selection also recorded
+    # inside dedup_incremental's cosine verify tail; see the
+    # below-window note.
+    "vs_prf_rocchio": (q_vs_prf_rocchio, ORACLE_VS_PRF_ROCCHIO),
     # doc-level late-interaction rollup (max/mean chunk sim + argmax)
     "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
     # dedup family (extension, SURVEY §2.3)
@@ -8286,13 +8288,20 @@ REGISTRY: dict[
     # since r11 the container-walk slot is held by dedup_video (which
     # demuxes MKV and AVI); see the below-window justifications.
     "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
-    # REAL lossy perceptual audio codec (round-9 promotion): MPEG-1
-    # Layer II (ISO 11172-3) bitstream — subband QMF synthesis,
-    # scalefactors, bit allocation — decoded executor-side via
-    # mapInPandas; hash-checks the Layer II bitstream layer the
-    # lossless WAV row (mm_audio_real) cannot reach. Displaces
-    # events_retention (see its below-window justification).
-    "mm_mp2_audio": (q_mm_mp2_audio, ORACLE_MM_MP2),
+    # integer-exact PageRank power iteration (late-r12 promotion):
+    # the iterative-graph family's FIRST recorded representative —
+    # link-centrality as a training-data quality prior (Common Crawl
+    # host ranks). BIGINT micro-unit recurrence makes the per-node
+    # sums order-independent, so a 5-iteration ITERATIVE algorithm
+    # carries a full unrolled-CTE oracle. Takes mm_mp2_audio's slot:
+    # the audio-decode surface held FOUR recorded rows (mm_flac_audio
+    # lossless compression, dedup_audiofp WAV/FLAC decode,
+    # dedup_audiofp_lossy the ADPCM lossy boundary) and the Layer II
+    # perceptual bitstream is the most self-contained of them — it
+    # feeds no downstream operator; stays locally green +
+    # pytest-pinned (tests/test_mpegaudio.py); see the below-window
+    # note.
+    "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     # TPC-H Q2 minimum-cost supplier (round-11 promotion, VERDICT
@@ -8351,7 +8360,20 @@ REGISTRY: dict[
     # aggregation stays recorded inside pipe_curate's corpus card and
     # dedup_groups' sizes, and the HLL row stays locally green below.
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
-    "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
+    # WebDataset tar-shard interchange round trip (late-r12
+    # promotion): byte-deterministic shard export + binaryFile/untar
+    # re-read with content-sensitive md5s from the RE-READ member
+    # bytes — the GPU-training-loader interchange surface, which had
+    # NO recorded representative (pipe_jsonl_roundtrip sits below the
+    # window since r10). Takes orders_running_revenue's slot: the
+    # running-aggregate window frame is pinned in-window by
+    # events_sessions' lag+cumsum session ids and tpch_q21's
+    # per-order window pass, and the row_number cut by vs_knn_join;
+    # see the below-window note.
+    "pipe_webdataset_roundtrip": (
+        q_pipe_webdataset_roundtrip,
+        ORACLE_PIPE_WEBDATASET,
+    ),
     "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME),
     # skew handling made hash-checkable: salted join ≡ plain join
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
@@ -8385,6 +8407,22 @@ REGISTRY: dict[
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
+    # Late round-12 demotions (slots freed for graph_pagerank,
+    # vs_prf_rocchio, pipe_webdataset_roundtrip — three new families):
+    # vs_range_search: radius/threshold vector select — the HOF dot
+    #   kernel is recorded by every vs_* row and threshold selection
+    #   by dedup_incremental's cosine verify tail; locally green;
+    "vs_range_search": (q_vs_range_search, ORACLE_VS_RANGE),
+    # mm_mp2_audio: MPEG-1 Layer II perceptual bitstream — the audio
+    #   decode surface keeps three recorded rows (FLAC lossless
+    #   compression, audiofp's WAV/FLAC decode path, audiofp_lossy's
+    #   ADPCM boundary); the QMF subband synthesis stays locally
+    #   green + pytest-pinned (tests/test_mpegaudio.py);
+    "mm_mp2_audio": (q_mm_mp2_audio, ORACLE_MM_MP2),
+    # orders_running_revenue: cumulative-sum window frames — pinned
+    #   in-window by events_sessions' lag+cumsum and tpch_q21's
+    #   per-order window pass; locally green;
+    "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
     # Round-10 demotions:
     # pipe_epoch_shuffle: deterministic md5-keyed epoch shuffle +
     #   shard assignment — demoted r10 for dedup_semdedup (cluster-
@@ -8465,7 +8503,8 @@ REGISTRY: dict[
     # orders_above_cust_avg: subquery family rep stays tpch_q4
     #   (EXISTS → semi-join); decorrelated-avg stays locally green;
     # price_quantiles: rank-window family covered by hybrid_rrf's
-    #   rank fusion + orders_running_revenue's frames; exact
+    #   rank fusion + tpch_q21's per-order window pass (running-sum
+    #   frames demoted with orders_running_revenue late r12); exact
     #   percentile stays locally green.
     # Round-4 demotions:
     # mm_scene_changes: byte-delta scene cuts — demoted round 4 for
@@ -8780,7 +8819,7 @@ REGISTRY: dict[
     # tpch_q1; cube_orders: grouping-sets family, covered by
     # rollup_lineitem; top_customers: agg+join+sort+limit, covered by
     # tpch_q3/q10; events_user_gap: lag window, covered by
-    # orders_running_revenue frames + events_sessions gap logic;
+    # events_sessions' recorded lag/gap logic;
     # distinct_stats: distinct-agg family, covered by
     # approx_cardinality's exact counts; pipe_dataset_split: the
     # md5-bucket split runs INSIDE recorded pipe_decontaminate and
@@ -8876,29 +8915,6 @@ REGISTRY: dict[
     #   retrieval spine (broadcast queries + HOF dot + WindowGroupLimit
     #   cut) is recorded via vs_knn_join; full oracle; locally green;
     "vs_hard_negatives": (q_vs_hard_negatives, ORACLE_VS_HARD_NEGATIVES),
-    # vs_prf_rocchio: two-stage pseudo-relevance-feedback retrieval
-    #   (round 12) — integer-micro-unit Rocchio expansion makes the
-    #   iterate-then-re-search loop fully hash-certifiable; the
-    #   single-stage retrieval spine is recorded via vs_knn_join;
-    #   full oracle; locally green;
-    "vs_prf_rocchio": (q_vs_prf_rocchio, ORACLE_VS_PRF_ROCCHIO),
-    # pipe_webdataset_roundtrip: byte-deterministic tar-shard export
-    #   + binaryFile/untar re-read (round 12) — the GPU-loader
-    #   interchange sibling of pipe_jsonl_roundtrip (which holds the
-    #   interchange family's story); full oracle (content-sensitive
-    #   md5 from re-read member bytes); locally green;
-    "pipe_webdataset_roundtrip": (
-        q_pipe_webdataset_roundtrip,
-        ORACLE_PIPE_WEBDATASET,
-    ),
-    # graph_pagerank: integer-exact PageRank power iteration (round
-    #   12) — the iterative-graph family's first representative; FULL
-    #   oracle despite being iterative (BIGINT micro-unit recurrence,
-    #   unrolled-CTE replay). Below the window: new capability, but
-    #   the window is at capacity and every slot holds a distinct
-    #   recorded family; candidate for promotion next rotation;
-    #   locally green;
-    "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
 }
 
 

@@ -68,11 +68,12 @@ _REQUIRED_IN_WINDOW = {
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
     "vs_ivf_batch", "vs_pq_topk", "vs_mrl_rerank", "vs_doc_maxsim",
     "vs_bq_rerank",
-    # cosine-threshold selection (r10: vs_range_search — the radius
-    # query engine-API form — takes vs_neardup_cos's slot; the exact
-    # cosine kernel stays recorded via every vs_* row, all-pairs
-    # blocking via dedup_minhash_lsh/dedup_simhash)
-    "vs_range_search",
+    # (vs_range_search demoted late r12 for vs_prf_rocchio — the
+    # first recorded iterate-then-re-search retrieval loop, with
+    # integer-micro-unit Rocchio feedback; the radius row's HOF dot
+    # kernel is recorded by every vs_* row and threshold selection by
+    # dedup_incremental's verify tail)
+    "vs_prf_rocchio",
     # dedup family (dedup_substring = span-level diagnosis, promoted
     # r4; dedup_drop_spans = span REMOVAL, promoted r6 displacing
     # dedup_ngram_jaccard — whose recorded output was byte-identical
@@ -157,8 +158,12 @@ _REQUIRED_IN_WINDOW = {
     # (mm_color_roundtrip demoted r12 for pipe_leakage_split — the
     # baseline-JPEG entropy decode runs recorded inside dedup_video's
     # frame decode; the chroma-subsampling delta stays locally green)
+    # (mm_mp2_audio demoted late r12 for graph_pagerank — the
+    # iterative-graph family's first recorded rep; the audio-decode
+    # surface keeps three recorded rows: FLAC lossless compression,
+    # audiofp's WAV/FLAC decode, audiofp_lossy's ADPCM boundary)
     "mm_png_roundtrip", "mm_flac_audio", "dedup_video",
-    "mm_h264_iframes", "mm_mp2_audio",
+    "mm_h264_iframes", "graph_pagerank",
     # transactional storage (snap_engine_lifecycle promoted r9: the
     # VectorEngine facade driving store → search → ACID delete →
     # multi-search end-to-end; snap_delete_read demoted r11 for
@@ -183,7 +188,12 @@ _REQUIRED_IN_WINDOW = {
     # certifies one built-in aggregate, the sketch family's recorded
     # rep is text_heavy_ngrams' CMS pipeline)
     "tpch_q1", "tpch_q2", "tpch_q21",
-    "dedup_incremental", "orders_running_revenue",
+    # (orders_running_revenue demoted late r12 for
+    # pipe_webdataset_roundtrip — the tar-shard GPU-loader
+    # interchange surface, previously unrecorded; running-sum window
+    # frames stay pinned by events_sessions' lag+cumsum and
+    # tpch_q21's per-order window pass)
+    "dedup_incremental", "pipe_webdataset_roundtrip",
     "fuzzy_name_match", "skew_salted_join",
     # events (events_sliding demoted r6, events_retention demoted
     # r9, events_hourly demoted r11 for text_unigram_train — the
