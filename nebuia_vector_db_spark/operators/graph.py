@@ -187,3 +187,93 @@ def pagerank_exact(
         ranks.unpersist()
         ranks = new_ranks
     return ranks.select("node", "rank_micro")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED closure of an edge list; returns (node, community).
+
+    Deterministic contract (fully SQL-replayable — no randomized
+    tie-breaks or asynchronous visit order, the two places vanilla
+    LPA is nondeterministic):
+
+    - ``label_0(v) = v`` (the node id is its own first label, so the
+      label domain is the orderable node type);
+    - each round, EVERY node simultaneously adopts the most frequent
+      label among its neighbors' current labels, ties broken by the
+      SMALLEST label; nodes with no neighbors keep their own label;
+    - ``iters`` fixed rounds (synchronous LPA on bipartite-ish
+      structures can oscillate rather than converge, so a fixed
+      round count is the well-defined spec — and what the unrolled
+      oracle replays).
+
+    Community detection is the graph-side sibling of the dedup
+    family's connected components (``components.py``): components
+    answer "transitively linked at all?", LPA answers "densely
+    linked together?" — the grouping used for domain clustering and
+    crawl-site discovery.
+
+    Scale posture: per round, one groupBy((node, label)) count + one
+    per-node window cut (both shuffle on node) over the symmetrized
+    edge relation, which is built and persisted ONCE. Same
+    persist/unpersist + lineage-cut loop discipline as
+    :func:`pagerank_exact`.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(
+            F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("_u"), F.col(src_col).alias("_v")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    _CACHED_RELATIONS.append(sym)
+    nodes = sym.select(F.col("_u").alias("node")).distinct().persist()
+    _CACHED_RELATIONS.append(nodes)
+
+    labels = nodes.select("node", F.col("node").alias("community")).persist()
+    _CACHED_RELATIONS.append(labels)
+
+    w = Window.partitionBy("_v").orderBy(F.desc("_n"), F.asc("_l"))
+    for it in range(iters):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("_u"),
+                    F.col("community").alias("_l"),
+                ),
+                "_u",
+            )
+            .groupBy("_v", "_l")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        winner = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_v").alias("node"), F.col("_l").alias("_win"))
+        )
+        new_labels = nodes.join(winner, "node", "left").select(
+            "node",
+            F.coalesce("_win", F.col("node")).alias("community"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.persist()
+        _CACHED_RELATIONS.append(new_labels)
+        labels.unpersist()
+        labels = new_labels
+    return labels.select("node", "community")

@@ -41,6 +41,23 @@ from nebuia_vector_db_spark.functions.vector import dot, l2_normalize
 from nebuia_vector_db_spark.operators.topk import topk_per_group
 
 
+def _no_column_collisions(
+    corpus_df: DataFrame, queries_df: DataFrame, op: str
+) -> None:
+    """Fail fast with an actionable message instead of Spark's
+    ambiguous-reference analysis error mid-plan (the leakage_split
+    discipline): the query side is crossJoined onto the corpus, so
+    shared names (a corpus 'label' vs a query 'label') would resolve
+    arbitrarily."""
+    shared = set(corpus_df.columns) & set(queries_df.columns)
+    if shared:
+        raise ValueError(
+            f"{op}: query and corpus relations share column(s) "
+            f"{sorted(shared)} — alias the query side "
+            "(e.g. query_id/query_vec/query_label) before calling"
+        )
+
+
 def hard_negatives(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -68,6 +85,7 @@ def hard_negatives(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    _no_column_collisions(corpus_df, queries_df, "hard_negatives")
     qn = queries_df.withColumn(
         query_vec_col, l2_normalize(F.col(query_vec_col))
     )
@@ -130,6 +148,7 @@ def rocchio_expand(
         raise ValueError("fb_k must be >= 1")
     if alpha_pct < 0 or beta_pct < 0:
         raise ValueError("alpha_pct/beta_pct must be >= 0")
+    _no_column_collisions(corpus_df, queries_df, "rocchio_expand")
     qn = queries_df.select(
         query_id_col,
         l2_normalize(F.col(query_vec_col)).alias("_qn"),

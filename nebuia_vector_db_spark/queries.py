@@ -8029,6 +8029,89 @@ SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation community detection (round 12,
+    operators/graph.py::label_propagation): 3 synchronous rounds over
+    a cluster-structured synthetic link graph (a 5-node ring per
+    doc_id block plus sparse cross-block edges — pure modular
+    arithmetic, replayed verbatim by the oracle). The smallest-label
+    tie-break and fixed round count remove both nondeterminism
+    sources of vanilla LPA, so an ITERATIVE community algorithm
+    carries a full unrolled-CTE oracle — same discipline as
+    graph_pagerank's micro-unit recurrence."""
+    from nebuia_vector_db_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        (
+            (F.col("doc_id") - F.col("doc_id") % 5)
+            + ((F.col("doc_id") % 5 + 1) % 5)
+        ).alias("dst"),
+    )
+    cross = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % F.col("_n")).alias("dst"),
+        )
+    )
+    edges = ring.unionByName(cross)
+    return (
+        label_propagation(edges, iters=3)
+        .select(F.col("node").alias("doc_id"), "community")
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_iters_sql(iters: int) -> str:
+    """Chained CTEs l0..l{iters} replaying label_propagation's
+    synchronous rounds: most-frequent neighbor label, ties to the
+    smallest label, isolated nodes keep their own."""
+    ctes = ["l0 AS (SELECT node, node AS community FROM nodes)"]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""l{t} AS (
+  SELECT nodes.node, COALESCE(w.win, nodes.node) AS community
+  FROM nodes LEFT JOIN (
+    SELECT v AS node, l AS win FROM (
+      SELECT s.v, p.community AS l,
+             row_number() OVER (PARTITION BY s.v
+                                ORDER BY count(*) DESC, p.community ASC) AS rk
+      FROM sym s JOIN l{t - 1} p ON p.node = s.u
+      GROUP BY s.v, p.community
+    ) WHERE rk = 1
+  ) w ON w.node = nodes.node
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+ORACLE_GRAPH_COMMUNITIES = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 5) + ((doc_id % 5 + 1) % 5) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % n.n FROM documents, n
+  WHERE doc_id % 7 = 0
+),
+sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e0
+    UNION ALL
+    SELECT dst AS u, src AS v FROM e0
+  )
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+{_lpa_iters_sql(3)}
+SELECT node AS doc_id, community FROM l3 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8423,6 +8506,11 @@ REGISTRY: dict[
     #   in-window by events_sessions' lag+cumsum and tpch_q21's
     #   per-order window pass; locally green;
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
+    # graph_communities: deterministic label-propagation community
+    #   detection (late round 12) — the graph family's second row;
+    #   the iterative unrolled-CTE oracle discipline is recorded via
+    #   graph_pagerank, so this stays below the window; locally green;
+    "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
     # Round-10 demotions:
     # pipe_epoch_shuffle: deterministic md5-keyed epoch shuffle +
     #   shard assignment — demoted r10 for dedup_semdedup (cluster-

@@ -106,6 +106,14 @@ def write_webdataset(
     for ext in members:
         if "/" in ext or "." in ext:
             raise ValueError(f"member extension {ext!r} must be a bare suffix")
+    missing = {c for c in members.values() if c not in df.columns}
+    if key_col not in df.columns:
+        missing.add(key_col)
+    if missing:
+        raise ValueError(
+            f"write_webdataset: column(s) {sorted(missing)} not in the "
+            f"input relation (has {df.columns})"
+        )
     os.makedirs(out_dir, exist_ok=True)
     exts = sorted(members)
     sel = [F.col(key_col).cast("string").alias("_key"),

@@ -7,9 +7,12 @@ against a from-scratch pure-Python reference on adversarial shapes
 checkpoint path and the degenerate parameter space.
 """
 
+import random
 from collections import defaultdict
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nebuia_vector_db_spark.operators.graph import (
@@ -86,6 +89,112 @@ def test_nodes_and_degrees(spark):
     deg = {r.node: r.out_deg for r in out_degrees(edges).collect()}
     # parallel edges count multiply; sinks get explicit 0
     assert deg == {0: 3, 1: 0, 2: 1, 3: 0}
+
+
+def _ref_lpa(edges, iters):
+    sym = set()
+    for u, v in edges:
+        sym.add((u, v))
+        sym.add((v, u))
+    nbrs = defaultdict(set)
+    for u, v in sym:
+        nbrs[v].add(u)
+    lab = {u: u for e in sym for u in e}
+    for _ in range(iters):
+        new = {}
+        for v in lab:
+            cnt = defaultdict(int)
+            for u in nbrs[v]:
+                cnt[lab[u]] += 1
+            new[v] = (
+                sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                if cnt
+                else v
+            )
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    from nebuia_vector_db_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge, plus a self-loop singleton;
+    # parallel + reversed edges exercise the undirected-closure dedup
+    edges = [(0, 1), (1, 2), (0, 2), (2, 0), (3, 4), (4, 5), (3, 5),
+             (2, 3), (6, 6), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (0, 1, 4):
+        got = {
+            r.node: r.community
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == _ref_lpa(edges, iters), iters
+
+
+def test_label_propagation_separates_cliques(spark):
+    from nebuia_vector_db_spark.operators.graph import label_propagation
+
+    # two 4-cliques with NO bridge: each converges to its min label
+    cliq = lambda base: [
+        (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    df = spark.createDataFrame(
+        cliq(0) + cliq(10), "src long, dst long"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, iters=4).collect()
+    }
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[10 + i] for i in range(4)} == {10}
+
+
+def test_label_propagation_checkpoint_identical(spark):
+    from nebuia_vector_db_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 3 + 1) % 12) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {
+        r.node: r.community
+        for r in label_propagation(df, iters=5).collect()
+    }
+    chk = {
+        r.node: r.community
+        for r in label_propagation(df, iters=5, checkpoint_every=2).collect()
+    }
+    assert base == chk == _ref_lpa(edges, 5)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_pagerank_edge_order_and_partitioning_invariant(spark, seed):
+    """The micro-unit claim, property-tested: integer sums are
+    order-independent, so shuffling the edge list AND changing its
+    partitioning must reproduce bit-identical ranks (a float
+    implementation fails this — partition boundaries change the
+    summation order)."""
+    rng = random.Random(seed)
+    n = rng.randint(4, 24)
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randint(n, 3 * n))
+    ]
+    want = _ref_pagerank(edges, 3)
+    shuffled = edges[:]
+    rng.shuffle(shuffled)
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            shuffled, "src long, dst long"
+        ).repartition(parts)
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank_exact(df, iters=3).collect()
+        }
+        assert got == want, (seed, parts)
 
 
 def test_pagerank_string_node_ids(spark):

@@ -83,6 +83,19 @@ def test_hard_negatives_k_validation(spark):
         hard_negatives(_queries(corpus, [0]), corpus, k=0)
 
 
+def test_column_collision_fails_fast(spark):
+    corpus = _corpus(spark)
+    # un-aliased query side shares 'label'/'embedding' with the corpus
+    with pytest.raises(ValueError, match="share column"):
+        hard_negatives(
+            corpus.withColumnRenamed("vec_id", "query_id").withColumn(
+                "query_vec", F.col("embedding")
+            ).withColumn("query_label", F.col("label")),
+            corpus,
+            k=1,
+        )
+
+
 def test_rocchio_matches_pure_python_reference(spark):
     """Integer-exact expansion: Spark ≡ a from-scratch reference of
     the documented recurrence (floor micro quantization, BIGINT
