@@ -8029,6 +8029,104 @@ SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
 
 
+def _roundtrip_stats(back: DataFrame) -> DataFrame:
+    """Per-lang aggregate with content-sensitive md5 extrema computed
+    from the RE-READ text — shared by the interchange round-trip rows
+    (gzip-JSONL / ORC / CSV), so each row certifies its format's
+    serialization layer against the same oracle shape."""
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_text_chars"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+            F.min(F.md5("text")).alias("min_md5"),
+            F.max(F.md5("text")).alias("max_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_pipe_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round trip (round 12): the corpus through
+    Spark's built-in columnar ORC source both ways (zlib, the
+    Hive-ecosystem exchange format), schema-pinned re-read, then the
+    shared per-lang content-md5 aggregate — any encoding/compression
+    defect in the ORC layer breaks the hash against the oracle, which
+    reads the original parquet directly."""
+    from nebuia_vector_db_spark.session import (
+        remove_scratch,
+        shared_scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = shared_scratch_dir(spark, "orc")
+    try:
+        docs.write.mode("overwrite").option("compression", "zlib").orc(
+            out_dir
+        )
+        back = spark.read.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).orc(out_dir)
+        out = _roundtrip_stats(back)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        remove_scratch(spark, out_dir)
+    return out
+
+
+def q_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange round trip (round 12): the corpus through
+    Spark's CSV source with full quoting (header, gzip, multiLine +
+    escaped-quote read options) — CSV is the format where
+    serialization BUGS actually live (delimiters, quotes and newlines
+    embedded in document text), so the re-read content-md5 aggregate
+    is a real correctness gate, not a formality; the oracle reads the
+    original parquet directly."""
+    from nebuia_vector_db_spark.session import (
+        remove_scratch,
+        shared_scratch_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = shared_scratch_dir(spark, "csv")
+    try:
+        (
+            docs.write.mode("overwrite")
+            .option("header", "true")
+            .option("compression", "gzip")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            # Spark's CSV WRITER trims cell whitespace by default
+            # (ignore*WhiteSpace default TRUE on write, unlike read) —
+            # silent content corruption for text with leading/trailing
+            # spaces; caught by tests/test_interchange.py
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(out_dir)
+        )
+        back = (
+            spark.read.schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            )
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(out_dir)
+        )
+        out = _roundtrip_stats(back)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        remove_scratch(spark, out_dir)
+    return out
+
+
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label-propagation community detection (round 12,
     operators/graph.py::label_propagation): 3 synchronous rounds over
@@ -8511,6 +8609,14 @@ REGISTRY: dict[
     #   the iterative unrolled-CTE oracle discipline is recorded via
     #   graph_pagerank, so this stays below the window; locally green;
     "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
+    # pipe_orc_roundtrip / pipe_csv_roundtrip: columnar-ORC and
+    #   fully-quoted-CSV interchange round trips (late round 12) —
+    #   the interchange family's recorded rep is
+    #   pipe_webdataset_roundtrip (tar shards) with gzip-JSONL below
+    #   the window since r10; both reuse its content-md5 aggregate
+    #   shape; locally green;
+    "pipe_orc_roundtrip": (q_pipe_orc_roundtrip, ORACLE_PIPE_JSONL),
+    "pipe_csv_roundtrip": (q_pipe_csv_roundtrip, ORACLE_PIPE_JSONL),
     # Round-10 demotions:
     # pipe_epoch_shuffle: deterministic md5-keyed epoch shuffle +
     #   shard assignment — demoted r10 for dedup_semdedup (cluster-
