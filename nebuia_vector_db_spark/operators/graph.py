@@ -118,6 +118,8 @@ def pagerank_exact(
         raise ValueError("damping_pct must be in [0, 100]")
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     teleport = (init_micro * (100 - damping_pct)) // 100
 
     nodes = graph_nodes(edges, src_col, dst_col).persist()
@@ -227,6 +229,8 @@ def label_propagation(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     from pyspark.sql import Window
 
     sym = (

@@ -76,9 +76,14 @@ def hard_negatives(
     — the hard-negative set. Reference similarity semantics
     (normalized query · raw stored vector, SURVEY §1.5-1); NULL
     corpus labels are excluded conservatively (a row of unknown label
-    must not be served as a negative). ``exclude_ids=(query_col,
-    corpus_col)`` additionally drops identity matches when queries
-    are drawn from the corpus itself.
+    must not be served as a negative). A NULL QUERY label likewise
+    yields an empty negative set for that query (the != predicate is
+    NULL): mining negatives for an unlabeled query is ill-defined —
+    there is no way to know what would be a false negative — so
+    filter or label the query batch first; this is a per-row data
+    condition the operator cannot fail fast on without a scan.
+    ``exclude_ids=(query_col, corpus_col)`` additionally drops
+    identity matches when queries are drawn from the corpus itself.
 
     Returns the queries' columns + corpus columns + ``sim_col`` +
     ``rk`` (1-based hardness rank).

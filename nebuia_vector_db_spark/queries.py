@@ -2719,17 +2719,7 @@ def q_pipe_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, text string, lang string, source string,"
             " n_chars long"
         ).json(out_dir)
-        out = (
-            back.groupBy("lang")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.length("text")).alias("sum_text_chars"),
-                F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
-                F.min(F.md5("text")).alias("min_md5"),
-                F.max(F.md5("text")).alias("max_md5"),
-            )
-            .orderBy("lang")
-        )
+        out = _roundtrip_stats(back)
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
         remove_scratch(spark, out_dir)
@@ -7986,11 +7976,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in ((17, 3), (29, 7), (43, 11))
     ]
     edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return (
+    out = (
         pagerank_exact(edges, iters=5, damping_pct=85)
         .select(F.col("node").alias("doc_id"), "rank_micro")
         .orderBy("doc_id")
     )
+    # release the loop's persisted relations NOW (unpersist is
+    # lazy-safe — the returned plan recomputes from source, a linear
+    # DAG at these sizes): a registry fn must not pin executor caches
+    # for the rest of a 150-query oracle run. Construction never
+    # materialized them (no action runs inside pagerank_exact at
+    # iters<=checkpoint_every), so nothing is wasted.
+    _release_graph_caches()
+    return out
 
 
 def _pagerank_iters_sql(iters: int) -> str:
@@ -8085,7 +8083,12 @@ def q_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialization BUGS actually live (delimiters, quotes and newlines
     embedded in document text), so the re-read content-md5 aggregate
     is a real correctness gate, not a formality; the oracle reads the
-    original parquet directly."""
+    original parquet directly. One lossy spot CSV cannot carry: NULL
+    vs empty-string text (a quoted empty field and an absent field
+    conflate on re-read — pinned in tests/test_interchange.py), so
+    BOTH sides normalize text through coalesce(text, '') — the row
+    certifies everything else without silently depending on a
+    never-NULL corpus invariant."""
     from nebuia_vector_db_spark.session import (
         remove_scratch,
         shared_scratch_dir,
@@ -8120,11 +8123,27 @@ def q_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("escape", '"')
             .csv(out_dir)
         )
+        # NULL/'' conflation normalization — see the docstring
+        back = back.withColumn("text", F.coalesce("text", F.lit("")))
         out = _roundtrip_stats(back)
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
         remove_scratch(spark, out_dir)
     return out
+
+
+ORACLE_PIPE_CSV = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars,
+       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+           AS n_distinct_texts,
+       min(md5(coalesce(text, ''))) AS min_md5,
+       max(md5(coalesce(text, ''))) AS max_md5
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8157,11 +8176,21 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     edges = ring.unionByName(cross)
-    return (
+    out = (
         label_propagation(edges, iters=3)
         .select(F.col("node").alias("doc_id"), "community")
         .orderBy("doc_id")
     )
+    _release_graph_caches()  # see q_graph_pagerank's note
+    return out
+
+
+def _release_graph_caches() -> None:
+    from nebuia_vector_db_spark.operators.graph import (
+        release_cached_relations,
+    )
+
+    release_cached_relations()
 
 
 def _lpa_iters_sql(iters: int) -> str:
@@ -8616,7 +8645,7 @@ REGISTRY: dict[
     #   the window since r10; both reuse its content-md5 aggregate
     #   shape; locally green;
     "pipe_orc_roundtrip": (q_pipe_orc_roundtrip, ORACLE_PIPE_JSONL),
-    "pipe_csv_roundtrip": (q_pipe_csv_roundtrip, ORACLE_PIPE_JSONL),
+    "pipe_csv_roundtrip": (q_pipe_csv_roundtrip, ORACLE_PIPE_CSV),
     # Round-10 demotions:
     # pipe_epoch_shuffle: deterministic md5-keyed epoch shuffle +
     #   shard assignment — demoted r10 for dedup_semdedup (cluster-

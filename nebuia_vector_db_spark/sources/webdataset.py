@@ -52,6 +52,7 @@ import io
 import os
 import re
 import tarfile
+import uuid
 from typing import Iterable, Iterator, Mapping
 
 import pandas as pd
@@ -137,7 +138,6 @@ def write_webdataset(
                 f"write_webdataset: duplicate sample key {dup!r} — "
                 f"{key_col} must be unique per row"
             )
-        n_rows = len(pdf)
         pdf = pdf.sort_values("_key", kind="mergesort")
         # plain tuples in explicit column order: itertuples renames
         # underscore-prefixed fields, so attribute access is unusable
@@ -148,11 +148,18 @@ def write_webdataset(
         # USTAR: fixed-layout headers, no PAX extension records whose
         # ordering could perturb byte-determinism; keys and bare
         # extensions stay far below the 100-char name limit.
+        n_rows = 0
         with tarfile.open(
             fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
         ) as tar:
             for tup in pdf.itertuples(index=False, name=None):
                 key = tup[0]
+                # n_samples counts samples a reader can actually
+                # recover: a row whose members are ALL NULL writes no
+                # tar entry and must not inflate the manifest
+                if all(tup[1 + i] is None for i in range(len(exts))):
+                    continue
+                n_rows += 1
                 for i, ext in enumerate(exts):
                     data = tup[1 + i]
                     if data is None:
@@ -168,7 +175,16 @@ def write_webdataset(
                     n_members += 1
         payload = buf.getvalue()
         final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
-        tmp = os.path.join(out_dir, f".shard-{shard:05d}.tar.tmp")
+        # per-ATTEMPT-unique staging name (the datasource.py staging
+        # discipline): with speculative execution two attempts of the
+        # same shard group run concurrently — a shared tmp name would
+        # let the loser truncate the winner's in-progress file. Both
+        # attempts produce byte-identical payloads (the writer is
+        # deterministic), so whichever os.replace lands last is
+        # equivalent.
+        tmp = os.path.join(
+            out_dir, f".shard-{shard:05d}.{uuid.uuid4().hex}.tmp"
+        )
         with open(tmp, "wb") as f:
             f.write(payload)
             f.flush()
@@ -209,15 +225,20 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
 
     def _untar(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "shard": [],
-                "key": [],
-                "ext": [],
-                "content": [],
-            }
+            # yield per tar FILE, not per Arrow batch: a batch can
+            # carry several whole shards, and accumulating every
+            # extracted member across them would peak at
+            # (all blobs + all contents) simultaneously — an OOM at
+            # exactly the ~1 GB shard sizes the module targets
             for p, blob in zip(pdf["path"], pdf["content"]):
                 m = _SHARD_RE.search(p)
                 shard = int(m.group(1)) if m else -1
+                out: dict[str, list] = {
+                    "shard": [],
+                    "key": [],
+                    "ext": [],
+                    "content": [],
+                }
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
                     for info in tar:
                         if not info.isfile():
@@ -228,6 +249,6 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         out["key"].append(name)
                         out["ext"].append(ext)
                         out["content"].append(fh.read() if fh else b"")
-            yield pd.DataFrame(out)
+                yield pd.DataFrame(out)
 
     return files.mapInPandas(_untar, schema=SAMPLES_SCHEMA)

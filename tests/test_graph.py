@@ -79,6 +79,12 @@ def test_pagerank_param_validation(spark):
         pagerank_exact(df, damping_pct=101)
     with pytest.raises(ValueError):
         pagerank_exact(df, iters=-1)
+    with pytest.raises(ValueError):
+        pagerank_exact(df, checkpoint_every=0)
+    from nebuia_vector_db_spark.operators.graph import label_propagation
+
+    with pytest.raises(ValueError):
+        label_propagation(df, checkpoint_every=0)
 
 
 def test_nodes_and_degrees(spark):
