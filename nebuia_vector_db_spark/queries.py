@@ -8027,6 +8027,92 @@ SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
 
 
+def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics (round 12,
+    operators/evaluation.py::evaluate_run): the exact kNN top-20 run
+    over the labeled embedding corpus is scored at k=10 against
+    same-label ground truth (relevant ≙ shares the query's label,
+    self excluded) — per-query recall@10 / precision@10 / MRR as
+    BIGINT micro-units with single terminal floor divisions, so the
+    whole run→qrels→metrics pipeline is hash-certified. This is the
+    harness every ANN-tier recall claim ultimately rests on, made a
+    first-class distributed op (two equi-joins + a grouped agg — no
+    windows past the run's own cut, no driver loop)."""
+    from nebuia_vector_db_spark.functions.vector import l2_normalize
+    from nebuia_vector_db_spark.operators.evaluation import evaluate_run
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias(
+            "_qv"
+        ),
+        F.col("label").alias("_qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries.drop("_qlabel")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_s", dot(F.col("embedding"), F.col("_qv")))
+    )
+    run = topk_per_group(
+        scored, ["query_id"], "_s", 20, tie_cols=["vec_id"]
+    ).select("query_id", "vec_id", "rk")
+    qrels = (
+        emb.join(
+            F.broadcast(
+                queries.select("query_id", "_qlabel")
+            ),
+            (F.col("label") == F.col("_qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+    )
+    return evaluate_run(
+        run, qrels, k=10, doc_col="vec_id", rank_col="rk"
+    ).orderBy("query_id")
+
+
+ORACLE_EVAL_RETRIEVAL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+run AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                                       e.vec_id) AS rk
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rk <= 20
+),
+rel AS (
+  SELECT q.query_id, e.vec_id
+  FROM embeddings e JOIN q
+    ON e.label = q.qlabel AND e.vec_id <> q.query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS h, min(r.rk) AS fr
+  FROM run r JOIN rel ON rel.query_id = r.query_id AND rel.vec_id = r.vec_id
+  WHERE r.rk <= 10
+  GROUP BY r.query_id
+)
+SELECT nrel.query_id,
+       CAST(nrel.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_k,
+       CAST((1000000 * COALESCE(hits.h, 0)) // nrel.n_rel AS BIGINT) AS recall_micro,
+       CAST((1000000 * COALESCE(hits.h, 0)) // 10 AS BIGINT) AS precision_micro,
+       CAST(COALESCE(1000000 // hits.fr, 0) AS BIGINT) AS rr_micro
+FROM nrel LEFT JOIN hits ON hits.query_id = nrel.query_id
+ORDER BY nrel.query_id
+"""
+
+
 def _roundtrip_stats(back: DataFrame) -> DataFrame:
     """Per-lang aggregate with content-sensitive md5 extrema computed
     from the RE-READ text — shared by the interchange round-trip rows
@@ -8633,6 +8719,12 @@ REGISTRY: dict[
     #   in-window by events_sessions' lag+cumsum and tpch_q21's
     #   per-order window pass; locally green;
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
+    # eval_retrieval_knn: per-query recall@10 / precision@10 / MRR of
+    #   the exact kNN run against same-label qrels (late round 12) —
+    #   the evaluation family's first row; integer-micro metrics,
+    #   full oracle; the run/qrels machinery it composes is recorded
+    #   via vs_knn_join + vs_hard_negatives; locally green;
+    "eval_retrieval_knn": (q_eval_retrieval_knn, ORACLE_EVAL_RETRIEVAL),
     # graph_communities: deterministic label-propagation community
     #   detection (late round 12) — the graph family's second row;
     #   the iterative unrolled-CTE oracle discipline is recorded via
