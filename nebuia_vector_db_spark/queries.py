@@ -8113,6 +8113,108 @@ ORDER BY nrel.query_id
 """
 
 
+def q_eval_ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified ANN quality measurement (round 12): recall@10 /
+    MRR of the SQ8 int8 tier against the EXACT run as ground truth —
+    the number every compression-tier claim rests on, and because the
+    SQ8 quantization is itself SQL-replayable (no trained codebook),
+    the ENTIRE measurement — approximate run, exact run, metric
+    arithmetic — carries a value-hash oracle. (The IVF/PQ tiers'
+    recalls are bench-measured instead: their trained k-means
+    centroids are not SQL-expressible.) Composition: sq8_encode +
+    the shared scored-crossJoin spine + evaluate_run."""
+    from nebuia_vector_db_spark.functions.vector import l2_normalize
+    from nebuia_vector_db_spark.operators.evaluation import evaluate_run
+    from nebuia_vector_db_spark.operators.sq import sq8_encode
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias(
+            "_qv"
+        ),
+    )
+    enc = sq8_encode(emb)
+    joined = enc.crossJoin(F.broadcast(queries))
+    sq8_run = topk_per_group(
+        joined.withColumn(
+            "_sim", F.col("sq8_scale") * dot(F.col("sq8_codes"), F.col("_qv"))
+        ),
+        ["query_id"],
+        "_sim",
+        20,
+        tie_cols=["vec_id"],
+    ).select("query_id", "vec_id", "rk")
+    qrels = topk_per_group(
+        joined.withColumn("_sim", dot(F.col("embedding"), F.col("_qv"))),
+        ["query_id"],
+        "_sim",
+        10,
+        tie_cols=["vec_id"],
+    ).select("query_id", "vec_id")
+    return evaluate_run(
+        sq8_run, qrels, k=10, doc_col="vec_id", rank_col="rk"
+    ).orderBy("query_id")
+
+
+ORACLE_EVAL_ANN_SQ8 = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+enc AS (
+  SELECT vec_id,
+         greatest(
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0,
+           1e-30
+         ) AS s,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id, s, v, list_transform(v, x -> floor(x / s + 0.5)) AS c
+  FROM enc
+),
+sq8_run AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY d.s * list_dot_product(q.qv, d.c) DESC,
+                                       d.vec_id) AS rk
+    FROM deq d CROSS JOIN q
+  ) WHERE rk <= 20
+),
+qrels AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(d.v, q.qv) DESC,
+                                       d.vec_id) AS rk
+    FROM deq d CROSS JOIN q
+  ) WHERE rk <= 10
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS h, min(r.rk) AS fr
+  FROM sq8_run r
+  JOIN qrels ON qrels.query_id = r.query_id AND qrels.vec_id = r.vec_id
+  WHERE r.rk <= 10
+  GROUP BY r.query_id
+)
+SELECT nrel.query_id,
+       CAST(nrel.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_k,
+       CAST((1000000 * COALESCE(hits.h, 0)) // nrel.n_rel AS BIGINT) AS recall_micro,
+       CAST((1000000 * COALESCE(hits.h, 0)) // 10 AS BIGINT) AS precision_micro,
+       CAST(COALESCE(1000000 // hits.fr, 0) AS BIGINT) AS rr_micro
+FROM nrel LEFT JOIN hits ON hits.query_id = nrel.query_id
+ORDER BY nrel.query_id
+"""
+
+
 def _roundtrip_stats(back: DataFrame) -> DataFrame:
     """Per-lang aggregate with content-sensitive md5 extrema computed
     from the RE-READ text — shared by the interchange round-trip rows
@@ -8725,6 +8827,11 @@ REGISTRY: dict[
     #   full oracle; the run/qrels machinery it composes is recorded
     #   via vs_knn_join + vs_hard_negatives; locally green;
     "eval_retrieval_knn": (q_eval_retrieval_knn, ORACLE_EVAL_RETRIEVAL),
+    # eval_ann_sq8_recall: recall@10/MRR of the SQ8 tier vs the exact
+    #   run — the first fully hash-certified ANN-quality measurement
+    #   (quantize + approximate run + exact run + metrics all
+    #   SQL-replayed); locally green;
+    "eval_ann_sq8_recall": (q_eval_ann_sq8_recall, ORACLE_EVAL_ANN_SQ8),
     # graph_communities: deterministic label-propagation community
     #   detection (late round 12) — the graph family's second row;
     #   the iterative unrolled-CTE oracle discipline is recorded via
