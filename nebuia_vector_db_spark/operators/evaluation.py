@@ -105,3 +105,35 @@ def evaluate_run(
         ).alias("rr_micro"),
     )
     return out
+
+
+def summarize_eval(per_query: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """Corpus-level summary of :func:`evaluate_run`'s output — BOTH
+    averaging conventions, because they answer different questions
+    and conflating them is the classic IR-reporting mistake:
+
+    - **macro** (mean of per-query micro metrics): every query votes
+      equally — the retrieval-quality number papers report (MAP/MRR
+      are macro by definition);
+    - **micro** (pooled ``Σ hits / Σ n_rel``): every RELEVANT DOC
+      votes equally — dominated by queries with many relevant docs,
+      the right view for corpus-coverage questions.
+
+    One row: (n_queries, macro_recall_micro, macro_precision_micro,
+    mrr_micro, micro_recall_micro). Still integer micro-units: sums
+    are exact BIGINTs and each mean is one terminal floor division,
+    so the summary is as SQL-replayable as the per-query rows.
+    """
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("sum(recall_micro) div count(1)").alias(
+            "macro_recall_micro"
+        ),
+        F.expr("sum(precision_micro) div count(1)").alias(
+            "macro_precision_micro"
+        ),
+        F.expr("sum(rr_micro) div count(1)").alias("mrr_micro"),
+        F.expr(
+            f"({MICRO}L * sum(hits_at_k)) div sum(n_rel)"
+        ).alias("micro_recall_micro"),
+    )

@@ -61,6 +61,26 @@ def test_unjudged_run_queries_dropped_and_qrels_deduped(spark):
     assert rows[0].n_rel == 1 and rows[0].recall_micro == 1_000_000
 
 
+def test_summarize_macro_vs_micro(spark):
+    """Macro weighs queries equally; micro weighs relevant docs —
+    the hand-built pair below separates them."""
+    from nebuia_vector_db_spark.operators.evaluation import summarize_eval
+
+    run, qrels = _dfs(
+        spark,
+        # q1: 1 rel doc, retrieved (recall 1.0, rr 1.0)
+        # q2: 4 rel docs, 1 retrieved at rank 2 (recall 0.25, rr 0.5)
+        [(1, 10, 1), (2, 20, 1), (2, 21, 2)],
+        [(1, 10), (2, 21), (2, 22), (2, 23), (2, 24)],
+    )
+    per_q = evaluate_run(run, qrels, k=5)
+    row = summarize_eval(per_q).collect()[0]
+    assert row.n_queries == 2
+    assert row.macro_recall_micro == (1_000_000 + 250_000) // 2  # 625000
+    assert row.micro_recall_micro == (1_000_000 * 2) // 5  # 400000
+    assert row.mrr_micro == (1_000_000 + 500_000) // 2  # 750000
+
+
 def test_k_validation(spark):
     run, qrels = _dfs(spark, [(1, 10, 1)], [(1, 10)])
     with pytest.raises(ValueError):
