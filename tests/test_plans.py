@@ -585,3 +585,59 @@ def test_dedup_dhash_hot_band_guard_is_broadcast(spark, sf_oracle):
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "Window" not in plan
     assert shuffle_count(df) <= 5
+
+
+def test_hard_negatives_broadcast_filter_below_window(spark, sf_oracle):
+    """Late round 12: the mining row's query side must be a BROADCAST
+    nested-loop (bounded batch against the corpus scan — never a
+    CartesianProduct), the label exclusion must sit below the ranking
+    window (WindowGroupLimit ships <= k rows per query per task), and
+    the shuffle budget is the window's single exchange + the
+    presentation sort."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = Q.q_vs_hard_negatives(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_graph_pagerank_no_cartesian_bounded_shuffles(spark, sf_oracle):
+    """Late round 12: 5 power iterations must stay equi-join shaped —
+    no cartesian product anywhere in the iterative lineage — and the
+    per-iteration shuffle budget must hold (edges join + partial-agg
+    groupBy + teleport join, ~4/iteration; a regression that loses
+    map-side combine or degrades a join shows up here)."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        shuffle_count,
+    )
+
+    df = Q.q_graph_pagerank(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 22
+
+
+def test_eval_ann_sq8_scan_pruned_and_windowed(spark, sf_oracle):
+    """Late round 12: the hash-certified ANN-recall row reads only
+    (vec_id, embedding) from the corpus scan (label unprojected →
+    pruned), ranks through WindowGroupLimit cuts, and never goes
+    cartesian."""
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        scan_read_schema,
+        shuffle_count,
+    )
+
+    df = Q.q_eval_ann_sq8_recall(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    schemas = scan_read_schema(df)
+    assert schemas and all("label" not in s for s in schemas)
+    assert shuffle_count(df) <= 8
