@@ -35,12 +35,18 @@ Scale posture: each iteration is ONE shuffle (the groupBy(dst) partial
 sum; map-side combine applies because the aggregate is a LongType
 sum) plus a ranks-by-src join. The edge relation is analyzed once
 (out-degree) and persisted WITH the precomputed denominator, so
-iterations never re-derive degrees; ranks are persisted per iteration
-and the previous iteration is unpersisted immediately (bounded
-memory); every ``iters`` iterations of lazily-stacked joins the loop
-cuts lineage with ``localCheckpoint`` so the final plan does not grow
-O(iters) deep — the classic iterative-DataFrame failure mode at
-cluster scale (driver-side planning blowup), not a local-mode one.
+iterations never re-derive degrees. Iterations are built LAZILY — no
+action runs inside the loop, so per-iteration persist/unpersist would
+be inert (the code-review r12 finding: nothing materializes between a
+persist and the next iteration's unpersist) and is deliberately
+absent; the two things that do real work are (a) the eager
+``localCheckpoint`` every ``checkpoint_every`` iterations, which
+materializes the current ranks and cuts lineage so the final plan does
+not grow O(iters) deep — the classic iterative-DataFrame failure mode
+at cluster scale (driver-side planning blowup) — and (b) persisting
+the FINAL ranks once, so callers that fan the result into several
+consumers (e.g. a curation join plus a stats pass) compute the
+recurrence exactly once.
 
 Reference scope note: the reference engine (main.go, 458 lines) has
 no graph surface at all — this is extension tier (SURVEY §2.4),
@@ -147,8 +153,7 @@ def pagerank_exact(
 
     ranks = nodes.select(
         "node", F.lit(int(init_micro)).cast("long").alias("rank_micro")
-    ).persist()
-    _CACHED_RELATIONS.append(ranks)
+    )
 
     for it in range(iters):
         contrib = (
@@ -182,12 +187,15 @@ def pagerank_exact(
         )
         if (it + 1) % checkpoint_every == 0:
             # cut lineage so plan depth stays O(checkpoint_every);
-            # eager so the old cache below is truly releasable.
+            # eager = materialize now, so the checkpoint is a real
+            # recomputation barrier, not another lazy layer.
             new_ranks = new_ranks.localCheckpoint(eager=True)
-        new_ranks = new_ranks.persist()
-        _CACHED_RELATIONS.append(new_ranks)
-        ranks.unpersist()
         ranks = new_ranks
+    # persist the FINAL ranks only (see the module docstring: the loop
+    # is lazy, so intermediate persists would never materialize) and
+    # register it ONCE for release_cached_relations.
+    ranks = ranks.persist()
+    _CACHED_RELATIONS.append(ranks)
     return ranks.select("node", "rank_micro")
 
 
@@ -223,9 +231,9 @@ def label_propagation(
 
     Scale posture: per round, one groupBy((node, label)) count + one
     per-node window cut (both shuffle on node) over the symmetrized
-    edge relation, which is built and persisted ONCE. Same
-    persist/unpersist + lineage-cut loop discipline as
-    :func:`pagerank_exact`.
+    edge relation, which is built and persisted ONCE. Same lazy-loop
+    discipline as :func:`pagerank_exact`: lineage cut every
+    ``checkpoint_every`` rounds, final labels persisted once.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -249,8 +257,7 @@ def label_propagation(
     nodes = sym.select(F.col("_u").alias("node")).distinct().persist()
     _CACHED_RELATIONS.append(nodes)
 
-    labels = nodes.select("node", F.col("node").alias("community")).persist()
-    _CACHED_RELATIONS.append(labels)
+    labels = nodes.select("node", F.col("node").alias("community"))
 
     w = Window.partitionBy("_v").orderBy(F.desc("_n"), F.asc("_l"))
     for it in range(iters):
@@ -276,8 +283,8 @@ def label_propagation(
         )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        new_labels = new_labels.persist()
-        _CACHED_RELATIONS.append(new_labels)
-        labels.unpersist()
         labels = new_labels
+    # lazy loop ⇒ final-persist-only, same rationale as pagerank_exact
+    labels = labels.persist()
+    _CACHED_RELATIONS.append(labels)
     return labels.select("node", "community")

@@ -10,8 +10,11 @@ EXISTING doc (or another new doc)?". Re-running full-corpus
 the entire history — O(corpus) per day. This module persists the LSH
 blocking relation as its own :class:`SnapshotTable` index — MinHash
 bands for text (``dedup.minhash_band_rows`` — (_id, band_id,
-band_hash), ~bands·16 B per doc) or random-hyperplane sign sketches
-for embeddings (``dedup.rp_sketch_rows``) — and per commit:
+band_hash), ~bands·16 B per doc), random-hyperplane sign sketches
+for embeddings (``dedup.rp_sketch_rows``), or winnowed k-gram anchor
+postings for span-level substring dedup (round 13,
+``dedup._substring_anchors`` — see :class:`SubstringAnchorIndex`) —
+and per commit:
 
 1. sketches ONLY the delta (one Arrow pass over the new rows —
    O(churn));
@@ -80,12 +83,15 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
 
 
 class _SketchIndexBase:
-    """Shared skeleton of the two incremental sketch indexes (the
+    """Shared skeleton of the three incremental indexes (the
     code-review r12 dedup: the txn/append tail, the pinned-read
-    ordering, the cross/within join shape, the parameter guard and
-    the change-feed driver live ONCE — subclasses supply the sketch
-    kernel, the sketch key columns, the pair column names and the
-    exact verify tail)."""
+    ordering, the candidate/verify delegation, the parameter guard
+    and the change-feed driver live ONCE — subclasses supply the
+    sketch kernel, the pair generation or verify tail, and the
+    column names). MinHash bands (text), RP sign sketches
+    (embeddings) share the default sketch-equality ``_pair_rows``;
+    the winnowed anchor postings (substring spans, round 13)
+    override it."""
 
     # subclass contract ------------------------------------------------
     _PARAMS_META_KEY: str = ""
@@ -177,14 +183,41 @@ class _SketchIndexBase:
         being already IN the index only moves within-delta pairs from
         the self-join to the cross join; ``distinct`` collapses
         them)."""
-        k1, k2 = self._KEY_COLS
-        a, b = self._OUT_A, self._OUT_B
         delta_rows = self._sketch_rows(delta).cache()
         _CACHED_RELATIONS.append(delta_rows)
         # pin the index snapshot BEFORE appending the delta's rows
         # (read() resolves the file list eagerly, so the later append
         # cannot leak delta×delta pairs through the cross join)
         index_rows = self.tbl.read()
+        verified = self._pair_rows(delta_rows, index_rows, corpus_now)
+        # atomic index advance: the delta's rows land as ONE commit
+        if txn is None:
+            self.tbl.append(delta_rows)
+        else:
+            from nebuia_vector_db_spark.streaming.sinks import (
+                transactional_append,
+            )
+
+            transactional_append(
+                self.spark, self.tbl.path, delta_rows, txn[1], txn[0]
+            )
+        return verified
+
+    def _pair_rows(
+        self,
+        delta_rows: DataFrame,
+        index_rows: DataFrame,
+        corpus_now: DataFrame,
+    ) -> DataFrame:
+        """Candidate generation + exact verify for one ingest — the
+        default is the sketch-equality shape shared by the MinHash and
+        RP-LSH indexes (equi-join on ``_KEY_COLS``, distinct pairs,
+        then the subclass's exact verify against the corpus);
+        :class:`SubstringAnchorIndex` overrides it because the anchor
+        postings need the corpus-global df-cap and a shared-anchor
+        COUNT, not pair identity."""
+        k1, k2 = self._KEY_COLS
+        a, b = self._OUT_A, self._OUT_B
         cross = (
             delta_rows.alias("x")
             .join(
@@ -214,19 +247,7 @@ class _SketchIndexBase:
         # bench tier, round 12)
         cand = cross.unionByName(within).distinct().cache()
         _CACHED_RELATIONS.append(cand)
-        verified = self._verify(cand, corpus_now)
-        # atomic index advance: the delta's rows land as ONE commit
-        if txn is None:
-            self.tbl.append(delta_rows)
-        else:
-            from nebuia_vector_db_spark.streaming.sinks import (
-                transactional_append,
-            )
-
-            transactional_append(
-                self.spark, self.tbl.path, delta_rows, txn[1], txn[0]
-            )
-        return verified
+        return self._verify(cand, corpus_now)
 
     def _cand_ids(self, cand: DataFrame, id_col: str) -> DataFrame:
         """Distinct candidate ids — the churn-bounded verify fetch
@@ -469,6 +490,182 @@ class EmbeddingSketchIndex(_SketchIndexBase):
             )
             .where(F.col("cosine") >= self.threshold)
             .select("vec_a", "vec_b", "cosine")
+        )
+
+
+class SubstringAnchorIndex(_SketchIndexBase):
+    """Incremental SPAN-LEVEL dedup (round 13, VERDICT r12 missing
+    #2): the third :class:`_SketchIndexBase` subclass, persisting the
+    winnowed k-gram anchor posting relation of
+    ``dedup.exact_substring_pairs`` (``dedup.py`` ``_substring_anchors``
+    — positional winnowing, recall 1.0 for spans ≥ winnow_w + k − 1)
+    as a SnapshotTable of (_id, gram). A copied PARAGRAPH arriving in
+    tomorrow's crawl is exactly what doc-level MinHash misses and a
+    daily incremental pass must catch.
+
+    Per commit: anchor-extract ONLY the delta (the O(n·w) winnowing
+    scan — the dominant from-scratch cost — runs over churn chars, not
+    corpus chars), join it against the persisted postings, count
+    shared anchors per pair, and append the delta's postings in the
+    same CAS commit discipline as the sketch indexes.
+
+    Where this subclass differs from the sketch-equality base shape
+    (why :meth:`_pair_rows` is overridden):
+
+    - **corpus-global df-cap**: ``exact_substring_pairs`` drops
+      anchors whose posting list exceeds ``max_anchor_df`` BEFORE the
+      self-join (the boilerplate-gram skew guard). Hotness is a
+      corpus-wide property, so the incremental pass computes each
+      DELTA gram's total df = persisted-postings count + delta count
+      (only delta grams can link a delta-touching pair, so counting
+      them suffices) and drops over-cap grams from BOTH join sides —
+      bit-identical to the from-scratch cap over base ∪ delta.
+    - **shared-anchor COUNT, not pair identity**: the output is
+      (doc_a, doc_b, n_shared ≥ min_shared); counts survive the join
+      directly (cross and within pair sets are disjoint — delta ids
+      are new to the index by contract — so no re-aggregation across
+      branches), and there is no separate verify fetch: anchors are
+      collision-free gram STRINGS, already exact. ``corpus_now`` is
+      used only for an existence semi-join, which makes the
+      ``retract_deletes=False`` hygiene story match the sketch
+      indexes (stale postings of deleted docs are candidate noise,
+      never output).
+
+    Cost per ingest: one winnowing pass over the delta + ONE
+    column-pruned scan of the postings table (the df count and the
+    cross join, both semi-join-restricted to delta grams) — vs
+    from-scratch's full-corpus re-winnowing (O(corpus chars · w) md5
+    HOF work) plus the full postings self-join. The
+    ``dedup_substring_incremental`` registry row hash-certifies
+    incremental ≡ from-scratch restricted to pairs touching the delta
+    (the ``dedup_incremental`` discipline); bench b22 pins the churn
+    fraction and the ingest-vs-full ratio.
+    """
+
+    _PARAMS_META_KEY = "substring_index_params"
+    _KEY_COLS = ("gram", "gram")  # single-key family; see _pair_rows
+    _OUT_A, _OUT_B = "doc_a", "doc_b"
+    _EMPTY_SEED_SCHEMA = "_id long, gram string"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 32,
+        min_shared: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        segment_chars: int = 4096,
+        max_anchor_df: int = 1024,
+        winnow_w: int = 32,
+    ) -> None:
+        self.k = k
+        self.min_shared = min_shared
+        self.text_col = text_col
+        self.id_col = id_col
+        self.segment_chars = segment_chars
+        self.max_anchor_df = max_anchor_df
+        self.winnow_w = winnow_w
+        self._open(spark, path)
+
+    def _params(self) -> dict:
+        # min_shared/max_anchor_df are QUERY-time semantics, not index
+        # layout — the persisted postings are parameterized only by
+        # the extraction (k, segmentation, winnow width), so those are
+        # what a reopen must match
+        return {
+            "k": self.k,
+            "segment_chars": self.segment_chars,
+            "winnow_w": self.winnow_w,
+        }
+
+    def _corpus_id_col(self) -> str:
+        return self.id_col
+
+    def _sketch_rows(self, df: DataFrame) -> DataFrame:
+        from nebuia_vector_db_spark.operators.dedup import (
+            _substring_anchors,
+        )
+
+        return _substring_anchors(
+            df, self.k, self.text_col, self.id_col,
+            self.segment_chars, self.winnow_w,
+        ).select(F.col("doc_id").alias("_id"), "gram")
+
+    def _pair_rows(
+        self,
+        delta_rows: DataFrame,
+        index_rows: DataFrame,
+        corpus_now: DataFrame,
+    ) -> DataFrame:
+        # postings of DELTA grams only — the one postings-table scan
+        # this ingest pays; persisted because both the df count and
+        # the cross join consume it
+        idx_rel = index_rows.join(
+            delta_rows.select("gram").distinct(), "gram", "left_semi"
+        ).cache()
+        _CACHED_RELATIONS.append(idx_rel)
+        # corpus-global df per delta gram = persisted count + delta
+        # count (disjoint doc sets by the new-ids contract, distinct
+        # (doc, gram) rows by _substring_anchors) — grams over the cap
+        # are boilerplate and are dropped from BOTH sides, exactly the
+        # from-scratch guard. The over-cap set is tiny by definition
+        # (same argument as exact_substring_pairs) — broadcast it.
+        hot = (
+            idx_rel.unionByName(delta_rows)
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > self.max_anchor_df)
+            .select("gram")
+        )
+        kept_delta = delta_rows.join(F.broadcast(hot), "gram", "left_anti")
+        kept_idx = idx_rel.join(F.broadcast(hot), "gram", "left_anti")
+        cross = (
+            kept_delta.alias("x")
+            .join(kept_idx.alias("y"), "gram")
+            .where(F.col("x._id") != F.col("y._id"))
+            .select(
+                F.least("x._id", "y._id").alias("doc_a"),
+                F.greatest("x._id", "y._id").alias("doc_b"),
+            )
+        )
+        within = (
+            kept_delta.alias("x")
+            .join(
+                kept_delta.alias("y"),
+                (F.col("x.gram") == F.col("y.gram"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("doc_a"),
+                F.col("y._id").alias("doc_b"),
+            )
+        )
+        # one shared-gram row per (pair, gram): cross pairs (delta ×
+        # index) and within pairs (delta × delta) are disjoint PAIR
+        # sets, so a single groupBy over the union counts each pair's
+        # shared anchors exactly once
+        pairs = (
+            cross.unionByName(within)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+        )
+        # existence filter (mirrors the sketch indexes' verify join):
+        # with retract_deletes=True this is a no-op; without it, stale
+        # postings of deleted docs become candidate noise that must
+        # not reach the output
+        alive = corpus_now.select(F.col(self.id_col).alias("_alive"))
+        return (
+            pairs.join(
+                alive.withColumnRenamed("_alive", "doc_a"), "doc_a",
+                "left_semi",
+            )
+            .join(
+                alive.withColumnRenamed("_alive", "doc_b"), "doc_b",
+                "left_semi",
+            )
+            .select("doc_a", "doc_b", "n_shared")
         )
 
 

@@ -1993,6 +1993,205 @@ ORDER BY split, lang
 """
 
 
+def _doc_link_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic link graph over the documents table —
+    3 out-edges per doc, targets by modular arithmetic on doc_id
+    (pure-SQL-replayable scaffolding; real usage takes a crawl's edge
+    list). Two affine maps plus one QUADRATIC map (round 13): the
+    affine multipliers are coprime to every fixture size, i.e.
+    bijections, so an all-affine graph has in-degree exactly 3
+    everywhere and the stationary ranks are all EQUAL — a uniform
+    output is a weak certification (any bug that preserves uniformity
+    survives). The quadratic map is many-to-one, so in-degrees — and
+    therefore the certified ranks — genuinely vary. Shared by
+    graph_pagerank and the rank-blended curation row so both certify
+    the SAME graph."""
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    base = docs.crossJoin(F.broadcast(n))
+    parts = [
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * F.lit(a) + F.lit(b)) % F.col("_n")).alias(
+                "dst"
+            ),
+        )
+        for a, b in ((17, 3), (29, 7))
+    ] + [
+        base.select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") * F.col("doc_id") + F.lit(11))
+                % F.col("_n")
+            ).alias("dst"),
+        )
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def q_pipe_curate_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with a LINK-CENTRALITY quality prior (round 13,
+    VERDICT r12 task #5 — the reason graph.py exists, per its own
+    docstring): the RefinedWeb/CCNet host-rank pattern, where a
+    page's keep decision blends content quality with the link graph's
+    opinion of its host. PageRank (integer-exact, 5 iterations,
+    operators/graph.py) runs over the synthetic doc graph and the
+    keep rule becomes a BIGINT micro-unit blend —
+
+        priority_micro = (7·quality_micro
+                          + 3·least(rank_micro, 2_000_000)) div 10
+        keep ⇔ priority_micro ≥ 500_000 ∧ lang ∈ allowlist ∧ not dup
+
+    (the rank term is capped so a mega-hub cannot whitewash spam; the
+    cap, weights and threshold are all integers, so the decision is
+    exactly SQL-replayable). Downstream is pipe_curate's machinery
+    verbatim — near-dup drop, md5 split, per-(split, lang) corpus
+    card — plus sum(rank_micro) per cell, so the hash certifies the
+    ITERATIVE rank computation, the blend arithmetic AND the
+    composition in one row (oracle = the curate replay + the unrolled
+    5-iteration PageRank CTEs). Scale shape unchanged from
+    pipe_curate except one extra equi-join against the rank relation
+    (shuffle on doc_id, or co-located when both sides are bucketed by
+    id at the warehouse layer)."""
+    from nebuia_vector_db_spark.operators.graph import pagerank_exact
+    from nebuia_vector_db_spark.operators.pipeline import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    rank = pagerank_exact(
+        _doc_link_edges(docs.select("doc_id")), iters=5, damping_pct=85
+    ).select(F.col("node").alias("doc_id"), "rank_micro")
+    toked = text_fns.with_tokens(docs)
+    scored = toked.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        text_fns.quality_score("text").alias("quality"),
+    )
+    blended = (
+        scored.join(rank, "doc_id")
+        .withColumn("_qm", _q6("quality").cast("long"))
+        .withColumn(
+            "priority_micro",
+            F.expr("(7L * _qm + 3L * least(rank_micro, 2000000L)) div 10"),
+        )
+    )
+    kept = blended.where(
+        (F.col("priority_micro") >= 500_000)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    dups = (
+        _shared_dup_groups(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    curated = dataset_split(
+        kept.join(F.broadcast(dups), "doc_id", "left_anti")
+    )
+    out = (
+        curated.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            _r(_davg("quality"), 6).alias("avg_quality"),
+            F.sum("rank_micro").cast("long").alias("sum_rank_micro"),
+        )
+        .orderBy("split", "lang")
+    )
+    # materialize before releasing the loop's persisted rank relation
+    # (same discipline as q_graph_pagerank — a registry fn must not
+    # pin executor caches for the rest of a 150-query oracle run)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    _release_graph_caches()
+    return out
+
+
+ORACLE_PIPE_CURATE_RANKED = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         (0.5 * least(len(toks) / 50.0, 1.0)
+          + 0.25 * (1.0 - len(list_filter(toks, s -> s IN ({_STOP_SQL})))
+                          * 1.0 / len(toks))
+          + 0.25 * len(regexp_replace(text, '[^a-z]', '', 'g'))
+                   * 1.0 / len(text)) AS quality
+  FROM t
+),
+n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+-- DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH RECURSIVE
+-- clause DuckDB gives UNION-joined CTE bodies recursive-union
+-- treatment and the dedup is lost (measured: 3000 rows instead of
+-- 500 at sf0.001), which sextuples every rank
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+{{PAGERANK_CTES}},
+pr AS (SELECT node AS doc_id, rm FROM r5),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.dst
+),
+grp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+dups AS (SELECT doc_id FROM grp WHERE doc_id != group_id),
+kept AS (
+  SELECT q.*, pr.rm FROM q
+  JOIN pr ON pr.doc_id = q.doc_id
+  LEFT JOIN dups ON q.doc_id = dups.doc_id
+  WHERE dups.doc_id IS NULL
+        AND q.lang IN ('en', 'de', 'fr')
+        AND (7 * CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT)
+             + 3 * least(pr.rm, 2000000)) // 10 >= 500000
+),
+s AS (
+  SELECT *, CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+                 WHEN {_MD5_BUCKET} < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {_sql_r(_sql_davg("quality"), 6)} AS avg_quality,
+       CAST(sum(rm) AS BIGINT) AS sum_rank_micro
+FROM s
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (operators/pipeline.py::epoch_shard,
     epoch=3, 8 shards): the first 5 docs of each shard in epoch order —
@@ -4097,6 +4296,103 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM kept a JOIN kept b USING (gram)
 WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SPAN-LEVEL dedup (round 13, VERDICT r12 task #3):
+    the corpus SnapshotTable starts at v1 with the ODD doc_ids, v2
+    appends the EVEN ones; the persisted winnowed-anchor posting
+    index (operators/incremental.py::SubstringAnchorIndex)
+    anchor-extracts ONLY the v2 delta — the O(n·w) winnowing scan
+    runs over churn chars, not corpus chars — applies the
+    corpus-global df-cap (persisted-count + delta-count, restricted
+    to delta grams), joins delta postings against the index + itself
+    and counts shared anchors per pair. The oracle replays the FULL
+    from-scratch winnowed substring pass (extraction, winnowing,
+    df-cap, self-join — ORACLE_DEDUP_SUBSTRING's chain) restricted to
+    pairs touching the delta, so the hash certifies incremental ≡
+    from-scratch end to end: the copied-paragraph case a daily
+    incremental MinHash pass misses (doc-level sketches) and a daily
+    full substring pass cannot afford (O(corpus) per ingest)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    root = posix_scratch_dir(spark, "incsubstr")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = SubstringAnchorIndex.create(
+            spark, root + "/index", corpus=base,
+            k=_SUBSTRING_K, min_shared=2,
+            max_anchor_df=_SUBSTRING_ANCHOR_DF_CAP,
+            winnow_w=_SUBSTRING_W,
+        )
+        corpus_tbl.append(delta)
+        out = (
+            idx.ingest_commit(corpus_tbl)
+            .select("doc_a", "doc_b", "n_shared")
+            .orderBy("doc_a", "doc_b")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+# the from-scratch winnowed substring pass (ORACLE_DEDUP_SUBSTRING's
+# CTE chain verbatim) restricted to pairs touching the delta (even
+# doc_ids) — what the incremental posting-index join must equal
+ORACLE_DEDUP_SUBSTRING_INCREMENTAL = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) - {_SUBSTRING_K} + 1 AS n
+  FROM documents WHERE length(text) >= {_SUBSTRING_K}
+),
+h AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n + 1),
+                        i -> substring(text, i, {_SUBSTRING_K})) AS gs,
+         list_transform(range(1, n + 1),
+                        i -> md5(substring(text, i, {_SUBSTRING_K}))) AS hs
+  FROM d
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(n - {_SUBSTRING_W} + 1, 1) + 1),
+           i -> gs[list_position(
+                     hs[i : i + least({_SUBSTRING_W}, n) - 1],
+                     list_min(hs[i : i + least({_SUBSTRING_W}, n) - 1]))
+                   + i - 1]))) AS gram
+  FROM h
+),
+anchors AS (SELECT DISTINCT doc_id, gram FROM sel),
+kept AS (
+  SELECT doc_id, gram FROM anchors
+  WHERE gram IN (SELECT gram FROM anchors
+                 GROUP BY gram
+                 HAVING count(*) <= {_SUBSTRING_ANCHOR_DF_CAP})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b USING (gram)
+WHERE a.doc_id < b.doc_id
+  AND (a.doc_id % 2 = 0 OR b.doc_id % 2 = 0)
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2
 ORDER BY doc_a, doc_b
@@ -7896,7 +8192,14 @@ def q_pipe_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out_dir = posix_scratch_dir(spark, "wds")
     try:
+        # coalesce text BEFORE export (ADVICE r12, mirroring
+        # q_pipe_csv_roundtrip): the writer skips NULL members, so a
+        # NULL-text doc would emit only its json member and break the
+        # oracle's n_members = 2 — coalescing makes the two-member
+        # invariant hold by construction instead of by fixture luck
         staged = docs.withColumn(
+            "text", F.coalesce("text", F.lit(""))
+        ).withColumn(
             "_json", F.to_json(F.struct("lang", "source"))
         )
         write_webdataset(
@@ -7936,7 +8239,7 @@ def q_pipe_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PIPE_WEBDATASET = """
-SELECT doc_id, md5(text) AS text_md5, lang,
+SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang,
        CAST(2 AS BIGINT) AS n_members
 FROM documents
 ORDER BY doc_id
@@ -7965,17 +8268,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.graph import pagerank_exact
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.agg(F.count(F.lit(1)).alias("_n"))
-    parts = [
-        docs.crossJoin(F.broadcast(n)).select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * F.lit(a) + F.lit(b)) % F.col("_n")).alias(
-                "dst"
-            ),
-        )
-        for a, b in ((17, 3), (29, 7), (43, 11))
-    ]
-    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    edges = _doc_link_edges(docs)
     out = (
         pagerank_exact(edges, iters=5, damping_pct=85)
         .select(F.col("node").alias("doc_id"), "rank_micro")
@@ -8018,13 +8311,20 @@ e AS (
   UNION ALL
   SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
   UNION ALL
-  SELECT doc_id, (doc_id * 43 + 11) % n.n FROM documents, n
+  SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
 ),
 deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 {_pagerank_iters_sql(5)}
 SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
+
+# the rank-blended curation oracle needs the same unrolled CTEs; its
+# literal is defined next to q_pipe_curate_ranked (before this helper
+# exists at module-eval time), so the splice happens here
+ORACLE_PIPE_CURATE_RANKED = ORACLE_PIPE_CURATE_RANKED.replace(
+    "{PAGERANK_CTES}", _pagerank_iters_sql(5)
+)
 
 
 def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8110,6 +8410,100 @@ SELECT nrel.query_id,
        CAST(COALESCE(1000000 // hits.fr, 0) AS BIGINT) AS rr_micro
 FROM nrel LEFT JOIN hits ON hits.query_id = nrel.query_id
 ORDER BY nrel.query_id
+"""
+
+
+def q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level evaluation summary (round 13, VERDICT r12 task
+    #6): operators/evaluation.py::summarize_eval over the SAME
+    per-query relation eval_retrieval_knn certifies — BOTH averaging
+    conventions in one row (macro: every query votes equally, the
+    paper-reported number; micro: pooled Σhits/Σn_rel, every relevant
+    doc votes equally — conflating them is the classic IR-reporting
+    mistake). Sums are exact BIGINTs and each mean is one terminal
+    floor division, so the whole run→qrels→metrics→summary pipeline
+    stays hash-certified end to end."""
+    from nebuia_vector_db_spark.functions.vector import l2_normalize
+    from nebuia_vector_db_spark.operators.evaluation import (
+        evaluate_run,
+        summarize_eval,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias(
+            "_qv"
+        ),
+        F.col("label").alias("_qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries.drop("_qlabel")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_s", dot(F.col("embedding"), F.col("_qv")))
+    )
+    run = topk_per_group(
+        scored, ["query_id"], "_s", 20, tie_cols=["vec_id"]
+    ).select("query_id", "vec_id", "rk")
+    qrels = (
+        emb.join(
+            F.broadcast(queries.select("query_id", "_qlabel")),
+            (F.col("label") == F.col("_qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id")
+    )
+    per_query = evaluate_run(
+        run, qrels, k=10, doc_col="vec_id", rank_col="rk"
+    )
+    return summarize_eval(per_query)
+
+
+ORACLE_EVAL_SUMMARY = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+run AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                                       e.vec_id) AS rk
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rk <= 20
+),
+rel AS (
+  SELECT q.query_id, e.vec_id
+  FROM embeddings e JOIN q
+    ON e.label = q.qlabel AND e.vec_id <> q.query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS h, min(r.rk) AS fr
+  FROM run r JOIN rel ON rel.query_id = r.query_id AND rel.vec_id = r.vec_id
+  WHERE r.rk <= 10
+  GROUP BY r.query_id
+),
+perq AS (
+  SELECT nrel.query_id,
+         CAST(nrel.n_rel AS BIGINT) AS n_rel,
+         CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_k,
+         CAST((1000000 * COALESCE(hits.h, 0)) // nrel.n_rel AS BIGINT) AS recall_micro,
+         CAST((1000000 * COALESCE(hits.h, 0)) // 10 AS BIGINT) AS precision_micro,
+         CAST(COALESCE(1000000 // hits.fr, 0) AS BIGINT) AS rr_micro
+  FROM nrel LEFT JOIN hits ON hits.query_id = nrel.query_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(recall_micro) // count(*) AS BIGINT) AS macro_recall_micro,
+       CAST(sum(precision_micro) // count(*) AS BIGINT) AS macro_precision_micro,
+       CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+       CAST((1000000 * sum(hits_at_k)) // sum(n_rel) AS BIGINT) AS micro_recall_micro
+FROM perq
 """
 
 
@@ -8445,6 +8839,14 @@ REGISTRY: dict[
     # pipe_curate, skew_salted_join, events_sliding, pipe_epoch_shuffle,
     # tpch_q10, mm_scene_changes, text_minhash_mllib; demoted ten
     # redundant pins (justifications at the below-window section).
+    # Round-13 rotation per VERDICT r12 task #1: promoted the seven
+    # late-r12 rows the driver could not yet see (eval_retrieval_knn,
+    # eval_ann_sq8_recall, graph_communities, vs_hard_negatives,
+    # pipe_mixture_epoch, pipe_budget_select, dedup_incremental_stream)
+    # plus the two new round-13 flagships (dedup_substring_incremental,
+    # pipe_curate_ranked); demoted nine redundant pins — see the
+    # "Round-13 demotions" block below the window for per-entry
+    # justifications.
     # tests/test_registry_contract.py pins the window contract and the
     # promoted-capability set.
     # ------------------------------------------------------------------
@@ -8468,18 +8870,24 @@ REGISTRY: dict[
     # broadcast semi-join, 0 shuffles end to end; BOTH stages
     # SQL-replayed. Takes vs_sq8_topk's slot: SQ8's affine int8
     # decode is the narrowest compression tier — the
-    # quantize→shortlist→re-rank machinery stays recorded THREE ways
-    # (vs_pq_topk codebook ADC, vs_bq_rerank 1-bit Hamming, this
-    # row's prefix truncation) and sq8 stays locally green below.
+    # quantize→shortlist→re-rank machinery stays recorded via
+    # vs_pq_topk's codebook ADC, this row's prefix truncation and
+    # the promoted eval_ann_sq8_recall's quantize+run certification
+    # (vs_bq_rerank demoted r13); sq8 and bq stay locally green below.
     "vs_mrl_rerank": (q_vs_mrl_rerank, ORACLE_VS_MRL_RERANK),
-    # binary quantization + exact re-rank (round-9 promotion): 32×
-    # compression to packed int64, XOR+POPCNT Hamming shortlist inside
-    # codegen, then exact-cosine re-rank of the shortlist — the
-    # coarsest ANN-compression tier (1 bit/dim vs PQ's 16 B and SQ8's
-    # int8) and the only recorded row exercising the two-phase
-    # shortlist→re-rank pattern on bit codes. Displaces rollup_lineitem
-    # (see its below-window justification).
-    "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
+    # hard-negative mining for contrastive training (round-13
+    # promotion, VERDICT r12 task #1): label-EXCLUDED top-k — the
+    # retrieval op whose output trains the retriever (Karpukhin et
+    # al. 2020), with the exclusion applied BELOW the WindowGroupLimit
+    # cut so the k survivors are the hardest true negatives. Takes
+    # vs_bq_rerank's slot: the shortlist→re-rank pattern stays
+    # recorded two ways (vs_pq_topk codebook ADC, vs_mrl_rerank
+    # prefix truncation), the XOR+POPCNT Hamming kernel stays
+    # recorded three ways in the dedup family (dedup_dhash /
+    # dedup_audiofp / dedup_video band verify), and the quantized-
+    # tier recall question is now recorded via eval_ann_sq8_recall;
+    # bq stays locally green below.
+    "vs_hard_negatives": (q_vs_hard_negatives, ORACLE_VS_HARD_NEGATIVES),
     # two-stage pseudo-relevance-feedback retrieval (late-r12
     # promotion): Rocchio expansion toward the integer-micro-unit
     # centroid of each query's own top-5, then re-search — the first
@@ -8493,8 +8901,6 @@ REGISTRY: dict[
     # inside dedup_incremental's cosine verify tail; see the
     # below-window note.
     "vs_prf_rocchio": (q_vs_prf_rocchio, ORACLE_VS_PRF_ROCCHIO),
-    # doc-level late-interaction rollup (max/mean chunk sim + argmax)
-    "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
     # dedup family (extension, SURVEY §2.3)
     # perceptual image near-dup (round-10 promotion, VERDICT r9 task
     # #4): dHash over DECODED real-PNG pixels — integer block-mean
@@ -8502,7 +8908,7 @@ REGISTRY: dict[
     # guard, exact XOR+POPCNT verify — the LAION-style multimodal
     # dedup pass the pipeline tier lacked; the ENTIRE sketch pipeline
     # is SQL-replayed (like dedup_simhash). Takes dedup_exact's slot:
-    # exact-hash dedup stays recorded inside pipe_curate's dup-drop
+    # exact-hash dedup stays recorded inside pipe_curate_ranked's dup-drop
     # stage (md5-fingerprint anti-join) and the dedup family keeps
     # six recorded reps; see dedup_exact's below-window note.
     "dedup_dhash": (q_dedup_dhash, ORACLE_DEDUP_DHASH),
@@ -8530,7 +8936,24 @@ REGISTRY: dict[
     # per-frame pixel-stats form stays locally green below.
     "dedup_video": (q_dedup_video, ORACLE_DEDUP_VIDEO_ALIGN),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _JACCARD_SQL),
-    "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
+    # incremental SPAN-LEVEL dedup (round-13 promotion — the round's
+    # flagship, VERDICT r12 task #3): the persisted winnowed-anchor
+    # posting index; per commit, anchor-extract ONLY the delta (the
+    # O(n·w) winnowing scan runs over churn chars, not corpus chars),
+    # apply the corpus-global df-cap, join vs the index + itself and
+    # count shared anchors — the oracle replays the FULL from-scratch
+    # winnowed substring pass restricted to delta-touching pairs, so
+    # the hash certifies incremental ≡ from-scratch for the
+    # copied-paragraph case doc-level MinHash misses. Takes
+    # dedup_groups' slot: the connected-components closure runs
+    # RECORDED inside pipe_leakage_split's oracle (pairs →
+    # recursive-CTE closure → group fold) and group-size aggregation
+    # inside pipe_curate_ranked's corpus card; groups stays locally
+    # green below.
+    "dedup_substring_incremental": (
+        q_dedup_substring_incremental,
+        ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
+    ),
     # acoustic near-dup at the LOSSY boundary (round-12 promotion,
     # VERDICT r11 task #6): real IMA ADPCM re-encodes of 16 curated
     # tonal signals paired with their lossless WAV originals at
@@ -8555,18 +8978,6 @@ REGISTRY: dict[
     # slots, one hash); see its below-window justification.
     "dedup_drop_spans": (q_dedup_drop_spans, ORACLE_DEDUP_DROP_SPANS),
     # text analysis (extension, SURVEY §2.3)
-    # streaming LM quality filter (round-10 promotion, VERDICT r9
-    # task #1 — "the strongest streaming row in the repo"): the CCNet
-    # deployment twin of the batch perplexity scorer, run through the
-    # micro-batch planner (AvailableNow) against a broadcast LM
-    # artifact; it shares the BATCH row's oracle SQL, so the recorded
-    # hash match certifies streaming ≡ batch ≡ ANSI SQL through the
-    # streaming engine. Takes text_tokens' slot: whitespace
-    # tokenize-and-count runs recorded inside text_lm3_perplexity's
-    # n_trans and text_quality's stats, and the BPE-ish regex
-    # estimate is superseded by the REAL BPE trainer (text_bpe_train,
-    # recorded rows-only); see text_tokens' below-window note.
-    "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_langid": (q_text_langid, ORACLE_TEXT_LANGID),
     # EXACT heavy-hitter n-grams via a Count-Min-Sketch shortlist
@@ -8617,7 +9028,7 @@ REGISTRY: dict[
     # Takes hybrid_rrf's slot: BOTH rows share the rank-fusion + join
     # spine, but this one additionally records the BM25 scorer (df,
     # avgdl, saturation arithmetic) that round 9 left locally green;
-    # the tf-idf keyword spine stays recorded via pipe_curate's
+    # the tf-idf keyword spine stays recorded via pipe_curate_ranked's
     # weight relation consumers and locally green via hybrid_rrf /
     # text_tfidf_neardup (below-window notes).
     "hybrid_bm25_rrf": (q_hybrid_bm25_rrf, ORACLE_HYBRID_BM25_RRF),
@@ -8630,7 +9041,7 @@ REGISTRY: dict[
     # selection by distributional log-likelihood ratio — the sampling
     # family's strongest representative. Takes
     # pipe_stratified_sample's slot: md5-uniform per-stratum gating
-    # stays recorded inside pipe_curate's split stage and
+    # stays recorded inside pipe_curate_ranked's split stage and
     # pipe_epoch_shuffle's deterministic ordering.
     "pipe_dsir_select": (q_pipe_dsir_select, ORACLE_PIPE_DSIR),
     # leakage-safe group-keyed split (round-12 promotion, VERDICT r11
@@ -8650,14 +9061,42 @@ REGISTRY: dict[
     # oracle — a capability family (cluster -> centroid -> semantic
     # drop decision) no pair-listing near-dup row reaches. Takes
     # pipe_epoch_shuffle's slot: md5-ordered deterministic
-    # shuffling/sharding stays recorded inside pipe_curate's split
+    # shuffling/sharding stays recorded inside pipe_curate_ranked's split
     # gating and pipe_dataset_split, and the epoch row stays locally
     # green below the window.
     "dedup_semdedup": (q_dedup_semdedup, ORACLE_DEDUP_SEMDEDUP),
-    "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
-    # flagship composition: quality gate + lang allowlist + dup drop +
-    # split + corpus card in one plan
-    "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
+    # flagship composition, rank-blended since round 13 (VERDICT r12
+    # task #5): quality gate BLENDED with an integer-micro-unit
+    # PageRank prior (the RefinedWeb/CCNet host-rank pattern) + lang
+    # allowlist + dup drop + split + corpus card in one plan — the
+    # oracle is the full curate replay PLUS the unrolled 5-iteration
+    # PageRank CTEs, so one recorded hash certifies the iterative
+    # rank, the blend arithmetic and the composition. Takes
+    # pipe_curate's slot: every pipe_curate stage (quality/langid
+    # scan, dup-drop anti-join, md5 split, corpus card) runs inside
+    # this row verbatim — strictly more machinery on the same spine;
+    # the plain-quality variant stays locally green below.
+    "pipe_curate_ranked": (q_pipe_curate_ranked, ORACLE_PIPE_CURATE_RANKED),
+    # mixture-weighted epoch materialization (round-13 promotion,
+    # VERDICT r12 task #1): domain d contributes exactly
+    # min(floor(400·w_d + 0.5), |d|) docs, the quota smallest by md5
+    # order — the DoReMi-consumer step that turns trained weights
+    # into an epoch; full oracle (per-domain quotas incl. the
+    # corpus-size cap, md5-rank cutoffs). Takes pipe_upsert_latest's
+    # slot: the rank-1-per-key cut is recorded via vs_knn_join's
+    # WindowGroupLimit and the upsert delete+insert convention via
+    # snap_change_feed's row accounting; upsert stays locally green
+    # below.
+    "pipe_mixture_epoch": (q_pipe_mixture_epoch, ORACLE_PIPE_MIXTURE_EPOCH),
+    # budget-constrained best-first selection (round-13 promotion,
+    # VERDICT r12 task #1): keep the best docs whose token costs fit
+    # a global budget — the distributed percentile-bracket boundary
+    # (cumsum only inside the sketch-bounded band, never a global
+    # single-task window) hash-certified ≡ the naive global prefix by
+    # the oracle's window-cumsum replay. Takes events_asof_signup's
+    # slot (see its below-window note — keyed range semantics stay
+    # recorded via stream_join_mirror's range-join oracle).
+    "pipe_budget_select": (q_pipe_budget_select, ORACLE_PIPE_BUDGET_SELECT),
     # multimodal (extension, binary columns + mapInPandas decode)
     # REAL PNG codec round trip (zlib DEFLATE + CRC + unfiltering):
     # encode text bytes -> genuine PNG -> decode -> pixel stats,
@@ -8675,17 +9114,6 @@ REGISTRY: dict[
     # (AVI is RIFF) and mm_audio_windows_real; see the below-window
     # note.
     "mm_flac_audio": (q_mm_flac_audio, ORACLE_MM_FLAC),
-    # REAL H.264 baseline intra codec (round-9 promotion): Annex-B
-    # NAL walk with emulation prevention, exp-Golomb SPS/PPS/slice
-    # headers, I_PCM + I_16x16 V/H/DC intra prediction, CAVLC
-    # zero-block nC contexts — a true VIDEO CODEC layer, not a third
-    # container walk. Takes mm_mp4_frames' slot: the mp4 row's oracle
-    # was shared VERBATIM with the then-recorded mm_mkv_frames (two
-    # window slots, one hash — the redundancy that demoted the AVI
-    # row), while the ISO-BMFF box grammar stays locally green below;
-    # since r11 the container-walk slot is held by dedup_video (which
-    # demuxes MKV and AVI); see the below-window justifications.
-    "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
     # integer-exact PageRank power iteration (late-r12 promotion):
     # the iterative-graph family's FIRST recorded representative —
     # link-centrality as a training-data quality prior (Common Crawl
@@ -8700,6 +9128,18 @@ REGISTRY: dict[
     # pytest-pinned (tests/test_mpegaudio.py); see the below-window
     # note.
     "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
+    # deterministic label-propagation communities (round-13
+    # promotion, VERDICT r12 task #1): the graph family's SECOND
+    # capability — "densely linked together?" where components answer
+    # "linked at all?" — synchronous rounds, smallest-label
+    # tie-break, fully replayed by an unrolled-CTE oracle (per-round
+    # neighbor-vote counts + argmin cut). Takes mm_h264_iframes'
+    # slot: the codec surface keeps four recorded rows
+    # (mm_png_roundtrip DEFLATE+CRC, mm_flac_audio Rice/CRC FLAC,
+    # dedup_audiofp_lossy ADPCM boundary, dedup_video MKV/AVI demux +
+    # JPEG frame decode); the H.264 NAL/exp-Golomb/CAVLC layer stays
+    # locally green + pytest-pinned (tests/test_h264.py) below.
+    "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     # TPC-H Q2 minimum-cost supplier (round-11 promotion, VERDICT
@@ -8710,8 +9150,8 @@ REGISTRY: dict[
     # query) joined back through part/supplier/nation/region with a
     # multi-key sort cut. Takes tpch_q9's slot: q9 shares the same
     # partsupp spine (now hash-certified here) and its 5-table
-    # join/agg shape stays pinned by tpch_q21 + tpch_q1; q9 stays a
-    # headline bench row and locally green below the window.
+    # join/agg shape stays pinned by tpch_q1 and this row (tpch_q21
+    # demoted r13); q9 stays a headline bench row and locally green below the window.
     "tpch_q2": (q_tpch_q2, ORACLE_TPCH_Q2),
     # row-level change data feed over SnapshotTable (round-11
     # promotion, VERDICT r10 task #1): create-inserts + COW-delete
@@ -8734,14 +9174,26 @@ REGISTRY: dict[
     # seam on top of it. Takes the slot freed by hybrid_search's
     # demotion.
     "snap_engine_lifecycle": (q_snap_engine_lifecycle, ORACLE_SNAP_ENGINE),
-    # hardest TPC-H shape on the slim schema (round-9 promotion):
-    # double-correlated EXISTS / NOT-EXISTS over lineitem rewritten as
-    # ONE per-order aggregation + window pass (no self-join storm;
-    # property-tested against the literal correlated semantics in
-    # tests/test_properties.py). Displaces tpch_q10: agg-before-dim-
-    # join is pinned in-window by tpch_q3 and the per-order
-    # conditional-count pattern here; see its below-window note.
-    "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
+    # retrieval evaluation metrics (round-13 promotion, VERDICT r12
+    # task #1): per-query recall@10 / precision@10 / MRR of the exact
+    # kNN run against same-label qrels — the harness every ANN-tier
+    # recall claim rests on, as BIGINT micro-units with single
+    # terminal floor divisions so the run→qrels→metrics pipeline is
+    # hash-certified. Takes tpch_q21's slot (with
+    # eval_ann_sq8_recall taking events_asof_signup-adjacent space —
+    # see the below-window notes): q21's per-order conditional
+    # window pass stays pinned by events_sessions' lag+cumsum
+    # session break sums and the property tests; q21 stays locally
+    # green below.
+    "eval_retrieval_knn": (q_eval_retrieval_knn, ORACLE_EVAL_RETRIEVAL),
+    # hash-certified ANN quality measurement (round-13 promotion,
+    # VERDICT r12 task #1 — named first there): recall@10/MRR of the
+    # SQ8 int8 tier vs the EXACT run, with quantization, approximate
+    # run, exact run and metric arithmetic ALL in one value-hash row
+    # — the first recorded ANN-recall certification (IVF/PQ recalls
+    # are bench-measured; their trained centroids aren't
+    # SQL-expressible).
+    "eval_ann_sq8_recall": (q_eval_ann_sq8_recall, ORACLE_EVAL_ANN_SQ8),
     # incremental cross-snapshot dedup (round-12 promotion — the
     # round's flagship composition, VERDICT r11 missing #1): dedup a
     # NEW commit against the PERSISTED MinHash band index — O(churn)
@@ -8755,8 +9207,8 @@ REGISTRY: dict[
     # (estimate-within-bound booleans) certifies comparatively little
     # machinery; the sketch-family recorded rep is now
     # text_heavy_ngrams' CMS pipeline, exact distinct-count
-    # aggregation stays recorded inside pipe_curate's corpus card and
-    # dedup_groups' sizes, and the HLL row stays locally green below.
+    # aggregation stays recorded inside pipe_curate_ranked's corpus card
+    # (dedup_groups demoted r13), and the HLL row stays locally green below.
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     # WebDataset tar-shard interchange round trip (late-r12
     # promotion): byte-deterministic shard export + binaryFile/untar
@@ -8765,8 +9217,8 @@ REGISTRY: dict[
     # NO recorded representative (pipe_jsonl_roundtrip sits below the
     # window since r10). Takes orders_running_revenue's slot: the
     # running-aggregate window frame is pinned in-window by
-    # events_sessions' lag+cumsum session ids and tpch_q21's
-    # per-order window pass, and the row_number cut by vs_knn_join;
+    # events_sessions' lag+cumsum session ids and the row_number
+    # cut by vs_knn_join (tpch_q21 demoted r13);
     # see the below-window note.
     "pipe_webdataset_roundtrip": (
         q_pipe_webdataset_roundtrip,
@@ -8777,7 +9229,6 @@ REGISTRY: dict[
     "skew_salted_join": (q_skew_salted_join, ORACLE_SKEW_SALTED),
     # events (batch mirrors of the streaming surface)
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
-    "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
     # stateful streaming dedup with watermark eviction (round-12
     # promotion, VERDICT r11 task #1): planted re-deliveries collapse
     # back to EXACTLY the source table through the micro-batch state
@@ -8788,8 +9239,9 @@ REGISTRY: dict[
     # pins join state, stream_ppl_filter is stateless). Takes
     # events_funnel's slot: the funnel's ordered-step conditional
     # min-ts aggregation is the per-key conditional-agg shape
-    # tpch_q21 pins in-window, the events family keeps two recorded
-    # reps + the streaming mirror, and the funnel stays locally green
+    # events_sessions' session-break sums pin in-window (tpch_q21
+    # demoted r13), the events family keeps events_sessions recorded
+    # plus the streaming mirrors, and the funnel stays locally green
     # below.
     "stream_dedup_mirror": (q_stream_dedup_mirror, ORACLE_STREAM_DEDUP_MIRROR),
     # STREAMING execution path (round-6 promotion): watermarked
@@ -8802,6 +9254,24 @@ REGISTRY: dict[
     # execution had NO recorded representative; see the below-window
     # justification.
     "stream_join_mirror": (q_stream_join_mirror, ORACLE_STREAM_JOIN_MIRROR),
+    # CDC-stream-driven incremental dedup (round-13 promotion,
+    # VERDICT r12 task #1 — "a capability no current in-window row
+    # pins"): the standing foreachBatch loop over the corpus change
+    # feed, band + pairs appends riding the stream-watermark CAS
+    # (exactly-once under replays); SHARES the batch row's oracle, so
+    # the recorded hash certifies stream ≡ batch ≡ ANSI SQL for the
+    # whole incremental-index path. Takes stream_ppl_filter's slot:
+    # streaming execution keeps three recorded reps
+    # (stream_dedup_mirror state eviction, stream_join_mirror
+    # stream-stream join state, this row's foreachBatch CDC loop),
+    # the stream≡batch≡SQL shared-oracle discipline is now recorded
+    # HERE, and the LM scorer spine stays recorded via
+    # text_lm3_perplexity (same count relations + backoff chain);
+    # ppl_filter stays locally green below.
+    "dedup_incremental_stream": (
+        q_dedup_incremental_stream,
+        ORACLE_DEDUP_INCREMENTAL,
+    ),
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
@@ -8818,25 +9288,15 @@ REGISTRY: dict[
     #   green + pytest-pinned (tests/test_mpegaudio.py);
     "mm_mp2_audio": (q_mm_mp2_audio, ORACLE_MM_MP2),
     # orders_running_revenue: cumulative-sum window frames — pinned
-    #   in-window by events_sessions' lag+cumsum and tpch_q21's
-    #   per-order window pass; locally green;
+    #   in-window by events_sessions' lag+cumsum window pass (tpch_q21
+    #   demoted r13); locally green;
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
-    # eval_retrieval_knn: per-query recall@10 / precision@10 / MRR of
-    #   the exact kNN run against same-label qrels (late round 12) —
-    #   the evaluation family's first row; integer-micro metrics,
-    #   full oracle; the run/qrels machinery it composes is recorded
-    #   via vs_knn_join + vs_hard_negatives; locally green;
-    "eval_retrieval_knn": (q_eval_retrieval_knn, ORACLE_EVAL_RETRIEVAL),
-    # eval_ann_sq8_recall: recall@10/MRR of the SQ8 tier vs the exact
-    #   run — the first fully hash-certified ANN-quality measurement
-    #   (quantize + approximate run + exact run + metrics all
-    #   SQL-replayed); locally green;
-    "eval_ann_sq8_recall": (q_eval_ann_sq8_recall, ORACLE_EVAL_ANN_SQ8),
-    # graph_communities: deterministic label-propagation community
-    #   detection (late round 12) — the graph family's second row;
-    #   the iterative unrolled-CTE oracle discipline is recorded via
-    #   graph_pagerank, so this stays below the window; locally green;
-    "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
+    # eval_summary: corpus-level macro + micro averaging of
+    #   eval_retrieval_knn's per-query relation (round 13) — one
+    #   further exact aggregate; the per-query metric machinery it
+    #   folds is recorded via eval_retrieval_knn/eval_ann_sq8_recall;
+    #   locally green;
+    "eval_summary": (q_eval_summary, ORACLE_EVAL_SUMMARY),
     # pipe_orc_roundtrip / pipe_csv_roundtrip: columnar-ORC and
     #   fully-quoted-CSV interchange round trips (late round 12) —
     #   the interchange family's recorded rep is
@@ -8849,15 +9309,16 @@ REGISTRY: dict[
     # pipe_epoch_shuffle: deterministic md5-keyed epoch shuffle +
     #   shard assignment — demoted r10 for dedup_semdedup (cluster-
     #   based semantic dedup, a family with NO prior recorded rep);
-    #   the md5-order gating runs recorded inside pipe_curate's split
-    #   stage and the shard arithmetic inside pipe_dataset_split;
+    #   the md5-order gating runs recorded inside pipe_curate_ranked's
+    #   split stage and the shard arithmetic inside pipe_dataset_split;
     #   locally green;
     "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, ORACLE_PIPE_EPOCH),
     # dedup_exact: md5-fingerprint groupBy keep-first — demoted r10
     #   for dedup_dhash (perceptual image near-dup, a capability with
     #   NO prior recorded representative); exact-hash dedup runs
-    #   recorded inside pipe_curate's dup-drop stage and the
-    #   fingerprint groupBy inside dedup_groups' edge relation;
+    #   recorded inside pipe_curate_ranked's dup-drop stage and the
+    #   fingerprint groupBy inside pipe_leakage_split's recorded
+    #   pair/closure machinery (dedup_groups demoted r13);
     #   locally green;
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     # dedup_substring: span-level exact-substring DIAGNOSIS — demoted
@@ -8878,7 +9339,8 @@ REGISTRY: dict[
     "mm_video_frames": (q_mm_video_frames, ORACLE_MM_VIDEO),
     # tpch_q10: returned-item revenue (agg-before-dim-join, 4 tables)
     #   — join+agg+sort+limit stays pinned in-window by tpch_q3, the
-    #   multi-table dim chain by tpch_q1/q3 + the promoted tpch_q21's
+    #   multi-table dim chain by tpch_q1/q2 (tpch_q21 demoted r13)
+    #   +
     #   supplier/orders/lineitem join; locally green;
     "tpch_q10": (q_tpch_q10, ORACLE_TPCH_Q10),
     # rollup_lineitem: ROLLUP grouping sets — the Expand-based
@@ -8891,7 +9353,8 @@ REGISTRY: dict[
     "rollup_lineitem": (q_rollup_lineitem, ORACLE_ROLLUP),
     # events_retention: cohort-triangle retention — sum(CASE WHEN)
     #   conditional aggregation, pinned in-window by the promoted
-    #   tpch_q21's per-order conditional counts; cohort/window
+    #   events_sessions' conditional session-break sums (tpch_q21
+    #   demoted r13); cohort/window
     #   mechanics stay recorded via events_sessions/events_hourly;
     #   locally green;
     "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
@@ -8905,7 +9368,8 @@ REGISTRY: dict[
     # Round-3 demotions:
     # tpch_q18: join+agg+HAVING-key pre-agg, covered by tpch_q3
     #   (broadcast dims) + tpch_q10 (agg-before-dim-join, 4 tables);
-    # qty_band_join: range/theta join, covered by events_asof_signup's
+    # qty_band_join: range/theta join, covered by stream_join_mirror's
+    #   recorded batch-range-join oracle, events_asof_signup's
     #   keyed range semantics + fuzzy_name_match's blocked theta join;
     # fn_showcase: scalar string/date/math fns, each builtin exercised
     #   inside recorded text_* / events_funnel (JSON) / tpch rows;
@@ -8913,7 +9377,7 @@ REGISTRY: dict[
     #   intersect/except stay locally green;
     # events_pivot: sum(CASE WHEN) conditional agg, covered by
     #   events_retention's cohort triangle;
-    # cust_no_orders: anti-join, covered by pipe_curate's broadcast
+    # cust_no_orders: anti-join, covered by pipe_curate_ranked's broadcast
     #   anti-join dup-drop + pipe_decontaminate's anti semantics;
     # profile_documents: one-pass Expand multi-agg, covered by
     #   rollup_lineitem's Expand;
@@ -8925,7 +9389,7 @@ REGISTRY: dict[
     # orders_above_cust_avg: subquery family rep stays tpch_q4
     #   (EXISTS → semi-join); decorrelated-avg stays locally green;
     # price_quantiles: rank-window family covered by hybrid_rrf's
-    #   rank fusion + tpch_q21's per-order window pass (running-sum
+    #   rank fusion + events_sessions' window pass (running-sum
     #   frames demoted with orders_running_revenue late r12); exact
     #   percentile stays locally green.
     # Round-4 demotions:
@@ -9049,7 +9513,8 @@ REGISTRY: dict[
     #   family's recorded rep is the order-3 row (strictly more
     #   machinery + real fixture separation, see the in-window
     #   comment); the bigram form stays pinned here, locally green,
-    #   and feeds stream_ppl_filter's artifact path;
+    #   and feeds stream_ppl_filter's artifact path (ppl_filter demoted
+    #   r13 — the LM scorer stays recorded via text_lm3_perplexity);
     "text_lm_perplexity": (q_text_lm_perplexity, ORACLE_TEXT_LM_PPL),
     # hybrid_rrf: tf-idf + kNN reciprocal-rank fusion — demoted r10
     #   for hybrid_bm25_rrf (same rank-fusion + join spine, plus the
@@ -9062,7 +9527,7 @@ REGISTRY: dict[
     #   held by hybrid_rrf's tf-idf path; locally green;
     "text_bm25_topk": (q_text_bm25_topk, ORACLE_TEXT_BM25),
     # text_tokens: whitespace + BPE-ish regex token counting —
-    #   demoted r10 for stream_ppl_filter (streaming ≡ batch ≡ SQL
+    #   demoted r10 for stream_ppl_filter (itself demoted r13; streaming ≡ batch ≡ SQL
     #   through the micro-batch planner, previously unrecorded):
     #   whitespace tokenize-and-count runs recorded inside
     #   text_lm3_perplexity's n_trans and text_quality's stats; the
@@ -9120,13 +9585,6 @@ REGISTRY: dict[
     #   by pipe_dsir_select (document-level importance resampling —
     #   this is its domain-level sibling);
     "pipe_doremi_weights": (q_pipe_doremi_weights, None),
-    # pipe_mixture_epoch: deterministic mixture-weighted epoch
-    #   materialization (round 12) — full oracle (per-domain quotas
-    #   incl. the corpus-size cap, md5-rank cutoffs); the md5-order
-    #   machinery runs recorded inside pipe_curate/pipe_dsir_select,
-    #   and the doremi→epoch composition is pytest-pinned; locally
-    #   green;
-    "pipe_mixture_epoch": (q_pipe_mixture_epoch, ORACLE_PIPE_MIXTURE_EPOCH),
     # pipe_mixture_epoch_rep: the WITH-REPLACEMENT variant (round 12)
     #   — deterministic replication for quotas above the domain size
     #   (the DoReMi small-domain regime); full oracle (replication
@@ -9140,18 +9598,9 @@ REGISTRY: dict[
     #   built-in sketch aggregate with a property-check oracle; the
     #   sketch-family recorded rep is text_heavy_ngrams' CMS pipeline
     #   and exact distinct-count aggregation runs recorded inside
-    #   pipe_curate's corpus card and dedup_groups' sizes; locally
+    #   pipe_curate_ranked's corpus card (dedup_groups demoted r13); locally
     #   green;
     "approx_cardinality": (q_approx_cardinality, ORACLE_APPROX_CARDINALITY),
-    # dedup_incremental_stream: the CDC-stream-driven twin (round 12)
-    #   — foreachBatch ingest with exactly-once band + pairs appends;
-    #   SHARES the batch row's oracle, so the hash certifies
-    #   stream ≡ batch ≡ SQL through the micro-batch engine; locally
-    #   green;
-    "dedup_incremental_stream": (
-        q_dedup_incremental_stream,
-        ORACLE_DEDUP_INCREMENTAL,
-    ),
     # vs_neardup_incremental: the embedding-modality incremental twin
     #   (round 12) — persisted RP-LSH sketch index, delta-only
     #   sketching, exact-cosine verify; full oracle (exact all-pairs
@@ -9161,13 +9610,6 @@ REGISTRY: dict[
         q_vs_neardup_incremental,
         ORACLE_VS_NEARDUP_INCREMENTAL,
     ),
-    # pipe_budget_select: budget-constrained best-first selection
-    #   (round 12) — full oracle (window cumsum replay certifies the
-    #   distributed percentile-bracket boundary ≡ the naive global
-    #   prefix); the quality-score spine is recorded via text_quality
-    #   and the boundary machinery is the lm.py _rank_boundary
-    #   pattern pipe_dsir_select records; locally green;
-    "pipe_budget_select": (q_pipe_budget_select, ORACLE_PIPE_BUDGET_SELECT),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
@@ -9178,7 +9620,7 @@ REGISTRY: dict[
     # pipe_stratified_sample: md5-uniform per-stratum sampling —
     #   demoted r9 for pipe_dsir_select (importance resampling, the
     #   sampling family's strongest form); the md5-order gating runs
-    #   recorded inside pipe_curate's split stage; locally green;
+    #   recorded inside pipe_curate_ranked's split stage; locally green;
     "pipe_stratified_sample": (q_pipe_stratified_sample, ORACLE_PIPE_STRATIFIED),
     # (mm_mkv_frames, mm_mp2_audio and mm_h264_iframes promoted into
     # the window r9.)
@@ -9245,7 +9687,7 @@ REGISTRY: dict[
     # distinct_stats: distinct-agg family, covered by
     # approx_cardinality's exact counts; pipe_dataset_split: the
     # md5-bucket split runs INSIDE recorded pipe_decontaminate and
-    # pipe_curate; part_promo_share: conditional-agg share, covered by
+    # pipe_curate_ranked; part_promo_share: conditional-agg share, covered by
     # events_retention + tpch join-aggs; text_top_ngrams: df-ranked
     # shingles over the posting relation text_boilerplate verifies;
     # events_json: JSON extraction recorded inside events_funnel's
@@ -9276,8 +9718,10 @@ REGISTRY: dict[
     #   stream_dedup_mirror (stateful streaming dedup, the first
     #   recorded state-EVICTION row): the per-user ordered
     #   conditional min-ts chain is the conditional-aggregation shape
-    #   tpch_q21 pins in-window, and the events family keeps
-    #   events_sessions + events_asof_signup recorded; locally green;
+    #   events_sessions' session-break sums pin in-window (tpch_q21
+    #   demoted r13), and the events family keeps
+    #   events_sessions recorded (events_asof_signup demoted r13 — its
+    #   range semantics recorded via stream_join_mirror); locally green;
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "part_promo_share": (q_part_promo_share, ORACLE_PART_PROMO),
     "events_json": (q_events_json, ORACLE_EVENTS_JSON),
@@ -9294,7 +9738,8 @@ REGISTRY: dict[
     "text_top_ngrams": (q_text_top_ngrams, ORACLE_TOP_NGRAMS),
     # Round-7 additions (below-window; capabilities distilled into the
     # window by existing rows): vs_bq_topk — Hamming-only BQ shortlist
-    # (the BQ tier's recorded rep is vs_bq_rerank, promoted r9, which
+    # (the BQ tier's rep is vs_bq_rerank, recorded r9-r12, demoted r13 —
+    # its machinery pins are listed at its entry — which
     # runs this same packed-XOR scan PLUS the exact re-rank);
     # tpch_q7/q13/q14/q15/q17 — SQL-breadth joins/aggs, families
     # recorded via tpch_q1/q3/q18/q21.
@@ -9325,18 +9770,74 @@ REGISTRY: dict[
     # partsupp). These pin the 5-table profit rollup with the
     # quantized-double agg (q9 — demoted r11: its partsupp spine is
     # hash-certified by the recorded q2 and its join/agg shape by
-    # tpch_q21 + tpch_q1; q9 remains a headline bench row), the
+    # tpch_q1/q2 (q21 demoted r13); q9 remains a headline bench row), the
     # integer-exact global-threshold HAVING (q11) and the
     # nested-semi + correlated NULL-semantics excess test (q20);
     # all locally green.
     "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
-    # vs_hard_negatives: label-excluded top-k over the embedding
-    #   corpus (round 12) — the contrastive-training mining op; the
-    #   retrieval spine (broadcast queries + HOF dot + WindowGroupLimit
-    #   cut) is recorded via vs_knn_join; full oracle; locally green;
-    "vs_hard_negatives": (q_vs_hard_negatives, ORACLE_VS_HARD_NEGATIVES),
+    # ---- Round-13 demotions (slots freed for the seven VERDICT r12
+    # task-#1 promotions plus the two new round-13 flagship rows
+    # dedup_substring_incremental / pipe_curate_ranked). Each row's
+    # machinery retains a recorded pin, cited per entry:
+    # vs_doc_maxsim: late-interaction doc rollup — the chunk-flatten
+    #   + per-chunk scoring spine is recorded via vs_nested_search,
+    #   and grouped max/argmax aggregation via hybrid_bm25_rrf's
+    #   rank-fusion aggregates and pipe_webdataset_roundtrip's
+    #   member fold; locally green;
+    "vs_doc_maxsim": (q_vs_doc_maxsim, ORACLE_VS_DOC_MAXSIM),
+    # vs_bq_rerank: 1-bit binary-quantization shortlist + exact
+    #   re-rank — shortlist→re-rank stays recorded via vs_pq_topk
+    #   (ADC) and vs_mrl_rerank (prefix), the XOR+POPCNT Hamming
+    #   kernel via dedup_dhash/dedup_audiofp/dedup_video's verifies,
+    #   and the quantized-tier recall question via the promoted
+    #   eval_ann_sq8_recall; locally green;
+    "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
+    # dedup_groups: connected components over near-dup pairs — the
+    #   pointer-jumping closure runs RECORDED inside
+    #   pipe_leakage_split's oracle (pairs → recursive-CTE closure →
+    #   group fold), and group-size aggregation inside
+    #   pipe_curate_ranked's corpus card; locally green;
+    "dedup_groups": (q_dedup_groups, ORACLE_DEDUP_GROUPS),
+    # stream_ppl_filter: streaming LM quality filter — streaming
+    #   execution keeps three recorded reps (stream_dedup_mirror,
+    #   stream_join_mirror, dedup_incremental_stream), the shared-
+    #   oracle stream≡batch≡SQL discipline is recorded by
+    #   dedup_incremental_stream, and the LM scorer by
+    #   text_lm3_perplexity; locally green;
+    "stream_ppl_filter": (q_stream_ppl_filter, ORACLE_TEXT_LM_PPL),
+    # pipe_upsert_latest: keep-latest upsert — the rank-1-per-key cut
+    #   is recorded via vs_knn_join's WindowGroupLimit and the
+    #   delete+insert upsert convention via snap_change_feed's
+    #   hash-certified row accounting; locally green;
+    "pipe_upsert_latest": (q_pipe_upsert_latest, ORACLE_PIPE_UPSERT),
+    # pipe_curate: the plain-quality curation composition — every
+    #   stage (quality/langid scan, dup-drop anti-join, md5 split,
+    #   corpus card) runs RECORDED verbatim inside the promoted
+    #   pipe_curate_ranked, which adds the rank blend on the same
+    #   spine; locally green;
+    "pipe_curate": (q_pipe_curate, ORACLE_PIPE_CURATE),
+    # mm_h264_iframes: H.264 baseline intra codec — the codec surface
+    #   keeps four recorded rows (mm_png_roundtrip, mm_flac_audio,
+    #   dedup_audiofp_lossy, dedup_video's JPEG frame decode); the
+    #   NAL/exp-Golomb/CAVLC machinery stays locally green +
+    #   pytest-pinned (tests/test_h264.py);
+    "mm_h264_iframes": (q_mm_h264_iframes, ORACLE_MM_H264),
+    # tpch_q21: double-correlated EXISTS/NOT-EXISTS as one per-order
+    #   agg + window pass — per-key conditional aggregation stays
+    #   pinned in-window by events_sessions' session-break sums and
+    #   the shape is property-tested against the literal correlated
+    #   semantics (tests/test_properties.py); the TPC-H family keeps
+    #   tpch_q1 (agg) + tpch_q2 (decorrelated MIN over the derived
+    #   partsupp) recorded; locally green;
+    "tpch_q21": (q_tpch_q21, ORACLE_TPCH_Q21),
+    # events_asof_signup: keyed as-of range join — keyed range
+    #   semantics stay recorded via stream_join_mirror (whose oracle
+    #   IS the batch range join, hash-matched through the streaming
+    #   engine) and blocked theta joins via fuzzy_name_match; the
+    #   events family keeps events_sessions recorded; locally green;
+    "events_asof_signup": (q_events_asof_signup, ORACLE_EVENTS_ASOF),
 }
 
 

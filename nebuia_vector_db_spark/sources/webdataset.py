@@ -173,6 +173,19 @@ def write_webdataset(
                     info.uname = info.gname = ""
                     tar.addfile(info, io.BytesIO(data))
                     n_members += 1
+        if n_rows == 0:
+            # every row's members were all NULL: no recoverable
+            # samples, so write NOTHING — no zero-sample tar on disk
+            # and no manifest row (ADVICE r12; keeps the docstring's
+            # "one row per non-empty shard" contract literal).
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int32"),
+                    "n_samples": pd.Series([], dtype="int64"),
+                    "n_members": pd.Series([], dtype="int64"),
+                    "tar_bytes": pd.Series([], dtype="int64"),
+                }
+            )
         payload = buf.getvalue()
         final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         # per-ATTEMPT-unique staging name (the datasource.py staging

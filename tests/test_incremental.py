@@ -423,3 +423,148 @@ def test_replayed_update_batch_keeps_new_rows(spark, tmp_path):
         for r in SnapshotTable(spark, ppath).read().collect()
     }
     assert (1, 9) in got
+
+
+# ---- SubstringAnchorIndex (round 13, VERDICT r12 task #3) -----------
+
+
+def _span_pairs_set(df):
+    return {(r["doc_a"], r["doc_b"], r["n_shared"]) for r in df.collect()}
+
+
+def test_substring_incremental_equals_from_scratch(
+    spark, sf_oracle, tmp_path
+):
+    """ingest(delta) must equal full-corpus exact_substring_pairs
+    restricted to pairs touching the delta — the defining contract on
+    the real corpus (same split as the MinHash twin; the
+    dedup_substring_incremental registry row additionally
+    hash-certifies this against the DuckDB replay)."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    docs = _docs(spark, sf_oracle)
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "corpus"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "idx"), corpus=base
+    )
+    corpus.append(delta)
+    got = _span_pairs_set(idx.ingest_commit(corpus))
+    want = {
+        t
+        for t in _span_pairs_set(
+            exact_substring_pairs(docs, k=32, min_shared=2)
+        )
+        if t[0] % 2 == 0 or t[1] % 2 == 0
+    }
+    release_cached_relations()
+    assert got == want and got
+    # both candidate paths actually fired on this corpus
+    assert any(a % 2 == 0 and b % 2 == 0 for a, b, _ in got)
+    assert any((a % 2 == 0) != (b % 2 == 0) for a, b, _ in got)
+
+
+def test_substring_dfcap_is_corpus_global(spark, tmp_path):
+    """A gram under the df-cap in the seed corpus but over it once the
+    delta lands must be dropped from BOTH join sides — hotness is a
+    property of base ∪ delta, exactly the from-scratch semantics
+    (planted: span S reaches df 3 > cap 2 only after the delta)."""
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # WHOLE-document copies: identical text selects identical anchors
+    # in every copy, so every S anchor reaches df 3 (> cap 2) once the
+    # delta lands and must vanish from the join; T stays at df 2
+    S = "this exact boilerplate paragraph is stamped into every single page here"
+    T = "a genuinely copied unique passage appearing in precisely two documents"
+    base = mk([(1, S), (2, S), (4, T)])
+    delta = mk([(3, S), (9, T)])
+    kw = dict(k=16, min_shared=1, winnow_w=8, max_anchor_df=2)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "i"), corpus=base, **kw
+    )
+    corpus.append(delta)
+    got = _span_pairs_set(idx.ingest_commit(corpus))
+    full = mk([]).unionByName(base).unionByName(delta)
+    want = {
+        t
+        for t in _span_pairs_set(
+            exact_substring_pairs(
+                full, text_col="text", id_col="doc_id", **kw
+            )
+        )
+        if t[0] in (3, 9) or t[1] in (3, 9)
+    }
+    release_cached_relations()
+    assert got == want
+    # non-vacuous: the control span T pairs across the commit...
+    assert any({a, b} == {4, 9} for a, b, _ in got)
+    # ...and the cap really bit: without it, S would pair 3 with 1 and 2
+    uncapped = exact_substring_pairs(
+        full, k=16, min_shared=1, winnow_w=8, max_anchor_df=10**9
+    )
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {1, 3} for r in uncapped.collect()
+    )
+    assert not any({a, b} == {1, 3} for a, b, _ in got)
+
+
+def test_substring_update_commit_replaces_postings(spark, tmp_path):
+    """An update commit (delete+insert of one doc_id) must REPLACE the
+    doc's postings: the old text's anchors are retracted before the
+    new text's are ingested, so a later duplicate of the OLD text no
+    longer pairs with the updated doc."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    old = "the original wording of document one which will be rewritten soon"
+    new = "a completely fresh body with nothing in common with before at all"
+    base = mk([(1, old), (2, "some unrelated second document body here")])
+    kw = dict(k=16, min_shared=1, winnow_w=8)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "i"), corpus=base, **kw
+    )
+    # upsert doc 1: COW delete + re-insert with new text (ingest BOTH
+    # commits, the MinHash twin's convention)
+    corpus.delete_where("doc_id = 1")
+    corpus.append(mk([(1, new)]))
+    assert _span_pairs_set(idx.ingest_commit(corpus, version=2)) == set()
+    assert _span_pairs_set(idx.ingest_commit(corpus, version=3)) == set()
+    # a later copy of the OLD text pairs with nothing (postings replaced)
+    corpus.append(mk([(7, old)]))
+    got = _span_pairs_set(idx.ingest_commit(corpus))
+    release_cached_relations()
+    assert got == set()
+
+
+def test_substring_param_guard_and_empty_seed(spark, tmp_path):
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "tiny")], "doc_id long, text string"
+    )
+    SubstringAnchorIndex.create(spark, str(tmp_path / "i"), corpus=base)
+    with pytest.raises(ValueError, match="sketch parameters"):
+        SubstringAnchorIndex(spark, str(tmp_path / "i"), winnow_w=8)
+    # min_shared / max_anchor_df are query-time knobs, not index layout
+    SubstringAnchorIndex(
+        spark, str(tmp_path / "i"), min_shared=3, max_anchor_df=7
+    )
+    release_cached_relations()

@@ -65,9 +65,16 @@ _REQUIRED_IN_WINDOW = {
     # shortlist + exact re-rank; the quantize→shortlist→re-rank
     # pattern keeps three recorded tiers: PQ codebook ADC, BQ 1-bit
     # Hamming, MRL prefix truncation)
+    # (vs_doc_maxsim + vs_bq_rerank demoted r13 for the VERDICT r12
+    # promotions — chunk rollup recorded via vs_nested_search +
+    # hybrid_bm25_rrf's aggregates; BQ's shortlist→re-rank recorded
+    # via vs_pq_topk/vs_mrl_rerank and its recall question via the
+    # promoted eval_ann_sq8_recall)
     "vs_topk", "vs_multi_search", "vs_nested_search", "vs_knn_join",
-    "vs_ivf_batch", "vs_pq_topk", "vs_mrl_rerank", "vs_doc_maxsim",
-    "vs_bq_rerank",
+    "vs_ivf_batch", "vs_pq_topk", "vs_mrl_rerank",
+    # hard-negative mining (promoted r13): label-excluded top-k — the
+    # contrastive-training mining op, previously unrecorded
+    "vs_hard_negatives",
     # (vs_range_search demoted late r12 for vs_prf_rocchio — the
     # first recorded iterate-then-re-search retrieval loop, with
     # integer-micro-unit Rocchio feedback; the radius row's HOF dot
@@ -94,9 +101,16 @@ _REQUIRED_IN_WINDOW = {
     # IMA-ADPCM lossy fingerprint boundary, recursive-CTE oracle;
     # the winnowing-anchor/span machinery runs recorded inside
     # dedup_drop_spans, which excises the spans substring lists)
+    # (dedup_groups demoted r13 — the closure runs recorded inside
+    # pipe_leakage_split's oracle and group sizes inside
+    # pipe_curate_ranked's corpus card)
     "dedup_dhash", "dedup_audiofp", "dedup_audiofp_lossy",
-    "dedup_minhash_lsh", "dedup_groups",
+    "dedup_minhash_lsh",
     "dedup_drop_spans",
+    # incremental substring dedup (promoted r13, the round flagship):
+    # persisted winnowed-anchor posting index, O(churn) per commit,
+    # oracle = from-scratch pass restricted to delta-touching pairs
+    "dedup_substring_incremental",
     # text analysis (text_minhash_mllib demoted r7 — MinHash+LSH
     # banding stays recorded via dedup_minhash_lsh; the MLlib row's
     # distinct surface is API interop, locally green.
@@ -126,9 +140,16 @@ _REQUIRED_IN_WINDOW = {
     # recorded inside pipe_curate's split stage)
     # (pipe_epoch_shuffle demoted r10 for dedup_semdedup — the
     # md5-order gate runs recorded inside pipe_curate's split stage)
+    # (pipe_upsert_latest demoted r13 — rank-1-per-key cut recorded
+    # via vs_knn_join, upsert convention via snap_change_feed;
+    # pipe_curate demoted r13 for pipe_curate_ranked, which runs every
+    # curate stage verbatim plus the integer-micro PageRank blend)
     "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
     "pipe_decontaminate", "pipe_dsir_select",
-    "pipe_upsert_latest", "pipe_curate",
+    "pipe_curate_ranked",
+    # mixture-epoch materialization + budget-constrained selection
+    # (promoted r13, VERDICT r12 task #1)
+    "pipe_mixture_epoch", "pipe_budget_select",
     # leakage-safe group-keyed split (promoted r12): near-dup groups
     # land wholly in one fold — takes mm_color_roundtrip's slot
     "pipe_leakage_split",
@@ -162,8 +183,13 @@ _REQUIRED_IN_WINDOW = {
     # iterative-graph family's first recorded rep; the audio-decode
     # surface keeps three recorded rows: FLAC lossless compression,
     # audiofp's WAV/FLAC decode, audiofp_lossy's ADPCM boundary)
+    # (mm_h264_iframes demoted r13 for graph_communities — the codec
+    # surface keeps four recorded rows; H.264 stays pytest-pinned)
     "mm_png_roundtrip", "mm_flac_audio", "dedup_video",
-    "mm_h264_iframes", "graph_pagerank",
+    "graph_pagerank",
+    # label-propagation communities (promoted r13): the graph
+    # family's second capability, unrolled-CTE oracle
+    "graph_communities",
     # transactional storage (snap_engine_lifecycle promoted r9: the
     # VectorEngine facade driving store → search → ACID delete →
     # multi-search end-to-end; snap_delete_read demoted r11 for
@@ -187,7 +213,13 @@ _REQUIRED_IN_WINDOW = {
     # persisted-band-index composition; HLL's property-check oracle
     # certifies one built-in aggregate, the sketch family's recorded
     # rep is text_heavy_ngrams' CMS pipeline)
-    "tpch_q1", "tpch_q2", "tpch_q21",
+    # (tpch_q21 demoted r13 — per-key conditional aggregation stays
+    # pinned by events_sessions' session-break sums; q1/q2 stay)
+    "tpch_q1", "tpch_q2",
+    # retrieval evaluation metrics + hash-certified ANN recall
+    # (promoted r13, VERDICT r12 task #1): the measurement harness
+    # every ANN-tier claim rests on, now driver-recorded
+    "eval_retrieval_knn", "eval_ann_sq8_recall",
     # (orders_running_revenue demoted late r12 for
     # pipe_webdataset_roundtrip — the tar-shard GPU-loader
     # interchange surface, previously unrecorded; running-sum window
@@ -203,15 +235,19 @@ _REQUIRED_IN_WINDOW = {
     # (events_funnel demoted r12 for stream_dedup_mirror — the
     # ordered-step conditional min-ts chain is the conditional-agg
     # shape tpch_q21 pins; the family keeps two recorded reps)
+    # (events_asof_signup demoted r13 — keyed range semantics stay
+    # recorded via stream_join_mirror's batch-range-join oracle)
     "events_sessions",
-    "events_asof_signup",
     # streaming execution path (promoted r6): stream-stream join via
     # the micro-batch engine, hash-matched to the batch range join
     "stream_join_mirror",
-    # streaming LM quality filter (promoted r10): stateless broadcast-
-    # artifact scoring through the micro-batch planner, sharing the
-    # batch row's oracle so the hash certifies streaming ≡ batch ≡ SQL
-    "stream_ppl_filter",
+    # (stream_ppl_filter demoted r13 — streaming keeps three recorded
+    # reps and the shared-oracle stream≡batch≡SQL discipline is now
+    # recorded by dedup_incremental_stream)
+    # CDC-stream incremental dedup (promoted r13): foreachBatch loop
+    # over the corpus change feed, exactly-once CAS appends, sharing
+    # the batch row's oracle
+    "dedup_incremental_stream",
     # real-tokenizer trainer (promoted r11, sanctioned rows-only):
     # the unigram-LM EM fit — the family's first recorded rep
     "text_unigram_train",
