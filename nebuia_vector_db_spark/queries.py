@@ -2096,10 +2096,11 @@ def q_pipe_curate_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
-    # materialize before releasing the loop's persisted rank relation
-    # (same discipline as q_graph_pagerank — a registry fn must not
-    # pin executor caches for the rest of a 150-query oracle run)
-    out = spark.createDataFrame(out.collect(), out.schema)
+    # release the loop's persisted relations NOW (q_graph_pagerank's
+    # discipline: unpersist is lazy-safe — the returned plan simply
+    # recomputes the linear rank DAG from source; a registry fn must
+    # not pin executor caches for the rest of a 150-query oracle run,
+    # and returning the LAZY plan keeps this row dumpable in PLANS.md)
     _release_graph_caches()
     return out
 
@@ -8327,6 +8328,78 @@ ORACLE_PIPE_CURATE_RANKED = ORACLE_PIPE_CURATE_RANKED.replace(
 )
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (round 13, VERDICT r12 stretch #8 — Page
+    et al. 1999 §6, the topic-/trust-biased host ranking crawl
+    pipelines use): teleport mass lands ONLY on the seed set (every
+    50th doc), so rank_micro measures link-proximity to the seeds —
+    rank_0 = 1e6·[seed], rank_{t+1} = 150000·[seed] + Σ in-edge
+    contributions, same integer recurrence and therefore the same
+    unrolled-CTE oracle trick as graph_pagerank. Non-seed nodes far
+    from any seed settle at 0 (integer floor), which the oracle also
+    replays exactly."""
+    from nebuia_vector_db_spark.operators.graph import pagerank_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    seeds = docs.where(F.col("doc_id") % 50 == 0)
+    out = (
+        pagerank_exact(
+            _doc_link_edges(docs), iters=5, damping_pct=85,
+            personalize=seeds,
+        )
+        .select(F.col("node").alias("doc_id"), "rank_micro")
+        .orderBy("doc_id")
+    )
+    _release_graph_caches()  # see q_graph_pagerank's note
+    return out
+
+
+def _ppr_iters_sql(iters: int) -> str:
+    """Chained CTEs replaying the PERSONALIZED recurrence: teleport
+    and init gated on seed membership, contributions unchanged."""
+    ctes = [
+        """r0 AS (
+  SELECT nodes.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END
+              AS BIGINT) AS rm
+  FROM nodes LEFT JOIN seeds s ON s.node = nodes.node
+)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT nodes.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END
+              + COALESCE(s.s, 0) AS BIGINT) AS rm
+  FROM nodes
+  LEFT JOIN seeds sd ON sd.node = nodes.node
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rm * 85) // (100 * deg.d)) AS s
+    FROM e JOIN deg ON deg.src = e.src JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+ORACLE_GRAPH_PPR = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+{_ppr_iters_sql(5)}
+SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
+"""
+
+
 def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation metrics (round 12,
     operators/evaluation.py::evaluate_run): the exact kNN top-20 run
@@ -9777,6 +9850,12 @@ REGISTRY: dict[
     "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
+    # graph_ppr: PERSONALIZED PageRank (round 13, stretch #8) —
+    #   seed-gated teleport on the same integer chassis; the
+    #   iterative unrolled-CTE discipline and the shared graph are
+    #   recorded via graph_pagerank, so this stays below the window;
+    #   locally green;
+    "graph_ppr": (q_graph_ppr, ORACLE_GRAPH_PPR),
     # ---- Round-13 demotions (slots freed for the seven VERDICT r12
     # task-#1 promotions plus the two new round-13 flagship rows
     # dedup_substring_incremental / pipe_curate_ranked). Each row's

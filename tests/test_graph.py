@@ -214,3 +214,44 @@ def test_pagerank_string_node_ids(spark):
         [("a.com", "b.com"), ("b.com", "a.com"), ("c.com", "a.com")], 2
     )
     assert got == ref
+
+
+def test_personalized_pagerank_seed_gating(spark):
+    """PPR (round 13): teleport mass lands only on seeds — a node
+    unreachable from any seed ranks 0; seeds keep teleport mass; and
+    personalize=None stays byte-identical to the classic recurrence."""
+    from nebuia_vector_db_spark.operators.graph import (
+        pagerank_exact,
+        release_cached_relations,
+    )
+
+    # 1 -> 2 -> 3, and isolated-from-seeds 4 -> 5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_exact(
+            edges, iters=3, personalize=seeds
+        ).collect()
+    }
+    release_cached_relations()
+    # hand-rolled recurrence: r0 = (1e6, 0, 0, 0, 0)
+    # r1: n1=150000; n2=(1e6*85)//100=850000; n3=0; n4=n5=0
+    # r2: n1=150000; n2=127500; n3=722500; others 0
+    # r3: n1=150000; n2=127500; n3=108375
+    assert got == {1: 150000, 2: 127500, 3: 108375, 4: 0, 5: 0}
+    # default personalize=None ≡ the pre-r13 classic recurrence
+    classic = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_exact(edges, iters=2).collect()
+    }
+    release_cached_relations()
+    # r0 all 1e6; r1: tp=150000; n2 += 850000, n3 += 850000, n5 += 850000
+    # (out-deg 1 each); n1=n4=150000
+    # r2: n1=150000, n2=150000+127500, n3=150000+850000, n4=150000,
+    #     n5=150000+127500
+    assert classic == {
+        1: 150000, 2: 277500, 3: 1000000, 4: 150000, 5: 277500,
+    }

@@ -568,3 +568,41 @@ def test_substring_param_guard_and_empty_seed(spark, tmp_path):
         spark, str(tmp_path / "i"), min_shared=3, max_anchor_df=7
     )
     release_cached_relations()
+
+
+def test_substring_ingest_plan_shape(spark, sf_oracle, tmp_path):
+    """Pin the live substring-ingest plan's scale properties (the
+    registry row collects through a scratch-table lifecycle, so
+    PLANS.md can't see it — excluded in tools/explain_dump.py's
+    header): the persisted postings arrive from a parquet scan (never
+    re-winnowed from text), the churn-bounded relations read the
+    cache, and the join tree is equi-join only — no cartesian."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    docs = _docs(spark, sf_oracle)
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "i"), corpus=base
+    )
+    corpus.append(delta)
+    pairs = idx.ingest(
+        corpus.changes(1, 2)
+        .where(F.col("_change") == "insert")
+        .drop("_change", "_commit_version"),
+        corpus.read(2),
+    )
+    plan = explain_str(pairs)
+    # persisted postings come from storage, not a corpus re-winnow
+    assert "Scan parquet" in plan or "FileScan parquet" in plan, plan
+    # delta anchors + delta-gram postings are cached and reused by
+    # both the df-count and the pair joins
+    assert "InMemoryTableScan" in plan, plan
+    # the hot-gram guard drops boilerplate map-side via broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    release_cached_relations()
