@@ -606,3 +606,32 @@ def test_substring_ingest_plan_shape(spark, sf_oracle, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     release_cached_relations()
+
+
+def test_stream_driver_drives_substring_index(spark, tmp_path):
+    """stream_dedup_ingest with the SUBSTRING index (round 13):
+    continuous span-level dedup-at-ingest — the CDC loop ingests a
+    commit carrying a copied paragraph and the pairs table mirrors
+    the batch ingest_commit output, (doc_a, doc_b, n_shared) schema
+    included."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+        stream_dedup_ingest,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    para = "an unmistakably copied paragraph that spans well past the anchor window"
+    base = mk([(1, "opening words " + para), (2, "completely unrelated body text")])
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    ppath, ck = str(tmp_path / "p"), str(tmp_path / "ck")
+    corpus = SnapshotTable.create(spark, cpath, base)
+    idx = SubstringAnchorIndex.create(
+        spark, ipath, corpus=base, k=16, min_shared=1, winnow_w=8
+    )
+    corpus.append(mk([(9, "different framing yet " + para)]))
+    q = stream_dedup_ingest(spark, cpath, idx, ppath, ck)
+    q.awaitTermination()
+    release_cached_relations()
+    pairs = SnapshotTable(spark, ppath).read().collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 9)}
+    assert all(r["n_shared"] >= 1 for r in pairs)
