@@ -1968,6 +1968,11 @@ def main() -> None:
     timings["b22_substring_from_scratch_sec"] = round(
         _median_time(_b22_full, runs=3), 4
     )
+    # each from-scratch pass persisted a 20k-doc anchors relation into
+    # the dedup module's cache registry (MEMORY_AND_DISK) — release
+    # them NOW or they pin executor storage for every later section
+    # (code-review r13; same hygiene as the post-headline release)
+    _release_anchors()
     t0 = time.perf_counter()
     _SAI.create(
         spark, os.path.join(b22_root, "seed"),

@@ -99,6 +99,14 @@ class _SketchIndexBase:
     _OUT_A: str = "a"
     _OUT_B: str = "b"
     _EMPTY_SEED_SCHEMA: str = ""
+    #: True when stale index rows of deleted/UPDATED docs are mere
+    #: candidate noise because an exact verify against the CURRENT
+    #: corpus recomputes the score from live payload (the sketch
+    #: indexes). False when the index rows themselves carry the
+    #: evidence (the substring postings), so an updated doc's stale
+    #: rows would produce WRONG output pairs — retract_deletes=False
+    #: is then refused (code-review r13).
+    _STALE_ROWS_ARE_NOISE: bool = True
 
     def _params(self) -> dict:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -179,10 +187,13 @@ class _SketchIndexBase:
         streaming replays (the foreachBatch at-least-once contract):
         it routes through the stream-watermark CAS append, so a
         replayed micro-batch skips the duplicate write — and the
-        recomputed pair set is unchanged anyway (the delta's rows
-        being already IN the index only moves within-delta pairs from
-        the self-join to the cross join; ``distinct`` collapses
-        them)."""
+        recomputed pair set is unchanged anyway: for the sketch
+        indexes the delta's rows being already IN the index only
+        moves within-delta pairs from the self-join to the cross join
+        and ``distinct`` collapses them; the COUNT-shaped substring
+        subclass instead anti-joins its own delta ids out of the
+        pinned index read (see its ``_pair_rows``), which restores
+        the pre-append view exactly."""
         delta_rows = self._sketch_rows(delta).cache()
         _CACHED_RELATIONS.append(delta_rows)
         # pin the index snapshot BEFORE appending the delta's rows
@@ -267,6 +278,7 @@ class _SketchIndexBase:
         corpus_at_v: DataFrame,
         txn: tuple[str, int] | None = None,
         retract_deletes: bool = True,
+        _replay_bands_done: bool = False,
     ) -> DataFrame:
         """Drive :meth:`ingest` from ONE commit's change-feed slice
         (rows carrying ``_change``/``_commit_version``): retract the
@@ -281,6 +293,24 @@ class _SketchIndexBase:
         is a no-op) — but see stream_dedup_ingest's watermark guard
         for why a REPLAYED already-committed version must skip this
         whole method, retract included."""
+        # _replay_bands_done is the stream driver's private channel
+        # (see stream_dedup_ingest): the version's retract+bands
+        # append already COMMITTED in a first attempt, so the retract
+        # must be skipped here (re-retracting would delete the new
+        # rows the watermark-guarded append declines to rewrite) and
+        # no stale rows exist — the stale-row refusal below does not
+        # apply.
+        if _replay_bands_done:
+            retract_deletes = False
+        elif not retract_deletes and not self._STALE_ROWS_ARE_NOISE:
+            raise ValueError(
+                f"{type(self).__name__} cannot run with "
+                "retract_deletes=False: its index rows carry the match "
+                "evidence itself (no exact re-verify against the live "
+                "corpus exists to drop them), so an UPDATE commit's "
+                "stale rows would produce wrong pairs — retract, or "
+                "use a sketch index"
+            )
         id_col = self._corpus_id_col()
         if retract_deletes:
             dels = [
@@ -526,10 +556,13 @@ class SubstringAnchorIndex(_SketchIndexBase):
       are new to the index by contract — so no re-aggregation across
       branches), and there is no separate verify fetch: anchors are
       collision-free gram STRINGS, already exact. ``corpus_now`` is
-      used only for an existence semi-join, which makes the
-      ``retract_deletes=False`` hygiene story match the sketch
-      indexes (stale postings of deleted docs are candidate noise,
-      never output).
+      used only for an existence semi-join — which drops stale
+      postings of DELETED docs, but cannot drop an UPDATED doc's
+      (the doc is still alive; its old text's postings would pair as
+      if the old text were). Because no exact re-verify against live
+      payload exists here, ``retract_deletes=False`` is REFUSED for
+      this subclass (``_STALE_ROWS_ARE_NOISE = False``,
+      code-review r13) instead of silently risking wrong pairs.
 
     Cost per ingest: one winnowing pass over the delta + ONE
     column-pruned scan of the postings table (the df count and the
@@ -546,6 +579,7 @@ class SubstringAnchorIndex(_SketchIndexBase):
     _KEY_COLS = ("gram", "gram")  # single-key family; see _pair_rows
     _OUT_A, _OUT_B = "doc_a", "doc_b"
     _EMPTY_SEED_SCHEMA = "_id long, gram string"
+    _STALE_ROWS_ARE_NOISE = False  # postings ARE the evidence
 
     def __init__(
         self,
@@ -600,10 +634,25 @@ class SubstringAnchorIndex(_SketchIndexBase):
     ) -> DataFrame:
         # postings of DELTA grams only — the one postings-table scan
         # this ingest pays; persisted because both the df count and
-        # the cross join consume it
-        idx_rel = index_rows.join(
-            delta_rows.select("gram").distinct(), "gram", "left_semi"
-        ).cache()
+        # the cross join consume it. The anti-join on delta ids is the
+        # REPLAY-IDEMPOTENCE guard (code-review r13): after a crash
+        # between the bands-lane and pairs-lane appends, the replayed
+        # recompute reads an index that already holds the delta's own
+        # postings — without the exclusion a within-delta pair would
+        # count 3× (within + both cross orientations) and the df count
+        # would double-count delta postings, flipping the cap for
+        # grams within delta_df of it. The sketch indexes are immune
+        # (distinct pair identity — see ingest's txn note); this
+        # COUNT-shaped subclass is not. On the clean path the new-ids
+        # contract makes the exclusion a no-op.
+        delta_ids = delta_rows.select("_id").distinct()
+        idx_rel = (
+            index_rows.join(
+                delta_rows.select("gram").distinct(), "gram", "left_semi"
+            )
+            .join(delta_ids, "_id", "left_anti")
+            .cache()
+        )
         _CACHED_RELATIONS.append(idx_rel)
         # corpus-global df per delta gram = persisted count + delta
         # count (disjoint doc sets by the new-ids contract, distinct
@@ -770,7 +819,7 @@ def stream_dedup_ingest(
                     batch.where(F.col("_commit_version") == v),
                     corpus.read(v),
                     txn=(lane + ":bands", v),
-                    retract_deletes=not bands_done,
+                    _replay_bands_done=bands_done,
                 )
                 transactional_append(
                     spark, pairs_path, pairs, v, lane + ":pairs"

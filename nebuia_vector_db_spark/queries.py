@@ -8400,17 +8400,13 @@ SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
 
 
-def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval evaluation metrics (round 12,
-    operators/evaluation.py::evaluate_run): the exact kNN top-20 run
-    over the labeled embedding corpus is scored at k=10 against
-    same-label ground truth (relevant ≙ shares the query's label,
-    self excluded) — per-query recall@10 / precision@10 / MRR as
-    BIGINT micro-units with single terminal floor divisions, so the
-    whole run→qrels→metrics pipeline is hash-certified. This is the
-    harness every ANN-tier recall claim ultimately rests on, made a
-    first-class distributed op (two equi-joins + a grouped agg — no
-    windows past the run's own cut, no driver loop)."""
+def _eval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared run/qrels construction + evaluate_run for the eval rows
+    (code-review r13: eval_retrieval_knn and eval_summary certify "the
+    SAME per-query relation" — so it must exist ONCE): exact kNN
+    top-20 over the labeled embedding corpus, scored at k=10 against
+    same-label ground truth (relevant ≙ shares the query's label, self
+    excluded). Both DuckDB oracles replay exactly this relation."""
     from nebuia_vector_db_spark.functions.vector import l2_normalize
     from nebuia_vector_db_spark.operators.evaluation import evaluate_run
 
@@ -8432,9 +8428,7 @@ def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rk")
     qrels = (
         emb.join(
-            F.broadcast(
-                queries.select("query_id", "_qlabel")
-            ),
+            F.broadcast(queries.select("query_id", "_qlabel")),
             (F.col("label") == F.col("_qlabel"))
             & (F.col("vec_id") != F.col("query_id")),
         )
@@ -8442,7 +8436,22 @@ def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return evaluate_run(
         run, qrels, k=10, doc_col="vec_id", rank_col="rk"
-    ).orderBy("query_id")
+    )
+
+
+def q_eval_retrieval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics (round 12,
+    operators/evaluation.py::evaluate_run): the exact kNN top-20 run
+    over the labeled embedding corpus is scored at k=10 against
+    same-label ground truth (relevant ≙ shares the query's label,
+    self excluded) — per-query recall@10 / precision@10 / MRR as
+    BIGINT micro-units with single terminal floor divisions, so the
+    whole run→qrels→metrics pipeline is hash-certified. This is the
+    harness every ANN-tier recall claim ultimately rests on, made a
+    first-class distributed op (two equi-joins + a grouped agg — no
+    windows past the run's own cut, no driver loop). The run/qrels
+    construction lives in _eval_per_query, shared with eval_summary."""
+    return _eval_per_query(spark, sf_dir).orderBy("query_id")
 
 
 ORACLE_EVAL_RETRIEVAL = """
@@ -8489,47 +8498,19 @@ ORDER BY nrel.query_id
 def q_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level evaluation summary (round 13, VERDICT r12 task
     #6): operators/evaluation.py::summarize_eval over the SAME
-    per-query relation eval_retrieval_knn certifies — BOTH averaging
+    per-query relation eval_retrieval_knn certifies (shared
+    _eval_per_query construction — code-review r13) — BOTH averaging
     conventions in one row (macro: every query votes equally, the
     paper-reported number; micro: pooled Σhits/Σn_rel, every relevant
     doc votes equally — conflating them is the classic IR-reporting
     mistake). Sums are exact BIGINTs and each mean is one terminal
     floor division, so the whole run→qrels→metrics→summary pipeline
     stays hash-certified end to end."""
-    from nebuia_vector_db_spark.functions.vector import l2_normalize
     from nebuia_vector_db_spark.operators.evaluation import (
-        evaluate_run,
         summarize_eval,
     )
 
-    emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        l2_normalize(F.col("embedding").cast("array<double>")).alias(
-            "_qv"
-        ),
-        F.col("label").alias("_qlabel"),
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(queries.drop("_qlabel")))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_s", dot(F.col("embedding"), F.col("_qv")))
-    )
-    run = topk_per_group(
-        scored, ["query_id"], "_s", 20, tie_cols=["vec_id"]
-    ).select("query_id", "vec_id", "rk")
-    qrels = (
-        emb.join(
-            F.broadcast(queries.select("query_id", "_qlabel")),
-            (F.col("label") == F.col("_qlabel"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "vec_id")
-    )
-    per_query = evaluate_run(
-        run, qrels, k=10, doc_col="vec_id", rank_col="rk"
-    )
-    return summarize_eval(per_query)
+    return summarize_eval(_eval_per_query(spark, sf_dir))
 
 
 ORACLE_EVAL_SUMMARY = """

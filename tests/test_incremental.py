@@ -635,3 +635,67 @@ def test_stream_driver_drives_substring_index(spark, tmp_path):
     pairs = SnapshotTable(spark, ppath).read().collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 9)}
     assert all(r["n_shared"] >= 1 for r in pairs)
+
+
+def test_substring_txn_replay_is_idempotent(spark, tmp_path):
+    """The code-review r13 crash scenario: a replayed micro-batch
+    whose postings append already committed must recompute the SAME
+    pair set with the SAME n_shared counts — without the delta-id
+    anti-join in _pair_rows, a within-delta pair would count 3× (its
+    own postings meet it through within AND both cross orientations)
+    and the df count would double-count delta postings."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    para = "a verbatim paragraph long enough to clear the winnow window easily"
+    base = mk([(1, "lead " + para)])
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "i"), corpus=base,
+        k=16, min_shared=1, winnow_w=8,
+    )
+    delta = mk([(7, "tail " + para), (8, "coda " + para)])
+    corpus.append(delta)
+    first = _span_pairs_set(
+        idx.ingest(delta, corpus.read(2), txn=("lane", 0))
+    )
+    n_rows = idx.tbl.read().count()
+    replay = _span_pairs_set(
+        idx.ingest(delta, corpus.read(2), txn=("lane", 0))
+    )
+    release_cached_relations()
+    assert first == replay and first
+    assert {(a, b) for a, b, _ in first} == {(1, 7), (1, 8), (7, 8)}
+    assert idx.tbl.read().count() == n_rows  # no duplicate postings
+
+
+def test_substring_refuses_unretracted_deletes(spark, tmp_path):
+    """retract_deletes=False is refused for the substring index (its
+    postings ARE the evidence — no exact re-verify exists to drop an
+    updated doc's stale rows), while the sketch indexes still accept
+    it; the stream driver's replay path (_replay_bands_done) skips the
+    retract without tripping the refusal."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    base = mk([(1, "some original first document body here")])
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "i"), corpus=base,
+        k=16, min_shared=1, winnow_w=8,
+    )
+    corpus.append(mk([(2, "a brand new unrelated second document")]))
+    feed = corpus.changes(1, 2)
+    with pytest.raises(ValueError, match="retract_deletes=False"):
+        idx.ingest_feed(feed, corpus.read(2), retract_deletes=False)
+    # the replay channel works: bands were NOT appended by the failed
+    # call above, so this applies cleanly and finds nothing
+    got = _span_pairs_set(
+        idx.ingest_feed(feed, corpus.read(2), _replay_bands_done=False)
+    )
+    release_cached_relations()
+    assert got == set()
