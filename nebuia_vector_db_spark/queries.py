@@ -4400,6 +4400,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_substring_incremental_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of dedup_substring_incremental (round 13): the
+    same even-delta commit delivered through the CDC change-feed
+    stream and ingested by the index-generic foreachBatch loop
+    (operators/incremental.py::stream_dedup_ingest — postings and
+    pairs appends both ride the stream-watermark CAS, exactly-once
+    under replays; the substring index's delta-id anti-join keeps the
+    recompute idempotent when only the postings lane committed).
+    SHARES the batch row's oracle, so the hash certifies
+    stream ≡ batch ≡ ANSI SQL for the span-level modality — the
+    dedup_incremental_stream discipline applied to the third index."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+        release_cached_relations,
+        stream_dedup_ingest,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    delta = docs.where(F.col("doc_id") % 2 == 0)
+    root = posix_scratch_dir(spark, "incsubstrstream")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = SubstringAnchorIndex.create(
+            spark, root + "/index", corpus=base,
+            k=_SUBSTRING_K, min_shared=2,
+            max_anchor_df=_SUBSTRING_ANCHOR_DF_CAP,
+            winnow_w=_SUBSTRING_W,
+        )
+        corpus_tbl.append(delta)
+        q = stream_dedup_ingest(
+            spark, root + "/corpus", idx,
+            root + "/pairs", root + "/ck",
+        )
+        q.awaitTermination()
+        out = (
+            SnapshotTable(spark, root + "/pairs")
+            .read()
+            .select("doc_a", "doc_b", "n_shared")
+            .orderBy("doc_a", "doc_b")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
 def q_dedup_drop_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span REMOVAL (round 6, VERDICT r5 task #6): the actionable
     counterpart of `dedup_substring` — excise every duplicated 32-char
@@ -9831,6 +9886,16 @@ REGISTRY: dict[
     "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
+    # dedup_substring_incremental_stream: the CDC-stream twin of the
+    #   recorded substring-incremental row (round 13) — SHARES its
+    #   oracle, certifying stream ≡ batch ≡ SQL for the span-level
+    #   modality; the foreachBatch CAS discipline is recorded via
+    #   dedup_incremental_stream, so this stays below the window;
+    #   locally green;
+    "dedup_substring_incremental_stream": (
+        q_dedup_substring_incremental_stream,
+        ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
+    ),
     # graph_ppr: PERSONALIZED PageRank (round 13, stretch #8) —
     #   seed-gated teleport on the same integer chassis; the
     #   iterative unrolled-CTE discipline and the shared graph are
