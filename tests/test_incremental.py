@@ -699,3 +699,56 @@ def test_substring_refuses_unretracted_deletes(spark, tmp_path):
     )
     release_cached_relations()
     assert got == set()
+
+
+def test_substring_incremental_randomized_corpus(spark, tmp_path):
+    """Seeded-random corpus (the test_dedup winnowing-test pattern):
+    texts over a 3-char alphabet with planted copied spans, an uneven
+    base/delta split, and a tiny df-cap so naturally-hot grams (space
+    runs) exercise the cap — incremental must equal from-scratch
+    restricted to delta-touching pairs on ALL of it."""
+    import random
+
+    from nebuia_vector_db_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+    from nebuia_vector_db_spark.operators.incremental import (
+        SubstringAnchorIndex,
+    )
+
+    rng = random.Random(4242)
+    alphabet = "ab "
+    texts = {}
+    for i in range(48):
+        n = rng.randrange(0, 300)
+        texts[i] = "".join(rng.choice(alphabet) for _ in range(n))
+    # plant copied spans (>= w + k - 1 = 23 chars) across random pairs,
+    # including base->delta, delta->delta and base->base directions
+    for src, dst in ((1, 3), (2, 9), (6, 12), (4, 8), (15, 33), (20, 21)):
+        donor = texts[src]
+        if len(donor) < 40:
+            donor = donor + "copied span filler material xyz " * 3
+            texts[src] = donor
+        span_len = rng.randrange(23, 80)
+        start = rng.randrange(0, max(1, len(donor) - span_len))
+        texts[dst] = texts[dst] + donor[start:start + span_len]
+    rows = [(i, t) for i, t in texts.items()]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+    kw = dict(k=16, min_shared=1, winnow_w=8, max_anchor_df=4)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SubstringAnchorIndex.create(
+        spark, str(tmp_path / "i"), corpus=base, **kw
+    )
+    corpus.append(delta)
+    got = _span_pairs_set(idx.ingest_commit(corpus))
+    want = {
+        t
+        for t in _span_pairs_set(exact_substring_pairs(docs, **kw))
+        if t[0] % 3 == 0 or t[1] % 3 == 0
+    }
+    release_cached_relations()
+    assert got == want
+    # non-vacuous: planted spans must actually pair across the split
+    assert any({a % 3, b % 3} != {1, 2} for a, b, _ in got) and got
