@@ -8718,6 +8718,121 @@ ORDER BY nrel.query_id
 """
 
 
+def q_eval_ann_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified ANN quality measurement for the COARSEST tier
+    (round 13 — the sibling of eval_ann_sq8_recall, and the recorded
+    backing for vs_bq_rerank's demotion note): recall@10 / MRR of the
+    PRODUCTION BQ configuration — packed-sign-word XOR+POPCNT Hamming
+    shortlist of 50, then exact re-rank to 20 — against the exact run
+    as ground truth. BQ packing is sign-only (SQL-replayable, no
+    trained artifact), so shortlist, re-rank, exact run and metric
+    arithmetic are ALL in one value-hash row. The Spark side scores
+    through the real packed-int64 kernel (bq_encode on BOTH sides +
+    `64 - 2·bit_count(xor)` in codegen); the oracle replays the same
+    number as a per-dim sign-agreement sum (±1 dot ≡ dim − 2·hamming,
+    the bq.py module identity)."""
+    from nebuia_vector_db_spark.functions.vector import l2_normalize
+    from nebuia_vector_db_spark.operators.bq import bq_encode
+    from nebuia_vector_db_spark.operators.evaluation import evaluate_run
+
+    emb = _emb(spark, sf_dir)
+    enc = bq_encode(emb, dim=64)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias(
+            "_qv"
+        ),
+    )
+    qenc = bq_encode(queries, dim=64, vec_col="_qv").withColumnRenamed(
+        "bq_w0", "_qw0"
+    )
+    joined = enc.crossJoin(F.broadcast(qenc))
+    short = topk_per_group(
+        joined.withColumn(
+            "_simb",
+            F.expr("CAST(64 - 2 * bit_count(bq_w0 ^ _qw0) AS INT)"),
+        ),
+        ["query_id"],
+        "_simb",
+        50,
+        tie_cols=["vec_id"],
+    )
+    bq_run = topk_per_group(
+        short.withColumn("_s", dot(F.col("embedding"), F.col("_qv"))),
+        ["query_id"],
+        "_s",
+        20,
+        tie_cols=["vec_id"],
+    ).select("query_id", "vec_id", "rk")
+    qrels = topk_per_group(
+        joined.withColumn("_s", dot(F.col("embedding"), F.col("_qv"))),
+        ["query_id"],
+        "_s",
+        10,
+        tie_cols=["vec_id"],
+    ).select("query_id", "vec_id")
+    return evaluate_run(
+        bq_run, qrels, k=10, doc_col="vec_id", rank_col="rk"
+    ).orderBy("query_id")
+
+
+ORACLE_EVAL_ANN_BQ = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+short AS (
+  SELECT query_id, vec_id, ev, qv FROM (
+    SELECT q.query_id, e.vec_id, e.ev, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> CASE WHEN (e.ev[i] > 0) = (q.qv[i] > 0)
+                                     THEN 1 ELSE -1 END)) DESC,
+                              e.vec_id) AS rk
+    FROM e CROSS JOIN q
+  ) WHERE rk <= 50
+),
+run AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_dot_product(qv, ev) DESC,
+                                       vec_id) AS rk
+    FROM short
+  ) WHERE rk <= 20
+),
+qrels AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(e.ev, q.qv) DESC,
+                                       e.vec_id) AS rk
+    FROM e CROSS JOIN q
+  ) WHERE rk <= 10
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS h, min(r.rk) AS fr
+  FROM run r
+  JOIN qrels ON qrels.query_id = r.query_id AND qrels.vec_id = r.vec_id
+  WHERE r.rk <= 10
+  GROUP BY r.query_id
+)
+SELECT nrel.query_id,
+       CAST(nrel.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_k,
+       CAST((1000000 * COALESCE(hits.h, 0)) // nrel.n_rel AS BIGINT) AS recall_micro,
+       CAST((1000000 * COALESCE(hits.h, 0)) // 10 AS BIGINT) AS precision_micro,
+       CAST(COALESCE(1000000 // hits.fr, 0) AS BIGINT) AS rr_micro
+FROM nrel LEFT JOIN hits ON hits.query_id = nrel.query_id
+ORDER BY nrel.query_id
+"""
+
+
 def _roundtrip_stats(back: DataFrame) -> DataFrame:
     """Per-lang aggregate with content-sensitive md5 extrema computed
     from the RE-READ text — shared by the interchange round-trip rows
@@ -9896,6 +10011,12 @@ REGISTRY: dict[
         q_dedup_substring_incremental_stream,
         ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
     ),
+    # eval_ann_bq_recall: hash-certified recall of the PRODUCTION BQ
+    #   two-stage config (round 13) — the recorded backing for
+    #   vs_bq_rerank's demotion note; the measurement discipline is
+    #   recorded via eval_ann_sq8_recall, so this sibling stays below
+    #   the window; locally green;
+    "eval_ann_bq_recall": (q_eval_ann_bq_recall, ORACLE_EVAL_ANN_BQ),
     # graph_ppr: PERSONALIZED PageRank (round 13, stretch #8) —
     #   seed-gated teleport on the same integer chassis; the
     #   iterative unrolled-CTE discipline and the shared graph are
@@ -9917,7 +10038,8 @@ REGISTRY: dict[
     #   (ADC) and vs_mrl_rerank (prefix), the XOR+POPCNT Hamming
     #   kernel via dedup_dhash/dedup_audiofp/dedup_video's verifies,
     #   and the quantized-tier recall question via the promoted
-    #   eval_ann_sq8_recall; locally green;
+    #   eval_ann_sq8_recall plus this tier's own hash-certified
+    #   measurement eval_ann_bq_recall (round 13); locally green;
     "vs_bq_rerank": (q_vs_bq_rerank, ORACLE_VS_BQ_RERANK),
     # dedup_groups: connected components over near-dup pairs — the
     #   pointer-jumping closure runs RECORDED inside
