@@ -143,6 +143,14 @@ def pagerank_exact(
 
     nodes = graph_nodes(edges, src_col, dst_col)
     if personalize is not None:
+        # ADVICE r13: a multi-column frame here means the caller
+        # forgot to select the seed column — failing loudly beats
+        # silently seeding from whatever column happens to be first.
+        if len(personalize.columns) != 1:
+            raise ValueError(
+                "personalize must be a one-column DataFrame of seed "
+                f"nodes; got columns {personalize.columns}"
+            )
         seed_col = personalize.columns[0]
         seeds = personalize.select(
             F.col(seed_col).alias("node")

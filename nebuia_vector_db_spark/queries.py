@@ -8448,8 +8448,13 @@ e AS (
   SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
 ),
 deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 50 = 0),
+-- ADVICE r13: union the seeds into the node set so the oracle agrees
+-- with pagerank_exact's dangling-seed convention BY CONSTRUCTION
+-- (today every doc is an edge src, so this is a no-op on the hash;
+-- it stops a future fixture change from silently diverging).
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+          UNION SELECT node FROM seeds),
 {_ppr_iters_sql(5)}
 SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
