@@ -53,6 +53,26 @@ def _median_time(fn, runs: int = 3, warmup: int = 1) -> float:
     return statistics.median(times)
 
 
+def _read_cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu
+    line; None off-Linux. Sampled at the start and end of main() so
+    the run self-reports its hypervisor steal fraction — every bench
+    adjudication so far (r10/r11/r12/r13-b16) needed a manual re-run
+    under /proc/stat watch to prove load; a recorded steal_frac makes
+    BASELINE.md's re-run policy executable from the artifact alone
+    (VERDICT r13 task #6)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _median_build(build_fn, runs: int = 3):
     """Median-of-N for OFFLINE build/train steps (VERDICT r2 #3: the
     single-shot b5/b6 build numbers swung 8-40 s across identical
@@ -143,6 +163,11 @@ GATE_QUERY_KEYS = (
     "b2_numpy_loop_per_query",
 )
 GATE_RATIO_KEYS = (
+    # steal_frac first: the shed loop drops from the END, and the
+    # run-validity marker (BASELINE.md re-run protocol: > ~2% steal =
+    # contended run, re-time before calling a regression) must
+    # survive shedding alongside b2_ratio
+    "steal_frac",
     "b8_slope_38400k",
     "b8_slope_overall",
     "b11_slope_320k",
@@ -236,6 +261,7 @@ def main() -> None:
     spark = get_spark("nebuia-bench", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
 
+    cpu_ticks_start = _read_cpu_ticks()
     timings: dict[str, float] = {}
 
     # ---- headline registry queries (same code paths the driver checks)
@@ -1952,61 +1978,74 @@ def main() -> None:
         SubstringAnchorIndex as _SAI,
     )
 
-    b22_root = _tf.mkdtemp(prefix="nvdb_bench_subinc_")
-    b22_docs = _synth_docs(20_000).cache()
-    b22_n = b22_docs.count()
-    b22_base = b22_docs.where(F.col("doc_id") % 16 != 0)
-    b22_delta = b22_docs.where(F.col("doc_id") % 16 == 0)
-    b22_nd = b22_delta.count()
-    timings["b22_corpus_docs_total"] = int(b22_n)
-    timings["b22_delta_docs_winnowed"] = int(b22_nd)
-    timings["b22_churn_fraction"] = round(b22_nd / max(b22_n, 1), 4)
+    # Two tiers (VERDICT r13 task #5): 20k docs is the harness-floor
+    # point (the ~12-job CDC ingest is dispatch-bound there); the 8×
+    # b22xl tier MEASURES the crossover the r13 BASELINE.md note only
+    # extrapolated from b20 — from-scratch winnowing grows with corpus
+    # chars while the ingest grows with churn chars (fraction pinned
+    # at 0.0625 in both tiers), so the ratio must fall toward and past
+    # 1 as the corpus grows.
+    for b22_tag, b22_ndocs in (("b22", 20_000), ("b22xl", 160_000)):
+        b22_root = _tf.mkdtemp(prefix="nvdb_bench_subinc_")
+        b22_docs = _synth_docs(b22_ndocs).cache()
+        b22_n = b22_docs.count()
+        b22_base = b22_docs.where(F.col("doc_id") % 16 != 0)
+        b22_delta = b22_docs.where(F.col("doc_id") % 16 == 0)
+        b22_nd = b22_delta.count()
+        timings[f"{b22_tag}_corpus_docs_total"] = int(b22_n)
+        timings[f"{b22_tag}_delta_docs_winnowed"] = int(b22_nd)
+        timings[f"{b22_tag}_churn_fraction"] = round(
+            b22_nd / max(b22_n, 1), 4
+        )
 
-    def _b22_full():
-        _esp(b22_docs, k=32, min_shared=2).count()
+        def _b22_full():
+            _esp(b22_docs, k=32, min_shared=2).count()
 
-    timings["b22_substring_from_scratch_sec"] = round(
-        _median_time(_b22_full, runs=3), 4
-    )
-    # each from-scratch pass persisted a 20k-doc anchors relation into
-    # the dedup module's cache registry (MEMORY_AND_DISK) — release
-    # them NOW or they pin executor storage for every later section
-    # (code-review r13; same hygiene as the post-headline release)
-    _release_anchors()
-    t0 = time.perf_counter()
-    _SAI.create(
-        spark, os.path.join(b22_root, "seed"),
-        corpus=b22_base, k=32, min_shared=2,
-    )
-    timings["b22_index_seed_build_sec"] = round(
-        time.perf_counter() - t0, 4
-    )
-    b22_corpus = _ST.create(
-        spark, os.path.join(b22_root, "corpus"), b22_base
-    )
-    b22_corpus.append(b22_delta)
-    b22_times, b22_pairs = [], 0
-    for b22_i in range(3):
-        b22_dir = os.path.join(b22_root, f"i{b22_i}")
-        _sh.copytree(os.path.join(b22_root, "seed"), b22_dir)
-        b22_idx = _SAI(spark, b22_dir, k=32, min_shared=2)
+        timings[f"{b22_tag}_substring_from_scratch_sec"] = round(
+            _median_time(_b22_full, runs=3), 4
+        )
+        # each from-scratch pass persisted an anchors relation into
+        # the dedup module's cache registry (MEMORY_AND_DISK) —
+        # release them NOW or they pin executor storage for every
+        # later section (code-review r13; same hygiene as the
+        # post-headline release)
+        _release_anchors()
         t0 = time.perf_counter()
-        b22_pairs = b22_idx.ingest_commit(b22_corpus).count()
-        b22_times.append(time.perf_counter() - t0)
-        _release_inc()
-    timings["b22_substring_ingest_sec"] = round(
-        statistics.median(b22_times), 4
-    )
-    timings["b22_substring_pairs_total"] = int(b22_pairs)
-    # recorded, not a gate — see the block comment (floor-dominated at
-    # 20k; the pin that matters at scale is churn_fraction 0.0625)
-    timings["b22_ingest_vs_full_ratio"] = round(
-        timings["b22_substring_ingest_sec"]
-        / max(timings["b22_substring_from_scratch_sec"], 1e-9),
-        4,
-    )
-    b22_docs.unpersist()
-    _sh.rmtree(b22_root, ignore_errors=True)
+        _SAI.create(
+            spark, os.path.join(b22_root, "seed"),
+            corpus=b22_base, k=32, min_shared=2,
+        )
+        timings[f"{b22_tag}_index_seed_build_sec"] = round(
+            time.perf_counter() - t0, 4
+        )
+        b22_corpus = _ST.create(
+            spark, os.path.join(b22_root, "corpus"), b22_base
+        )
+        b22_corpus.append(b22_delta)
+        b22_times, b22_pairs = [], 0
+        for b22_i in range(3):
+            b22_dir = os.path.join(b22_root, f"i{b22_i}")
+            _sh.copytree(os.path.join(b22_root, "seed"), b22_dir)
+            b22_idx = _SAI(spark, b22_dir, k=32, min_shared=2)
+            t0 = time.perf_counter()
+            b22_pairs = b22_idx.ingest_commit(b22_corpus).count()
+            b22_times.append(time.perf_counter() - t0)
+            _release_inc()
+        timings[f"{b22_tag}_substring_ingest_sec"] = round(
+            statistics.median(b22_times), 4
+        )
+        timings[f"{b22_tag}_substring_pairs_total"] = int(b22_pairs)
+        # recorded, not a gate — see the block comment (the 20k point
+        # is floor-dominated; the 160k point pins the crossover)
+        timings[f"{b22_tag}_ingest_vs_full_ratio"] = round(
+            timings[f"{b22_tag}_substring_ingest_sec"]
+            / max(
+                timings[f"{b22_tag}_substring_from_scratch_sec"], 1e-9
+            ),
+            4,
+        )
+        b22_docs.unpersist()
+        _sh.rmtree(b22_root, ignore_errors=True)
 
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
@@ -2053,6 +2092,18 @@ def main() -> None:
     # frame counts/rates would have inflated it by orders of
     # magnitude).
     total = round(sum(timings[k] for k in headline), 4)
+
+    # steal self-report (VERDICT r13 task #6): fraction of this run's
+    # machine-wide cpu ticks stolen by the hypervisor, from /proc/stat
+    # deltas across the whole bench. BASELINE.md's re-run protocol
+    # reads this straight from the artifact: > ~0.02 means the run was
+    # contended and per-row regressions are suspect until re-timed.
+    cpu_ticks_end = _read_cpu_ticks()
+    if cpu_ticks_start is not None and cpu_ticks_end is not None:
+        d_steal = cpu_ticks_end[0] - cpu_ticks_start[0]
+        d_total = cpu_ticks_end[1] - cpu_ticks_start[1]
+        timings["steal_frac"] = round(d_steal / max(d_total, 1), 4)
+
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
