@@ -718,6 +718,258 @@ class SubstringAnchorIndex(_SketchIndexBase):
         )
 
 
+class SemDedupClusterIndex:
+    """Incremental SemDeDup (round 14, VERDICT r13 task #3): the
+    FOURTH incremental index family, making the SEMANTIC dedup tier
+    O(churn) per commit like the doc-sketch, embedding-sketch and
+    span families.
+
+    Deliberately NOT a :class:`_SketchIndexBase` subclass: the three
+    sketch families emit verified PAIRS restricted to the delta, but
+    SemDeDup's unit of recomputation is the CLUSTER — the keep rule
+    compares members against the cluster CENTROID (semdedup.py,
+    Abbas et al. 2023), and every arrival/departure shifts its
+    cluster's centroid, changing existing members' ``sim_centroid``
+    and potentially their keep/drop outcomes. A commit's output is
+    therefore the full decision set of every TOUCHED cluster
+    (a cluster any delta/deleted vector maps to), and the
+    certification target is ``ingest ≡ from-scratch semdedup over
+    the post-commit corpus RESTRICTED to touched clusters`` (the
+    ``dedup_semdedup_incremental`` registry row hash-certifies this
+    against the full DuckDB replay; pytest pins insert, delete and
+    update commits against a from-scratch pass).
+
+    Persisted state (two SnapshotTables under ``path``):
+
+    - ``path/assign`` — (_id, bucket): the cluster ASSIGNMENTS. The
+      bucket is a pure function of the embedding (md5-hyperplane
+      signs), but without this relation "who is in the touched
+      clusters?" would need a full-corpus re-bucketing scan per
+      commit; with it, membership is a posting-list semi-join.
+      Deletes are COW-retracted (churn-bounded ``delete_where``).
+    - ``path/cent`` — (bucket, d, qs, n): an APPEND-ONLY ledger of
+      quantized INTEGER centroid partial sums
+      (semdedup.quantized_centroid_rows). Inserts append positive
+      rows, deletes append negated rows; the current centroid folds
+      the ledger with exact BIGINT adds
+      (semdedup.centroids_from_rows), so the maintained centroid is
+      bit-identical to a from-scratch aggregation — integer adds
+      commute, and deletion is an exact inverse. Append-only means
+      the centroid advance is ONE CAS commit (idempotent under
+      ``txn`` for streaming replays), never a read-modify-write.
+
+    Per commit: bucket ONLY the delta/deleted vectors (O(churn) md5
+    HOF work), append the ledger rows, retract+append assignments,
+    then re-run the keep rule over members of touched clusters only
+    — member vectors fetched from the post-commit corpus via an id
+    semi-join (touched-cluster-bounded, never a corpus scan; with
+    the corpus clustered by id the scan is also file-skipped). Work
+    is O(churn · avg_cluster_size), independent of corpus size;
+    ``n_planes`` scales cluster count as 2^planes ≈ N/target like
+    the paper's k ≈ √N guidance, keeping cluster size bounded as the
+    corpus grows.
+    """
+
+    _PARAMS_META_KEY = "semdedup_index_params"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        threshold: float = 0.45,
+        n_planes: int = 6,
+        dim: int = 64,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        max_bucket: int = 128,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.threshold = threshold
+        self.n_planes = n_planes
+        self.dim = dim
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.max_bucket = max_bucket
+        self.assign = SnapshotTable(spark, path + "/assign")
+        self.cent = SnapshotTable(spark, path + "/cent")
+        stored = (
+            self.assign.meta(self._PARAMS_META_KEY)
+            if self.assign.versions()
+            else None
+        )
+        if stored is not None and stored != self._params():
+            raise ValueError(
+                f"index at {path} was built with {stored}, opened with "
+                f"{self._params()} — mismatched bucketing would mix "
+                "incompatible cluster ids; reopen with the stored "
+                "parameters or rebuild"
+            )
+
+    def _params(self) -> dict:
+        # threshold/max_bucket are QUERY-time semantics; the persisted
+        # assignments and sums are parameterized only by the bucketing
+        return {"n_planes": self.n_planes, "dim": self.dim}
+
+    def _assign_rows(self, df: DataFrame) -> DataFrame:
+        from nebuia_vector_db_spark.operators.semdedup import rp_bucket
+
+        return df.select(
+            F.col(self.id_col).alias("_id"),
+            rp_bucket(self.vec_col, self.n_planes, self.dim).alias(
+                "bucket"
+            ),
+        )
+
+    def _cent_rows(self, df: DataFrame, sign: int = 1) -> DataFrame:
+        from nebuia_vector_db_spark.operators.semdedup import (
+            quantized_centroid_rows,
+            rp_bucket,
+        )
+
+        rows = quantized_centroid_rows(
+            df.select(
+                rp_bucket(self.vec_col, self.n_planes, self.dim).alias(
+                    "bucket"
+                ),
+                F.col(self.vec_col).alias("_v"),
+            )
+        )
+        if sign < 0:
+            rows = rows.select(
+                "bucket",
+                "d",
+                (-F.col("qs")).alias("qs"),
+                (-F.col("n")).alias("n"),
+            )
+        return rows
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame | None = None,
+        **kw,
+    ):
+        """Create the two state tables; with ``corpus``, seed them
+        from the existing corpus (the one-time full pass — every
+        later ingest is O(churn))."""
+        probe = cls(spark, path + ".__param_probe__", **kw)
+        if corpus is not None:
+            assign_seed = probe._assign_rows(corpus)
+            cent_seed = probe._cent_rows(corpus)
+        else:
+            assign_seed = spark.createDataFrame(
+                [], "_id long, bucket long"
+            )
+            cent_seed = spark.createDataFrame(
+                [], "bucket long, d int, qs long, n long"
+            )
+        SnapshotTable.create(
+            spark, path + "/assign", assign_seed,
+            extra_meta={cls._PARAMS_META_KEY: probe._params()},
+        )
+        SnapshotTable.create(spark, path + "/cent", cent_seed)
+        return cls(spark, path, **kw)
+
+    def ingest_feed(
+        self,
+        feed_slice: DataFrame,
+        corpus_at_v: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> DataFrame:
+        """Advance the index by ONE commit's change-feed slice and
+        return the post-commit SemDeDup decisions — (vec_id, bucket,
+        sim_centroid, dropped) — for every member of every TOUCHED
+        cluster. Delete rows must carry the embedding payload (the
+        CDF convention: snapshot.changes replays full rows), which is
+        what lets the ledger subtract the exact quantized components
+        the row once added."""
+        dels = feed_slice.where(F.col("_change") == "delete").drop(
+            "_change", "_commit_version"
+        )
+        ins = feed_slice.where(F.col("_change") == "insert").drop(
+            "_change", "_commit_version"
+        )
+        ins_assign = self._assign_rows(ins).cache()
+        del_assign = self._assign_rows(dels).cache()
+        _CACHED_RELATIONS.extend([ins_assign, del_assign])
+        touched = (
+            ins_assign.select("bucket")
+            .unionByName(del_assign.select("bucket"))
+            .distinct()
+            .cache()
+        )
+        _CACHED_RELATIONS.append(touched)
+        # ledger advance: ONE append of (+insert, −delete) rows —
+        # exact integer maintenance, idempotent under txn replays
+        cent_delta = self._cent_rows(ins).unionByName(
+            self._cent_rows(dels, sign=-1)
+        )
+        # assignment advance: COW-retract deleted ids (churn-bounded
+        # by contract, same discipline as _SketchIndexBase.retract),
+        # then append the inserts
+        del_ids = [r[0] for r in del_assign.select("_id").distinct().collect()]
+        if del_ids:
+            self.assign.delete_where(F.col("_id").isin(del_ids))
+        if txn is None:
+            self.assign.append(ins_assign)
+            self.cent.append(cent_delta)
+        else:
+            from nebuia_vector_db_spark.streaming.sinks import (
+                transactional_append,
+            )
+
+            transactional_append(
+                self.spark, self.assign.path, ins_assign,
+                txn[1], txn[0] + ".assign",
+            )
+            transactional_append(
+                self.spark, self.cent.path, cent_delta,
+                txn[1], txn[0] + ".cent",
+            )
+        # decisions for touched clusters from the UPDATED state:
+        # centroids fold the ledger (touched rows only), members come
+        # from the assignment postings — never a corpus re-bucketing
+        from nebuia_vector_db_spark.operators.semdedup import (
+            centroids_from_rows,
+            semdedup,
+        )
+
+        cents = centroids_from_rows(
+            self.cent.read().join(touched, "bucket", "left_semi")
+        )
+        member_ids = (
+            self.assign.read()
+            .join(touched, "bucket", "left_semi")
+            .select(F.col("_id").alias(self.id_col))
+        )
+        member_vecs = corpus_at_v.join(
+            member_ids, self.id_col, "left_semi"
+        )
+        return semdedup(
+            member_vecs,
+            threshold=self.threshold,
+            n_planes=self.n_planes,
+            dim=self.dim,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            max_bucket=self.max_bucket,
+            centroids=cents,
+        )
+
+    def ingest_commit(
+        self, corpus_tbl: SnapshotTable, version: int | None = None
+    ) -> DataFrame:
+        """:meth:`ingest_feed` over commit ``version``'s change feed,
+        decided against the post-commit snapshot."""
+        v = corpus_tbl.current_version() if version is None else version
+        return self.ingest_feed(
+            corpus_tbl.changes(v - 1, v), corpus_tbl.read(v)
+        )
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     corpus_path: str,

@@ -104,6 +104,61 @@ def rp_bucket(
     return reduce(lambda a, b: a + b, bits).cast("long")
 
 
+def quantized_centroid_rows(
+    mem: DataFrame, vec_col: str = "_v", bucket_col: str = "bucket"
+) -> DataFrame:
+    """(bucket, d, qs, n) — per-(cluster, dimension) INTEGER partial
+    sums: qs = Σ floor(x·10⁶ + 0.5) as BIGINT, n = member count.
+    Order-independent by construction, which is what makes them (a)
+    identical between engines (the oracle line) and (b) EXACTLY
+    maintainable incrementally — a delta's rows add, a deletion's
+    rows subtract, and the running sums equal a from-scratch pass
+    bit-for-bit (incremental.py::SemDedupClusterIndex, round 14)."""
+    return (
+        mem.select(
+            F.col(bucket_col).alias("bucket"),
+            F.posexplode(vec_col).alias("d", "x"),
+        )
+        .groupBy("bucket", "d")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * _UNITS + F.lit(0.5))
+            ).alias("qs"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def centroids_from_rows(rows: DataFrame) -> DataFrame:
+    """(bucket, _c, n_members) centroid relation from (possibly
+    multi-commit) quantized partial-sum rows: sums are folded with
+    exact BIGINT adds, each dimension divided ONCE at the end, and
+    clusters whose membership folded to zero (every member deleted)
+    vanish. Input may carry several rows per (bucket, d) — the
+    append-only incremental ledger shape."""
+    return (
+        rows.groupBy("bucket", "d")
+        .agg(F.sum("qs").alias("qs"), F.sum("n").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "bucket",
+            "d",
+            "n",
+            (F.col("qs") / (F.lit(float(_UNITS)) * F.col("n"))).alias(
+                "cd"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                lambda s: s["cd"],
+            ).alias("_c"),
+            F.max("n").alias("n_members"),
+        )
+    )
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -113,6 +168,7 @@ def semdedup(
     id_col: str = "vec_id",
     max_bucket: int = 128,
     buckets: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """One row per embedding: (vec_id, bucket, sim_centroid, dropped).
 
@@ -121,7 +177,13 @@ def semdedup(
     HIGHER 6-dp centroid similarity (ties: higher id), so each
     duplicate group keeps its most centroid-distant member, per the
     paper. Pass ``buckets`` (vec_id → bucket) to substitute a k-means
-    assignment for the default md5-hyperplane sketch."""
+    assignment for the default md5-hyperplane sketch. Pass
+    ``centroids`` ((bucket, _c, n_members) — the
+    :func:`centroids_from_rows` shape) to substitute externally
+    maintained centroids for the in-pass aggregation; the incremental
+    index supplies its exactly-maintained persisted sums this way, so
+    a touched-cluster re-run scores members without re-aggregating
+    them."""
     base = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     )
@@ -139,32 +201,9 @@ def semdedup(
         )
     # quantized-integer per-dimension centroid means (order-free)
     cent = (
-        mem.select(
-            "bucket", F.posexplode("_v").alias("d", "x")
-        )
-        .groupBy("bucket", "d")
-        .agg(
-            F.sum(
-                F.floor(F.col("x").cast("double") * _UNITS + F.lit(0.5))
-            ).alias("qs"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "bucket",
-            "d",
-            "n",
-            (F.col("qs") / (F.lit(float(_UNITS)) * F.col("n"))).alias(
-                "cd"
-            ),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cd"))),
-                lambda s: s["cd"],
-            ).alias("_c"),
-            F.max("n").alias("n_members"),
-        )
+        centroids_from_rows(quantized_centroid_rows(mem))
+        if centroids is None
+        else centroids.select("bucket", "_c", "n_members")
     )
     from pyspark import StorageLevel
 

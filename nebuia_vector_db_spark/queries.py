@@ -1156,6 +1156,120 @@ ORDER BY vec_id
 """
 
 
+def q_dedup_semdedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup (round 14, VERDICT r13 task #3 —
+    operators/incremental.py::SemDedupClusterIndex, the FOURTH
+    incremental index family): the semantic dedup tier maintained at
+    O(churn) per commit. The index persists cluster ASSIGNMENTS plus
+    an append-only ledger of quantized INTEGER centroid partial sums;
+    a commit buckets only its delta (md5-hyperplane signs over churn
+    vectors), appends the delta's ledger rows (exact BIGINT adds —
+    deletion is an exact inverse), and re-runs the keep rule ONLY in
+    TOUCHED clusters, with member vectors fetched via an id semi-join.
+    The oracle replays the FULL from-scratch SemDeDup pass over the
+    post-commit corpus restricted to the delta's clusters, so the hash
+    certifies incremental ≡ from-scratch — maintained centroids
+    bit-identical to re-aggregation, pre-existing members' shifted
+    sim_centroid and flipped keep/drop decisions included (pytest
+    additionally pins delete and update commits)."""
+    from nebuia_vector_db_spark.operators import semdedup as _sd
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 97 != 0)
+    delta = emb.where(F.col("vec_id") % 97 == 0)
+    root = posix_scratch_dir(spark, "incsem")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = SemDedupClusterIndex.create(
+            spark, root + "/index", corpus=base,
+            threshold=0.35, n_planes=6,
+        )
+        corpus_tbl.append(delta)
+        out = (
+            idx.ingest_commit(corpus_tbl)
+            .select(
+                "vec_id",
+                "bucket",
+                _r(F.col("sim_centroid"), 6).alias("sim_centroid"),
+                "dropped",
+            )
+            .orderBy("vec_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        _sd.release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+ORACLE_DEDUP_SEMDEDUP_INCREMENTAL = """
+WITH planes AS (
+  SELECT CAST(j.j AS INT) AS j,
+         list_transform(range(64), d ->
+           CAST(((strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('sd' || j.j || '_' || d), 4, 1)) - 1) * 1) - 32768 AS DOUBLE)) AS p
+  FROM range(6) AS j(j)
+),
+mem AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                  THEN power(2, pl.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.v
+),
+touched AS (SELECT DISTINCT bucket FROM mem WHERE vec_id % 97 = 0),
+centd AS (
+  SELECT bucket, t.d AS d,
+         CAST(sum(CAST(floor(v[t.d + 1] * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS qs,
+         count(*) AS n
+  FROM mem, LATERAL unnest(range(64)) AS t(d)
+  GROUP BY bucket, t.d
+),
+cent AS (
+  SELECT bucket, max(n) AS n_members,
+         list(qs / (1000000.0 * n) ORDER BY d) AS c
+  FROM centd GROUP BY bucket
+),
+scored AS (
+  SELECT m.vec_id, m.bucket, m.v, c.n_members,
+         CAST(floor(list_dot_product(m.v, c.c)
+              / (sqrt(list_dot_product(m.v, m.v))
+                 * sqrt(list_dot_product(c.c, c.c)))
+              * 1000000 + 0.5) AS BIGINT) AS cq
+  FROM mem m JOIN cent c USING (bucket)
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN (sa.cq > sb.cq)
+                         OR (sa.cq = sb.cq AND sa.vec_id > sb.vec_id)
+                       THEN sa.vec_id ELSE sb.vec_id END AS vec_id
+  FROM scored sa JOIN scored sb
+    ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+  WHERE sa.n_members <= 128
+    AND list_dot_product(sa.v, sb.v)
+        / (sqrt(list_dot_product(sa.v, sa.v))
+           * sqrt(list_dot_product(sb.v, sb.v))) >= 0.35
+)
+SELECT s.vec_id, s.bucket,
+       floor(cq / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS sim_centroid,
+       s.vec_id IN (SELECT vec_id FROM losers) AS dropped
+FROM scored s JOIN touched USING (bucket)
+ORDER BY vec_id
+"""
+
+
 # ==========================================================================
 # Text analysis (extension surface, SURVEY §2.3)
 # ==========================================================================
@@ -9838,6 +9952,15 @@ REGISTRY: dict[
     "vs_neardup_incremental": (
         q_vs_neardup_incremental,
         ORACLE_VS_NEARDUP_INCREMENTAL,
+    ),
+    # dedup_semdedup_incremental (round 14, VERDICT r13 task #3): the
+    #   fourth incremental index family — persisted cluster
+    #   assignments + append-only integer centroid-sum ledger, keep
+    #   rule re-run in touched clusters only; oracle = full SemDeDup
+    #   replay restricted to the delta's clusters;
+    "dedup_semdedup_incremental": (
+        q_dedup_semdedup_incremental,
+        ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
     ),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new

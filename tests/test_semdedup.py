@@ -157,3 +157,155 @@ def test_scored_cache_is_releasable(spark):
     assert len(sd._CACHED_RELATIONS) == 1
     assert sd._CACHED_RELATIONS[0].storageLevel.useMemory
     assert sd.release_cached_relations() == 1
+
+
+# --------------------------------------------------------------------------
+# Incremental SemDeDup (round 14: incremental.py::SemDedupClusterIndex —
+# the fourth incremental index family). The defining contract:
+# ingest ≡ from-scratch semdedup over the post-commit corpus RESTRICTED
+# to touched clusters. The `dedup_semdedup_incremental` registry row
+# additionally hash-certifies the insert-commit path against DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _semdedup_rows(df):
+    return {
+        (r["vec_id"], r["bucket"], round(r["sim_centroid"], 6), r["dropped"])
+        for r in df.collect()
+    }
+
+
+def _from_scratch_touched(spark, corpus_df, touched_pred, **kw):
+    """from-scratch semdedup over corpus_df restricted to buckets the
+    predicate's vectors map to."""
+    full = semdedup(corpus_df, **kw)
+    touched = (
+        corpus_df.where(touched_pred)
+        .select(
+            rp_bucket("embedding", kw["n_planes"], kw.get("dim", 64)).alias(
+                "bucket"
+            )
+        )
+        .distinct()
+    )
+    return full.join(touched, "bucket", "left_semi")
+
+
+def test_semdedup_incremental_insert_commit(spark, sf_oracle, tmp_path):
+    """An insert commit's decisions equal from-scratch semdedup over
+    the post-commit corpus restricted to the delta's clusters — on the
+    real corpus, where the delta lands in several clusters alongside
+    pre-existing members whose sim_centroid SHIFTS with the centroid."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 97 != 0)
+    delta = emb.where(F.col("vec_id") % 97 == 0)
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    idx = SemDedupClusterIndex.create(
+        spark, str(tmp_path / "i"), corpus=base,
+        threshold=0.35, n_planes=6,
+    )
+    corpus.append(delta)
+    got = _semdedup_rows(idx.ingest_commit(corpus))
+    want = _semdedup_rows(
+        _from_scratch_touched(
+            spark, emb, F.col("vec_id") % 97 == 0,
+            threshold=0.35, n_planes=6,
+        )
+    )
+    release_cached_relations()
+    from nebuia_vector_db_spark.operators import semdedup as sd
+
+    sd.release_cached_relations()
+    assert got == want and got
+    # the output is cluster-complete: pre-existing members of touched
+    # clusters are re-decided, not just the delta rows
+    assert any(v % 97 != 0 for v, *_ in got)
+
+
+def test_semdedup_incremental_delete_and_update_commits(spark, tmp_path):
+    """Delete and update commits maintain the ledger exactly: the
+    subtracted sums reproduce from-scratch centroids bit-for-bit, a
+    deleted vector disappears from its cluster's decisions, and an
+    updated vector is re-decided under its NEW embedding."""
+    from nebuia_vector_db_spark.operators import semdedup as sd
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    rows = [
+        (1, [1.0, 0.1]), (2, [0.98, 0.12]), (3, [0.1, 1.0]),
+        (4, [0.12, 0.97]), (5, [-1.0, -0.2]), (6, [-0.9, -0.25]),
+    ]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<double>"
+    )
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), mk(rows))
+    idx = SemDedupClusterIndex.create(
+        spark, str(tmp_path / "i"), corpus=mk(rows),
+        threshold=0.9, n_planes=3, dim=2,
+    )
+    kw = dict(threshold=0.9, n_planes=3, dim=2)
+
+    # delete commit: vec 2 leaves — its cluster re-decided without it
+    corpus.delete_where("vec_id = 2")
+    got = _semdedup_rows(idx.ingest_commit(corpus))
+    now = mk([r for r in rows if r[0] != 2])
+    want = _semdedup_rows(
+        _from_scratch_touched(spark, now, F.lit(True), **kw).join(
+            mk([rows[1]]).select(
+                rp_bucket("embedding", 3, 2).alias("bucket")
+            ).distinct(),
+            "bucket",
+            "left_semi",
+        )
+    )
+    assert got == want and all(v != 2 for v, *_ in got)
+
+    # update commit pair (COW delete + re-insert, the CDF convention):
+    # vec 5 moves to the opposite orthant — decided under NEW embedding
+    corpus.delete_where("vec_id = 5")
+    idx.ingest_commit(corpus).collect()
+    corpus.append(mk([(5, [0.95, 0.15])]))
+    got = _semdedup_rows(idx.ingest_commit(corpus))
+    now = mk([r for r in rows if r[0] not in (2, 5)] + [(5, [0.95, 0.15])])
+    want = _semdedup_rows(
+        _from_scratch_touched(
+            spark, now, F.col("vec_id") == 5, **kw
+        )
+    )
+    release_cached_relations()
+    sd.release_cached_relations()
+    assert got == want
+    assert any(v == 5 for v, *_ in got)
+
+
+def test_semdedup_incremental_param_guard_and_empty_seed(spark, tmp_path):
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    SemDedupClusterIndex.create(
+        spark, str(tmp_path / "i"), corpus=base, n_planes=3, dim=2
+    )
+    with pytest.raises(ValueError, match="bucketing"):
+        SemDedupClusterIndex(spark, str(tmp_path / "i"), n_planes=4, dim=2)
+    SemDedupClusterIndex(spark, str(tmp_path / "i"), n_planes=3, dim=2)
+    # empty seed declares the state schemas
+    idx = SemDedupClusterIndex.create(
+        spark, str(tmp_path / "e"), n_planes=3, dim=2
+    )
+    assert idx.assign.read().columns == ["_id", "bucket"]
+    assert idx.cent.read().columns == ["bucket", "d", "qs", "n"]
