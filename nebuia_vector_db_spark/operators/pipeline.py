@@ -253,12 +253,18 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing (concat-then-chunk): documents in
     ``id_col`` order are laid end-to-end and cut into ``capacity``-token
     bins — ``bin_id = floor(start_offset / capacity)``, the standard
     packing for causal-LM training data. A doc spanning a boundary is
     assigned to the bin its first token lands in.
+
+    By default the token count is the whitespace count of
+    ``text_col``; pass ``n_tokens_col`` to pack REAL tokenizer output
+    instead (a pipeline packs the encoded id counts, e.g. word count
+    + bos + eos — the ``pipe_pretrain_export`` composition, round 14).
 
     The global cumulative sum is a two-pass distributed cumsum, NOT a
     single unpartitioned window (which would collapse the whole corpus
@@ -272,7 +278,11 @@ def pack_sequences(
     spark = docs.sparkSession
     toked = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        (
+            F.col(n_tokens_col).cast("long")
+            if n_tokens_col is not None
+            else F.size(F.split(F.col(text_col), " ")).cast("long")
+        ).alias("n_tokens"),
     )
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -324,6 +334,134 @@ def pack_sequences(
         bucketed.withColumn("start_offset", (local + off_col).cast("long"))
         .withColumn("bin_id", F.floor(F.col("start_offset") / capacity))
         .drop("_b")
+    )
+
+
+#: special token ids of the pretraining-export encode (round 14):
+#: the conventional {pad, bos, eos, unk} reservation at the bottom of
+#: the id space; vocabulary words start at UNK_ID + 1.
+PAD_ID, BOS_ID, EOS_ID, UNK_ID = 0, 1, 2, 3
+
+
+def word_vocab(
+    docs: DataFrame,
+    vocab_size: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, tok_id) — a frequency-ranked word vocabulary: the top
+    ``vocab_size`` whitespace tokens by (count DESC, word ASC), ids
+    assigned in that total order starting at ``UNK_ID + 1``. This is
+    the SQL-replayable member of the tokenizer family (rank over
+    exact counts — no iterative fit), which is what lets the
+    ``pipe_pretrain_export`` composition carry a full value-hash
+    oracle end to end; the trained tokenizers (bpe.py / unigram.py)
+    drop into the same encode→pack→shard pipeline and are certified
+    against from-scratch references in pytest instead.
+
+    Scale shape: one corpus token-count shuffle, then the top-V cut
+    is TakeOrderedAndProject (never a global sort materialization);
+    the ranking window runs over the ALREADY-LIMITED V-row relation —
+    bounded by construction, not by data."""
+    toks = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("word")
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), "word")
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("_cnt"), "word")
+    return top.select(
+        "word",
+        (F.row_number().over(w) + UNK_ID).cast("long").alias("tok_id"),
+    )
+
+
+def pack_token_bins(
+    docs: DataFrame,
+    vocab: DataFrame,
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode + pack the corpus into the MATERIALIZED fixed-length
+    token sequences a causal-LM trainer consumes: each document
+    becomes ``[BOS] ids… [EOS]`` (per-word lookup against the
+    broadcast ``vocab``; OOV → UNK), documents are laid end-to-end in
+    ``id_col`` order via :func:`pack_sequences`' distributed cumsum,
+    and the global token stream is cut into ``capacity``-token bins.
+    Returns (bin_id, n_tokens, payload) where ``payload`` is the
+    bin's token ids as a space-joined decimal string — a canonical,
+    byte-deterministic serialization for shard export
+    (``pipe_pretrain_export`` round-trips it through WebDataset tars
+    and hash-certifies the RE-READ stream against a SQL replay).
+
+    Scale shape: the per-token relation shuffles once on ``bin_id``
+    (map-side combine inapplicable — collect_list — but every group
+    is ≤ capacity rows by construction, so the per-bin sort+join is
+    bounded); the vocab join is a broadcast; offsets come from
+    pack_sequences' two-pass cumsum, never a global window."""
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    toks = base.select(
+        "_doc", F.posexplode(F.split("_t", " ")).alias("_i", "word")
+    )
+    enc = toks.join(F.broadcast(vocab), "word", "left").select(
+        "_doc",
+        "_i",
+        F.coalesce("tok_id", F.lit(UNK_ID)).cast("long").alias("_tok"),
+    )
+    counted = base.select(
+        "_doc",
+        (F.size(F.split("_t", " ")) + 2).cast("long").alias("_n"),
+    )
+    offs = pack_sequences(
+        counted, capacity=capacity, id_col="_doc", n_tokens_col="_n"
+    ).select("_doc", "start_offset", "n_tokens")
+    # global position of every token: bos at the doc's offset, word i
+    # (0-based) at offset + 1 + i, eos at offset + n − 1 — disjoint
+    # by construction, so the union is the exact concatenated stream
+    stream = (
+        enc.join(offs, "_doc")
+        .select(
+            (F.col("start_offset") + F.col("_i") + 1).alias("_pos"),
+            "_tok",
+        )
+        .unionByName(
+            offs.select(
+                F.col("start_offset").alias("_pos"),
+                F.lit(BOS_ID).cast("long").alias("_tok"),
+            )
+        )
+        .unionByName(
+            offs.select(
+                (F.col("start_offset") + F.col("n_tokens") - 1).alias(
+                    "_pos"
+                ),
+                F.lit(EOS_ID).cast("long").alias("_tok"),
+            )
+        )
+    )
+    return (
+        stream.withColumn(
+            "bin_id", F.floor(F.col("_pos") / capacity)
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"].cast("string"),
+                ),
+                " ",
+            ).alias("payload"),
+        )
     )
 
 

@@ -2627,6 +2627,132 @@ ORDER BY bin_id
 """
 
 
+def q_pipe_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining export (round 14, VERDICT r13 task #2 —
+    the composition a training-data pipeline actually ships to the
+    trainer): tokenizer encode → contiguous sequence packing →
+    WebDataset shard export → re-read, certified as ONE value-hash
+    row. The corpus is encoded against a frequency-ranked word vocab
+    (pipeline.py::word_vocab — the tokenizer family's SQL-replayable
+    member; the trained BPE/unigram encoders drop into the same spine
+    and are pytest-certified), packed into 512-token bins with
+    [BOS]/[EOS] framing via pack_sequences' distributed cumsum
+    (pipeline.py::pack_token_bins), exported as byte-deterministic
+    tar shards (sources/webdataset.py), and READ BACK — n_tokens and
+    tokens_md5 come from the RE-READ member bytes, so any defect in
+    the encode, the offset arithmetic, the bin assembly, the shard
+    routing, the tar layer or the untar breaks the hash against the
+    oracle's pure-SQL replay from the source table."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        pack_token_bins,
+        word_vocab,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bins = pack_token_bins(
+        docs, word_vocab(docs, 4096), capacity=512
+    )
+    out_dir = posix_scratch_dir(spark, "ptx")
+    try:
+        write_webdataset(
+            bins,
+            out_dir,
+            key_col="bin_id",
+            members={"txt": "payload"},
+            num_shards=4,
+        ).collect()  # materialize = run the export
+        back = read_webdataset(spark, out_dir).where(
+            F.col("ext") == "txt"
+        )
+        per = (
+            back.select(
+                F.col("key").cast("long").alias("bin_id"),
+                F.col("shard").cast("int").alias("shard"),
+                F.col("content").cast("string").alias("_s"),
+            )
+            .select(
+                "bin_id",
+                "shard",
+                F.size(F.split("_s", " ")).cast("long").alias("n_tokens"),
+                F.md5("_s").alias("tokens_md5"),
+            )
+            .orderBy("bin_id")
+        )
+        out = spark.createDataFrame(per.collect(), per.schema)
+    finally:
+        remove_scratch(spark, out_dir)
+    return out
+
+
+# shard id replay: first 8 md5 hex digits of the bin key, mod 4 —
+# mirrors webdataset._shard_expr's conv(substring(md5(...), 1, 8), 16,
+# 10) arithmetic digit by digit
+_PTX_SHARD_SQL = (
+    "("
+    + " + ".join(
+        "(strpos('0123456789abcdef', substr(md5(CAST(bin_id AS VARCHAR)), "
+        f"{1 + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") % 4"
+)
+
+ORACLE_PIPE_PRETRAIN_EXPORT = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS word
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        FROM documents)
+),
+wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 3 AS tok_id
+  FROM wc QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 4096
+),
+enc AS (
+  SELECT t.doc_id, t.idx, CAST(COALESCE(v.tok_id, 3) AS BIGINT) AS tok
+  FROM toks t LEFT JOIN vocab v USING (word)
+),
+cnts AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), ' ')) + 2 AS n
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM cnts
+),
+stream AS (
+  SELECT o AS pos, CAST(1 AS BIGINT) AS tok FROM offs
+  UNION ALL
+  SELECT f.o + e.idx, e.tok FROM offs f JOIN enc e USING (doc_id)
+  UNION ALL
+  SELECT o + n - 1, CAST(2 AS BIGINT) FROM offs
+),
+bins AS (
+  SELECT CAST(pos // 512 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY pos) AS payload
+  FROM stream GROUP BY 1
+)
+SELECT bin_id,
+       CAST({_PTX_SHARD_SQL} AS INT) AS shard,
+       n_tokens,
+       md5(payload) AS tokens_md5
+FROM bins
+ORDER BY bin_id
+"""
+
+
 # ==========================================================================
 # Multimodal (extension surface): binary payload columns + typed
 # metadata; decode/feature-extract via Arrow-batched mapInPandas with a
@@ -8952,6 +9078,172 @@ ORDER BY nrel.query_id
 """
 
 
+def q_eval_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified ANN quality measurement for the IVF tier SHAPE
+    (round 14, VERDICT r13 task #4): recall@10 / MRR of a
+    coarse-quantize → probe → exact-in-cell-scan run against the exact
+    run as ground truth. The coarse quantizer is the SQL-replayable
+    md5-hyperplane bucketing with quantized-INTEGER cell centroids
+    (semdedup.py's trick — 16 cells at 4 planes, probe the 4 whose
+    centroids are most cosine-similar to the query) in place of
+    trained Lloyd's centroids, so cell assignment, centroid
+    arithmetic, probe ranking, the in-cell exact scan and the metric
+    arithmetic are ALL inside one value-hash row. The trained-KMeans
+    tiers (vs_ivf_batch / vs_pq_topk / vs_opq_topk) run IDENTICAL
+    probe/scan machinery over centroids an iterative fit produced;
+    that path's recall stays bench-measured (b5/b5c/b12 —
+    deterministic seeded builds, but Lloyd's iterations are not
+    SQL-replayable). This row certifies everything around the fit."""
+    from nebuia_vector_db_spark.functions.vector import (
+        l2_norm,
+        l2_normalize,
+    )
+    from nebuia_vector_db_spark.operators.evaluation import evaluate_run
+    from nebuia_vector_db_spark.operators.semdedup import (
+        centroids_from_rows,
+        quantized_centroid_rows,
+        rp_bucket,
+    )
+
+    emb = _emb(spark, sf_dir)
+    mem = emb.select(
+        "vec_id",
+        "embedding",
+        rp_bucket("embedding", 4, 64, prefix="ivf").alias("bucket"),
+    )
+    cent = centroids_from_rows(
+        quantized_centroid_rows(
+            mem.select("bucket", F.col("embedding").alias("_v"))
+        )
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        l2_normalize(F.col("embedding").cast("array<double>")).alias(
+            "_qv"
+        ),
+    )
+    # probe ranking: cells by centroid cosine — the cell relation is
+    # bounded by 2^planes, so the cross join and the per-query window
+    # both run over bounded-by-construction inputs
+    probed = topk_per_group(
+        queries.crossJoin(F.broadcast(cent)).withColumn(
+            "_cs",
+            dot(F.col("_qv"), F.col("_c"))
+            / (l2_norm(F.col("_qv")) * l2_norm(F.col("_c"))),
+        ),
+        ["query_id"],
+        "_cs",
+        4,
+        tie_cols=["bucket"],
+    ).select("query_id", "bucket", "_qv")
+    # in-cell exact scan: the probe map is queries × nprobe rows —
+    # broadcast it so the corpus never shuffles
+    ivf_run = topk_per_group(
+        mem.join(F.broadcast(probed), "bucket").withColumn(
+            "_s", dot(F.col("embedding"), F.col("_qv"))
+        ),
+        ["query_id"],
+        "_s",
+        20,
+        tie_cols=["vec_id"],
+    ).select("query_id", "vec_id", "rk")
+    qrels = topk_per_group(
+        emb.crossJoin(F.broadcast(queries)).withColumn(
+            "_s", dot(F.col("embedding"), F.col("_qv"))
+        ),
+        ["query_id"],
+        "_s",
+        10,
+        tie_cols=["vec_id"],
+    ).select("query_id", "vec_id")
+    return evaluate_run(
+        ivf_run, qrels, k=10, doc_col="vec_id", rank_col="rk"
+    ).orderBy("query_id")
+
+
+ORACLE_EVAL_ANN_IVF = """
+WITH planes AS (
+  SELECT CAST(j.j AS INT) AS j,
+         list_transform(range(64), d ->
+           CAST(((strpos('0123456789abcdef', substr(md5('ivf' || j.j || '_' || d), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('ivf' || j.j || '_' || d), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('ivf' || j.j || '_' || d), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('ivf' || j.j || '_' || d), 4, 1)) - 1) * 1) - 32768 AS DOUBLE)) AS p
+  FROM range(4) AS j(j)
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+mem AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                  THEN power(2, pl.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.v
+),
+centd AS (
+  SELECT bucket, t.d AS d,
+         CAST(sum(CAST(floor(v[t.d + 1] * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS qs,
+         count(*) AS n
+  FROM mem, LATERAL unnest(range(64)) AS t(d)
+  GROUP BY bucket, t.d
+),
+cent AS (
+  SELECT bucket, list(qs / (1000000.0 * n) ORDER BY d) AS c
+  FROM centd GROUP BY bucket
+),
+probe AS (
+  SELECT query_id, bucket, qv FROM (
+    SELECT q.query_id, ct.bucket, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(q.qv, ct.c)
+                                       / (sqrt(list_dot_product(q.qv, q.qv))
+                                          * sqrt(list_dot_product(ct.c, ct.c))) DESC,
+                                       ct.bucket) AS rk
+    FROM q CROSS JOIN cent ct
+  ) WHERE rk <= 4
+),
+run AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT p.query_id, m.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY list_dot_product(m.v, p.qv) DESC,
+                                       m.vec_id) AS rk
+    FROM mem m JOIN probe p ON m.bucket = p.bucket
+  ) WHERE rk <= 20
+),
+qrels AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(e.v, q.qv) DESC,
+                                       e.vec_id) AS rk
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+    CROSS JOIN q
+  ) WHERE rk <= 10
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, count(*) AS h, min(r.rk) AS fr
+  FROM run r
+  JOIN qrels ON qrels.query_id = r.query_id AND qrels.vec_id = r.vec_id
+  WHERE r.rk <= 10
+  GROUP BY r.query_id
+)
+SELECT nrel.query_id,
+       CAST(nrel.n_rel AS BIGINT) AS n_rel,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits_at_k,
+       CAST((1000000 * COALESCE(hits.h, 0)) // nrel.n_rel AS BIGINT) AS recall_micro,
+       CAST((1000000 * COALESCE(hits.h, 0)) // 10 AS BIGINT) AS precision_micro,
+       CAST(COALESCE(1000000 // hits.fr, 0) AS BIGINT) AS rr_micro
+FROM nrel LEFT JOIN hits ON hits.query_id = nrel.query_id
+ORDER BY nrel.query_id
+"""
+
+
 def _roundtrip_stats(back: DataFrame) -> DataFrame:
     """Per-lang aggregate with content-sensitive md5 extrema computed
     from the RE-READ text — shared by the interchange round-trip rows
@@ -9962,6 +10254,13 @@ REGISTRY: dict[
         q_dedup_semdedup_incremental,
         ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
     ),
+    # pipe_pretrain_export (round 14, VERDICT r13 task #2): the
+    #   end-to-end tokenize → pack → shard → re-read composition;
+    #   full oracle replays the packed token stream from source;
+    "pipe_pretrain_export": (
+        q_pipe_pretrain_export,
+        ORACLE_PIPE_PRETRAIN_EXPORT,
+    ),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
@@ -10145,6 +10444,13 @@ REGISTRY: dict[
     #   recorded via eval_ann_sq8_recall, so this sibling stays below
     #   the window; locally green;
     "eval_ann_bq_recall": (q_eval_ann_bq_recall, ORACLE_EVAL_ANN_BQ),
+    # eval_ann_ivf_recall (round 14, VERDICT r13 task #4): the IVF
+    #   tier SHAPE's hash-certified recall — md5-hyperplane coarse
+    #   cells + integer centroids in place of trained Lloyd's, so
+    #   assignment, probe ranking, in-cell scan and metrics all carry
+    #   one value hash; the trained tiers' recalls stay bench-measured
+    #   (their fit is not SQL-replayable) on identical machinery;
+    "eval_ann_ivf_recall": (q_eval_ann_ivf_recall, ORACLE_EVAL_ANN_IVF),
     # graph_ppr: PERSONALIZED PageRank (round 13, stretch #8) —
     #   seed-gated teleport on the same integer chassis; the
     #   iterative unrolled-CTE discipline and the shared graph are

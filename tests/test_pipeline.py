@@ -253,3 +253,104 @@ def test_leakage_split_null_group_routes_by_own_id(spark):
     plain = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
     assert out[7] == (7, plain[7])        # NULL group -> own id
     assert out[3][0] == out[4][0] == 3    # real group intact
+
+
+# --------------------------------------------------------------------------
+# Pretraining export (round 14): word_vocab + pack_token_bins — the
+# encode→pack stages of the pipe_pretrain_export composition (the
+# shard/re-read stages are certified by that registry row's oracle and
+# tests/test_webdataset.py).
+# --------------------------------------------------------------------------
+
+
+def test_pack_sequences_n_tokens_col_override(spark):
+    """Packing a precomputed count column equals packing the same
+    counts derived from text — and packs REAL counts (here +2 for
+    bos/eos) the text itself doesn't carry."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(10 + i))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    via_text = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"])
+        for r in pack_sequences(docs, capacity=16).collect()
+    }
+    counted = docs.withColumn(
+        "n", F.size(F.split("text", " ")).cast("long")
+    )
+    via_col = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"])
+        for r in pack_sequences(
+            counted, capacity=16, n_tokens_col="n"
+        ).collect()
+    }
+    assert via_text == via_col
+    shifted = {
+        r["doc_id"]: r["start_offset"]
+        for r in pack_sequences(
+            counted.withColumn("n", F.col("n") + 2),
+            capacity=16,
+            n_tokens_col="n",
+        ).collect()
+    }
+    for i in sorted(shifted):
+        assert shifted[i] == via_text[i][0] + 2 * i  # +2 per prior doc
+
+
+def test_word_vocab_rank_and_specials(spark):
+    from nebuia_vector_db_spark.operators.pipeline import (
+        UNK_ID,
+        word_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c d b")], "doc_id long, text string"
+    )
+    got = {r["word"]: r["tok_id"] for r in word_vocab(docs, 3).collect()}
+    # counts: a=3 b=3 c=2 d=1 → rank by (cnt DESC, word ASC), top 3
+    assert got == {"a": UNK_ID + 1, "b": UNK_ID + 2, "c": UNK_ID + 3}
+
+
+def test_pack_token_bins_reassembles_the_exact_stream(spark):
+    """Bin payloads, concatenated in bin order, equal the per-doc
+    [BOS] ids [EOS] streams concatenated in doc order — offsets, bin
+    cuts and in-bin ordering all exact; every bin but the last is
+    exactly `capacity` tokens."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        BOS_ID,
+        EOS_ID,
+        UNK_ID,
+        pack_token_bins,
+        word_vocab,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 4)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {
+        r["word"]: r["tok_id"] for r in word_vocab(docs, 8).collect()
+    }
+    bins = (
+        pack_token_bins(docs, word_vocab(docs, 8), capacity=32)
+        .orderBy("bin_id")
+        .collect()
+    )
+    got_stream = [
+        int(t) for r in bins for t in r["payload"].split(" ")
+    ]
+    want_stream = []
+    for _, text in sorted(rows):
+        want_stream += (
+            [BOS_ID]
+            + [vocab.get(w, UNK_ID) for w in text.split(" ")]
+            + [EOS_ID]
+        )
+    assert got_stream == want_stream
+    sizes = [r["n_tokens"] for r in bins]
+    assert all(s == 32 for s in sizes[:-1]) and 0 < sizes[-1] <= 32
+    assert all(
+        len(r["payload"].split(" ")) == r["n_tokens"] for r in bins
+    )
+    assert [r["bin_id"] for r in bins] == list(range(len(bins)))
