@@ -240,6 +240,102 @@ def pagerank_exact(
     return ranks.select("node", "rank_micro")
 
 
+def hits_exact(
+    edges: DataFrame,
+    iters: int = 3,
+    init_micro: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) with FIXED iterations and
+    NO per-iteration normalization; returns (node, hub_micro,
+    auth_micro) — the second centrality on the BIGINT chassis (round
+    14, VERDICT r13 stretch #8), usable as an alternative
+    link-quality prior where PageRank's teleport model doesn't fit
+    (hub/authority asymmetry — link DIRECTORIES vs linked CONTENT).
+
+    Recurrence (all BIGINT):
+
+    - ``auth_0(v) = init_micro`` for every node;
+    - ``hub_t(u) = Σ_{(u,v)∈E} auth_t(v)``;
+    - ``auth_{t+1}(v) = Σ_{(u,v)∈E} hub_t(u)``;
+    - returns ``(hub_{iters-1}, auth_{iters})`` after ``iters`` full
+      rounds.
+
+    Why no normalization: the HITS update is LINEAR, so skipping the
+    per-iteration norm rescales every score by one global constant
+    per round — the RANKING equals normalized HITS' at the same
+    iteration count (pytest pins this against a float reference) —
+    while keeping every quantity an exact integer sum of integers,
+    hence order-independent and fully SQL-unrollable (the
+    ``graph_hits`` row's oracle chains the rounds as CTEs, the
+    pagerank_exact discipline). The price is growth: scores scale
+    like (d_in·d_out)^iters · init_micro; with the int64 ceiling at
+    ~9.2e18 that allows e.g. mean-degree-100 graphs for 3 rounds —
+    for deeper runs lower ``init_micro`` (ranking is scale-free).
+
+    Scale posture: each round is two edge⋈score joins + two
+    groupBy shuffles with map-side combine (LongType sums); degrees
+    are not needed (no division anywhere). Lazy loop + periodic
+    eager localCheckpoint, same as pagerank_exact.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    nodes = graph_nodes(edges, src_col, dst_col).persist()
+    _CACHED_RELATIONS.append(nodes)
+    edge_rel = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).persist()
+    _CACHED_RELATIONS.append(edge_rel)
+
+    auth = nodes.select(
+        "node", F.lit(int(init_micro)).cast("long").alias("auth_micro")
+    )
+    hub = None
+    for it in range(iters):
+        hub_agg = (
+            edge_rel.join(
+                auth.select(F.col("node").alias("_dst"), "auth_micro"),
+                "_dst",
+            )
+            .groupBy("_src")
+            .agg(F.sum("auth_micro").alias("_h"))
+        )
+        hub = nodes.join(
+            hub_agg.select(F.col("_src").alias("node"), "_h"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("_h", F.lit(0).cast("long")).alias("hub_micro"),
+        )
+        auth_agg = (
+            edge_rel.join(
+                hub.select(F.col("node").alias("_src"), "hub_micro"),
+                "_src",
+            )
+            .groupBy("_dst")
+            .agg(F.sum("hub_micro").alias("_a"))
+        )
+        auth = nodes.join(
+            auth_agg.select(F.col("_dst").alias("node"), "_a"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("_a", F.lit(0).cast("long")).alias("auth_micro"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    out = hub.join(auth, "node").persist()
+    _CACHED_RELATIONS.append(out)
+    return out.select("node", "hub_micro", "auth_micro")
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 4,

@@ -8700,6 +8700,78 @@ SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 """
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities (round 14, VERDICT r13
+    stretch #8 — operators/graph.py::hits_exact): 3 full
+    hub↔authority rounds over the same deterministic link graph as
+    graph_pagerank, with NO per-iteration normalization — the HITS
+    update is linear, so the unnormalized integer scores rank
+    identically to classic normalized HITS (pytest pins this against
+    a float reference) while every quantity stays an exact BIGINT
+    sum, making the whole recurrence one unrolled-CTE oracle. Pins
+    the iterative chassis's generality: a second centrality with a
+    structurally different recurrence (alternating edge directions,
+    no degrees, no division) on the same join+groupBy discipline."""
+    from nebuia_vector_db_spark.operators.graph import hits_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = (
+        hits_exact(_doc_link_edges(docs), iters=3)
+        .select(
+            F.col("node").alias("doc_id"), "hub_micro", "auth_micro"
+        )
+        .orderBy("doc_id")
+    )
+    _release_graph_caches()  # see q_graph_pagerank's note
+    return out
+
+
+def _hits_iters_sql(iters: int) -> str:
+    """Chained CTEs replaying hits_exact's integer recurrence:
+    a0 = 1e6 everywhere, h_t(u) = Σ out-edge a_t(dst),
+    a_{t+1}(v) = Σ in-edge h_t(src) — all-BIGINT unordered sums."""
+    ctes = ["a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS am FROM nodes)"]
+    for t in range(iters):
+        ctes.append(
+            f"""h{t} AS (
+  SELECT nodes.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS hm
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, SUM(a.am) AS s
+    FROM e JOIN a{t} a ON a.node = e.dst
+    GROUP BY e.src
+  ) s ON s.node = nodes.node
+)"""
+        )
+        ctes.append(
+            f"""a{t + 1} AS (
+  SELECT nodes.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS am
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.hm) AS s
+    FROM e JOIN h{t} h ON h.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+ORACLE_GRAPH_HITS = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+{_hits_iters_sql(3)}
+SELECT h.node AS doc_id, h.hm AS hub_micro, a.am AS auth_micro
+FROM h2 h JOIN a3 a ON a.node = h.node
+ORDER BY doc_id
+"""
+
+
 def _eval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared run/qrels construction + evaluate_run for the eval rows
     (code-review r13: eval_retrieval_knn and eval_summary certify "the
@@ -9482,6 +9554,19 @@ REGISTRY: dict[
     # pipe_curate_ranked); demoted nine redundant pins — see the
     # "Round-13 demotions" block below the window for per-entry
     # justifications.
+    # Round-14 rotation per VERDICT r13 tasks #1-#4: promoted the four
+    # late-r13 rows (eval_summary, dedup_substring_incremental_stream,
+    # eval_ann_bq_recall, graph_ppr) plus the two new round-14
+    # flagships (pipe_pretrain_export — the end-to-end
+    # tokenize→pack→shard→re-read composition — and
+    # dedup_semdedup_incremental — the fourth incremental index
+    # family); demoted six redundant pins (pipe_mixture_epoch,
+    # tpch_q2, dedup_incremental_stream, eval_ann_sq8_recall,
+    # mm_png_roundtrip, dedup_audiofp_lossy) — per-entry
+    # justifications at their below-window entries. The new
+    # eval_ann_ivf_recall stays below the window: its measurement
+    # discipline is recorded twice (eval_ann_bq_recall,
+    # eval_retrieval_knn).
     # tests/test_registry_contract.py pins the window contract and the
     # promoted-capability set.
     # ------------------------------------------------------------------
@@ -9589,21 +9674,6 @@ REGISTRY: dict[
         q_dedup_substring_incremental,
         ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
     ),
-    # acoustic near-dup at the LOSSY boundary (round-12 promotion,
-    # VERDICT r11 task #6): real IMA ADPCM re-encodes of 16 curated
-    # tonal signals paired with their lossless WAV originals at
-    # hamming ≤ 3 — the planted maximum is EXACTLY 3, so the verify
-    # boundary itself is exercised — with the IMA encoder+decoder
-    # state machine replayed SAMPLE-EXACTLY by a recursive-CTE oracle
-    # (the r11 split left the lossy envelope pytest-only). Takes
-    # dedup_substring's slot: the positional-winnowing anchor + span
-    # diagnosis machinery runs RECORDED inside dedup_drop_spans
-    # (which excises the spans that row only lists); substring stays
-    # locally green below.
-    "dedup_audiofp_lossy": (
-        q_dedup_audiofp_lossy,
-        ORACLE_DEDUP_AUDIOFP_LOSSY,
-    ),
     # span REMOVAL (round-6 promotion): excises the duplicated spans
     # dedup_substring only diagnoses — the actionable Lee et al. 2022
     # §4.2 pass (keep-first owner, merged-interval cut, cleaned corpus
@@ -9700,6 +9770,26 @@ REGISTRY: dict[
     # gating and pipe_dataset_split, and the epoch row stays locally
     # green below the window.
     "dedup_semdedup": (q_dedup_semdedup, ORACLE_DEDUP_SEMDEDUP),
+    # incremental SEMANTIC dedup (round-14 promotion — a round-14
+    # flagship, VERDICT r13 task #3): the FOURTH incremental index
+    # family — persisted cluster assignments + an append-only ledger
+    # of quantized INTEGER centroid partial sums; per commit, bucket
+    # only the delta, fold the ledger with exact BIGINT adds
+    # (deletion is an exact inverse), and re-run the keep rule ONLY in
+    # touched clusters. The oracle replays from-scratch SemDeDup over
+    # the post-commit corpus restricted to the delta's clusters, so
+    # the hash certifies incremental ≡ from-scratch including
+    # pre-existing members' SHIFTED sim_centroid and flipped
+    # decisions. Takes dedup_audiofp_lossy's slot: the audio surface
+    # keeps two recorded rows (mm_flac_audio's Rice/CRC lossless
+    # layer, dedup_audiofp's WAV/FLAC decode + band verify), and the
+    # IMA ADPCM boundary row's machinery stays locally green on its
+    # sample-exact recursive-CTE oracle + pytest-pinned; see its
+    # below-window note.
+    "dedup_semdedup_incremental": (
+        q_dedup_semdedup_incremental,
+        ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
+    ),
     # flagship composition, rank-blended since round 13 (VERDICT r12
     # task #5): quality gate BLENDED with an integer-micro-unit
     # PageRank prior (the RefinedWeb/CCNet host-rank pattern) + lang
@@ -9712,17 +9802,25 @@ REGISTRY: dict[
     # this row verbatim — strictly more machinery on the same spine;
     # the plain-quality variant stays locally green below.
     "pipe_curate_ranked": (q_pipe_curate_ranked, ORACLE_PIPE_CURATE_RANKED),
-    # mixture-weighted epoch materialization (round-13 promotion,
-    # VERDICT r12 task #1): domain d contributes exactly
-    # min(floor(400·w_d + 0.5), |d|) docs, the quota smallest by md5
-    # order — the DoReMi-consumer step that turns trained weights
-    # into an epoch; full oracle (per-domain quotas incl. the
-    # corpus-size cap, md5-rank cutoffs). Takes pipe_upsert_latest's
-    # slot: the rank-1-per-key cut is recorded via vs_knn_join's
-    # WindowGroupLimit and the upsert delete+insert convention via
-    # snap_change_feed's row accounting; upsert stays locally green
-    # below.
-    "pipe_mixture_epoch": (q_pipe_mixture_epoch, ORACLE_PIPE_MIXTURE_EPOCH),
+    # END-TO-END pretraining export (round-14 promotion — the round's
+    # flagship composition, VERDICT r13 task #2): tokenizer encode
+    # (frequency-ranked word vocab, bos/eos/unk framing) → contiguous
+    # packing into 512-token bins via the distributed cumsum →
+    # byte-deterministic WebDataset tar shards → RE-READ, with
+    # n_tokens + tokens_md5 computed from the re-read member bytes —
+    # the artifact a 100 TB pipeline actually ships to the trainer,
+    # certified as ONE value-hash row against a pure-SQL replay from
+    # the source table. Takes pipe_mixture_epoch's slot: the
+    # mixture-quota machinery stays pinned — md5-order deterministic
+    # gating runs recorded inside pipe_curate_ranked's split stage and
+    # pipe_dsir_select, grouped-limit cuts via vs_knn_join's
+    # WindowGroupLimit, and the quota arithmetic (incl. the _rep
+    # replication sibling) is pytest-pinned (tests/test_mixture.py);
+    # mixture stays locally green below.
+    "pipe_pretrain_export": (
+        q_pipe_pretrain_export,
+        ORACLE_PIPE_PRETRAIN_EXPORT,
+    ),
     # budget-constrained best-first selection (round-13 promotion,
     # VERDICT r12 task #1): keep the best docs whose token costs fit
     # a global budget — the distributed percentile-bracket boundary
@@ -9733,10 +9831,6 @@ REGISTRY: dict[
     # recorded via stream_join_mirror's range-join oracle).
     "pipe_budget_select": (q_pipe_budget_select, ORACLE_PIPE_BUDGET_SELECT),
     # multimodal (extension, binary columns + mapInPandas decode)
-    # REAL PNG codec round trip (zlib DEFLATE + CRC + unfiltering):
-    # encode text bytes -> genuine PNG -> decode -> pixel stats,
-    # SQL-replayed from the source text (lossless check)
-    "mm_png_roundtrip": (q_mm_png_roundtrip, ORACLE_MM_PNG),
     # REAL lossless COMPRESSED audio codec (round-10 promotion,
     # VERDICT r9 task #1): RFC 9639 FLAC subset — fixed predictors +
     # Rice coding, frame CRC-8/CRC-16 verified, streaminfo PCM MD5 —
@@ -9775,19 +9869,24 @@ REGISTRY: dict[
     # JPEG frame decode); the H.264 NAL/exp-Golomb/CAVLC layer stays
     # locally green + pytest-pinned (tests/test_h264.py) below.
     "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
+    # PERSONALIZED PageRank (round-14 promotion, VERDICT r13 task #1
+    # — built round 13 as stretch #8, below-window until now):
+    # seed-gated teleport on the same BIGINT micro-unit chassis —
+    # rank_0 = 1e6·[seed], teleport mass lands ONLY on seeds — the
+    # topic-/trust-biased host ranking crawl pipelines use, with the
+    # FULL seed-conditional 5-iteration recurrence unrolled as
+    # chained CTEs in the oracle (seeds unioned into the node set by
+    # construction, ADVICE r13). Takes mm_png_roundtrip's slot: the
+    # baseline-PNG DECODE layer runs recorded inside dedup_dhash
+    # (dHash over decoded real-PNG pixels) and the codec surface
+    # keeps three recorded rows (mm_flac_audio Rice/CRC,
+    # dedup_video's MKV/AVI demux + JPEG decode, dedup_audiofp's
+    # WAV/FLAC decode); the DEFLATE+CRC ENCODE side stays locally
+    # green + pytest-pinned (tests/test_png.py); see the
+    # below-window note.
+    "graph_ppr": (q_graph_ppr, ORACLE_GRAPH_PPR),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
-    # TPC-H Q2 minimum-cost supplier (round-11 promotion, VERDICT
-    # r10 task #1 — "the new partsupp family's hardest shape"): the
-    # decorrelated scalar-subquery MIN over the DERIVED partsupp
-    # (_partsupp / _SQL_PARTSUPP, dbgen §4.2.3 — both engines build
-    # it independently, so the hash certifies the derivation AND the
-    # query) joined back through part/supplier/nation/region with a
-    # multi-key sort cut. Takes tpch_q9's slot: q9 shares the same
-    # partsupp spine (now hash-certified here) and its 5-table
-    # join/agg shape stays pinned by tpch_q1 and this row (tpch_q21
-    # demoted r13); q9 stays a headline bench row and locally green below the window.
-    "tpch_q2": (q_tpch_q2, ORACLE_TPCH_Q2),
     # row-level change data feed over SnapshotTable (round-11
     # promotion, VERDICT r10 task #1): create-inserts + COW-delete
     # deletes recovered from ONLY the files each commit touched and
@@ -9821,14 +9920,26 @@ REGISTRY: dict[
     # session break sums and the property tests; q21 stays locally
     # green below.
     "eval_retrieval_knn": (q_eval_retrieval_knn, ORACLE_EVAL_RETRIEVAL),
-    # hash-certified ANN quality measurement (round-13 promotion,
-    # VERDICT r12 task #1 — named first there): recall@10/MRR of the
-    # SQ8 int8 tier vs the EXACT run, with quantization, approximate
-    # run, exact run and metric arithmetic ALL in one value-hash row
-    # — the first recorded ANN-recall certification (IVF/PQ recalls
-    # are bench-measured; their trained centroids aren't
-    # SQL-expressible).
-    "eval_ann_sq8_recall": (q_eval_ann_sq8_recall, ORACLE_EVAL_ANN_SQ8),
+    # corpus-level eval summary (round-14 promotion, VERDICT r13 task
+    # #1): macro AND micro averaging of eval_retrieval_knn's SAME
+    # per-query relation (shared _eval_per_query) — BIGINT sums,
+    # single terminal floor divisions, so the run→qrels→metrics→
+    # summary pipeline is hash-certified end to end. Conflating the
+    # two conventions is the classic IR-reporting mistake; this row
+    # pins both.
+    "eval_summary": (q_eval_summary, ORACLE_EVAL_SUMMARY),
+    # hash-certified ANN recall of the PRODUCTION BQ two-stage config
+    # (round-14 promotion, VERDICT r13 task #1): packed-sign-word
+    # XOR+POPCNT Hamming shortlist of 50 → exact re-rank to 20,
+    # measured against the exact run — shortlist, re-rank, exact run
+    # and metric arithmetic in ONE value-hash row (the recorded
+    # backing vs_bq_rerank's r13 demotion note promised). Takes
+    # eval_ann_sq8_recall's slot: the measurement discipline is
+    # identical and this row additionally pins the shortlist→re-rank
+    # funnel; SQ8's affine int8 decode stays value-hash-checked
+    # locally via vs_sq8_topk AND the demoted row itself — see the
+    # below-window notes.
+    "eval_ann_bq_recall": (q_eval_ann_bq_recall, ORACLE_EVAL_ANN_BQ),
     # incremental cross-snapshot dedup (round-12 promotion — the
     # round's flagship composition, VERDICT r11 missing #1): dedup a
     # NEW commit against the PERSISTED MinHash band index — O(churn)
@@ -9889,23 +10000,23 @@ REGISTRY: dict[
     # execution had NO recorded representative; see the below-window
     # justification.
     "stream_join_mirror": (q_stream_join_mirror, ORACLE_STREAM_JOIN_MIRROR),
-    # CDC-stream-driven incremental dedup (round-13 promotion,
-    # VERDICT r12 task #1 — "a capability no current in-window row
-    # pins"): the standing foreachBatch loop over the corpus change
-    # feed, band + pairs appends riding the stream-watermark CAS
-    # (exactly-once under replays); SHARES the batch row's oracle, so
-    # the recorded hash certifies stream ≡ batch ≡ ANSI SQL for the
-    # whole incremental-index path. Takes stream_ppl_filter's slot:
-    # streaming execution keeps three recorded reps
-    # (stream_dedup_mirror state eviction, stream_join_mirror
-    # stream-stream join state, this row's foreachBatch CDC loop),
-    # the stream≡batch≡SQL shared-oracle discipline is now recorded
-    # HERE, and the LM scorer spine stays recorded via
-    # text_lm3_perplexity (same count relations + backoff chain);
-    # ppl_filter stays locally green below.
-    "dedup_incremental_stream": (
-        q_dedup_incremental_stream,
-        ORACLE_DEDUP_INCREMENTAL,
+    # CDC-stream-driven incremental dedup, SPAN modality (round-14
+    # promotion, VERDICT r13 task #1): the standing foreachBatch loop
+    # over the corpus change feed driving the winnowed-anchor
+    # SubstringAnchorIndex — appends riding the stream-watermark CAS
+    # (exactly-once under replays), SHARING the batch row's oracle,
+    # so the recorded hash certifies stream ≡ batch ≡ ANSI SQL for
+    # the span-level modality — whose COUNT-shaped pair generation
+    # carries the replay-idempotence anti-join guard the sketch
+    # families don't need (incremental.py). Takes
+    # dedup_incremental_stream's slot: same foreachBatch CAS
+    # discipline, and the MinHash modality keeps its batch row
+    # (dedup_incremental) recorded with the stream twin pinned
+    # stream≡batch + exactly-once in tests/test_incremental.py;
+    # locally green below.
+    "dedup_substring_incremental_stream": (
+        q_dedup_substring_incremental_stream,
+        ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
     ),
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
@@ -9926,12 +10037,14 @@ REGISTRY: dict[
     #   in-window by events_sessions' lag+cumsum window pass (tpch_q21
     #   demoted r13); locally green;
     "orders_running_revenue": (q_orders_running_revenue, ORACLE_RUNNING_REVENUE),
-    # eval_summary: corpus-level macro + micro averaging of
-    #   eval_retrieval_knn's per-query relation (round 13) — one
-    #   further exact aggregate; the per-query metric machinery it
-    #   folds is recorded via eval_retrieval_knn/eval_ann_sq8_recall;
-    #   locally green;
-    "eval_summary": (q_eval_summary, ORACLE_EVAL_SUMMARY),
+    # eval_ann_sq8_recall: hash-certified recall of the SQ8 int8 tier
+    #   — demoted r14 for eval_ann_bq_recall: identical measurement
+    #   discipline (quantize + approximate run + exact run + metric
+    #   arithmetic in one value hash), and the BQ row additionally
+    #   pins the production shortlist→re-rank funnel; the affine int8
+    #   decode stays value-hash-checked here locally and via
+    #   vs_sq8_topk;
+    "eval_ann_sq8_recall": (q_eval_ann_sq8_recall, ORACLE_EVAL_ANN_SQ8),
     # pipe_orc_roundtrip / pipe_csv_roundtrip: columnar-ORC and
     #   fully-quoted-CSV interchange round trips (late round 12) —
     #   the interchange family's recorded rep is
@@ -10245,22 +10358,27 @@ REGISTRY: dict[
         q_vs_neardup_incremental,
         ORACLE_VS_NEARDUP_INCREMENTAL,
     ),
-    # dedup_semdedup_incremental (round 14, VERDICT r13 task #3): the
-    #   fourth incremental index family — persisted cluster
-    #   assignments + append-only integer centroid-sum ledger, keep
-    #   rule re-run in touched clusters only; oracle = full SemDeDup
-    #   replay restricted to the delta's clusters;
-    "dedup_semdedup_incremental": (
-        q_dedup_semdedup_incremental,
-        ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
+    # dedup_audiofp_lossy: acoustic near-dup at the LOSSY boundary —
+    #   demoted r14 for dedup_semdedup_incremental (the fourth
+    #   incremental index family): the IMA ADPCM encoder+decoder
+    #   state machine stays replayed SAMPLE-EXACTLY by its
+    #   recursive-CTE oracle here locally + pytest-pinned, the
+    #   banded-Hamming blocking + XOR/POPCNT verify is recorded 3×
+    #   (dedup_dhash / dedup_audiofp / dedup_video), and the audio
+    #   decode surface keeps mm_flac_audio + dedup_audiofp recorded;
+    "dedup_audiofp_lossy": (
+        q_dedup_audiofp_lossy,
+        ORACLE_DEDUP_AUDIOFP_LOSSY,
     ),
-    # pipe_pretrain_export (round 14, VERDICT r13 task #2): the
-    #   end-to-end tokenize → pack → shard → re-read composition;
-    #   full oracle replays the packed token stream from source;
-    "pipe_pretrain_export": (
-        q_pipe_pretrain_export,
-        ORACLE_PIPE_PRETRAIN_EXPORT,
-    ),
+    # pipe_mixture_epoch: mixture-weighted epoch materialization —
+    #   demoted r14 for pipe_pretrain_export (the end-to-end
+    #   tokenize→pack→shard→re-read composition): md5-order
+    #   deterministic gating runs recorded inside pipe_curate_ranked's
+    #   split stage + pipe_dsir_select, grouped-limit cuts via
+    #   vs_knn_join's WindowGroupLimit, and the quota arithmetic
+    #   (incl. the _rep replication sibling) is pytest-pinned
+    #   (tests/test_mixture.py); locally green;
+    "pipe_mixture_epoch": (q_pipe_mixture_epoch, ORACLE_PIPE_MIXTURE_EPOCH),
     # text_tfidf_neardup: exact tf-idf cosine near-dup — demoted r9
     #   for text_lm_perplexity (model-based quality filtering, a new
     #   capability family): its tf-idf weight relation + norm spine
@@ -10428,22 +10546,34 @@ REGISTRY: dict[
     "tpch_q9": (q_tpch_q9, ORACLE_TPCH_Q9),
     "tpch_q11": (q_tpch_q11, ORACLE_TPCH_Q11),
     "tpch_q20": (q_tpch_q20, ORACLE_TPCH_Q20),
-    # dedup_substring_incremental_stream: the CDC-stream twin of the
-    #   recorded substring-incremental row (round 13) — SHARES its
-    #   oracle, certifying stream ≡ batch ≡ SQL for the span-level
-    #   modality; the foreachBatch CAS discipline is recorded via
-    #   dedup_incremental_stream, so this stays below the window;
-    #   locally green;
-    "dedup_substring_incremental_stream": (
-        q_dedup_substring_incremental_stream,
-        ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
+    # dedup_incremental_stream: the CDC-stream twin of the MinHash
+    #   modality — demoted r14 for dedup_substring_incremental_stream
+    #   (same foreachBatch stream-watermark CAS discipline, and the
+    #   span modality's COUNT-shaped pair generation additionally
+    #   carries the replay-idempotence anti-join guard): the MinHash
+    #   batch row (dedup_incremental) stays recorded, this twin
+    #   SHARES its oracle locally, and stream≡batch + exactly-once
+    #   replay are pytest-pinned (tests/test_incremental.py);
+    "dedup_incremental_stream": (
+        q_dedup_incremental_stream,
+        ORACLE_DEDUP_INCREMENTAL,
     ),
-    # eval_ann_bq_recall: hash-certified recall of the PRODUCTION BQ
-    #   two-stage config (round 13) — the recorded backing for
-    #   vs_bq_rerank's demotion note; the measurement discipline is
-    #   recorded via eval_ann_sq8_recall, so this sibling stays below
-    #   the window; locally green;
-    "eval_ann_bq_recall": (q_eval_ann_bq_recall, ORACLE_EVAL_ANN_BQ),
+    # mm_png_roundtrip: REAL PNG codec round trip (zlib DEFLATE + CRC
+    #   + unfiltering) — demoted r14 for graph_ppr: the PNG DECODE
+    #   layer runs RECORDED inside dedup_dhash (dHash over decoded
+    #   real-PNG pixels), the codec surface keeps three recorded rows
+    #   (mm_flac_audio, dedup_video, dedup_audiofp), and the
+    #   DEFLATE+CRC ENCODE side stays value-hash-checked here locally
+    #   + pytest-pinned (tests/test_png.py);
+    "mm_png_roundtrip": (q_mm_png_roundtrip, ORACLE_MM_PNG),
+    # tpch_q2: decorrelated scalar-subquery MIN over the derived
+    #   partsupp — demoted r14 (VERDICT r13 task #1's named
+    #   candidate) for the eval_summary slot: the TPC-H family keeps
+    #   tpch_q1 recorded, multi-table join+agg+sort shapes run
+    #   recorded across the hybrid/snap/pipe rows, and the partsupp
+    #   derivation + decorrelated-MIN stay value-hash-checked here
+    #   locally (with q9/q11/q20 on the same derived spine);
+    "tpch_q2": (q_tpch_q2, ORACLE_TPCH_Q2),
     # eval_ann_ivf_recall (round 14, VERDICT r13 task #4): the IVF
     #   tier SHAPE's hash-certified recall — md5-hyperplane coarse
     #   cells + integer centroids in place of trained Lloyd's, so
@@ -10451,12 +10581,13 @@ REGISTRY: dict[
     #   one value hash; the trained tiers' recalls stay bench-measured
     #   (their fit is not SQL-replayable) on identical machinery;
     "eval_ann_ivf_recall": (q_eval_ann_ivf_recall, ORACLE_EVAL_ANN_IVF),
-    # graph_ppr: PERSONALIZED PageRank (round 13, stretch #8) —
-    #   seed-gated teleport on the same integer chassis; the
-    #   iterative unrolled-CTE discipline and the shared graph are
-    #   recorded via graph_pagerank, so this stays below the window;
+    # graph_hits (round 14, VERDICT r13 stretch #8): unnormalized
+    #   integer HITS — ranks ≡ classic HITS (linear update, pytest-
+    #   pinned), full unrolled-CTE oracle; the iterative-graph
+    #   chassis is recorded twice (graph_pagerank, graph_ppr), so the
+    #   second-centrality generality pin stays below the window;
     #   locally green;
-    "graph_ppr": (q_graph_ppr, ORACLE_GRAPH_PPR),
+    "graph_hits": (q_graph_hits, ORACLE_GRAPH_HITS),
     # ---- Round-13 demotions (slots freed for the seven VERDICT r12
     # task-#1 promotions plus the two new round-13 flagship rows
     # dedup_substring_incremental / pipe_curate_ranked). Each row's

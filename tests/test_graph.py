@@ -255,3 +255,73 @@ def test_personalized_pagerank_seed_gating(spark):
     assert classic == {
         1: 150000, 2: 277500, 3: 1000000, 4: 150000, 5: 277500,
     }
+
+
+def test_hits_matches_pure_python_reference(spark):
+    """hits_exact ≡ a from-scratch pure-Python integer HITS on a small
+    directed graph with a dangling node (no out-edges → hub 0) and an
+    unreferenced node (no in-edges → auth 0)."""
+    from nebuia_vector_db_spark.operators.graph import (
+        hits_exact,
+        release_cached_relations,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5), (6, 1)]
+    nodes = sorted({u for e in edges for u in e})
+    auth = {v: 1_000_000 for v in nodes}
+    hub = {}
+    for _ in range(3):
+        hub = {u: sum(auth[v] for s, v in edges if s == u) for u in nodes}
+        auth = {v: sum(hub[u] for u, d in edges if d == v) for v in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits_exact(df, iters=3).collect()
+    }
+    release_cached_relations()
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+    assert got[5][0] == 0  # dangling: no out-edges → hub 0
+    assert got[6][1] == 0  # unreferenced: no in-edges → auth 0
+
+
+def test_hits_unnormalized_ranking_equals_normalized(spark):
+    """The docstring's linearity claim: at the same iteration count,
+    the unnormalized integer scores rank nodes identically to classic
+    L1-normalized float HITS (quantization breaks ties only between
+    EQUAL integer scores, so compare order of distinct values)."""
+    from nebuia_vector_db_spark.operators.graph import (
+        hits_exact,
+        release_cached_relations,
+    )
+
+    edges = [
+        (i, (i * 7 + 3) % 11) for i in range(11)
+    ] + [(i, (i * 5 + 1) % 11) for i in range(11)]
+    nodes = sorted({u for e in edges for u in e})
+    auth = {v: 1.0 for v in nodes}
+    hub = {}
+    for _ in range(3):
+        hub = {u: sum(auth[v] for s, v in edges if s == u) for u in nodes}
+        z = sum(hub.values())
+        hub = {u: h / z for u, h in hub.items()}
+        auth = {v: sum(hub[u] for u, d in edges if d == v) for v in nodes}
+        z = sum(auth.values())
+        auth = {v: a / z for v, a in auth.items()}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits_exact(df, iters=3).collect()
+    }
+    release_cached_relations()
+    for key, ref in ((0, hub), (1, auth)):
+        ints = sorted(nodes, key=lambda v: (got[v][key], v))
+        floats = sorted(nodes, key=lambda v: (round(ref[v], 12), v))
+        assert ints == floats
+
+
+def test_hits_rejects_bad_iters(spark):
+    from nebuia_vector_db_spark.operators.graph import hits_exact
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        hits_exact(df, iters=0)

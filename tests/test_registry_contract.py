@@ -104,7 +104,12 @@ _REQUIRED_IN_WINDOW = {
     # (dedup_groups demoted r13 — the closure runs recorded inside
     # pipe_leakage_split's oracle and group sizes inside
     # pipe_curate_ranked's corpus card)
-    "dedup_dhash", "dedup_audiofp", "dedup_audiofp_lossy",
+    # (dedup_audiofp_lossy demoted r14 for dedup_semdedup_incremental
+    # — the ADPCM lossy boundary stays locally green on its
+    # sample-exact recursive-CTE oracle + pytest; the band-blocking +
+    # XOR/POPCNT verify is recorded 3× and the audio decode surface
+    # keeps mm_flac_audio + dedup_audiofp recorded)
+    "dedup_dhash", "dedup_audiofp",
     "dedup_minhash_lsh",
     "dedup_drop_spans",
     # incremental substring dedup (promoted r13, the round flagship):
@@ -149,7 +154,19 @@ _REQUIRED_IN_WINDOW = {
     "pipe_curate_ranked",
     # mixture-epoch materialization + budget-constrained selection
     # (promoted r13, VERDICT r12 task #1)
-    "pipe_mixture_epoch", "pipe_budget_select",
+    # (pipe_mixture_epoch demoted r14 for pipe_pretrain_export — the
+    # end-to-end tokenize→pack→shard→re-read composition; the quota
+    # machinery stays pinned via pipe_curate_ranked's md5 gating,
+    # vs_knn_join's grouped limit and tests/test_mixture.py)
+    "pipe_budget_select",
+    # end-to-end pretraining export (promoted r14, VERDICT r13 task
+    # #2): encode → pack → WebDataset shards → re-read, one
+    # value-hash row replayed from the source corpus
+    "pipe_pretrain_export",
+    # incremental SemDeDup (promoted r14, VERDICT r13 task #3): the
+    # fourth incremental index family — exact integer centroid
+    # ledger, touched-cluster keep-rule re-run
+    "dedup_semdedup_incremental",
     # leakage-safe group-keyed split (promoted r12): near-dup groups
     # land wholly in one fold — takes mm_color_roundtrip's slot
     "pipe_leakage_split",
@@ -185,8 +202,14 @@ _REQUIRED_IN_WINDOW = {
     # audiofp's WAV/FLAC decode, audiofp_lossy's ADPCM boundary)
     # (mm_h264_iframes demoted r13 for graph_communities — the codec
     # surface keeps four recorded rows; H.264 stays pytest-pinned)
-    "mm_png_roundtrip", "mm_flac_audio", "dedup_video",
+    # (mm_png_roundtrip demoted r14 for graph_ppr — the PNG decode
+    # layer runs recorded inside dedup_dhash's decoded-pixel dHash;
+    # the DEFLATE+CRC encode side stays locally green + pytest-pinned)
+    "mm_flac_audio", "dedup_video",
     "graph_pagerank",
+    # personalized PageRank (promoted r14): seed-gated teleport on
+    # the BIGINT chassis, full seed-conditional unrolled-CTE oracle
+    "graph_ppr",
     # label-propagation communities (promoted r13): the graph
     # family's second capability, unrolled-CTE oracle
     "graph_communities",
@@ -215,11 +238,19 @@ _REQUIRED_IN_WINDOW = {
     # rep is text_heavy_ngrams' CMS pipeline)
     # (tpch_q21 demoted r13 — per-key conditional aggregation stays
     # pinned by events_sessions' session-break sums; q1/q2 stay)
-    "tpch_q1", "tpch_q2",
+    # (tpch_q2 demoted r14 — VERDICT r13's named candidate: q1 stays
+    # recorded, multi-table join+agg shapes run recorded across the
+    # hybrid/snap/pipe rows, and the partsupp derivation stays
+    # locally green via q2/q9/q11/q20)
+    "tpch_q1",
     # retrieval evaluation metrics + hash-certified ANN recall
     # (promoted r13, VERDICT r12 task #1): the measurement harness
     # every ANN-tier claim rests on, now driver-recorded
-    "eval_retrieval_knn", "eval_ann_sq8_recall",
+    # (eval_ann_sq8_recall demoted r14 for eval_ann_bq_recall — same
+    # measurement discipline plus the production two-stage funnel;
+    # eval_summary promoted r14: macro+micro conventions over the
+    # same per-query relation)
+    "eval_retrieval_knn", "eval_ann_bq_recall", "eval_summary",
     # (orders_running_revenue demoted late r12 for
     # pipe_webdataset_roundtrip — the tar-shard GPU-loader
     # interchange surface, previously unrecorded; running-sum window
@@ -244,10 +275,11 @@ _REQUIRED_IN_WINDOW = {
     # (stream_ppl_filter demoted r13 — streaming keeps three recorded
     # reps and the shared-oracle stream≡batch≡SQL discipline is now
     # recorded by dedup_incremental_stream)
-    # CDC-stream incremental dedup (promoted r13): foreachBatch loop
-    # over the corpus change feed, exactly-once CAS appends, sharing
-    # the batch row's oracle
-    "dedup_incremental_stream",
+    # CDC-stream incremental dedup (promoted r13; rotated to the
+    # SPAN modality r14 — same foreachBatch CAS discipline, plus the
+    # COUNT-shaped replay-idempotence guard; the MinHash twin stays
+    # pytest-pinned stream≡batch + exactly-once)
+    "dedup_substring_incremental_stream",
     # real-tokenizer trainer (promoted r11, sanctioned rows-only):
     # the unigram-LM EM fit — the family's first recorded rep
     "text_unigram_train",
