@@ -2047,6 +2047,52 @@ def main() -> None:
         b22_docs.unpersist()
         _sh.rmtree(b22_root, ignore_errors=True)
 
+    # ---- B23 (round 14): pretraining-export throughput — the
+    # pipe_pretrain_export composition (encode → pack → WebDataset
+    # shards) at 200k docs / ~6.4M tokens, 32 shards. Recorded, no
+    # gate (single-shot throughput row, b4's convention): the
+    # correctness pin is the registry row's value-hash oracle; this
+    # records what the last mile costs — tokens/sec is the number a
+    # trainer-feeding pipeline is sized by.
+    from nebuia_vector_db_spark.operators.pipeline import (
+        pack_token_bins as _ptb,
+        word_vocab as _wv,
+    )
+    from nebuia_vector_db_spark.sources.webdataset import (
+        write_webdataset as _wwds,
+    )
+
+    b23_docs = _synth_docs(200_000).cache()
+    b23_docs.count()
+    b23_out = _tf.mkdtemp(prefix="nvdb_bench_ptx_")
+    t0 = time.perf_counter()
+    b23_manifest = _wwds(
+        _ptb(b23_docs, _wv(b23_docs, 4096), capacity=2048),
+        b23_out,
+        key_col="bin_id",
+        members={"txt": "payload"},
+        num_shards=32,
+    ).agg(
+        F.sum("n_samples").alias("b"), F.sum("tar_bytes").alias("tb")
+    ).head()
+    b23_wall = time.perf_counter() - t0
+    b23_tokens = int(
+        b23_docs.select(
+            F.sum(F.size(F.split("text", " ")) + 2)
+        ).head()[0]
+    )
+    timings["b23_pretrain_export_sec"] = round(b23_wall, 4)
+    timings["b23_pretrain_export_tokens_total"] = b23_tokens
+    timings["b23_pretrain_export_tokens_per_sec"] = round(
+        b23_tokens / max(b23_wall, 1e-9), 1
+    )
+    timings["b23_pretrain_export_bins"] = int(b23_manifest["b"])
+    timings["b23_pretrain_export_tar_mb"] = round(
+        b23_manifest["tb"] / 1e6, 1
+    )
+    b23_docs.unpersist()
+    _sh.rmtree(b23_out, ignore_errors=True)
+
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile

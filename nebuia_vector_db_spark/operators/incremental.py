@@ -878,6 +878,7 @@ class SemDedupClusterIndex:
         feed_slice: DataFrame,
         corpus_at_v: DataFrame,
         txn: tuple[str, int] | None = None,
+        _replay_assign_done: bool = False,
     ) -> DataFrame:
         """Advance the index by ONE commit's change-feed slice and
         return the post-commit SemDeDup decisions — (vec_id, bucket,
@@ -885,7 +886,19 @@ class SemDedupClusterIndex:
         cluster. Delete rows must carry the embedding payload (the
         CDF convention: snapshot.changes replays full rows), which is
         what lets the ledger subtract the exact quantized components
-        the row once added."""
+        the row once added.
+
+        ``txn=(lane, version)`` routes both state appends through the
+        stream-watermark CAS (lanes ``{lane}:assign`` /
+        ``{lane}:cent``) for exactly-once under foreachBatch replays.
+        ``_replay_assign_done`` is the stream driver's private
+        channel (stream_semdedup_ingest — the stream_dedup_ingest
+        convention): when the version's retract + assignment append
+        already COMMITTED in a first attempt, the retract must be
+        skipped here — an UPDATE commit's re-retract would COW-delete
+        the doc's NEW assignment row while the watermark-guarded
+        append declines to rewrite it, silently dropping the doc from
+        the index (the r12 second-review bug class)."""
         dels = feed_slice.where(F.col("_change") == "delete").drop(
             "_change", "_commit_version"
         )
@@ -910,9 +923,13 @@ class SemDedupClusterIndex:
         # assignment advance: COW-retract deleted ids (churn-bounded
         # by contract, same discipline as _SketchIndexBase.retract),
         # then append the inserts
-        del_ids = [r[0] for r in del_assign.select("_id").distinct().collect()]
-        if del_ids:
-            self.assign.delete_where(F.col("_id").isin(del_ids))
+        if not _replay_assign_done:
+            del_ids = [
+                r[0]
+                for r in del_assign.select("_id").distinct().collect()
+            ]
+            if del_ids:
+                self.assign.delete_where(F.col("_id").isin(del_ids))
         if txn is None:
             self.assign.append(ins_assign)
             self.cent.append(cent_delta)
@@ -923,11 +940,11 @@ class SemDedupClusterIndex:
 
             transactional_append(
                 self.spark, self.assign.path, ins_assign,
-                txn[1], txn[0] + ".assign",
+                txn[1], txn[0] + ":assign",
             )
             transactional_append(
                 self.spark, self.cent.path, cent_delta,
-                txn[1], txn[0] + ".cent",
+                txn[1], txn[0] + ":cent",
             )
         # decisions for touched clusters from the UPDATED state:
         # centroids fold the ledger (touched rows only), members come
@@ -1079,6 +1096,113 @@ def stream_dedup_ingest(
                 # this version's churn-bounded caches served their
                 # joins; don't let a catch-up drain accumulate them
                 release_cached_relations()
+        finally:
+            batch.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_semdedup_ingest(
+    spark: SparkSession,
+    corpus_path: str,
+    index: SemDedupClusterIndex,
+    decisions_path: str,
+    checkpoint: str,
+    start_version: int = 1,
+    app: str | None = None,
+):
+    """Continuous incremental SemDeDup (round 14): the
+    :func:`stream_dedup_ingest` convention for the FOURTH index
+    family — subscribe to the corpus SnapshotTable's change feed and,
+    PER COMMIT, advance the cluster index and append the touched
+    clusters' decisions to a decisions SnapshotTable. With this the
+    whole incremental tier (doc-sketch, embedding-sketch, span,
+    semantic) is drivable from the CDC stream.
+
+    Exactly-once under foreachBatch's at-least-once replays is a
+    THREE-lane watermark dance (the sketch indexes needed two): the
+    assignment append ({lane}:assign), the centroid-ledger append
+    ({lane}:cent) and the decisions append ({lane}:decisions) each
+    ride the stream-watermark CAS keyed by the commit version. A
+    version whose assign lane already committed skips the COW retract
+    WHOLE (``_replay_assign_done`` — re-retracting an update commit's
+    id would delete its NEW assignment row while the watermark-
+    guarded append declines to rewrite it); the cent ledger is
+    append-only so its lane self-guards; decisions are recomputed
+    from the POST state either way — identical by construction — and
+    their append self-guards. Versions are processed in order, each
+    decided against the corpus AT ITS OWN version (the transient-doc
+    discipline of stream_dedup_ingest).
+
+    Runs Trigger.AvailableNow — call again to drain new commits."""
+    from nebuia_vector_db_spark.operators import semdedup as _sd
+    from nebuia_vector_db_spark.sources.changes_stream import (
+        SnapshotChangesDataSource,
+    )
+    from nebuia_vector_db_spark.streaming.sinks import (
+        transactional_append,
+    )
+
+    spark.dataSource.register(SnapshotChangesDataSource)
+    feed = (
+        spark.readStream.format("nebuia_snapshot_changes")
+        .option("path", corpus_path)
+        .option("startVersion", start_version)
+        .load()
+    )
+    lane = app if app is not None else checkpoint
+    corpus = SnapshotTable(spark, corpus_path)
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+
+            def _lane_done(tbl_path: str, lane_key: str, v: int) -> bool:
+                t = SnapshotTable(spark, tbl_path)
+                if not t.versions():
+                    return False
+                last = (t.meta("stream_watermarks") or {}).get(lane_key)
+                return last is not None and v <= last
+
+            for v in versions:
+                v = int(v)
+                assign_done = _lane_done(
+                    index.assign.path, lane + ":assign", v
+                )
+                if assign_done and _lane_done(
+                    index.cent.path, lane + ":cent", v
+                ) and _lane_done(
+                    decisions_path, lane + ":decisions", v
+                ):
+                    continue
+                decisions = index.ingest_feed(
+                    batch.where(F.col("_commit_version") == v),
+                    corpus.read(v),
+                    txn=(lane, v),
+                    _replay_assign_done=assign_done,
+                )
+                transactional_append(
+                    spark, decisions_path, decisions, v,
+                    lane + ":decisions",
+                )
+                # this version's churn-bounded caches (and semdedup's
+                # scored relation) served their joins — release before
+                # the next version of a catch-up drain
+                release_cached_relations()
+                _sd.release_cached_relations()
         finally:
             batch.unpersist()
 

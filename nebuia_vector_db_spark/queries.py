@@ -1270,6 +1270,67 @@ ORDER BY vec_id
 """
 
 
+def q_dedup_semdedup_incremental_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of dedup_semdedup_incremental (round 14): the
+    same delta commit delivered through the CDC change-feed stream
+    and applied by the SemDeDup foreachBatch loop
+    (operators/incremental.py::stream_semdedup_ingest — assignment,
+    centroid-ledger and decisions appends ride a THREE-lane
+    stream-watermark CAS, exactly-once under replays; a replayed
+    version skips the COW assignment retract whole). SHARES the batch
+    row's oracle, so the hash certifies stream ≡ batch ≡ ANSI SQL
+    for the SEMANTIC modality — with this, all four incremental
+    families (doc-sketch, embedding-sketch, span, semantic) carry the
+    shared-oracle stream discipline."""
+    from nebuia_vector_db_spark.operators import semdedup as _sd
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+        stream_semdedup_ingest,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 97 != 0)
+    delta = emb.where(F.col("vec_id") % 97 == 0)
+    root = posix_scratch_dir(spark, "incsemstream")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = SemDedupClusterIndex.create(
+            spark, root + "/index", corpus=base,
+            threshold=0.35, n_planes=6,
+        )
+        corpus_tbl.append(delta)
+        q = stream_semdedup_ingest(
+            spark, root + "/corpus", idx,
+            root + "/decisions", root + "/ck",
+        )
+        q.awaitTermination()
+        out = (
+            SnapshotTable(spark, root + "/decisions")
+            .read()
+            .select(
+                "vec_id",
+                "bucket",
+                _r(F.col("sim_centroid"), 6).alias("sim_centroid"),
+                "dropped",
+            )
+            .orderBy("vec_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        _sd.release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
 # ==========================================================================
 # Text analysis (extension surface, SURVEY §2.3)
 # ==========================================================================
@@ -10581,6 +10642,17 @@ REGISTRY: dict[
     #   one value hash; the trained tiers' recalls stay bench-measured
     #   (their fit is not SQL-replayable) on identical machinery;
     "eval_ann_ivf_recall": (q_eval_ann_ivf_recall, ORACLE_EVAL_ANN_IVF),
+    # dedup_semdedup_incremental_stream: the CDC-stream twin of the
+    #   recorded semantic-incremental row (round 14) — SHARES its
+    #   oracle, certifying stream ≡ batch ≡ SQL for the SEMANTIC
+    #   modality via the three-lane watermark CAS; the foreachBatch
+    #   CDC discipline is recorded via
+    #   dedup_substring_incremental_stream, so this twin stays below
+    #   the window; locally green;
+    "dedup_semdedup_incremental_stream": (
+        q_dedup_semdedup_incremental_stream,
+        ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
+    ),
     # graph_hits (round 14, VERDICT r13 stretch #8): unnormalized
     #   integer HITS — ranks ≡ classic HITS (linear update, pytest-
     #   pinned), full unrolled-CTE oracle; the iterative-graph

@@ -641,3 +641,33 @@ def test_eval_ann_sq8_scan_pruned_and_windowed(spark, sf_oracle):
     schemas = scan_read_schema(df)
     assert schemas and all("label" not in s for s in schemas)
     assert shuffle_count(df) <= 8
+
+
+def test_pack_token_bins_plan_shape(spark, sf_oracle):
+    """The pretrain-export encode/pack spine (round 14): the vocab
+    lookup is a BROADCAST join (never a corpus shuffle on `word`), no
+    cartesian product anywhere, and the only unpartitioned exchange is
+    the vocab ranking over the LIMITED V-row relation — the corpus
+    itself moves only through the pack buckets and the bin_id
+    aggregation."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        pack_token_bins,
+        word_vocab,
+    )
+    from nebuia_vector_db_spark.plans.inspect import (
+        explain_str,
+        has_broadcast_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bins = pack_token_bins(docs, word_vocab(docs, 4096), capacity=512)
+    plan = explain_str(bins)
+    assert has_broadcast_join(bins)  # vocab lookup
+    assert "CartesianProduct" not in plan
+    # the single-partition exchanges are (a) the vocab rank window,
+    # which sits above a GlobalLimit (bounded by construction), and
+    # (b) nothing else — the token stream never collapses to one task
+    single = plan.count("Exchange SinglePartition")
+    assert single <= 1, plan

@@ -309,3 +309,115 @@ def test_semdedup_incremental_param_guard_and_empty_seed(spark, tmp_path):
     )
     assert idx.assign.read().columns == ["_id", "bucket"]
     assert idx.cent.read().columns == ["bucket", "d", "qs", "n"]
+
+
+def test_stream_driver_drives_semdedup_index(spark, tmp_path):
+    """stream_semdedup_ingest mirrors the batch ingest: the decisions
+    table after one drain equals from-scratch semdedup over the
+    post-commit corpus restricted to the delta's clusters."""
+    from nebuia_vector_db_spark.operators import semdedup as sd
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+        stream_semdedup_ingest,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<double>"
+    )
+    rows = [
+        (1, [1.0, 0.1]), (2, [0.98, 0.12]), (3, [0.1, 1.0]),
+        (4, [0.12, 0.97]), (5, [-1.0, -0.2]),
+    ]
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    dpath, ck = str(tmp_path / "d"), str(tmp_path / "ck")
+    corpus = SnapshotTable.create(spark, cpath, mk(rows))
+    idx = SemDedupClusterIndex.create(
+        spark, ipath, corpus=mk(rows), threshold=0.9, n_planes=3, dim=2
+    )
+    delta = [(9, [0.99, 0.11])]  # near-dup of 1/2's cluster
+    corpus.append(mk(delta))
+    q = stream_semdedup_ingest(spark, cpath, idx, dpath, ck)
+    q.awaitTermination()
+    got = _semdedup_rows(SnapshotTable(spark, dpath).read())
+    want = _semdedup_rows(
+        _from_scratch_touched(
+            spark, mk(rows + delta), F.col("vec_id") == 9,
+            threshold=0.9, n_planes=3, dim=2,
+        )
+    )
+    release_cached_relations()
+    sd.release_cached_relations()
+    assert got == want and got
+
+
+def test_semdedup_stream_replay_keeps_updated_assignment(spark, tmp_path):
+    """The three-lane replay guard: redelivering an UPDATE commit's
+    versions (fresh checkpoint, SAME app lane) must not re-run the COW
+    retract — doing so would delete the doc's NEW assignment row while
+    the watermark-guarded appends decline to rewrite it, losing the
+    doc from the index and double-counting the centroid ledger."""
+    from nebuia_vector_db_spark.operators import semdedup as sd
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+        stream_semdedup_ingest,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<double>"
+    )
+    base = [(1, [1.0, 0.1]), (2, [0.1, 1.0])]
+    cpath, ipath = str(tmp_path / "c"), str(tmp_path / "i")
+    dpath = str(tmp_path / "d")
+    corpus = SnapshotTable.create(spark, cpath, mk(base))
+    idx = SemDedupClusterIndex.create(
+        spark, ipath, corpus=mk(base), n_planes=3, dim=2
+    )
+    corpus.delete_where("vec_id = 1")          # v2
+    corpus.append(mk([(1, [-1.0, -0.1])]))     # v3: update re-insert
+    q = stream_semdedup_ingest(
+        spark, cpath, idx, dpath, str(tmp_path / "ck1"), app="sd"
+    )
+    q.awaitTermination()
+    release_cached_relations()
+    sd.release_cached_relations()
+    assign = idx.assign.read().where("_id = 1").collect()
+    assert len(assign) == 1
+    ledger_rows = idx.cent.read().count()
+    # redeliver the SAME versions: fresh checkpoint, same app lane
+    q2 = stream_semdedup_ingest(
+        spark, cpath, idx, dpath, str(tmp_path / "ck2"), app="sd"
+    )
+    q2.awaitTermination()
+    release_cached_relations()
+    sd.release_cached_relations()
+    assert idx.assign.read().where("_id = 1").collect() == assign
+    assert idx.cent.read().count() == ledger_rows  # no double ledger
+    # and the ledger still folds to the LIVE state: the updated doc's
+    # cluster centroid equals a from-scratch aggregation
+    from nebuia_vector_db_spark.operators.semdedup import (
+        centroids_from_rows,
+        quantized_centroid_rows,
+        rp_bucket,
+    )
+
+    live = mk([(1, [-1.0, -0.1]), (2, [0.1, 1.0])])
+    want = {
+        (r["bucket"], tuple(r["_c"]), r["n_members"])
+        for r in centroids_from_rows(
+            quantized_centroid_rows(
+                live.select(
+                    rp_bucket("embedding", 3, 2).alias("bucket"),
+                    F.col("embedding").alias("_v"),
+                )
+            )
+        ).collect()
+    }
+    got = {
+        (r["bucket"], tuple(r["_c"]), r["n_members"])
+        for r in centroids_from_rows(idx.cent.read()).collect()
+    }
+    assert got == want

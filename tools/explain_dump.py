@@ -116,6 +116,16 @@ HEADLINE = [
     "eval_summary",
     "graph_ppr",
     "eval_ann_bq_recall",
+    # round 14
+    "eval_ann_ivf_recall",
+    "graph_hits",
+    # (pipe_pretrain_export / dedup_semdedup_incremental excluded:
+    # scratch-lifecycle rows returning collected recreations, same
+    # class as dedup_substring_incremental; the live plans' scale
+    # properties — broadcast vocab join + single bin_id shuffle, and
+    # the touched-cluster semi-join spine — are pinned in
+    # tests/test_plans.py::test_pack_token_bins_plan_shape and the
+    # semdedup/incremental test modules)
     # (dedup_substring_incremental excluded: scratch SnapshotTable
     # lifecycle + collected recreation, same class as
     # dedup_incremental; the live ingest plan's scale properties are
@@ -172,9 +182,14 @@ def main() -> None:
         "lifecycle, so their final plan is a LocalTableScan —",
         "`dedup_incremental`, `dedup_incremental_stream`,",
         "`vs_neardup_incremental`, `dedup_substring_incremental`,",
+        "`dedup_substring_incremental_stream`,",
+        "`dedup_semdedup_incremental`,",
+        "`dedup_semdedup_incremental_stream`, `pipe_pretrain_export`,",
         "`pipe_webdataset_roundtrip` (live plans pinned in",
         "tests/test_incremental.py::test_ingest_plan_shape /",
-        "::test_substring_ingest_plan_shape and tests/test_webdataset.py);",
+        "::test_substring_ingest_plan_shape, tests/test_semdedup.py,",
+        "tests/test_plans.py::test_pack_token_bins_plan_shape and",
+        "tests/test_webdataset.py);",
         "memory-sink stream mirrors (`stream_join_mirror`,",
         "`stream_dedup_mirror`, `stream_ppl_filter`); and driver-built",
         "artifact tables (`text_bpe_train`, `text_unigram_train`,",
