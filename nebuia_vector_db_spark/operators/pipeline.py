@@ -347,6 +347,7 @@ def word_vocab(
     docs: DataFrame,
     vocab_size: int = 4096,
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(word, tok_id) — a frequency-ranked word vocabulary: the top
     ``vocab_size`` whitespace tokens by (count DESC, word ASC), ids
@@ -358,13 +359,21 @@ def word_vocab(
     drop into the same encode→pack→shard pipeline and are certified
     against from-scratch references in pytest instead.
 
+    Pass ``tokens_col`` (an ``array<string>`` column — e.g. the
+    trained encoders' ``bpe_tokens`` / ``unigram_tokens``) to rank
+    PIECES instead of whitespace words: the vocab is then over the
+    tokenizer's own output and the same export spine packs trained
+    tokenizations (pytest pins the drop-in).
+
     Scale shape: one corpus token-count shuffle, then the top-V cut
     is TakeOrderedAndProject (never a global sort materialization);
     the ranking window runs over the ALREADY-LIMITED V-row relation —
     bounded by construction, not by data."""
     toks = docs.select(
         F.explode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            F.col(tokens_col)
+            if tokens_col is not None
+            else F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
         ).alias("word")
     )
     top = (
@@ -386,6 +395,7 @@ def pack_token_bins(
     capacity: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Encode + pack the corpus into the MATERIALIZED fixed-length
     token sequences a causal-LM trainer consumes: each document
@@ -399,17 +409,28 @@ def pack_token_bins(
     (``pipe_pretrain_export`` round-trips it through WebDataset tars
     and hash-certifies the RE-READ stream against a SQL replay).
 
+    Pass ``tokens_col`` to pack a TRAINED tokenizer's output instead
+    of the whitespace split: the encoders (bpe.py::encode_bpe,
+    unigram.py::encode_unigram) emit ``array<string>`` piece columns
+    that drop straight into this spine with a piece-ranked
+    ``word_vocab(tokens_col=...)`` — the same offsets, bins and shard
+    routing, certified by the same tests.
+
     Scale shape: the per-token relation shuffles once on ``bin_id``
     (map-side combine inapplicable — collect_list — but every group
     is ≤ capacity rows by construction, so the per-bin sort+join is
     bounded); the vocab join is a broadcast; offsets come from
     pack_sequences' two-pass cumsum, never a global window."""
+    tok_arr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    )
     base = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        F.col(id_col).alias("_doc"), tok_arr.alias("_arr")
     )
     toks = base.select(
-        "_doc", F.posexplode(F.split("_t", " ")).alias("_i", "word")
+        "_doc", F.posexplode("_arr").alias("_i", "word")
     )
     enc = toks.join(F.broadcast(vocab), "word", "left").select(
         "_doc",
@@ -418,7 +439,7 @@ def pack_token_bins(
     )
     counted = base.select(
         "_doc",
-        (F.size(F.split("_t", " ")) + 2).cast("long").alias("_n"),
+        (F.size("_arr") + 2).cast("long").alias("_n"),
     )
     offs = pack_sequences(
         counted, capacity=capacity, id_col="_doc", n_tokens_col="_n"

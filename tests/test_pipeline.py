@@ -354,3 +354,53 @@ def test_pack_token_bins_reassembles_the_exact_stream(spark):
         len(r["payload"].split(" ")) == r["n_tokens"] for r in bins
     )
     assert [r["bin_id"] for r in bins] == list(range(len(bins)))
+
+
+def test_trained_tokenizer_drops_into_export_spine(spark):
+    """The docstring's drop-in claim: encode_bpe's piece column packs
+    through word_vocab(tokens_col=) + pack_token_bins(tokens_col=)
+    and the reassembled bin stream equals the per-doc [BOS] piece-ids
+    [EOS] streams built independently from the encoder's own output."""
+    from nebuia_vector_db_spark.operators.bpe import (
+        encode_bpe,
+        train_bpe,
+    )
+    from nebuia_vector_db_spark.operators.pipeline import (
+        BOS_ID,
+        EOS_ID,
+        UNK_ID,
+        pack_token_bins,
+        word_vocab,
+    )
+
+    rows = [
+        (i, " ".join(["lower lowest newer wider new low"] * 2))
+        for i in range(8)
+    ] + [(8, "unrelated zz qq"), (9, "low lower newest")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=12)
+    enc = encode_bpe(docs, merges).cache()
+    vocab = word_vocab(enc, 16, tokens_col="bpe_tokens")
+    vmap = {r["word"]: r["tok_id"] for r in vocab.collect()}
+    assert vmap and all(v > UNK_ID for v in vmap.values())
+    bins = (
+        pack_token_bins(enc, vocab, capacity=24, tokens_col="bpe_tokens")
+        .orderBy("bin_id")
+        .collect()
+    )
+    got_stream = [int(t) for r in bins for t in r["payload"].split(" ")]
+    pieces = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in enc.select("doc_id", "bpe_tokens").collect()
+    }
+    want_stream = []
+    for i, _ in sorted(rows):
+        want_stream += (
+            [BOS_ID]
+            + [vmap.get(p, UNK_ID) for p in pieces[i]]
+            + [EOS_ID]
+        )
+    enc.unpersist()
+    assert got_stream == want_stream
+    sizes = [r["n_tokens"] for r in bins]
+    assert all(s == 24 for s in sizes[:-1]) and 0 < sizes[-1] <= 24
