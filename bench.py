@@ -2000,16 +2000,21 @@ def main() -> None:
 
         def _b22_full():
             _esp(b22_docs, k=32, min_shared=2).count()
+            # release the persisted anchors BETWEEN runs (round 14):
+            # each call builds a plan-identical anchors relation, and
+            # Spark's plan-based cache substitution lets post-warmup
+            # runs reuse the warmup's persisted one — timing only the
+            # post-anchor join (measured 4.4 s cache-assisted vs
+            # 13.2 s honest at the 160k tier). The crossover claim
+            # needs a COLD-EQUIVALENT from-scratch wall, so every run
+            # re-winnows. (The b11 sweep deliberately keeps the
+            # uniform warm-cache protocol — its gate is a SLOPE
+            # across sizes, internally consistent either way.)
+            _release_anchors()
 
         timings[f"{b22_tag}_substring_from_scratch_sec"] = round(
             _median_time(_b22_full, runs=3), 4
         )
-        # each from-scratch pass persisted an anchors relation into
-        # the dedup module's cache registry (MEMORY_AND_DISK) —
-        # release them NOW or they pin executor storage for every
-        # later section (code-review r13; same hygiene as the
-        # post-headline release)
-        _release_anchors()
         t0 = time.perf_counter()
         _SAI.create(
             spark, os.path.join(b22_root, "seed"),
