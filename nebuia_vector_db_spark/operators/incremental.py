@@ -758,6 +758,12 @@ class SemDedupClusterIndex:
       the centroid advance is ONE CAS commit (idempotent under
       ``txn`` for streaming replays), never a read-modify-write.
 
+    Contract: an insert's id must be NEW to the index (the base-class
+    contract) — re-inserting a live id without its delete would
+    double-count the ledger; an UPDATE is the CDF delete+insert pair,
+    whose delete rows carry the OLD embedding, making the subtraction
+    exact.
+
     Per commit: bucket ONLY the delta/deleted vectors (O(churn) md5
     HOF work), append the ledger rows, retract+append assignments,
     then re-run the keep rule over members of touched clusters only
@@ -976,14 +982,41 @@ class SemDedupClusterIndex:
             centroids=cents,
         )
 
+    def _assign_lane_done(self, lane: str, v: int) -> bool:
+        """True iff the assignment lane's stream watermark already
+        covers corpus version ``v`` — the replay detector shared by
+        the batch and stream drivers."""
+        if not self.assign.versions():
+            return False
+        marks = self.assign.meta("stream_watermarks") or {}
+        last = marks.get(lane + ":assign")
+        return last is not None and v <= last
+
     def ingest_commit(
         self, corpus_tbl: SnapshotTable, version: int | None = None
     ) -> DataFrame:
         """:meth:`ingest_feed` over commit ``version``'s change feed,
-        decided against the post-commit snapshot."""
+        decided against the post-commit snapshot.
+
+        Unlike the sketch indexes — where a double-applied commit is
+        mere candidate noise — a double-applied SemDeDup commit
+        CORRUPTS state (the ledger double-counts the delta's sums),
+        so this batch driver routes both appends through the
+        stream-watermark CAS keyed by the corpus version under a
+        fixed ``semdedup-batch`` lane: re-running a crashed or
+        repeated ingest_commit for the same version skips the retract
+        and the appends and just recomputes the decisions from the
+        committed state. Don't mix this batch driver and
+        stream_semdedup_ingest on one index — the lanes are
+        independent watermarks and each would re-apply the other's
+        versions."""
         v = corpus_tbl.current_version() if version is None else version
+        lane = "semdedup-batch"
         return self.ingest_feed(
-            corpus_tbl.changes(v - 1, v), corpus_tbl.read(v)
+            corpus_tbl.changes(v - 1, v),
+            corpus_tbl.read(v),
+            txn=(lane, v),
+            _replay_assign_done=self._assign_lane_done(lane, v),
         )
 
 

@@ -332,7 +332,9 @@ def pack_sequences(
     local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
         bucketed.withColumn("start_offset", (local + off_col).cast("long"))
-        .withColumn("bin_id", F.floor(F.col("start_offset") / capacity))
+        # integer division (round 14): exact past 2^53 total tokens,
+        # where floor(double) would misbin — see pack_token_bins
+        .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
         .drop("_b")
     )
 
@@ -469,8 +471,11 @@ def pack_token_bins(
         )
     )
     return (
+        # integer division, not floor(double): a 100 TB-scale token
+        # stream can exceed 2^53 positions, where double arithmetic
+        # would misbin; div stays exact over the full BIGINT range
         stream.withColumn(
-            "bin_id", F.floor(F.col("_pos") / capacity)
+            "bin_id", F.expr(f"_pos div {int(capacity)}")
         )
         .groupBy("bin_id")
         .agg(

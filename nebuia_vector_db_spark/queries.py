@@ -2679,7 +2679,7 @@ o AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
   FROM t
 )
-SELECT CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id,
+SELECT CAST(start_offset // 2048 AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM o

@@ -421,3 +421,35 @@ def test_semdedup_stream_replay_keeps_updated_assignment(spark, tmp_path):
         for r in centroids_from_rows(idx.cent.read()).collect()
     }
     assert got == want
+
+
+def test_semdedup_batch_ingest_commit_is_idempotent(spark, tmp_path):
+    """Re-running ingest_commit for the SAME corpus version (the
+    crash-rerun shape) must not double-count the ledger or duplicate
+    assignments — the batch driver rides the same watermark CAS as
+    the stream loop (round-14 review fix)."""
+    from nebuia_vector_db_spark.operators import semdedup as sd
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<double>"
+    )
+    base = [(1, [1.0, 0.1]), (2, [0.1, 1.0])]
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), mk(base))
+    idx = SemDedupClusterIndex.create(
+        spark, str(tmp_path / "i"), corpus=mk(base), n_planes=3, dim=2
+    )
+    corpus.append(mk([(9, [0.98, 0.12])]))
+    first = _semdedup_rows(idx.ingest_commit(corpus))
+    n_assign = idx.assign.read().count()
+    n_ledger = idx.cent.read().count()
+    again = _semdedup_rows(idx.ingest_commit(corpus))  # same version
+    release_cached_relations()
+    sd.release_cached_relations()
+    assert again == first
+    assert idx.assign.read().count() == n_assign
+    assert idx.cent.read().count() == n_ledger
