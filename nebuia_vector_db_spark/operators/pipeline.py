@@ -621,6 +621,91 @@ def sample_by_mixture(
             d: min(q, counts[d]) for d, q in raw.items() if q > 0
         }
         quotas = {d: q for d, q in quotas.items() if q > 0}
+    return _materialize_mixture(
+        docs, quotas, counts, domain_col, id_col, seed,
+        with_replacement, _safety,
+    )
+
+
+def sample_by_sqrt_mixture(
+    docs: DataFrame,
+    epoch_size: int,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    with_replacement: bool = False,
+    _safety: float = 4.0,
+) -> DataFrame:
+    """Temperature-scaled mixture epoch at α = 1/2 — SQUARE-ROOT
+    sampling, the multilingual rebalancing family of mBERT/XLM-R
+    (Conneau & Lample 2019 §3.1; Raffel et al. 2020 §3.4.2 study the
+    same temperature knob): domain weights ∝ sqrt(|d|), flattening
+    the head and upweighting the tail WITHOUT a trained weight fit —
+    the DoReMi alternative when no proxy-model run exists, with the
+    weights derived from the corpus itself instead of passed in.
+
+    α is fixed at the one exponent whose arithmetic is hash-exact
+    cross-engine: IEEE sqrt is correctly rounded (``pow(n, α)`` is
+    not, so a general-α variant could diverge between engines in the
+    last bit), making ``w_micro = floor(sqrt(n_d)·10⁶)`` identical in
+    Spark, DuckDB and Python; the normalizer ``S = Σ w_micro`` is an
+    exact BIGINT sum (order-free), and the quota
+    ``min((2·epoch_size·w_micro + S) div (2·S), |d|)`` is
+    round-half-up of ``epoch_size·w_d`` in pure integer arithmetic —
+    so the whole weight derivation joins the epoch cut inside one
+    value-hash oracle (the ``pipe_mixture_alpha`` row). Members are
+    the quota smallest by the md5 order key; replication semantics
+    and the skew-safe pre-cut are shared with
+    :func:`sample_by_mixture` (same materialization core)."""
+    import math
+
+    if epoch_size <= 0:
+        raise ValueError("epoch_size must be positive")
+    counts = {
+        r[0]: r[1]
+        for r in docs.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .count()
+        .collect()
+    }
+    quotas: dict = {}
+    if counts:
+        wm = {
+            d: int(math.floor(math.sqrt(float(n)) * 1_000_000))
+            for d, n in counts.items()
+        }
+        s_total = sum(wm.values())
+        raw = {
+            d: (2 * epoch_size * w + s_total) // (2 * s_total)
+            for d, w in wm.items()
+        }
+        if with_replacement:
+            quotas = {d: q for d, q in raw.items() if q > 0}
+        else:
+            quotas = {
+                d: min(q, counts[d])
+                for d, q in raw.items()
+                if q > 0 and min(q, counts[d]) > 0
+            }
+    return _materialize_mixture(
+        docs, quotas, counts, domain_col, id_col, seed,
+        with_replacement, _safety,
+    )
+
+
+def _materialize_mixture(
+    docs: DataFrame,
+    quotas: dict,
+    counts: dict,
+    domain_col: str,
+    id_col: str,
+    seed: int,
+    with_replacement: bool,
+    _safety: float,
+) -> DataFrame:
+    """The shared quota-materialization core of sample_by_mixture /
+    sample_by_sqrt_mixture: md5-order cut per domain with the
+    skew-safe prefix pre-cut, optional deterministic replication."""
     if not quotas:
         return (
             docs.withColumn("order_key", F.lit(""))

@@ -2467,6 +2467,62 @@ ORDER BY r.lang, epoch_rank
 """
 
 
+def q_pipe_mixture_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture epoch at α = 1/2 (round 14 —
+    pipeline.py::sample_by_sqrt_mixture, the mBERT/XLM-R square-root
+    rebalancing): domain weights derived FROM the corpus (∝ sqrt of
+    the domain size, flattening the head and upweighting the tail)
+    instead of passed in — the no-proxy-model alternative to DoReMi.
+    α = 1/2 is the hash-exact exponent: IEEE sqrt is correctly
+    rounded, so w_micro = floor(sqrt(n_d)·1e6) matches across Spark /
+    DuckDB / Python, S = Σ w_micro is an exact BIGINT sum and the
+    quota is round-half-up in pure integer arithmetic — the oracle
+    replays the weight derivation AND the md5-rank cut in one value
+    hash."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        sample_by_sqrt_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_by_sqrt_mixture(docs, epoch_size=400, seed=1)
+    return out.select(
+        "lang", "epoch_rank", "doc_id", "order_key"
+    ).orderBy("lang", "epoch_rank")
+
+
+ORACLE_PIPE_MIXTURE_ALPHA = """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+wm AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+  FROM c
+),
+s AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM wm),
+q AS (
+  SELECT lang,
+         least((2 * 400 * w + s.s) // (2 * s.s), n) AS quota
+  FROM wm, s
+),
+r AS (
+  SELECT d.lang, d.doc_id,
+         md5('1:' || CAST(d.doc_id AS VARCHAR)) AS order_key,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('1:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rk
+  FROM documents d WHERE d.lang IS NOT NULL
+)
+SELECT r.lang AS lang, CAST(r.rk AS BIGINT) AS epoch_rank, r.doc_id,
+       r.order_key
+FROM r JOIN q ON q.lang = r.lang
+WHERE r.rk <= q.quota
+ORDER BY r.lang, epoch_rank
+"""
+
+
 def q_pipe_mixture_epoch_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture epoch WITH REPLACEMENT (round 12): DoReMi upweights
     exactly the small worst-served domains, so a quota above the
@@ -10401,6 +10457,16 @@ REGISTRY: dict[
     "pipe_mixture_epoch_rep": (
         q_pipe_mixture_epoch_rep,
         ORACLE_PIPE_MIXTURE_EPOCH_REP,
+    ),
+    # pipe_mixture_alpha (round 14): temperature-scaled mixture at
+    #   α = 1/2 — weights derived from the corpus (∝ sqrt(|d|), the
+    #   mBERT/XLM-R rebalancing) in hash-exact arithmetic; the quota
+    #   materialization core is shared with (and recorded via the
+    #   history of) pipe_mixture_epoch, so this stays below the
+    #   window; locally green;
+    "pipe_mixture_alpha": (
+        q_pipe_mixture_alpha,
+        ORACLE_PIPE_MIXTURE_ALPHA,
     ),
     # approx_cardinality: HyperLogLog++ count-distinct — demoted r12
     #   for dedup_incremental (the round's flagship composition): one

@@ -154,3 +154,45 @@ def test_with_replacement_replicates_small_domains(spark, sf_smoke):
         for r in sample_by_mixture(docs, {"en": 0.2}, 100, seed=5).collect()
     )
     assert a == b
+
+
+def test_sqrt_mixture_quotas_and_tail_upweighting(spark):
+    """sample_by_sqrt_mixture derives quotas from the corpus itself:
+    w_micro = floor(sqrt(n_d)*1e6), S = sum(w_micro), quota =
+    round-half-up(epoch*w/S) capped at |d| — pinned against a pure-
+    Python recompute — and the tail domain's epoch share strictly
+    exceeds its corpus share (the rebalancing the exponent exists
+    for) while the head's share shrinks."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nebuia_vector_db_spark.operators.pipeline import (
+        sample_by_sqrt_mixture,
+    )
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_by_sqrt_mixture(docs, epoch_size=100)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    counts = {"head": 900, "tail": 100}
+    wm = {d: math.floor(math.sqrt(float(n)) * 1_000_000) for d, n in counts.items()}
+    s = sum(wm.values())
+    want = {
+        d: min((2 * 100 * w + s) // (2 * s), counts[d])
+        for d, w in wm.items()
+    }
+    assert got == want
+    assert got["tail"] / 100 > 0.10   # upweighted vs 10% corpus share
+    assert got["head"] / 100 < 0.90   # head flattened
+    # ranks are the md5-order cut, 1..quota per domain
+    ranks = {
+        r["lang"]: sorted(x["epoch_rank"] for x in out.where(
+            F.col("lang") == r["lang"]).collect())
+        for r in out.select("lang").distinct().collect()
+    }
+    for d, q in want.items():
+        assert ranks[d] == list(range(1, q + 1))
