@@ -225,6 +225,163 @@ def perplexity(
     )
 
 
+@dataclass
+class KneserNeyLM:
+    """A trained interpolated Kneser-Ney bigram model: the bigram
+    count relation plus its two marginal relations and two scalars.
+    All derived from ONE bigram groupBy — KN needs no discounting
+    PASS, just count-of-count marginals, which is why KenLM trains it
+    in one streaming sweep and why it stays shuffle-bounded here."""
+
+    big: DataFrame  # (w1, w2, c2) training bigram counts
+    ctx: DataFrame  # (w1, c1, n1f): Σc2 per context + distinct followers
+    cont: DataFrame  # (w2, n1b): distinct predecessors per word
+    total_bigrams: int  # B: distinct (w1, w2) pairs in training
+    vocab_size: int  # V: distinct training tokens
+
+
+def train_kn_lm(
+    train_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> KneserNeyLM:
+    """Count-only KN training: one bigram groupBy, then two
+    marginal groupBys OVER the bigram relation (context totals +
+    follower counts; predecessor counts) — all map-side combinable.
+    The context total ``c1(w1) = Σ_w2 c(w1,w2)`` is the bigram-event
+    denominator (the KN convention), not the raw unigram count.
+    ``min_count`` prunes only the bigram relation (broadcastability);
+    the marginals and scalars are computed UNPRUNED so the smoothing
+    mass stays a proper estimate."""
+    toked = doc_tokens(train_docs, text_col).select("_toks")
+    big = (
+        toked.select(F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = big.groupBy("w2").agg(F.count("*").alias("n1b"))
+    b_total = big.count()
+    v_total = (
+        toked.select(F.explode("_toks").alias("w")).distinct().count()
+    )
+    if min_count > 1:
+        big = big.where(F.col("c2") >= min_count)
+    return KneserNeyLM(
+        big=big,
+        ctx=ctx,
+        cont=cont,
+        total_bigrams=int(b_total),
+        vocab_size=int(v_total),
+    )
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    lm: KneserNeyLM,
+    discount: float = 0.75,
+    keep_avg_nll: float = 7.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document against an interpolated Kneser-Ney bigram
+    LM (Kneser & Ney 1995; Chen & Goodman 1999 §2.7 — the smoothing
+    KenLM implements, i.e. what CCNet's production perplexity filter
+    actually runs; the stupid-backoff rows are its count-only
+    approximation). Per transition (w1, w2), with D = ``discount``:
+
+      Pcont(w2) = (n1b(w2) + 0.5) / (B + 0.5·V)
+      p = (max(c2(w1,w2) − D, 0) + (D·n1f(w1))·Pcont(w2)) / c1(w1)
+                                          if w1 was a training context
+        = Pcont(w2)                       otherwise
+
+    Pcont is the CONTINUATION probability — how many distinct
+    contexts a word follows, not how often it occurs — the insight
+    that makes KN the strongest n-gram smoother ("San Francisco"
+    inflates c(francisco) but not its continuation count). The
+    add-half floor keeps unseen words at nonzero mass (a fixed-
+    discount single-order variant of the paper's recursive backoff;
+    the variant is pinned by tests against a pure-Python reference).
+
+    Exactness: counts are integers; Pcont and p are short chains of
+    IEEE exact-rounded ops mirrored parenthesis-for-parenthesis by
+    the oracle; per-transition log-probs quantize to LOG_MICRO and
+    sum as BIGINTs. Output mirrors :func:`perplexity`:
+    (doc_id, n_trans, nll_micro, ppl, unseen_ctx_rate, keep)."""
+    if lm.total_bigrams <= 0:
+        raise ValueError("cannot score against an empty training corpus")
+    keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    trans = (
+        doc_tokens(docs, text_col, id_col)
+        .select(id_col, F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select(id_col, "p.w1", "p.w2")
+    )
+    big = lm.big.select("w1", "w2", F.col("c2").alias("_c2"))
+    ctx = lm.ctx.select(
+        "w1", F.col("c1").alias("_c1"), F.col("n1f").alias("_n1f")
+    )
+    cont = lm.cont.select("w2", F.col("n1b").alias("_n1b"))
+    denom = F.lit(float(lm.total_bigrams + 0.5 * lm.vocab_size))
+    d = F.lit(float(discount))
+    # paren discipline: every (), every operand order is mirrored
+    # verbatim in the SQL oracle (the perplexity() convention)
+    pcont = (F.coalesce(F.col("_n1b"), F.lit(0)) + F.lit(0.5)) / denom
+    p = F.when(
+        F.col("_c1").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("_c2"), F.lit(0)) - d, F.lit(0.0)
+            )
+            + (d * F.col("_n1f")) * pcont
+        )
+        / F.col("_c1"),
+    ).otherwise(pcont)
+    scored = (
+        trans.join(hint(big), ["w1", "w2"], "left")
+        .join(hint(ctx), ["w1"], "left")
+        .join(hint(cont), ["w2"], "left")
+        .select(
+            id_col,
+            F.floor(F.log(p) * F.lit(LOG_MICRO) + F.lit(0.5)).alias("_lp"),
+            F.when(F.col("_c1").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_uc"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trans"),
+        (-F.sum("_lp")).alias("nll_micro"),
+        F.sum("_uc").alias("_n_uc"),
+    )
+    avg_nll = (F.col("nll_micro") / F.lit(float(LOG_MICRO))) / F.col(
+        "n_trans"
+    )
+    return agg.select(
+        id_col,
+        "n_trans",
+        "nll_micro",
+        (
+            F.floor(F.exp(avg_nll) * F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("ppl"),
+        (
+            F.floor(
+                (F.col("_n_uc") / F.col("n_trans")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("unseen_ctx_rate"),
+        (
+            F.col("nll_micro") <= F.col("n_trans") * F.lit(keep_micro)
+        ).alias("keep"),
+    )
+
+
 def _triples(toks: Column) -> Column:
     """Adjacent token triples as array<struct<w1,w2,w3>> (same
     descending-sequence guard as _pairs)."""

@@ -4070,6 +4070,95 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q_text_lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity filter (round 14 —
+    operators/lm.py::train_kn_lm/kn_perplexity; Kneser & Ney 1995,
+    Chen & Goodman 1999 §2.7): the smoothing KenLM implements, i.e.
+    what CCNet's PRODUCTION perplexity filter actually runs — the
+    stupid-backoff rows are its count-only approximation. Trained on
+    the lang='en' subset, scoring every document; the continuation
+    counts (how many distinct contexts a word follows) replace raw
+    frequency in the smoothed mass — the KN insight. Counts, both
+    marginal relations and the B/V scalars are all one-pass
+    aggregates; probability arithmetic is mirrored
+    parenthesis-for-parenthesis by the oracle and log-probs quantize
+    to the shared LOG_MICRO discipline, so the full train→score→keep
+    pipeline value-hashes. Fixture note (same word-soup caveat as the
+    other LM rows): at the 3.4 avg-nll threshold the filter keeps
+    ~83% of en vs ~16-21% of each other language."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_kn_lm(docs.where(F.col("lang") == "en"))
+    return lm.kn_perplexity(docs, model, keep_avg_nll=3.4).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_TEXT_LM_KN = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE lang = 'en' AND len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+  FROM big GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+bv AS (
+  SELECT (SELECT count(*) FROM big) AS b,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')) AS v
+),
+trans AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           (greatest(coalesce(b.c2, 0) - 0.75, 0.0)
+            + (0.75 * x.n1f)
+              * ((coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v)))
+           / x.c1
+         ELSE (coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v) END AS p,
+         CASE WHEN x.c1 IS NULL THEN 1 ELSE 0 END AS uc
+  FROM trans t
+  LEFT JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN ctx x ON t.w1 = x.w1
+  LEFT JOIN cont k ON t.w2 = k.w2
+  CROSS JOIN bv
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro,
+         CAST(sum(uc) AS BIGINT) AS n_uc
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trans, nll_micro,
+       floor(exp((nll_micro / 10000.0) / n_trans) * 100 + 0.5) / 100.0
+         AS ppl,
+       floor((n_uc / n_trans) * 1000000.0 + 0.5) / 1000000.0
+         AS unseen_ctx_rate,
+       nll_micro <= n_trans * 34000 AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): rank every document by
     the estimated log-likelihood ratio of its token features between
@@ -10374,6 +10463,18 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # text_lm_kn_perplexity: interpolated Kneser-Ney bigram filter
+    #   (round 14) — the smoothing KenLM/CCNet production filters
+    #   actually run (continuation counts replace raw frequency in
+    #   the smoothed mass); the LM quality-filter family's recorded
+    #   rep stays the order-3 stupid-backoff row (text_lm3 — strictly
+    #   more backoff machinery on the same scoring spine), so this
+    #   principled-smoothing sibling stays below the window; locally
+    #   green;
+    "text_lm_kn_perplexity": (
+        q_text_lm_kn_perplexity,
+        ORACLE_TEXT_LM_KN,
+    ),
     # text_lm_perplexity: bigram stupid backoff (round 9) — the LM
     #   family's recorded rep is the order-3 row (strictly more
     #   machinery + real fixture separation, see the in-window
