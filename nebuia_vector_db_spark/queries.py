@@ -2368,6 +2368,174 @@ ORDER BY split, lang
 """
 
 
+def q_pipe_curate_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with the AUTHORITY prior (round 14 — the alternative
+    centrality the r13 verdict's stretch asked the chassis to
+    support): pipe_curate_ranked's exact spine with hits_exact's
+    3-round authority score in place of PageRank. Authorities are
+    unnormalized BIGINTs whose scale grows with the graph, so the
+    prior is MEAN-NORMALIZED in integer arithmetic —
+
+        prior_micro = least((auth·10⁶) div max(S div n, 1), 2·10⁶)
+
+    (authority in units of the corpus mean, capped at 2× so a
+    mega-authority cannot whitewash spam — the ranked row's cap
+    rationale; for high-degree graphs lower hits_exact's init_micro,
+    ranking is scale-free, so the ×10⁶ rescale stays inside int64) —
+    then the same (7·quality + 3·prior) div 10 blend, dup drop, split
+    and corpus card. The oracle unrolls the 3 HITS rounds as CTEs and
+    replays the normalization, so one hash certifies the SECOND
+    iterative centrality driving an actual curation decision."""
+    from nebuia_vector_db_spark.operators.graph import hits_exact
+    from nebuia_vector_db_spark.operators.pipeline import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    au = hits_exact(
+        _doc_link_edges(docs.select("doc_id")), iters=3
+    ).select(F.col("node").alias("doc_id"), "auth_micro")
+    stats = au.agg(
+        F.sum("auth_micro").alias("_s"), F.count("*").alias("_n")
+    )
+    prior = au.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.expr(
+            "least((auth_micro * 1000000L) div greatest(_s div _n, 1L),"
+            " 2000000L)"
+        ).alias("prior_micro"),
+    )
+    toked = text_fns.with_tokens(docs)
+    scored = toked.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        text_fns.quality_score("text").alias("quality"),
+    )
+    blended = (
+        scored.join(prior, "doc_id")
+        .withColumn("_qm", _q6("quality").cast("long"))
+        .withColumn(
+            "priority_micro",
+            F.expr("(7L * _qm + 3L * prior_micro) div 10"),
+        )
+    )
+    kept = blended.where(
+        (F.col("priority_micro") >= 500_000)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    dups = (
+        _shared_dup_groups(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    curated = dataset_split(
+        kept.join(F.broadcast(dups), "doc_id", "left_anti")
+    )
+    out = (
+        curated.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            _r(_davg("quality"), 6).alias("avg_quality"),
+            F.sum("prior_micro").cast("long").alias("sum_prior_micro"),
+        )
+        .orderBy("split", "lang")
+    )
+    _release_graph_caches()  # q_graph_pagerank's discipline
+    return out
+
+
+ORACLE_PIPE_CURATE_HITS = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         (0.5 * least(len(toks) / 50.0, 1.0)
+          + 0.25 * (1.0 - len(list_filter(toks, s -> s IN ({_STOP_SQL})))
+                          * 1.0 / len(toks))
+          + 0.25 * len(regexp_replace(text, '[^a-z]', '', 'g'))
+                   * 1.0 / len(text)) AS quality
+  FROM t
+),
+n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
+),
+-- DISTINCT-over-UNION-ALL, not bare UNION (the WITH RECURSIVE
+-- dedup-loss pitfall the ranked oracle documents)
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+{{HITS_CTES}},
+au AS (SELECT a.node AS doc_id, a.am FROM a3 a),
+st AS (SELECT CAST(sum(am) AS BIGINT) AS s, count(*) AS cnt FROM au),
+pr AS (
+  SELECT doc_id,
+         least((am * 1000000) // greatest(st.s // st.cnt, 1), 2000000)
+           AS pm
+  FROM au, st
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.dst
+),
+grp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+dups AS (SELECT doc_id FROM grp WHERE doc_id != group_id),
+kept AS (
+  SELECT q.*, pr.pm FROM q
+  JOIN pr ON pr.doc_id = q.doc_id
+  LEFT JOIN dups ON q.doc_id = dups.doc_id
+  WHERE dups.doc_id IS NULL
+        AND q.lang IN ('en', 'de', 'fr')
+        AND (7 * CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT)
+             + 3 * pm) // 10 >= 500000
+),
+s AS (
+  SELECT *, CASE WHEN {_MD5_BUCKET} < 80 THEN 'train'
+                 WHEN {_MD5_BUCKET} < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {_sql_r(_sql_davg("quality"), 6)} AS avg_quality,
+       CAST(sum(pm) AS BIGINT) AS sum_prior_micro
+FROM s
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (operators/pipeline.py::epoch_shard,
     epoch=3, 8 shards): the first 5 docs of each shard in epoch order —
@@ -8977,6 +9145,14 @@ FROM h2 h JOIN a3 a ON a.node = h.node
 ORDER BY doc_id
 """
 
+# the authority-prior curation oracle needs the same unrolled HITS
+# CTEs; its literal is defined next to q_pipe_curate_hits (before
+# this helper exists at module-eval time), so the splice happens here
+# — the ORACLE_PIPE_CURATE_RANKED convention
+ORACLE_PIPE_CURATE_HITS = ORACLE_PIPE_CURATE_HITS.replace(
+    "{HITS_CTES}", _hits_iters_sql(3)
+)
+
 
 def _eval_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared run/qrels construction + evaluate_run for the eval rows
@@ -10827,6 +11003,13 @@ REGISTRY: dict[
     #   second-centrality generality pin stays below the window;
     #   locally green;
     "graph_hits": (q_graph_hits, ORACLE_GRAPH_HITS),
+    # pipe_curate_hits (round 14): pipe_curate_ranked's spine with
+    #   the mean-normalized HITS authority as the prior — pins the
+    #   second centrality driving an actual curation decision; the
+    #   curate composition is recorded via pipe_curate_ranked, so
+    #   this alternate-prior twin stays below the window; locally
+    #   green;
+    "pipe_curate_hits": (q_pipe_curate_hits, ORACLE_PIPE_CURATE_HITS),
     # ---- Round-13 demotions (slots freed for the seven VERDICT r12
     # task-#1 promotions plus the two new round-13 flagship rows
     # dedup_substring_incremental / pipe_curate_ranked). Each row's
