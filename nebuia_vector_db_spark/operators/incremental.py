@@ -1245,3 +1245,323 @@ def stream_semdedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class TokenExportIndex:
+    """Incrementally maintained pretraining EXPORT (round 14): the
+    fifth incrementally maintained artifact — after the four dedup
+    index families, the packed token shards themselves. A 100 TB
+    pipeline re-exports daily; re-packing the whole corpus per append
+    is O(corpus), but concat-then-chunk packing has a one-directional
+    dependency structure: an APPENDED delta's tokens land strictly
+    after the existing stream, so only the partial tail bin and
+    everything after it can change. This class persists the cursor
+    (global token count + the tail bin's partial payload + the
+    append watermark) and, per commit, encodes ONLY the delta,
+    merges it onto the stored tail, and rewrites shards from the
+    boundary shard onward — O(churn) work and O(churn/bins_per_shard
+    + 1) shard files touched.
+
+    State under ``path``:
+
+    - ``path/vocab`` — SnapshotTable (word, tok_id): the FROZEN
+      tokenizer (a real pipeline's tokenizer is a frozen artifact;
+      re-deriving it from the grown corpus would re-encode history
+      and invalidate every existing shard). Layout params ride its
+      meta and are guarded on reopen.
+    - ``path/cursor`` — SnapshotTable, one row per commit:
+      (commit_seq, total_tokens, max_doc_id, tail_payload). The tail
+      payload is ≤ capacity tokens (driver-small by construction).
+
+    Shards land under ``out_dir`` with SEQUENTIAL routing
+    (shard = bin_id div bins_per_shard — write_webdataset's
+    ``shard_col`` override): md5 scatter would spread new bins over
+    EVERY shard, destroying incrementality.
+
+    Contract: deltas are APPEND-ONLY with ids strictly greater than
+    every exported id (``ingest`` refuses otherwise). Updates and
+    deletes require re-export — packing is order-dependent (every
+    later offset shifts), so in-place mutation is not meaningfully
+    incremental for ANY concat-then-chunk packer; curate upstream,
+    export downstream.
+
+    Crash-safety: shard files replace atomically (the writer's
+    staging discipline) and the cursor advances LAST, so a retry
+    after a crash re-runs from the old cursor and rewrites the same
+    bytes — the boundary-shard re-read filters to bins strictly
+    BELOW the tail bin, which are identical in the old and
+    half-updated shard alike, and the tail bin itself is recomputed
+    from the cursor, never read back.
+
+    The ``pipe_pretrain_export_incremental`` registry row
+    hash-certifies create(base) + ingest(delta) ≡ a from-scratch
+    export of the full corpus under the frozen base vocab (the
+    incremental-family discipline); pytest additionally pins
+    multi-commit ingests and the boundary-bin merge."""
+
+    _PARAMS_META_KEY = "token_export_params"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        out_dir: str,
+        capacity: int = 512,
+        bins_per_shard: int = 8,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        tokens_col: str | None = None,
+    ) -> None:
+        if capacity < 1 or bins_per_shard < 1:
+            raise ValueError("capacity and bins_per_shard must be >= 1")
+        self.spark = spark
+        self.path = path
+        self.out_dir = out_dir
+        self.capacity = capacity
+        self.bins_per_shard = bins_per_shard
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tokens_col = tokens_col
+        self.vocab_tbl = SnapshotTable(spark, path + "/vocab")
+        self.cursor_tbl = SnapshotTable(spark, path + "/cursor")
+        stored = (
+            self.vocab_tbl.meta(self._PARAMS_META_KEY)
+            if self.vocab_tbl.versions()
+            else None
+        )
+        if stored is not None and stored != self._params():
+            raise ValueError(
+                f"export at {path} was laid out with {stored}, opened "
+                f"with {self._params()} — mismatched capacity/sharding "
+                "would misplace every bin; reopen with the stored "
+                "parameters or re-export"
+            )
+
+    def _params(self) -> dict:
+        return {
+            "capacity": self.capacity,
+            "bins_per_shard": self.bins_per_shard,
+        }
+
+    # -- helpers ---------------------------------------------------------
+    def _count_tokens(self, docs: DataFrame):
+        arr = (
+            F.col(self.tokens_col)
+            if self.tokens_col is not None
+            else F.split(
+                F.coalesce(F.col(self.text_col), F.lit("")), " "
+            )
+        )
+        row = docs.agg(
+            F.coalesce(
+                F.sum(F.size(arr) + 2), F.lit(0)
+            ).cast("long").alias("t"),
+            F.max(F.col(self.id_col)).alias("m"),
+            F.min(F.col(self.id_col)).alias("lo"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        return int(row["t"]), row["m"], row["lo"], int(row["n"])
+
+    def _write_bins(self, bins: DataFrame) -> list:
+        from nebuia_vector_db_spark.sources.webdataset import (
+            write_webdataset,
+        )
+
+        staged = bins.withColumn(
+            "_shard",
+            F.expr(f"bin_id div {int(self.bins_per_shard)}").cast("int"),
+        )
+        return write_webdataset(
+            staged,
+            self.out_dir,
+            key_col="bin_id",
+            members={"txt": "payload"},
+            shard_col="_shard",
+        ).collect()
+
+    def _tail_of(self, bins: DataFrame, total_tokens: int) -> str:
+        if total_tokens % self.capacity == 0:
+            return ""
+        tail_bin = total_tokens // self.capacity
+        row = bins.where(F.col("bin_id") == tail_bin).select(
+            "payload"
+        ).head()
+        return row["payload"] if row is not None else ""
+
+    def _append_cursor(
+        self, seq: int, total: int, max_id, tail: str
+    ) -> None:
+        self.cursor_tbl.append(
+            self.spark.createDataFrame(
+                [(seq, total, max_id, tail)],
+                "commit_seq long, total_tokens long, max_doc_id long, "
+                "tail_payload string",
+            )
+        )
+
+    def _cursor(self):
+        return (
+            self.cursor_tbl.read()
+            .orderBy(F.desc("commit_seq"))
+            .head()
+        )
+
+    # -- lifecycle -------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        out_dir: str,
+        corpus: DataFrame,
+        vocab_size: int = 4096,
+        **kw,
+    ):
+        """Freeze the vocabulary on ``corpus``, export it fully (the
+        one-time O(corpus) pass), and persist the cursor; every later
+        :meth:`ingest` is O(churn)."""
+        from pyspark import StorageLevel
+
+        from nebuia_vector_db_spark.operators.pipeline import (
+            bins_from_stream,
+            token_stream,
+            word_vocab,
+        )
+
+        probe = cls(spark, path + ".__param_probe__", out_dir, **kw)
+        vocab = word_vocab(
+            corpus,
+            vocab_size,
+            text_col=probe.text_col,
+            tokens_col=probe.tokens_col,
+        )
+        SnapshotTable.create(
+            spark, path + "/vocab", vocab,
+            extra_meta={cls._PARAMS_META_KEY: probe._params()},
+        )
+        idx = cls(spark, path, out_dir, **kw)
+        bins = bins_from_stream(
+            token_stream(
+                corpus,
+                idx.vocab_tbl.read(),
+                text_col=idx.text_col,
+                id_col=idx.id_col,
+                tokens_col=idx.tokens_col,
+            ),
+            idx.capacity,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHED_RELATIONS.append(bins)
+        idx._write_bins(bins)
+        total, max_id, _, n = idx._count_tokens(corpus)
+        if n == 0:
+            raise ValueError("create() needs a non-empty seed corpus")
+        tail = idx._tail_of(bins, total)
+        SnapshotTable.create(
+            spark,
+            path + "/cursor",
+            spark.createDataFrame(
+                [(0, total, max_id, tail)],
+                "commit_seq long, total_tokens long, max_doc_id long, "
+                "tail_payload string",
+            ),
+        )
+        idx.cursor_tbl = SnapshotTable(spark, path + "/cursor")
+        return idx
+
+    def ingest(self, delta: DataFrame) -> dict:
+        """Extend the export by an append-only ``delta``: encode only
+        the delta under the frozen vocab, merge onto the persisted
+        tail, rewrite the boundary shard (its earlier full bins
+        re-read from the existing tar — one file) and write the new
+        shards. Returns {"bins_written", "shards_written",
+        "total_tokens"}."""
+        from pyspark import StorageLevel
+
+        from nebuia_vector_db_spark.operators.pipeline import (
+            bins_from_stream,
+            token_stream,
+        )
+        from nebuia_vector_db_spark.sources.webdataset import (
+            read_webdataset,
+        )
+        import os as _os
+
+        cur = self._cursor()
+        d_tokens, d_max, d_min, d_n = self._count_tokens(delta)
+        if d_n == 0:
+            return {
+                "bins_written": 0,
+                "shards_written": 0,
+                "total_tokens": int(cur["total_tokens"]),
+            }
+        if d_min is not None and d_min <= cur["max_doc_id"]:
+            raise ValueError(
+                f"append-only contract violated: delta id {d_min} <= "
+                f"exported watermark {cur['max_doc_id']} — updates and "
+                "deletes require re-export (packing offsets shift)"
+            )
+        total0 = int(cur["total_tokens"])
+        tail_bin = total0 // self.capacity
+        tail_toks = (
+            [int(t) for t in cur["tail_payload"].split(" ")]
+            if cur["tail_payload"]
+            else []
+        )
+        tail_rows = self.spark.createDataFrame(
+            [
+                (tail_bin * self.capacity + i, t)
+                for i, t in enumerate(tail_toks)
+            ],
+            "_pos long, _tok long",
+        )
+        stream = token_stream(
+            delta,
+            self.vocab_tbl.read(),
+            text_col=self.text_col,
+            id_col=self.id_col,
+            tokens_col=self.tokens_col,
+            base_offset=total0,
+        ).unionByName(tail_rows)
+        bins = bins_from_stream(stream, self.capacity).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _CACHED_RELATIONS.append(bins)
+        # the boundary shard's bins BELOW the tail bin are unchanged —
+        # recover them from the existing tar (ONE file read); they are
+        # identical even if a crashed previous attempt half-updated
+        # the shard (only the tail bin onward ever changes)
+        s0 = tail_bin // self.bins_per_shard
+        shard_path = _os.path.join(
+            self.out_dir, f"shard-{s0:05d}.tar"
+        )
+        if _os.path.exists(shard_path):
+            old = (
+                read_webdataset(self.spark, shard_path)
+                .where(F.col("ext") == "txt")
+                .select(
+                    F.col("key").cast("long").alias("bin_id"),
+                    F.col("content").cast("string").alias("payload"),
+                )
+                .where(F.col("bin_id") < tail_bin)
+                .select(
+                    "bin_id",
+                    F.size(F.split("payload", " ")).cast("long").alias(
+                        "n_tokens"
+                    ),
+                    "payload",
+                )
+            )
+            write_set = bins.unionByName(old)
+        else:
+            write_set = bins
+        manifest = self._write_bins(write_set)
+        new_total = total0 + d_tokens
+        tail = self._tail_of(bins, new_total)
+        self._append_cursor(
+            int(cur["commit_seq"]) + 1, new_total, d_max, tail
+        )
+        return {
+            "bins_written": int(bins.count()),
+            "shards_written": len(manifest),
+            "total_tokens": new_total,
+        }

@@ -423,6 +423,27 @@ def pack_token_bins(
     is ≤ capacity rows by construction, so the per-bin sort+join is
     bounded); the vocab join is a broadcast; offsets come from
     pack_sequences' two-pass cumsum, never a global window."""
+    stream = token_stream(
+        docs, vocab, text_col=text_col, id_col=id_col,
+        tokens_col=tokens_col,
+    )
+    return bins_from_stream(stream, capacity)
+
+
+def token_stream(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    base_offset: int = 0,
+) -> DataFrame:
+    """The globally-positioned token stream (_pos, _tok) of the
+    encoded corpus: per doc ``[BOS] ids… [EOS]`` laid end-to-end in
+    ``id_col`` order via pack_sequences' distributed cumsum, starting
+    at ``base_offset`` — the hook the INCREMENTAL export uses to lay
+    a delta's tokens directly after the persisted cursor
+    (incremental.py::TokenExportIndex, round 14)."""
     tok_arr = (
         F.col(tokens_col)
         if tokens_col is not None
@@ -443,13 +464,22 @@ def pack_token_bins(
         "_doc",
         (F.size("_arr") + 2).cast("long").alias("_n"),
     )
-    offs = pack_sequences(
-        counted, capacity=capacity, id_col="_doc", n_tokens_col="_n"
-    ).select("_doc", "start_offset", "n_tokens")
+    offs = (
+        pack_sequences(
+            counted, capacity=2048, id_col="_doc", n_tokens_col="_n"
+        )
+        .select(
+            "_doc",
+            (F.col("start_offset") + F.lit(int(base_offset))).alias(
+                "start_offset"
+            ),
+            "n_tokens",
+        )
+    )
     # global position of every token: bos at the doc's offset, word i
     # (0-based) at offset + 1 + i, eos at offset + n − 1 — disjoint
     # by construction, so the union is the exact concatenated stream
-    stream = (
+    return (
         enc.join(offs, "_doc")
         .select(
             (F.col("start_offset") + F.col("_i") + 1).alias("_pos"),
@@ -470,6 +500,11 @@ def pack_token_bins(
             )
         )
     )
+
+
+def bins_from_stream(stream: DataFrame, capacity: int) -> DataFrame:
+    """(bin_id, n_tokens, payload) from a positioned token stream —
+    one shuffle on bin_id, capacity-bounded groups."""
     return (
         # integer division, not floor(double): a 100 TB-scale token
         # stream can exceed 2^53 positions, where double arithmetic

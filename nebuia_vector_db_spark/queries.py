@@ -3038,6 +3038,122 @@ ORDER BY bin_id
 """
 
 
+def q_pipe_pretrain_export_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTALLY MAINTAINED pretraining export (round 14 —
+    operators/incremental.py::TokenExportIndex, the fifth
+    incrementally maintained artifact): the packed token shards
+    themselves, extended per corpus append at O(churn). The index is
+    seeded on the FIRST 80% of the corpus (frozen vocab + full
+    export + persisted cursor), then the remaining 20% arrives as an
+    append-only delta: only the delta is encoded, its tokens merge
+    onto the stored partial tail bin, and shards are rewritten from
+    the boundary shard onward (sequential shard routing — md5 scatter
+    would touch every shard). The oracle replays a FROM-SCRATCH
+    export of the full corpus under the frozen base vocab, so the
+    hash certifies incremental ≡ from-scratch for the export
+    artifact — offsets, the boundary-bin merge, shard routing, tar
+    layer and re-read all included (n_tokens + tokens_md5 come from
+    the RE-READ shard bytes)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        TokenExportIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.webdataset import (
+        read_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = (4 * docs.count()) // 5
+    base = docs.where(F.col("doc_id") < k)
+    delta = docs.where(F.col("doc_id") >= k)
+    root = posix_scratch_dir(spark, "ptxinc")
+    try:
+        idx = TokenExportIndex.create(
+            spark, root + "/state", root + "/out", corpus=base,
+            vocab_size=4096, capacity=512, bins_per_shard=8,
+        )
+        idx.ingest(delta)
+        per = (
+            read_webdataset(spark, root + "/out")
+            .where(F.col("ext") == "txt")
+            .select(
+                F.col("key").cast("long").alias("bin_id"),
+                F.col("shard").cast("int").alias("shard"),
+                F.col("content").cast("string").alias("_s"),
+            )
+            .select(
+                "bin_id",
+                "shard",
+                F.size(F.split("_s", " ")).cast("long").alias("n_tokens"),
+                F.md5("_s").alias("tokens_md5"),
+            )
+            .orderBy("bin_id")
+        )
+        out = spark.createDataFrame(per.collect(), per.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+ORACLE_PIPE_PRETRAIN_EXPORT_INCREMENTAL = """
+WITH k AS (SELECT (4 * count(*)) // 5 AS k FROM documents),
+toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS word
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        FROM documents)
+),
+wc AS (
+  SELECT word, count(*) AS cnt FROM toks, k
+  WHERE toks.doc_id < k.k GROUP BY word
+),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 3 AS tok_id
+  FROM wc QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 4096
+),
+enc AS (
+  SELECT t.doc_id, t.idx, CAST(COALESCE(v.tok_id, 3) AS BIGINT) AS tok
+  FROM toks t LEFT JOIN vocab v USING (word)
+),
+cnts AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), ' ')) + 2 AS n
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM cnts
+),
+stream AS (
+  SELECT o AS pos, CAST(1 AS BIGINT) AS tok FROM offs
+  UNION ALL
+  SELECT f.o + e.idx, e.tok FROM offs f JOIN enc e USING (doc_id)
+  UNION ALL
+  SELECT o + n - 1, CAST(2 AS BIGINT) FROM offs
+),
+bins AS (
+  SELECT CAST(pos // 512 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY pos) AS payload
+  FROM stream GROUP BY 1
+)
+SELECT bin_id,
+       CAST(bin_id // 8 AS INT) AS shard,
+       n_tokens,
+       md5(payload) AS tokens_md5
+FROM bins
+ORDER BY bin_id
+"""
+
+
 # ==========================================================================
 # Multimodal (extension surface): binary payload columns + typed
 # metadata; decode/feature-extract via Arrow-batched mapInPandas with a
@@ -11010,6 +11126,18 @@ REGISTRY: dict[
     #   this alternate-prior twin stays below the window; locally
     #   green;
     "pipe_curate_hits": (q_pipe_curate_hits, ORACLE_PIPE_CURATE_HITS),
+    # pipe_pretrain_export_incremental (round 14): the export shards
+    #   maintained at O(churn) per corpus append — frozen vocab +
+    #   persisted cursor + boundary-shard rewrite under sequential
+    #   routing; oracle = from-scratch export of the full corpus
+    #   under the base vocab, so the hash certifies incremental ≡
+    #   from-scratch for the fifth maintained artifact; the recorded
+    #   export rep is pipe_pretrain_export (one-shot md5 routing), so
+    #   this twin stays below the window; locally green;
+    "pipe_pretrain_export_incremental": (
+        q_pipe_pretrain_export_incremental,
+        ORACLE_PIPE_PRETRAIN_EXPORT_INCREMENTAL,
+    ),
     # ---- Round-13 demotions (slots freed for the seven VERDICT r12
     # task-#1 promotions plus the two new round-13 flagship rows
     # dedup_substring_incremental / pipe_curate_ranked). Each row's

@@ -87,6 +87,7 @@ def write_webdataset(
     key_col: str,
     members: Mapping[str, str],
     num_shards: int = 8,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Export ``df`` as WebDataset tar shards under ``out_dir``.
 
@@ -96,6 +97,14 @@ def write_webdataset(
     must be unique per row (it names the sample's members); uniqueness
     is asserted cheaply inside each shard task, which sees every row of
     a key (shard assignment is a function of the key).
+
+    ``shard_col`` overrides the default md5 routing with a caller-
+    computed shard id column (``num_shards`` is then ignored). The
+    md5 default scatters keys uniformly — right for one-shot exports;
+    an INCREMENTALLY MAINTAINED export wants SEQUENTIAL routing
+    (shard = bin div bins_per_shard) so an append-only delta touches
+    only the boundary shard and beyond
+    (operators/incremental.py::TokenExportIndex, round 14).
 
     Returns the manifest DataFrame (one row per non-empty shard):
     (shard, n_samples, n_members, tar_bytes).
@@ -115,10 +124,17 @@ def write_webdataset(
             f"write_webdataset: column(s) {sorted(missing)} not in the "
             f"input relation (has {df.columns})"
         )
+    if shard_col is not None and shard_col not in df.columns:
+        raise ValueError(
+            f"write_webdataset: shard_col {shard_col!r} not in the "
+            f"input relation (has {df.columns})"
+        )
     os.makedirs(out_dir, exist_ok=True)
     exts = sorted(members)
     sel = [F.col(key_col).cast("string").alias("_key"),
-           _shard_expr(key_col, num_shards).alias("_shard")]
+           (F.col(shard_col).cast("int")
+            if shard_col is not None
+            else _shard_expr(key_col, num_shards)).alias("_shard")]
     for ext in exts:
         c = F.col(members[ext])
         sel.append(

@@ -752,3 +752,121 @@ def test_substring_incremental_randomized_corpus(spark, tmp_path):
     assert got == want
     # non-vacuous: planted spans must actually pair across the split
     assert any({a % 3, b % 3} != {1, 2} for a, b, _ in got) and got
+
+
+# ---- TokenExportIndex (round 14): incrementally maintained export ----
+
+
+def _read_payloads(spark, out_dir):
+    from nebuia_vector_db_spark.sources.webdataset import read_webdataset
+
+    return {
+        int(r["key"]): bytes(r["content"]).decode()
+        for r in read_webdataset(spark, out_dir)
+        .where(F.col("ext") == "txt")
+        .collect()
+    }
+
+
+def test_token_export_incremental_equals_from_scratch(spark, tmp_path):
+    """create(base) + two ingests ≡ a from-scratch export of the full
+    corpus under the frozen base vocab — byte-identical payloads for
+    every bin, including the twice-rewritten boundary bins."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        TokenExportIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.operators.pipeline import (
+        bins_from_stream,
+        token_stream,
+        word_vocab,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 13 + j) % 37}" for j in range(4 + i % 5)))
+            for i in range(lo, hi)
+        ],
+        "doc_id long, text string",
+    )
+    base, d1, d2 = mk(0, 60), mk(60, 75), mk(75, 100)
+    idx = TokenExportIndex.create(
+        spark, str(tmp_path / "s"), str(tmp_path / "o"),
+        corpus=base, vocab_size=16, capacity=32, bins_per_shard=2,
+    )
+    r1 = idx.ingest(d1)
+    r2 = idx.ingest(d2)
+    got = _read_payloads(spark, str(tmp_path / "o"))
+    vocab = word_vocab(base, 16)
+    want = {
+        r["bin_id"]: r["payload"]
+        for r in bins_from_stream(
+            token_stream(mk(0, 100), vocab), 32
+        ).collect()
+    }
+    release_cached_relations()
+    assert got == want
+    # the ingests were genuinely incremental: each wrote only the
+    # boundary shard onward, not the whole layout
+    assert r2["shards_written"] < len({b // 2 for b in want})
+    assert r2["total_tokens"] == sum(
+        len(p.split(" ")) for p in want.values()
+    )
+
+
+def test_token_export_boundary_merge_and_small_delta(spark, tmp_path):
+    """A delta smaller than one bin merges into the stored tail: the
+    boundary bin's payload is old-tail + delta prefix, and bins before
+    the boundary shard are untouched on disk."""
+    import os
+
+    from nebuia_vector_db_spark.operators.incremental import (
+        TokenExportIndex,
+        release_cached_relations,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    base = mk([(i, "a b c d e f g h") for i in range(20)])  # 10 tok/doc
+    idx = TokenExportIndex.create(
+        spark, str(tmp_path / "s"), str(tmp_path / "o"),
+        corpus=base, vocab_size=8, capacity=16, bins_per_shard=4,
+    )
+    # 200 tokens → bins 0..12 (bin 12 partial: 8 tokens); shard 0
+    # (bins 0-3) must not be rewritten by the ingest
+    shard0 = os.path.join(str(tmp_path / "o"), "shard-00000.tar")
+    mtime0 = os.path.getmtime(shard0)
+    before = _read_payloads(spark, str(tmp_path / "o"))
+    r = idx.ingest(mk([(50, "a b")]))  # 4 tokens: fills tail to 12
+    after = _read_payloads(spark, str(tmp_path / "o"))
+    release_cached_relations()
+    assert os.path.getmtime(shard0) == mtime0  # untouched on disk
+    assert r["shards_written"] == 1  # only the boundary shard
+    tail_before, tail_after = before[12], after[12]
+    assert tail_after.startswith(tail_before)
+    assert len(tail_after.split(" ")) == 12
+    assert {b: p for b, p in after.items() if b != 12} == {
+        b: p for b, p in before.items() if b != 12
+    }
+
+
+def test_token_export_guards(spark, tmp_path):
+    from nebuia_vector_db_spark.operators.incremental import (
+        TokenExportIndex,
+        release_cached_relations,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = TokenExportIndex.create(
+        spark, str(tmp_path / "s"), str(tmp_path / "o"),
+        corpus=mk([(5, "a b c")]), capacity=16,
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        idx.ingest(mk([(3, "x y")]))  # id below the watermark
+    with pytest.raises(ValueError, match="capacity"):
+        TokenExportIndex(
+            spark, str(tmp_path / "s"), str(tmp_path / "o"), capacity=32
+        )
+    # empty delta is a no-op, not an error
+    r = idx.ingest(mk([]).where(F.lit(False)))
+    release_cached_relations()
+    assert r["bins_written"] == 0 and r["shards_written"] == 0
