@@ -762,7 +762,12 @@ class SemDedupClusterIndex:
     contract) — re-inserting a live id without its delete would
     double-count the ledger; an UPDATE is the CDF delete+insert pair,
     whose delete rows carry the OLD embedding, making the subtraction
-    exact.
+    exact. ``id_col`` must be LONG-typed (the engine-wide integer-id
+    convention): :meth:`create` with ``corpus=None`` pins the empty
+    assign seed to ``_id long``, so a non-long id corpus would fail
+    on its first ingest append (ADVICE r14; with a seed corpus the
+    type is derived from it, but the contract is long either way so
+    empty-seeded and corpus-seeded indexes stay interchangeable).
 
     Per commit: bucket ONLY the delta/deleted vectors (O(churn) md5
     HOF work), append the ledger rows, retract+append assignments,
@@ -818,10 +823,23 @@ class SemDedupClusterIndex:
         return {"n_planes": self.n_planes, "dim": self.dim}
 
     def _assign_rows(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
         from nebuia_vector_db_spark.operators.semdedup import rp_bucket
 
+        # long-id contract (class docstring; ADVICE r14): the empty
+        # create() seed pins `_id long`, so reject non-integral ids
+        # loudly here instead of mismatching on the first append.
+        dt = df.schema[self.id_col].dataType
+        if not isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            raise TypeError(
+                f"SemDedupClusterIndex: id_col {self.id_col!r} must be "
+                f"an integral type (long-id contract), got {dt}"
+            )
         return df.select(
-            F.col(self.id_col).alias("_id"),
+            F.col(self.id_col).cast("long").alias("_id"),
             rp_bucket(self.vec_col, self.n_planes, self.dim).alias(
                 "bucket"
             ),
@@ -1369,7 +1387,10 @@ class TokenExportIndex:
 
         staged = bins.withColumn(
             "_shard",
-            F.expr(f"bin_id div {int(self.bins_per_shard)}").cast("int"),
+            # long: bin_id div bins_per_shard passes 2^31 at the token
+            # scale the exact-div arithmetic above is built for; an
+            # int cast would wrap and misroute shards (ADVICE r14)
+            F.expr(f"bin_id div {int(self.bins_per_shard)}").cast("long"),
         )
         return write_webdataset(
             staged,
@@ -1429,6 +1450,12 @@ class TokenExportIndex:
         )
 
         probe = cls(spark, path + ".__param_probe__", out_dir, **kw)
+        # validate BEFORE creating any state: an empty seed must not
+        # leave a vocab table + shards behind when it raises (ADVICE
+        # r14); the one agg pass is reused for the cursor below.
+        total, max_id, _, n = probe._count_tokens(corpus)
+        if n == 0:
+            raise ValueError("create() needs a non-empty seed corpus")
         vocab = word_vocab(
             corpus,
             vocab_size,
@@ -1452,9 +1479,6 @@ class TokenExportIndex:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _CACHED_RELATIONS.append(bins)
         idx._write_bins(bins)
-        total, max_id, _, n = idx._count_tokens(corpus)
-        if n == 0:
-            raise ValueError("create() needs a non-empty seed corpus")
         tail = idx._tail_of(bins, total)
         SnapshotTable.create(
             spark,

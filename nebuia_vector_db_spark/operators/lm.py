@@ -60,6 +60,12 @@ from pyspark.sql import functions as F
 # orders of magnitude below the rounding boundary
 LOG_MICRO = 10_000
 
+# kn_perplexity auto-disables its broadcast hint past this many
+# distinct bigram types (~8M rows × ~40 B ≈ 320 MB serialized — the
+# point where shipping the model to every executor stops being the
+# cheap path; ADVICE r14).
+_KN_BROADCAST_MAX_TYPES = 8_000_000
+
 
 def doc_tokens(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -311,10 +317,22 @@ def kn_perplexity(
     IEEE exact-rounded ops mirrored parenthesis-for-parenthesis by
     the oracle; per-transition log-probs quantize to LOG_MICRO and
     sum as BIGINTs. Output mirrors :func:`perplexity`:
-    (doc_id, n_trans, nll_micro, ppl, unseen_ctx_rate, keep)."""
+    (doc_id, n_trans, nll_micro, ppl, unseen_ctx_rate, keep).
+
+    Scale note (ADVICE r14): ``broadcast_model=True`` ships the FULL
+    ``lm.big`` relation to every executor — fine for the pruned
+    models :func:`train_kn_lm` builds with ``min_count > 1``, a
+    memory hazard when the bigram relation is unpruned
+    (``min_count=1``) over a production-scale corpus. The hint is
+    therefore auto-disabled when ``lm.total_bigrams`` (the distinct
+    bigram-type count, an upper bound on |big|) exceeds
+    ``_KN_BROADCAST_MAX_TYPES`` — the joins then fall back to
+    Catalyst's own strategy (shuffle hash/SMJ on the pruned side)."""
     if lm.total_bigrams <= 0:
         raise ValueError("cannot score against an empty training corpus")
     keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    if broadcast_model and lm.total_bigrams > _KN_BROADCAST_MAX_TYPES:
+        broadcast_model = False
     hint = F.broadcast if broadcast_model else (lambda df: df)
     trans = (
         doc_tokens(docs, text_col, id_col)

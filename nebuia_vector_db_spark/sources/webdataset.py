@@ -60,10 +60,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: schema of the exploded sample relation returned by read_webdataset
-SAMPLES_SCHEMA = "shard INT, key STRING, ext STRING, content BINARY"
+# shard is BIGINT: sequential routing (bin div bins_per_shard) passes
+# 2^31 at the 100 TB token scale (ADVICE r14); the md5 default stays
+# small but shares the column.
+SAMPLES_SCHEMA = "shard BIGINT, key STRING, ext STRING, content BINARY"
 
 MANIFEST_SCHEMA = (
-    "shard INT, n_samples BIGINT, n_members BIGINT, tar_bytes BIGINT"
+    "shard BIGINT, n_samples BIGINT, n_members BIGINT, tar_bytes BIGINT"
 )
 
 _SHARD_RE = re.compile(r"shard-(\d+)\.tar$")
@@ -132,7 +135,11 @@ def write_webdataset(
     os.makedirs(out_dir, exist_ok=True)
     exts = sorted(members)
     sel = [F.col(key_col).cast("string").alias("_key"),
-           (F.col(shard_col).cast("int")
+           # long, not int: sequential routing (bin div bins_per_shard)
+           # exceeds 2^31 at the 100 TB token scale the bin ids are
+           # engineered for — an int cast would silently wrap and
+           # misroute shards (ADVICE r14)
+           (F.col(shard_col).cast("long")
             if shard_col is not None
             else _shard_expr(key_col, num_shards)).alias("_shard")]
     for ext in exts:
@@ -196,7 +203,7 @@ def write_webdataset(
             # "one row per non-empty shard" contract literal).
             return pd.DataFrame(
                 {
-                    "shard": pd.Series([], dtype="int32"),
+                    "shard": pd.Series([], dtype="int64"),
                     "n_samples": pd.Series([], dtype="int64"),
                     "n_members": pd.Series([], dtype="int64"),
                     "tar_bytes": pd.Series([], dtype="int64"),
