@@ -247,6 +247,85 @@ def decontaminate(
     )
 
 
+def decontaminate_against(
+    train: DataFrame,
+    eval_rel: DataFrame,
+    n: int = 13,
+    min_collide: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Train-vs-EXTERNAL-eval n-gram decontamination — the GPT-3 §4 /
+    Llama-2 pre-export gate: flag every training document that shares
+    any ``n``-gram (default 13, the GPT-3 setting) with the held-out
+    benchmark relation, so eval answers can't leak into the training
+    set. This is the two-RELATION form of :func:`decontaminate`
+    (which audits leakage between a single corpus's own md5 splits);
+    production pipelines run this one against each external benchmark
+    before :func:`~..incremental.TokenExportIndex`-style export.
+
+    Returns ONE ROW PER TRAIN DOC — (id, n_collide_grams,
+    n_eval_docs, dropped) — not just the contaminated pairs, so the
+    keep decisions are certified alongside the drop decisions.
+    ``n_collide_grams`` counts the doc's DISTINCT colliding grams,
+    ``n_eval_docs`` the distinct benchmark docs it collides with, and
+    ``dropped = n_collide_grams >= min_collide`` (default 1: any
+    shared 13-gram drops the doc, the GPT-3 rule).
+
+    Scale shape: grams are compressed to fixed-width 16-hex-char md5
+    prefixes (64-bit keyspace — ~13-word strings would bloat the
+    probe; the prefix is SQL-replayable on both engines), the EVAL
+    side's distinct (gram, eval_doc) relation is broadcast
+    (benchmarks are MBs against a 100 TB train corpus), and the
+    collision check is a map-side broadcast hash join + partial agg —
+    the train corpus is scanned once and never shuffled on gram.
+    """
+    from nebuia_vector_db_spark.functions.text import (
+        shingles_from_tokens,
+        with_tokens,
+    )
+
+    eval_text_col = eval_text_col or text_col
+    eval_id_col = eval_id_col or id_col
+    gk = lambda col: F.substring(F.md5(col), 1, 16)  # noqa: E731
+    ev_grams = (
+        with_tokens(eval_rel, eval_text_col)
+        .select(
+            F.col(eval_id_col).alias("_eval_doc"),
+            F.explode(shingles_from_tokens("_toks", n)).alias("_g"),
+        )
+        .select("_eval_doc", gk(F.col("_g")).alias("_gk"))
+        .distinct()
+    )
+    tr_grams = with_tokens(train, text_col).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens("_toks", n)).alias("_g"),
+    ).select(id_col, gk(F.col("_g")).alias("_gk"))
+    hits = (
+        tr_grams.join(F.broadcast(ev_grams), "_gk")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_gk").alias("_ncg"),
+            F.countDistinct("_eval_doc").alias("_ned"),
+        )
+    )
+    ncg = F.coalesce(F.col("_ncg"), F.lit(0)).cast("long")
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            ncg.alias("n_collide_grams"),
+            F.coalesce(F.col("_ned"), F.lit(0))
+            .cast("long")
+            .alias("n_eval_docs"),
+            (ncg >= min_collide).cast("int").alias("dropped"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 2048,

@@ -2878,6 +2878,64 @@ ORDER BY eval_doc, train_doc
 """
 
 
+def q_pipe_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-EXTERNAL-eval 13-gram decontamination (round 15,
+    VERDICT r14 task #2 — the GPT-3 §4 / Llama-2 pre-export gate):
+    docs with doc_id % 10 == 5 stand in for the held-out benchmark
+    relation, the rest are the training corpus; any train doc sharing
+    a 13-gram with the benchmark is dropped. One row per TRAIN doc so
+    the keep decisions are hash-certified alongside the drops; the
+    oracle replays gram extraction on BOTH relations, the md5-prefix
+    gram keys, and the collision counts in pure SQL."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        decontaminate_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_against(
+        docs.where(F.col("doc_id") % 10 != 5),
+        docs.where(F.col("doc_id") % 10 == 5),
+        n=13,
+    ).orderBy("doc_id")
+
+
+ORACLE_PIPE_DECON_EVAL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         substr(md5(gram), 1, 16) AS gk
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      range(len(toks) - 12),
+      i -> array_to_string(list_slice(toks, i + 1, i + 13), chr(31))
+    ))) AS gram
+    FROM t WHERE len(toks) >= 13
+  )
+),
+evg AS (
+  SELECT DISTINCT doc_id AS eval_doc, gk FROM g WHERE doc_id % 10 = 5
+),
+hits AS (
+  SELECT g.doc_id,
+         count(DISTINCT g.gk) AS ncg,
+         count(DISTINCT evg.eval_doc) AS ned
+  FROM g JOIN evg USING (gk)
+  WHERE g.doc_id % 10 != 5
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.ncg, 0) AS BIGINT) AS n_collide_grams,
+       CAST(coalesce(h.ned, 0) AS BIGINT) AS n_eval_docs,
+       CAST(CASE WHEN coalesce(h.ncg, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+         AS dropped
+FROM t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 10 != 5
+ORDER BY t.doc_id
+"""
+
+
 def q_pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.pipeline import pack_sequences
 
@@ -10065,6 +10123,17 @@ REGISTRY: dict[
     # eval_ann_ivf_recall stays below the window: its measurement
     # discipline is recorded twice (eval_ann_bq_recall,
     # eval_retrieval_knn).
+    # Round-15 rotation per VERDICT r14 tasks #1-#2: promoted the six
+    # local-only round-14 rows (pipe_pretrain_export_incremental,
+    # text_lm_kn_perplexity, pipe_curate_hits, pipe_mixture_alpha,
+    # dedup_semdedup_incremental_stream, graph_hits) plus the new
+    # round-15 flagship pipe_decontaminate_eval (train-vs-external-
+    # benchmark 13-gram decontamination — the last table-stakes
+    # pretraining gate); demoted seven redundant pins
+    # (pipe_pack_sequences, dedup_substring_incremental_stream,
+    # eval_summary, dedup_incremental, graph_communities,
+    # dedup_audiofp, pipe_budget_select) — per-entry justifications
+    # at their below-window entries.
     # tests/test_registry_contract.py pins the window contract and the
     # promoted-capability set.
     # ------------------------------------------------------------------
@@ -10130,18 +10199,6 @@ REGISTRY: dict[
     # stage (md5-fingerprint anti-join) and the dedup family keeps
     # six recorded reps; see dedup_exact's below-window note.
     "dedup_dhash": (q_dedup_dhash, ORACLE_DEDUP_DHASH),
-    # acoustic near-dup (round-11 promotion, VERDICT r10 task #3):
-    # the audio third of the multimodal dedup triad — WAV↔FLAC
-    # re-encoded duplicates caught by an integer-exact spectral-band
-    # sign hash, the ENTIRE pipeline SQL-replayed (decode →
-    # square-wave correlators → mean-compare bits → bands → blocking
-    # → XOR+POPCNT verify). Takes dedup_simhash's slot: the
-    # Hamming-sketch band-blocking + POPCNT-verify machinery is
-    # recorded TWICE over (dedup_dhash shares hash_band_pairs
-    # verbatim; this row adds the audio decode front), and SimHash's
-    # text-sketch angle keeps dedup_minhash_lsh recorded; simhash
-    # stays locally green below.
-    "dedup_audiofp": (q_dedup_audiofp, ORACLE_DEDUP_AUDIOFP),
     # video near-dup by temporal alignment (round-11 promotion,
     # VERDICT r10 task #4): re-muxed (AVI↔MKV, offset 0) and trimmed
     # (offset 1) duplicate clips found by per-frame dHash sequences +
@@ -10212,6 +10269,18 @@ REGISTRY: dict[
     # drops ~95% of the rest) where the bigram's word-soup overlap
     # could not; the bigram sibling stays locally green below.
     "text_lm3_perplexity": (q_text_lm3_perplexity, ORACLE_TEXT_LM3_PPL),
+    # interpolated Kneser-Ney perplexity filter (round-15 promotion,
+    # VERDICT r14 task #1): the smoothing KenLM implements — i.e.
+    # what CCNet's PRODUCTION perplexity filter actually runs —
+    # continuation counts replacing raw frequency in the smoothed
+    # mass, with the per-transition arithmetic mirrored parenthesis-
+    # for-parenthesis by the oracle and pinned against a pure-Python
+    # Chen & Goodman reference in tests/test_lm.py. Complements the
+    # recorded order-3 stupid-backoff row (count-only backoff): the
+    # two pins are disjoint — backoff CHAIN depth there, principled
+    # SMOOTHING here. Takes dedup_audiofp's slot (see its
+    # below-window note).
+    "text_lm_kn_perplexity": (q_text_lm_kn_perplexity, ORACLE_TEXT_LM_KN),
     # SentencePiece unigram-LM tokenizer trainer (round-11 promotion,
     # VERDICT r10 task #1): substring seeding over the distinct-word
     # relation + SOFT-EM forward-backward with micro-unit-quantized
@@ -10238,8 +10307,22 @@ REGISTRY: dict[
     # training-data pipeline (chunk / scrub / split / pack)
     "pipe_chunk_docs": (q_pipe_chunk_docs, ORACLE_PIPE_CHUNK),
     "pipe_scrub_pii": (q_pipe_scrub_pii, ORACLE_PIPE_SCRUB),
-    "pipe_pack_sequences": (q_pipe_pack_sequences, ORACLE_PIPE_PACK),
     "pipe_decontaminate": (q_pipe_decontaminate, ORACLE_PIPE_DECON),
+    # train-vs-EXTERNAL-eval 13-gram decontamination (round-15
+    # flagship, VERDICT r14 task #2): the GPT-3 §4 / Llama-2 gate —
+    # any train doc sharing a 13-gram with the held-out benchmark
+    # relation is dropped before export, the one hygiene pass every
+    # production pretraining pipeline runs that the intra-corpus
+    # pipe_decontaminate row (3-gram overlap between a single
+    # corpus's own md5 splits) cannot express. One row per TRAIN doc
+    # so keeps are certified alongside drops; eval-side gram keys
+    # broadcast (benchmarks are MBs vs a 100 TB corpus) so the train
+    # scan never shuffles on gram. Takes pipe_pack_sequences' slot
+    # (see its below-window note).
+    "pipe_decontaminate_eval": (
+        q_pipe_decontaminate_eval,
+        ORACLE_PIPE_DECON_EVAL,
+    ),
     # DSIR importance selection (round-9 promotion): targeted data
     # selection by distributional log-likelihood ratio — the sampling
     # family's strongest representative. Takes
@@ -10288,6 +10371,23 @@ REGISTRY: dict[
         q_dedup_semdedup_incremental,
         ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
     ),
+    # CDC-stream twin of the semantic incremental row (round-15
+    # promotion, VERDICT r14 task #1 — the stream≡batch≡SQL
+    # capstone): the standing foreachBatch loop over the corpus
+    # change feed driving SemDedupClusterIndex through the THREE-lane
+    # stream-watermark CAS (assign + cent + decisions), SHARING the
+    # batch row's oracle — so with all four incremental families now
+    # CDC-twinned, the recorded hash certifies stream ≡ batch ≡ ANSI
+    # SQL for the semantic modality, whose cluster-ledger appends are
+    # the only ones where a replayed micro-batch could double-count
+    # centroid mass (the exact-inverse ledger makes idempotence
+    # load-bearing). Takes dedup_substring_incremental_stream's slot
+    # (see its below-window note — the span twin keeps its batch row
+    # recorded and shares its oracle locally).
+    "dedup_semdedup_incremental_stream": (
+        q_dedup_semdedup_incremental_stream,
+        ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
+    ),
     # flagship composition, rank-blended since round 13 (VERDICT r12
     # task #5): quality gate BLENDED with an integer-micro-unit
     # PageRank prior (the RefinedWeb/CCNet host-rank pattern) + lang
@@ -10300,6 +10400,17 @@ REGISTRY: dict[
     # this row verbatim — strictly more machinery on the same spine;
     # the plain-quality variant stays locally green below.
     "pipe_curate_ranked": (q_pipe_curate_ranked, ORACLE_PIPE_CURATE_RANKED),
+    # curation driven by the HITS authority prior (round-15
+    # promotion, VERDICT r14 task #1): pipe_curate_ranked's spine
+    # with the mean-normalized integer-exact HITS authority as the
+    # blended prior — the SECOND centrality making a real curation
+    # decision, certifying that the curate composition is
+    # prior-agnostic (the blend arithmetic, allowlist, dup-drop and
+    # split replay identically under a structurally different
+    # iterative rank whose unrolled-CTE oracle runs inside this
+    # row's). Takes pipe_budget_select's slot (see its below-window
+    # note).
+    "pipe_curate_hits": (q_pipe_curate_hits, ORACLE_PIPE_CURATE_HITS),
     # END-TO-END pretraining export (round-14 promotion — the round's
     # flagship composition, VERDICT r13 task #2): tokenizer encode
     # (frequency-ranked word vocab, bos/eos/unk framing) → contiguous
@@ -10319,15 +10430,33 @@ REGISTRY: dict[
         q_pipe_pretrain_export,
         ORACLE_PIPE_PRETRAIN_EXPORT,
     ),
-    # budget-constrained best-first selection (round-13 promotion,
-    # VERDICT r12 task #1): keep the best docs whose token costs fit
-    # a global budget — the distributed percentile-bracket boundary
-    # (cumsum only inside the sketch-bounded band, never a global
-    # single-task window) hash-certified ≡ the naive global prefix by
-    # the oracle's window-cumsum replay. Takes events_asof_signup's
-    # slot (see its below-window note — keyed range semantics stay
-    # recorded via stream_join_mirror's range-join oracle).
-    "pipe_budget_select": (q_pipe_budget_select, ORACLE_PIPE_BUDGET_SELECT),
+    # incrementally MAINTAINED pretraining export (round-15
+    # promotion, VERDICT r14 task #1): the FIFTH incremental family —
+    # the export artifact itself kept current at O(churn) per corpus
+    # append (frozen vocab + persisted cursor with the partial
+    # tail-bin payload + sequential shard routing so only the
+    # boundary shard onward is rewritten, crash-safe cursor-last
+    # protocol); the oracle replays the from-scratch export of the
+    # FULL post-append corpus under the base vocab, so the recorded
+    # hash certifies ingest ≡ from-scratch for the artifact a trainer
+    # actually loads. Takes dedup_incremental's slot (see its
+    # below-window note).
+    "pipe_pretrain_export_incremental": (
+        q_pipe_pretrain_export_incremental,
+        ORACLE_PIPE_PRETRAIN_EXPORT_INCREMENTAL,
+    ),
+    # temperature-scaled mixture at α = 1/2 (round-15 promotion,
+    # VERDICT r14 task #1): quota weights DERIVED from the corpus
+    # (∝ sqrt of domain size — the mBERT/XLM-R low-resource
+    # rebalancing) in hash-exact integer arithmetic, then the same
+    # largest-remainder materialization; the first recorded mixture
+    # row where the weights are computed, not given, so the
+    # weight-derivation arithmetic joins the certified surface.
+    # Takes eval_summary's slot (see its below-window note).
+    "pipe_mixture_alpha": (
+        q_pipe_mixture_alpha,
+        ORACLE_PIPE_MIXTURE_ALPHA,
+    ),
     # multimodal (extension, binary columns + mapInPandas decode)
     # REAL lossless COMPRESSED audio codec (round-10 promotion,
     # VERDICT r9 task #1): RFC 9639 FLAC subset — fixed predictors +
@@ -10355,18 +10484,6 @@ REGISTRY: dict[
     # pytest-pinned (tests/test_mpegaudio.py); see the below-window
     # note.
     "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
-    # deterministic label-propagation communities (round-13
-    # promotion, VERDICT r12 task #1): the graph family's SECOND
-    # capability — "densely linked together?" where components answer
-    # "linked at all?" — synchronous rounds, smallest-label
-    # tie-break, fully replayed by an unrolled-CTE oracle (per-round
-    # neighbor-vote counts + argmin cut). Takes mm_h264_iframes'
-    # slot: the codec surface keeps four recorded rows
-    # (mm_png_roundtrip DEFLATE+CRC, mm_flac_audio Rice/CRC FLAC,
-    # dedup_audiofp_lossy ADPCM boundary, dedup_video MKV/AVI demux +
-    # JPEG frame decode); the H.264 NAL/exp-Golomb/CAVLC layer stays
-    # locally green + pytest-pinned (tests/test_h264.py) below.
-    "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
     # PERSONALIZED PageRank (round-14 promotion, VERDICT r13 task #1
     # — built round 13 as stretch #8, below-window until now):
     # seed-gated teleport on the same BIGINT micro-unit chassis —
@@ -10383,6 +10500,17 @@ REGISTRY: dict[
     # green + pytest-pinned (tests/test_png.py); see the
     # below-window note.
     "graph_ppr": (q_graph_ppr, ORACLE_GRAPH_PPR),
+    # integer-exact HITS (round-15 promotion, VERDICT r14 task #1):
+    # the SECOND centrality family — hubs-and-authorities' mutual
+    # recurrence (Kleinberg 1999) where PageRank/PPR are one-score
+    # random walks; unnormalized linear updates keep every score an
+    # exact BIGINT sum while the RANKING provably equals normalized
+    # HITS (pytest-pinned), so a genuinely different iterative
+    # algebra (two interleaved score vectors, transpose products)
+    # carries a full 3-round unrolled-CTE oracle. Its authority
+    # output drives the recorded pipe_curate_hits decision row.
+    # Takes graph_communities' slot (see its below-window note).
+    "graph_hits": (q_graph_hits, ORACLE_GRAPH_HITS),
     # relational analytics (built-in joins/aggs/rollup/window)
     "tpch_q1": (q_tpch_q1, ORACLE_TPCH_Q1),
     # row-level change data feed over SnapshotTable (round-11
@@ -10418,14 +10546,6 @@ REGISTRY: dict[
     # session break sums and the property tests; q21 stays locally
     # green below.
     "eval_retrieval_knn": (q_eval_retrieval_knn, ORACLE_EVAL_RETRIEVAL),
-    # corpus-level eval summary (round-14 promotion, VERDICT r13 task
-    # #1): macro AND micro averaging of eval_retrieval_knn's SAME
-    # per-query relation (shared _eval_per_query) — BIGINT sums,
-    # single terminal floor divisions, so the run→qrels→metrics→
-    # summary pipeline is hash-certified end to end. Conflating the
-    # two conventions is the classic IR-reporting mistake; this row
-    # pins both.
-    "eval_summary": (q_eval_summary, ORACLE_EVAL_SUMMARY),
     # hash-certified ANN recall of the PRODUCTION BQ two-stage config
     # (round-14 promotion, VERDICT r13 task #1): packed-sign-word
     # XOR+POPCNT Hamming shortlist of 50 → exact re-rank to 20,
@@ -10438,22 +10558,6 @@ REGISTRY: dict[
     # locally via vs_sq8_topk AND the demoted row itself — see the
     # below-window notes.
     "eval_ann_bq_recall": (q_eval_ann_bq_recall, ORACLE_EVAL_ANN_BQ),
-    # incremental cross-snapshot dedup (round-12 promotion — the
-    # round's flagship composition, VERDICT r11 missing #1): dedup a
-    # NEW commit against the PERSISTED MinHash band index — O(churn)
-    # delta fingerprint, band join vs the index + itself, exact
-    # verify against the current snapshot, atomic band append — with
-    # the oracle replaying full-corpus exact Jaccard RESTRICTED to
-    # pairs touching the delta, so the hash certifies incremental ≡
-    # from-scratch end to end (CDC derivation + band-fold identity +
-    # verify). Takes approx_cardinality's slot: the HLL row is ONE
-    # built-in sketch aggregate whose property-check oracle
-    # (estimate-within-bound booleans) certifies comparatively little
-    # machinery; the sketch-family recorded rep is now
-    # text_heavy_ngrams' CMS pipeline, exact distinct-count
-    # aggregation stays recorded inside pipe_curate_ranked's corpus card
-    # (dedup_groups demoted r13), and the HLL row stays locally green below.
-    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     # WebDataset tar-shard interchange round trip (late-r12
     # promotion): byte-deterministic shard export + binaryFile/untar
     # re-read with content-sensitive md5s from the RE-READ member
@@ -10498,24 +10602,6 @@ REGISTRY: dict[
     # execution had NO recorded representative; see the below-window
     # justification.
     "stream_join_mirror": (q_stream_join_mirror, ORACLE_STREAM_JOIN_MIRROR),
-    # CDC-stream-driven incremental dedup, SPAN modality (round-14
-    # promotion, VERDICT r13 task #1): the standing foreachBatch loop
-    # over the corpus change feed driving the winnowed-anchor
-    # SubstringAnchorIndex — appends riding the stream-watermark CAS
-    # (exactly-once under replays), SHARING the batch row's oracle,
-    # so the recorded hash certifies stream ≡ batch ≡ ANSI SQL for
-    # the span-level modality — whose COUNT-shaped pair generation
-    # carries the replay-idempotence anti-join guard the sketch
-    # families don't need (incremental.py). Takes
-    # dedup_incremental_stream's slot: same foreachBatch CAS
-    # discipline, and the MinHash modality keeps its batch row
-    # (dedup_incremental) recorded with the stream twin pinned
-    # stream≡batch + exactly-once in tests/test_incremental.py;
-    # locally green below.
-    "dedup_substring_incremental_stream": (
-        q_dedup_substring_incremental_stream,
-        ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
-    ),
     # ---- BELOW THE 50-ROW WINDOW -------------------------------------
     # Redundant pins only; every capability below retains a recorded
     # representative above. All stay locally oracle-green.
@@ -10755,18 +10841,6 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
-    # text_lm_kn_perplexity: interpolated Kneser-Ney bigram filter
-    #   (round 14) — the smoothing KenLM/CCNet production filters
-    #   actually run (continuation counts replace raw frequency in
-    #   the smoothed mass); the LM quality-filter family's recorded
-    #   rep stays the order-3 stupid-backoff row (text_lm3 — strictly
-    #   more backoff machinery on the same scoring spine), so this
-    #   principled-smoothing sibling stays below the window; locally
-    #   green;
-    "text_lm_kn_perplexity": (
-        q_text_lm_kn_perplexity,
-        ORACLE_TEXT_LM_KN,
-    ),
     # text_lm_perplexity: bigram stupid backoff (round 9) — the LM
     #   family's recorded rep is the order-3 row (strictly more
     #   machinery + real fixture separation, see the in-window
@@ -10850,16 +10924,6 @@ REGISTRY: dict[
     "pipe_mixture_epoch_rep": (
         q_pipe_mixture_epoch_rep,
         ORACLE_PIPE_MIXTURE_EPOCH_REP,
-    ),
-    # pipe_mixture_alpha (round 14): temperature-scaled mixture at
-    #   α = 1/2 — weights derived from the corpus (∝ sqrt(|d|), the
-    #   mBERT/XLM-R rebalancing) in hash-exact arithmetic; the quota
-    #   materialization core is shared with (and recorded via the
-    #   history of) pipe_mixture_epoch, so this stays below the
-    #   window; locally green;
-    "pipe_mixture_alpha": (
-        q_pipe_mixture_alpha,
-        ORACLE_PIPE_MIXTURE_ALPHA,
     ),
     # approx_cardinality: HyperLogLog++ count-distinct — demoted r12
     #   for dedup_incremental (the round's flagship composition): one
@@ -11101,43 +11165,74 @@ REGISTRY: dict[
     #   one value hash; the trained tiers' recalls stay bench-measured
     #   (their fit is not SQL-replayable) on identical machinery;
     "eval_ann_ivf_recall": (q_eval_ann_ivf_recall, ORACLE_EVAL_ANN_IVF),
-    # dedup_semdedup_incremental_stream: the CDC-stream twin of the
-    #   recorded semantic-incremental row (round 14) — SHARES its
-    #   oracle, certifying stream ≡ batch ≡ SQL for the SEMANTIC
-    #   modality via the three-lane watermark CAS; the foreachBatch
-    #   CDC discipline is recorded via
-    #   dedup_substring_incremental_stream, so this twin stays below
-    #   the window; locally green;
-    "dedup_semdedup_incremental_stream": (
-        q_dedup_semdedup_incremental_stream,
-        ORACLE_DEDUP_SEMDEDUP_INCREMENTAL,
+    # ---- Round-15 demotions (slots freed for the six VERDICT r14
+    # task-#1 promotions plus the new pipe_decontaminate_eval
+    # flagship). Each row's machinery retains a recorded pin, cited
+    # per entry:
+    # pipe_pack_sequences: contiguous cumsum packing into
+    #   capacity-token bins — the packing runs RECORDED verbatim
+    #   inside pipe_pretrain_export (bins_from_stream packs the
+    #   encoded token stream with the same distributed-cumsum +
+    #   bin_id arithmetic before sharding) and its incremental twin;
+    #   the bin-summary groupBy is the tpch_q1 partial/final hash-agg
+    #   shape; locally green;
+    "pipe_pack_sequences": (q_pipe_pack_sequences, ORACLE_PIPE_PACK),
+    # dedup_substring_incremental_stream: the CDC-stream twin of the
+    #   SPAN modality — demoted r15 for dedup_semdedup_incremental_
+    #   stream (the semantic twin, whose cluster-ledger appends make
+    #   replay idempotence load-bearing in a way the span lane's
+    #   anti-join guard already recorded): the foreachBatch
+    #   stream-watermark CAS discipline stays recorded via the
+    #   promoted semantic twin, the span BATCH row stays recorded
+    #   (dedup_substring_incremental, whose oracle this row shares
+    #   locally), and stream≡batch + exactly-once replay stay
+    #   pytest-pinned (tests/test_incremental.py);
+    "dedup_substring_incremental_stream": (
+        q_dedup_substring_incremental_stream,
+        ORACLE_DEDUP_SUBSTRING_INCREMENTAL,
     ),
-    # graph_hits (round 14, VERDICT r13 stretch #8): unnormalized
-    #   integer HITS — ranks ≡ classic HITS (linear update, pytest-
-    #   pinned), full unrolled-CTE oracle; the iterative-graph
-    #   chassis is recorded twice (graph_pagerank, graph_ppr), so the
-    #   second-centrality generality pin stays below the window;
-    #   locally green;
-    "graph_hits": (q_graph_hits, ORACLE_GRAPH_HITS),
-    # pipe_curate_hits (round 14): pipe_curate_ranked's spine with
-    #   the mean-normalized HITS authority as the prior — pins the
-    #   second centrality driving an actual curation decision; the
-    #   curate composition is recorded via pipe_curate_ranked, so
-    #   this alternate-prior twin stays below the window; locally
-    #   green;
-    "pipe_curate_hits": (q_pipe_curate_hits, ORACLE_PIPE_CURATE_HITS),
-    # pipe_pretrain_export_incremental (round 14): the export shards
-    #   maintained at O(churn) per corpus append — frozen vocab +
-    #   persisted cursor + boundary-shard rewrite under sequential
-    #   routing; oracle = from-scratch export of the full corpus
-    #   under the base vocab, so the hash certifies incremental ≡
-    #   from-scratch for the fifth maintained artifact; the recorded
-    #   export rep is pipe_pretrain_export (one-shot md5 routing), so
-    #   this twin stays below the window; locally green;
-    "pipe_pretrain_export_incremental": (
-        q_pipe_pretrain_export_incremental,
-        ORACLE_PIPE_PRETRAIN_EXPORT_INCREMENTAL,
-    ),
+    # eval_summary: macro+micro corpus-level averaging — a thin
+    #   BIGINT-sum layer over the SAME per-query relation the
+    #   recorded eval_retrieval_knn certifies (shared
+    #   _eval_per_query); the measurement discipline keeps two
+    #   recorded reps (eval_retrieval_knn, eval_ann_bq_recall) and
+    #   the macro-vs-micro distinction stays value-hash-checked here
+    #   locally; demoted r15 for pipe_mixture_alpha;
+    "eval_summary": (q_eval_summary, ORACLE_EVAL_SUMMARY),
+    # dedup_incremental: the MinHash-modality incremental index —
+    #   demoted r15 for pipe_pretrain_export_incremental (the fifth
+    #   maintained artifact): the persisted-index O(churn) discipline
+    #   keeps TWO recorded batch reps (dedup_substring_incremental,
+    #   dedup_semdedup_incremental) plus the promoted semantic CDC
+    #   twin, banded MinHash-LSH stays recorded via dedup_minhash_lsh,
+    #   and this row stays locally green on its full
+    #   delta-restricted-Jaccard oracle with its own stream twin
+    #   pytest-pinned;
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    # graph_communities: deterministic label propagation — demoted
+    #   r15 for graph_hits: the iterative unrolled-CTE graph chassis
+    #   keeps THREE recorded reps (pagerank, ppr, hits — the last a
+    #   structurally different two-vector recurrence), the per-round
+    #   neighbor-vote argmin is the conditional-agg + argmin shape
+    #   events_sessions pins, and the LPA row stays locally green on
+    #   its full per-round unrolled oracle;
+    "graph_communities": (q_graph_communities, ORACLE_GRAPH_COMMUNITIES),
+    # dedup_audiofp: WAV↔FLAC acoustic near-dup — demoted r15 for
+    #   text_lm_kn_perplexity: the banded-Hamming blocking +
+    #   XOR/POPCNT verify is recorded 2× (dedup_dhash, dedup_video),
+    #   the audio DECODE surface keeps mm_flac_audio recorded (the
+    #   same Rice/CRC FLAC layer this row's fingerprint front reads
+    #   through), and the spectral-band sign hash stays value-hash-
+    #   checked here locally on its full SQL replay;
+    "dedup_audiofp": (q_dedup_audiofp, ORACLE_DEDUP_AUDIOFP),
+    # pipe_budget_select: budget-constrained best-first selection —
+    #   demoted r15 for pipe_curate_hits: the distributed-cumsum
+    #   spine runs recorded inside pipe_pretrain_export's packing,
+    #   the percentile-bracket boundary trick stays pytest-pinned +
+    #   locally green on its window-cumsum replay oracle, and the
+    #   quota-selection family keeps pipe_dsir_select +
+    #   pipe_mixture_alpha recorded;
+    "pipe_budget_select": (q_pipe_budget_select, ORACLE_PIPE_BUDGET_SELECT),
     # ---- Round-13 demotions (slots freed for the seven VERDICT r12
     # task-#1 promotions plus the two new round-13 flagship rows
     # dedup_substring_incremental / pipe_curate_ranked). Each row's

@@ -113,6 +113,73 @@ def test_decontaminate_flags_cross_split_overlap(spark):
     assert all(e in planted_ids and t in planted_ids for e, t in found)
 
 
+def test_decontaminate_against_external_eval_13gram(spark):
+    """Planted contamination: a train doc embedding an exact 13-token
+    span from the benchmark is dropped; a 12-token overlap (one short
+    of n) is kept — the GPT-3 §4 boundary."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        decontaminate_against,
+    )
+
+    bench_words = [f"bench{i}" for i in range(13)]
+    bench = " ".join(bench_words)
+    eval_rel = spark.createDataFrame(
+        [(900, "intro " + bench + " outro"), (901, "other eval words")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # full 13-gram planted mid-document → dropped
+            (1, "pre text " + bench + " post text"),
+            # only the first 12 benchmark tokens → kept
+            (2, "pre " + " ".join(bench_words[:12]) + " post"),
+            # clean doc → kept
+            (3, "totally unrelated training prose here"),
+            # shorter than 13 tokens → no grams, kept
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_against(train, eval_rel, n=13).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # one row per TRAIN doc
+    assert got[1]["dropped"] == 1
+    assert got[1]["n_collide_grams"] == 1
+    assert got[1]["n_eval_docs"] == 1
+    for clean in (2, 3, 4):
+        assert got[clean]["dropped"] == 0, clean
+        assert got[clean]["n_collide_grams"] == 0
+        assert got[clean]["n_eval_docs"] == 0
+
+
+def test_decontaminate_against_counts_distinct_grams_and_eval_docs(spark):
+    from nebuia_vector_db_spark.operators.pipeline import (
+        decontaminate_against,
+    )
+
+    # 14 shared tokens → two distinct 13-grams; the same span sits in
+    # TWO eval docs, so n_eval_docs = 2 while grams stay distinct
+    span = " ".join(f"s{i}" for i in range(14))
+    eval_rel = spark.createDataFrame(
+        [(10, span), (11, "lead " + span)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, span + " tail")], "doc_id long, text string"
+    )
+    row = decontaminate_against(train, eval_rel, n=13).collect()[0]
+    assert row["n_collide_grams"] == 2
+    assert row["n_eval_docs"] == 2
+    assert row["dropped"] == 1
+    # min_collide above the overlap keeps the doc
+    row3 = decontaminate_against(
+        train, eval_rel, n=13, min_collide=3
+    ).collect()[0]
+    assert row3["dropped"] == 0 and row3["n_collide_grams"] == 2
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
     import pandas as pd
 

@@ -643,6 +643,39 @@ def test_eval_ann_sq8_scan_pruned_and_windowed(spark, sf_oracle):
     assert shuffle_count(df) <= 8
 
 
+def test_decontaminate_eval_plan_shape(spark, sf_oracle):
+    """The external-eval 13-gram decontamination gate (round 15): the
+    TRAIN gram stream must meet the benchmark grams through a
+    BROADCAST hash join (benchmarks are MBs against a 100 TB train
+    corpus — shuffling the train grams on gram key would dwarf the
+    query), and the multi-distinct Expand must sit ABOVE the join so
+    it only processes contamination-bounded hit rows, never the full
+    gram stream."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        decontaminate_against,
+    )
+    from nebuia_vector_db_spark.plans.inspect import explain_str
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = decontaminate_against(
+        docs.where(F.col("doc_id") % 10 != 5),
+        docs.where(F.col("doc_id") % 10 == 5),
+        n=13,
+    )
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # the gram-key join itself is the broadcast: no exchange may
+    # hash-partition on the train side's gram key column
+    assert "hashpartitioning(_gk" not in plan
+    # Expand (the two count-distincts) appears once, above the join
+    # (each node shows twice in formatted output: tree + detail)
+    assert plan.count("+- Expand") == 1
+    assert shuffle_count(df) <= 5
+
+
 def test_pack_token_bins_plan_shape(spark, sf_oracle):
     """The pretrain-export encode/pack spine (round 14): the vocab
     lookup is a BROADCAST join (never a corpus shuffle on `word`), no

@@ -109,7 +109,12 @@ _REQUIRED_IN_WINDOW = {
     # sample-exact recursive-CTE oracle + pytest; the band-blocking +
     # XOR/POPCNT verify is recorded 3× and the audio decode surface
     # keeps mm_flac_audio + dedup_audiofp recorded)
-    "dedup_dhash", "dedup_audiofp",
+    # (dedup_audiofp demoted r15 for text_lm_kn_perplexity — the
+    # banded-Hamming blocking + XOR/POPCNT verify stays recorded 2×
+    # via dedup_dhash/dedup_video, the audio decode surface keeps
+    # mm_flac_audio recorded, and the spectral-band sign hash stays
+    # locally green on its full SQL replay)
+    "dedup_dhash",
     "dedup_minhash_lsh",
     "dedup_drop_spans",
     # incremental substring dedup (promoted r13, the round flagship):
@@ -135,6 +140,10 @@ _REQUIRED_IN_WINDOW = {
     # spine stays locally green)
     "text_quality", "text_langid",
     "text_heavy_ngrams", "text_lm3_perplexity",
+    # interpolated Kneser-Ney filter (promoted r15, VERDICT r14 task
+    # #1): the CCNet/KenLM production smoothing — principled-
+    # smoothing pin alongside the order-3 backoff-chain row
+    "text_lm_kn_perplexity",
     # hybrid retrieval (hybrid_search demoted r9, hybrid_rrf demoted
     # r10: the BM25+kNN RRF row shares the rank-fusion + join spine
     # and additionally records the BM25 scorer)
@@ -149,24 +158,48 @@ _REQUIRED_IN_WINDOW = {
     # via vs_knn_join, upsert convention via snap_change_feed;
     # pipe_curate demoted r13 for pipe_curate_ranked, which runs every
     # curate stage verbatim plus the integer-micro PageRank blend)
-    "pipe_chunk_docs", "pipe_scrub_pii", "pipe_pack_sequences",
+    # (pipe_pack_sequences demoted r15 — the cumsum packing runs
+    # recorded verbatim inside pipe_pretrain_export's
+    # bins_from_stream and its incremental twin)
+    "pipe_chunk_docs", "pipe_scrub_pii",
     "pipe_decontaminate", "pipe_dsir_select",
+    # train-vs-EXTERNAL-eval 13-gram decontamination (round-15
+    # flagship, VERDICT r14 task #2): the GPT-3 §4 / Llama-2
+    # pre-export gate — the two-relation form the intra-corpus
+    # pipe_decontaminate row cannot express
+    "pipe_decontaminate_eval",
     "pipe_curate_ranked",
-    # mixture-epoch materialization + budget-constrained selection
-    # (promoted r13, VERDICT r12 task #1)
+    # HITS-prior curation (promoted r15): the second centrality
+    # driving a real curation decision — certifies the curate spine
+    # is prior-agnostic
+    "pipe_curate_hits",
     # (pipe_mixture_epoch demoted r14 for pipe_pretrain_export — the
     # end-to-end tokenize→pack→shard→re-read composition; the quota
     # machinery stays pinned via pipe_curate_ranked's md5 gating,
     # vs_knn_join's grouped limit and tests/test_mixture.py)
-    "pipe_budget_select",
+    # (pipe_budget_select demoted r15 for pipe_curate_hits — the
+    # cumsum spine runs recorded inside pipe_pretrain_export's
+    # packing; the bracket-boundary trick stays pytest-pinned +
+    # locally green)
+    # temperature-scaled mixture (promoted r15): quota weights
+    # DERIVED from the corpus (∝ sqrt domain size) in hash-exact
+    # arithmetic — the first recorded computed-weights mixture row
+    "pipe_mixture_alpha",
     # end-to-end pretraining export (promoted r14, VERDICT r13 task
     # #2): encode → pack → WebDataset shards → re-read, one
     # value-hash row replayed from the source corpus
     "pipe_pretrain_export",
+    # incrementally MAINTAINED export (promoted r15): the fifth
+    # incremental family — O(churn) boundary-shard rewrite under the
+    # frozen vocab, hash-certified ingest ≡ from-scratch
+    "pipe_pretrain_export_incremental",
     # incremental SemDeDup (promoted r14, VERDICT r13 task #3): the
     # fourth incremental index family — exact integer centroid
     # ledger, touched-cluster keep-rule re-run
     "dedup_semdedup_incremental",
+    # its CDC-stream twin (promoted r15): stream ≡ batch ≡ SQL for
+    # the semantic modality through the three-lane watermark CAS
+    "dedup_semdedup_incremental_stream",
     # leakage-safe group-keyed split (promoted r12): near-dup groups
     # land wholly in one fold — takes mm_color_roundtrip's slot
     "pipe_leakage_split",
@@ -210,9 +243,13 @@ _REQUIRED_IN_WINDOW = {
     # personalized PageRank (promoted r14): seed-gated teleport on
     # the BIGINT chassis, full seed-conditional unrolled-CTE oracle
     "graph_ppr",
-    # label-propagation communities (promoted r13): the graph
-    # family's second capability, unrolled-CTE oracle
-    "graph_communities",
+    # (graph_communities demoted r15 for graph_hits — the iterative
+    # unrolled-CTE chassis keeps three recorded reps and LPA's
+    # argmin-vote is the conditional-agg shape events_sessions pins)
+    # integer-exact HITS (promoted r15): the second centrality
+    # family — a structurally different two-vector recurrence with a
+    # full unrolled-CTE oracle, feeding pipe_curate_hits
+    "graph_hits",
     # transactional storage (snap_engine_lifecycle promoted r9: the
     # VectorEngine facade driving store → search → ACID delete →
     # multi-search end-to-end; snap_delete_read demoted r11 for
@@ -247,16 +284,22 @@ _REQUIRED_IN_WINDOW = {
     # (promoted r13, VERDICT r12 task #1): the measurement harness
     # every ANN-tier claim rests on, now driver-recorded
     # (eval_ann_sq8_recall demoted r14 for eval_ann_bq_recall — same
-    # measurement discipline plus the production two-stage funnel;
-    # eval_summary promoted r14: macro+micro conventions over the
-    # same per-query relation)
-    "eval_retrieval_knn", "eval_ann_bq_recall", "eval_summary",
+    # measurement discipline plus the production two-stage funnel)
+    # (eval_summary demoted r15 for pipe_mixture_alpha — a thin
+    # BIGINT-sum layer over the SAME per-query relation
+    # eval_retrieval_knn certifies; macro-vs-micro stays locally
+    # green)
+    "eval_retrieval_knn", "eval_ann_bq_recall",
     # (orders_running_revenue demoted late r12 for
     # pipe_webdataset_roundtrip — the tar-shard GPU-loader
     # interchange surface, previously unrecorded; running-sum window
     # frames stay pinned by events_sessions' lag+cumsum and
     # tpch_q21's per-order window pass)
-    "dedup_incremental", "pipe_webdataset_roundtrip",
+    # (dedup_incremental demoted r15 for
+    # pipe_pretrain_export_incremental — the O(churn) persisted-index
+    # discipline keeps two recorded batch reps plus the semantic CDC
+    # twin; MinHash-LSH banding stays recorded via dedup_minhash_lsh)
+    "pipe_webdataset_roundtrip",
     "fuzzy_name_match", "skew_salted_join",
     # events (events_sliding demoted r6, events_retention demoted
     # r9, events_hourly demoted r11 for text_unigram_train — the
@@ -274,12 +317,11 @@ _REQUIRED_IN_WINDOW = {
     "stream_join_mirror",
     # (stream_ppl_filter demoted r13 — streaming keeps three recorded
     # reps and the shared-oracle stream≡batch≡SQL discipline is now
-    # recorded by dedup_incremental_stream)
-    # CDC-stream incremental dedup (promoted r13; rotated to the
-    # SPAN modality r14 — same foreachBatch CAS discipline, plus the
-    # COUNT-shaped replay-idempotence guard; the MinHash twin stays
-    # pytest-pinned stream≡batch + exactly-once)
-    "dedup_substring_incremental_stream",
+    # recorded by the CDC twins)
+    # (dedup_substring_incremental_stream demoted r15 — the CDC slot
+    # rotated to the SEMANTIC twin dedup_semdedup_incremental_stream,
+    # required above; the span twin keeps its batch row recorded and
+    # stays pytest-pinned stream≡batch + exactly-once)
     # real-tokenizer trainer (promoted r11, sanctioned rows-only):
     # the unigram-LM EM fit — the family's first recorded rep
     "text_unigram_train",

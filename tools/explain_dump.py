@@ -119,6 +119,11 @@ HEADLINE = [
     # round 14
     "eval_ann_ivf_recall",
     "graph_hits",
+    # round 15
+    "pipe_decontaminate_eval",
+    "pipe_curate_hits",
+    "pipe_mixture_alpha",
+    "text_lm_kn_perplexity",
     # (pipe_pretrain_export / dedup_semdedup_incremental excluded:
     # scratch-lifecycle rows returning collected recreations, same
     # class as dedup_substring_incremental; the live plans' scale
