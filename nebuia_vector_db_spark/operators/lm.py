@@ -400,6 +400,120 @@ def kn_perplexity(
     )
 
 
+def ppl_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    nll_col: str = "nll_micro",
+    n_col: str = "n_trans",
+    head_pct: int = 33,
+    middle_pct: int = 33,
+) -> DataFrame:
+    """CCNet-style per-language perplexity buckets (Wenzek et al.
+    2020 §4.3): within EACH language, assign every scored document to
+    'head' / 'middle' / 'tail' by its perplexity percentile — the
+    calibration CCNet's production filter actually applies, because
+    one global threshold keeps ~83% of en while dropping ~80% of
+    every other language (the skew the plain ``kn_perplexity`` /
+    ``perplexity`` keep flags exhibit on this corpus).
+
+    Exact integer semantics: the ranking key is
+    ``avg_nll_micro = nll_micro div n_trans`` (BIGINT floor division
+    — monotone in perplexity, SQL-replayable on both engines), ties
+    broken by id ASC; with n scorable docs in a language,
+    head = ranks 1..(n·head_pct div 100), middle = the next ranks up
+    to (n·(head_pct+middle_pct) div 100), tail = the rest — i.e.
+    bucket boundaries are exact per-language rank cuts, equal to a
+    ``row_number() OVER (PARTITION BY lang ORDER BY avg_nll_micro,
+    id)`` replay, with NO per-language sort ever executed.
+
+    Scale shape: each cut is found by :func:`_rank_boundary` (the
+    DSIR banded-boundary machinery — per-partition bounded heaps, or
+    a percentile-bracketed band above the direct ceiling), run per
+    (language, cut). Languages are a small bounded set (langid emits
+    a fixed inventory), so this is O(langs) boundary probes of O(1)
+    driver rows each; the corpus itself is touched by ONE final
+    broadcast join against the per-language boundary table and never
+    shuffled by language — the skew that partitioning a web corpus
+    by lang (en ≈ 60%+) would create never materializes. Rows whose
+    ``n_col`` is 0 (unscorable) get a NULL bucket.
+    """
+    if head_pct < 0 or middle_pct < 0:
+        raise ValueError("bucket percentages must be non-negative")
+    score = F.when(
+        F.col(n_col) > 0,
+        F.expr(f"{nll_col} div {n_col}"),
+    ).cast("long")
+    base = scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        score.alias("avg_nll_micro"),
+    )
+    counts = {
+        r["l"]: int(r["n"])
+        for r in base.where(F.col("avg_nll_micro").isNotNull())
+        .groupBy(F.col(lang_col).alias("l"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = []
+    for lang, n in sorted(counts.items(), key=lambda kv: str(kv[0])):
+        k1 = n * head_pct // 100
+        k2 = n * (head_pct + middle_pct) // 100
+        cuts = []
+        for k in (k1, k2):
+            if k <= 0:
+                cuts.append((False, None, None))
+                continue
+            if k >= n:
+                cuts.append((True, None, None))
+                continue
+            w = base.where(
+                (F.col(lang_col) == lang)
+                & F.col("avg_nll_micro").isNotNull()
+            ).select(
+                id_col,
+                (-F.col("avg_nll_micro")).alias("weight_micro"),
+            )
+            b = _rank_boundary(w, k, id_col)
+            # n > k rows exist, so the boundary is always found
+            cuts.append((False, int(b[0]), b[1]))
+        rows.append(
+            (
+                lang,
+                cuts[0][0], cuts[0][1], cuts[0][2],
+                cuts[1][0], cuts[1][1], cuts[1][2],
+            )
+        )
+    spark = scored.sparkSession
+    bounds = spark.createDataFrame(
+        rows,
+        f"{lang_col} string, h_all boolean, h_w long, h_id long, "
+        "m_all boolean, m_w long, m_id long",
+    )
+
+    def _within(all_col: str, w_col: str, i_col: str) -> Column:
+        neg = -F.col("avg_nll_micro")
+        return F.col(all_col) | (
+            F.col(w_col).isNotNull()
+            & (
+                (neg > F.col(w_col))
+                | ((neg == F.col(w_col)) & (F.col(id_col) <= F.col(i_col)))
+            )
+        )
+
+    bucket = (
+        F.when(F.col("avg_nll_micro").isNull(), F.lit(None).cast("string"))
+        .when(_within("h_all", "h_w", "h_id"), "head")
+        .when(_within("m_all", "m_w", "m_id"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        base.join(F.broadcast(bounds), lang_col, "left")
+        .select(id_col, lang_col, "avg_nll_micro", bucket.alias("bucket"))
+    )
+
+
 def _triples(toks: Column) -> Column:
     """Adjacent token triples as array<struct<w1,w2,w3>> (same
     descending-sequence guard as _pairs)."""

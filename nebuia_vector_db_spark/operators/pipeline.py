@@ -509,6 +509,50 @@ def pack_token_bins(
     return bins_from_stream(stream, capacity)
 
 
+def payload_le_hex(payload: Column | str, width: int = 2) -> Column:
+    """Lowercase hex of the fixed-width LITTLE-ENDIAN binary encoding
+    of a space-joined decimal token payload — the byte layout
+    Megatron/GPT-NeoX ``.bin`` token shards use (uint16 for vocabs
+    ≤ 65536, width=4 for uint32), so ``unhex`` of this column is a
+    trainer-loadable byte run with no text re-parse (the decimal-text
+    member inflates bytes ~3× and forces one). Pure JVM codegen
+    (split → per-token hex byte-swap → concat), and SQL-replayable:
+    DuckDB's ``printf('%04x', t)`` + substr swap mirrors it digit for
+    digit, which is what lets ``pipe_pretrain_export_bin`` certify
+    the BYTES through an md5-over-hex oracle. A token that overflows
+    ``width`` bytes raises (lpad would silently truncate high bits).
+    """
+    payload = F.col(payload) if isinstance(payload, str) else payload
+    nhex = width * 2
+    limit = 1 << (8 * width)
+
+    def le(t: Column) -> Column:
+        tok = t.cast("long")
+        h = F.lpad(F.lower(F.hex(tok)), nhex, "0")
+        swapped = F.concat(
+            *[
+                F.substring(h, nhex - 2 * i - 1, 2)
+                for i in range(width)
+            ]
+        )
+        return F.when(
+            (tok >= limit) | (tok < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"payload_le_hex: token overflows {width}-byte "
+                        "width: "
+                    ),
+                    tok.cast("string"),
+                )
+            ),
+        ).otherwise(swapped)
+
+    return F.concat_ws(
+        "", F.transform(F.split(payload, " "), le)
+    )
+
+
 def token_stream(
     docs: DataFrame,
     vocab: DataFrame,

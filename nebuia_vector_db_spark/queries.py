@@ -3096,6 +3096,119 @@ ORDER BY bin_id
 """
 
 
+def q_pipe_pretrain_export_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY token-shard export (round 15, VERDICT r14 task #4): the
+    pipe_pretrain_export spine emitting fixed-width LITTLE-ENDIAN
+    uint16 token members (``members={"bin": ...}``) instead of
+    space-joined decimal text — the byte layout Megatron/GPT-NeoX
+    ``.bin`` shards load directly, ~3× smaller and with no re-parse.
+    BYTE-exact certification: n_tokens = octet_length/2 of the
+    RE-READ tar member and tokens_md5 = md5 over its lowercase hex,
+    replayed by the oracle's printf('%04x')+byte-swap reconstruction
+    of the same hex from the source table — so the encode, packing,
+    LE byte order, shard routing, tar layer and untar are all inside
+    one value hash."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        pack_token_bins,
+        payload_le_hex,
+        word_vocab,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bins = pack_token_bins(
+        docs, word_vocab(docs, 4096), capacity=512
+    ).withColumn("payload_bin", F.unhex(payload_le_hex("payload", 2)))
+    out_dir = posix_scratch_dir(spark, "ptxb")
+    try:
+        write_webdataset(
+            bins,
+            out_dir,
+            key_col="bin_id",
+            members={"bin": "payload_bin"},
+            num_shards=4,
+        ).collect()
+        back = read_webdataset(spark, out_dir).where(
+            F.col("ext") == "bin"
+        )
+        per = (
+            back.select(
+                F.col("key").cast("long").alias("bin_id"),
+                F.col("shard").cast("int").alias("shard"),
+                F.col("content").alias("_b"),
+            )
+            .select(
+                "bin_id",
+                "shard",
+                (F.octet_length("_b") / 2).cast("long").alias("n_tokens"),
+                F.md5(F.lower(F.hex("_b"))).alias("tokens_md5"),
+            )
+            .orderBy("bin_id")
+        )
+        out = spark.createDataFrame(per.collect(), per.schema)
+    finally:
+        remove_scratch(spark, out_dir)
+    return out
+
+
+ORACLE_PIPE_PRETRAIN_EXPORT_BIN = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS word
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        FROM documents)
+),
+wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 3 AS tok_id
+  FROM wc QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 4096
+),
+enc AS (
+  SELECT t.doc_id, t.idx, CAST(COALESCE(v.tok_id, 3) AS BIGINT) AS tok
+  FROM toks t LEFT JOIN vocab v USING (word)
+),
+cnts AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), ' ')) + 2 AS n
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM cnts
+),
+stream AS (
+  SELECT o AS pos, CAST(1 AS BIGINT) AS tok FROM offs
+  UNION ALL
+  SELECT f.o + e.idx, e.tok FROM offs f JOIN enc e USING (doc_id)
+  UNION ALL
+  SELECT o + n - 1, CAST(2 AS BIGINT) FROM offs
+),
+bins AS (
+  SELECT CAST(pos // 512 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(
+           substr(printf('%04x', CAST(tok AS INTEGER)), 3, 2)
+           || substr(printf('%04x', CAST(tok AS INTEGER)), 1, 2),
+           '' ORDER BY pos) AS le_hex
+  FROM stream GROUP BY 1
+)
+SELECT bin_id,
+       CAST({_PTX_SHARD_SQL} AS INT) AS shard,
+       n_tokens,
+       md5(le_hex) AS tokens_md5
+FROM bins
+ORDER BY bin_id
+"""
+
+
 def q_pipe_pretrain_export_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4498,6 +4611,103 @@ SELECT doc_id, n_trans, nll_micro,
          AS unseen_ctx_rate,
        nll_micro <= n_trans * 34000 AS keep
 FROM agg ORDER BY doc_id
+"""
+
+
+def q_text_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity calibration (round 15, VERDICT r14
+    task #3 — operators/lm.py::ppl_buckets; Wenzek et al. 2020 §4.3):
+    CCNet's ACTUAL filter shape — each language's documents bucketed
+    head/middle/tail by perplexity percentile WITHIN the language,
+    fixing the one-global-threshold skew the KN row documents (~83%
+    en kept vs ~16-21% per other language at one cutoff; per-language
+    ranks keep each language's own proportions by construction). The
+    ranking key is the integer avg_nll (nll_micro div n_trans) from
+    the same KN scorer, cuts are exact per-language rank boundaries
+    found by the banded-boundary machinery (never a per-language
+    sort), and the oracle replays score + row_number-per-language +
+    integer cut arithmetic in pure SQL."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_kn_lm(docs.where(F.col("lang") == "en"))
+    scored = lm.kn_perplexity(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return lm.ppl_buckets(scored).orderBy("doc_id")
+
+
+_KN_SCORED_CTES = """
+tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE lang = 'en' AND len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+  FROM big GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+bv AS (
+  SELECT (SELECT count(*) FROM big) AS b,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')) AS v
+),
+trans AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+kn_scored AS (
+  SELECT t.doc_id,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           (greatest(coalesce(b.c2, 0) - 0.75, 0.0)
+            + (0.75 * x.n1f)
+              * ((coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v)))
+           / x.c1
+         ELSE (coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v) END AS p
+  FROM trans t
+  LEFT JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN ctx x ON t.w1 = x.w1
+  LEFT JOIN cont k ON t.w2 = k.w2
+  CROSS JOIN bv
+),
+kn_agg AS (
+  SELECT doc_id, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro
+  FROM kn_scored GROUP BY doc_id
+)"""
+
+ORACLE_TEXT_LM_PPL_BUCKETS = f"""
+WITH {_KN_SCORED_CTES},
+b AS (
+  SELECT a.doc_id, t.lang, a.nll_micro // a.n_trans AS avg_nll_micro
+  FROM kn_agg a JOIN tok t USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, avg_nll_micro,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY avg_nll_micro, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM b
+)
+SELECT doc_id, lang, avg_nll_micro,
+       CASE WHEN rk <= n * 33 // 100 THEN 'head'
+            WHEN rk <= n * 66 // 100 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r ORDER BY doc_id
 """
 
 
@@ -10841,6 +11051,19 @@ REGISTRY: dict[
     #   text-quality window slot is held by text_quality (length/
     #   punct/stopword) + text_boilerplate; locally green;
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    # text_lm_ppl_buckets (round 15, VERDICT r14 task #3): CCNet's
+    #   per-language head/middle/tail perplexity calibration — exact
+    #   per-language rank cuts on the KN avg-nll via the banded
+    #   boundary (no per-language sort), full row_number-replay
+    #   oracle; the KN scorer it composes is recorded in-window
+    #   (text_lm_kn_perplexity) and the rank-boundary machinery is
+    #   recorded via pipe_dsir_select's selection cut, so the
+    #   calibration composition stays below the window; locally
+    #   green;
+    "text_lm_ppl_buckets": (
+        q_text_lm_ppl_buckets,
+        ORACLE_TEXT_LM_PPL_BUCKETS,
+    ),
     # text_lm_perplexity: bigram stupid backoff (round 9) — the LM
     #   family's recorded rep is the order-3 row (strictly more
     #   machinery + real fixture separation, see the in-window
@@ -11165,6 +11388,17 @@ REGISTRY: dict[
     #   one value hash; the trained tiers' recalls stay bench-measured
     #   (their fit is not SQL-replayable) on identical machinery;
     "eval_ann_ivf_recall": (q_eval_ann_ivf_recall, ORACLE_EVAL_ANN_IVF),
+    # pipe_pretrain_export_bin (round 15, VERDICT r14 task #4):
+    #   the export spine emitting trainer-loadable fixed-width
+    #   little-endian uint16 token members — byte-exact md5-over-hex
+    #   oracle; the export composition keeps TWO recorded reps
+    #   (pipe_pretrain_export text members, _incremental maintained
+    #   shards), and this row's delta is the binary serialization
+    #   layer, so it stays below the window; locally green;
+    "pipe_pretrain_export_bin": (
+        q_pipe_pretrain_export_bin,
+        ORACLE_PIPE_PRETRAIN_EXPORT_BIN,
+    ),
     # ---- Round-15 demotions (slots freed for the six VERDICT r14
     # task-#1 promotions plus the new pipe_decontaminate_eval
     # flagship). Each row's machinery retains a recorded pin, cited

@@ -409,3 +409,58 @@ def test_kn_smooths_rare_continuations_below_frequency(spark):
     # both transitions are unseen-context (zzz) → pure Pcont; common
     # follows 3 distinct contexts, francisco only 1
     assert out[1] > out[2]
+
+
+def test_ppl_buckets_matches_python_rank_cuts(spark, docs):
+    """ppl_buckets ≡ a from-scratch per-language row_number replay:
+    within each language, head = the best (lowest avg-nll) 33%,
+    middle the next 33%, tail the rest, ties broken by doc_id — so
+    every language keeps ~its own proportions regardless of how its
+    absolute perplexities compare to English (the calibration a
+    single global threshold cannot provide)."""
+    model = lm.train_kn_lm(docs.where(F.col("lang") == "en"))
+    scored = lm.kn_perplexity(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = {r["doc_id"]: r for r in lm.ppl_buckets(scored).collect()}
+
+    by_lang: dict[str, list] = {}
+    for r in scored.select("doc_id", "lang", "nll_micro", "n_trans").collect():
+        score = r["nll_micro"] // r["n_trans"]
+        by_lang.setdefault(r["lang"], []).append((score, r["doc_id"]))
+    n_langs_checked = 0
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        k1, k2 = n * 33 // 100, n * 66 // 100
+        want = {}
+        for rk, (score, did) in enumerate(rows, start=1):
+            want[did] = (
+                "head" if rk <= k1 else "middle" if rk <= k2 else "tail"
+            )
+        for did, bucket in want.items():
+            assert got[did]["bucket"] == bucket, (lang, did)
+        # proportions: each language's own thirds, by construction
+        c = Counter(want.values())
+        assert c["head"] == k1 and c["middle"] == k2 - k1
+        n_langs_checked += 1
+    assert n_langs_checked >= 2  # the fixture is genuinely multilingual
+
+
+def test_ppl_buckets_unscorable_and_tiny_language_edges(spark):
+    """n_trans = 0 rows get a NULL bucket; a 1-doc language has no
+    head/middle cut (k = 0) and lands in tail; a 2-doc language gets
+    exactly one middle (k1 = 0, k2 = 1) and one tail."""
+    scored = spark.createDataFrame(
+        [
+            (1, "solo", 5000, 1),
+            (2, "duo", 4000, 2),
+            (3, "duo", 9000, 2),
+            (4, "duo", 0, 0),  # unscorable
+        ],
+        "doc_id long, lang string, nll_micro long, n_trans long",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in lm.ppl_buckets(scored).collect()}
+    assert got[1] == "tail"
+    assert got[2] == "middle" and got[3] == "tail"
+    assert got[4] is None

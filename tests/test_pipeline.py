@@ -471,3 +471,32 @@ def test_trained_tokenizer_drops_into_export_spine(spark):
     assert got_stream == want_stream
     sizes = [r["n_tokens"] for r in bins]
     assert all(s == 24 for s in sizes[:-1]) and 0 < sizes[-1] <= 24
+
+
+def test_payload_le_hex_is_struct_pack_exact_and_guards_overflow(spark):
+    """payload_le_hex ≡ struct.pack('<NH') byte-for-byte (the
+    Megatron/GPT-NeoX .bin layout), at both widths; a token that
+    overflows the width raises instead of silently truncating."""
+    import struct
+
+    from pyspark.sql.utils import PythonException
+
+    from nebuia_vector_db_spark.operators.pipeline import payload_le_hex
+
+    toks = [0, 1, 255, 256, 4099, 65535]
+    payload = " ".join(str(t) for t in toks)
+    df = spark.createDataFrame([(payload,)], "payload string")
+    got16 = df.select(
+        F.unhex(payload_le_hex("payload", 2)).alias("b")
+    ).head()["b"]
+    assert bytes(got16) == struct.pack(f"<{len(toks)}H", *toks)
+    got32 = df.select(
+        F.unhex(payload_le_hex("payload", 4)).alias("b")
+    ).head()["b"]
+    assert bytes(got32) == struct.pack(f"<{len(toks)}I", *toks)
+
+    over = spark.createDataFrame([("70000",)], "payload string")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="overflows"):
+        over.select(payload_le_hex("payload", 2).alias("h")).collect()
