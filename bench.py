@@ -82,6 +82,36 @@ def _read_cpu_ticks() -> tuple[int, int] | None:
     return steal, sum(vals)
 
 
+class _StealMeter:
+    """Per-FAMILY steal attribution (VERDICT r14 task #5): the
+    run-wide ``steal_frac`` says a run was contended but not WHICH
+    rows to distrust — this round's driver record again showed
+    single-family 2-4× moves (b12/b15/b16) that needed cross-run
+    inference to adjudicate. ``mark(family)`` samples /proc/stat at
+    each bench block's start; ``emit`` attributes each inter-mark
+    interval's steal fraction to the family that was running, so a
+    moved row is adjudicable from BENCH_SELF.json alone:
+    ``steal_frac_<family>`` > ~0.02 ⇒ that block was contended."""
+
+    def __init__(self) -> None:
+        self._marks: list[tuple[str, int, int]] = []
+
+    def mark(self, family: str) -> None:
+        t = _read_cpu_ticks()
+        if t is not None:
+            self._marks.append((family, t[0], t[1]))
+
+    def emit(self, timings: dict) -> None:
+        t = _read_cpu_ticks()
+        if t is None or not self._marks:
+            return
+        marks = self._marks + [("end", t[0], t[1])]
+        for (fam, s0, t0), (_, s1, t1) in zip(marks, marks[1:]):
+            timings[f"steal_frac_{fam}"] = round(
+                (s1 - s0) / max(t1 - t0, 1), 4
+            )
+
+
 def _median_build(build_fn, runs: int = 3):
     """Median-of-N for OFFLINE build/train steps (VERDICT r2 #3: the
     single-shot b5/b6 build numbers swung 8-40 s across identical
@@ -272,7 +302,9 @@ def main() -> None:
 
     cpu_ticks_start = _read_cpu_ticks()
     timings: dict[str, float] = {}
+    _steal = _StealMeter()
 
+    _steal.mark("headline")
     # ---- headline registry queries (same code paths the driver checks)
     headline = [
         "vs_topk",
@@ -347,6 +379,7 @@ def main() -> None:
     _release_bands()
     _release_scored()
 
+    _steal.mark("b1")
     # ---- B1: sf embeddings top-10, Spark numpy-UDF path vs NumPy
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     emb.count()
@@ -367,6 +400,7 @@ def main() -> None:
         _median_time(lambda: numpy_topk(mat_small, q_small), runs=5), 4
     )
 
+    _steal.mark("b2")
     # ---- B2: synthetic 600k x 64
     mat = _ensure_synth(spark)
     big = spark.read.parquet(SYNTH_PATH).cache()
@@ -386,6 +420,7 @@ def main() -> None:
         _median_time(lambda: numpy_topk(mat, q_big), runs=5), 4
     )
 
+    _steal.mark("b2_batched")
     # ---- B2 batched: 64 queries amortized in ONE Spark job
     n_q = 64
     qids = np.arange(0, SYNTH_N, SYNTH_N // n_q, dtype=np.int64)[:n_q]
@@ -411,6 +446,7 @@ def main() -> None:
         _median_time(_numpy_loop, runs=3) / n_q, 4
     )
 
+    _steal.mark("b3")
     # ---- B3: multi-collection over 10 label-shards (multi_search)
     def _b3():
         qn = Q.normalize_query(q_big.tolist())
@@ -424,6 +460,7 @@ def main() -> None:
 
     timings["b3_spark_multi_600k"] = round(_median_time(_b3, runs=3), 4)
 
+    _steal.mark("b5")
     # ---- B5: IVF candidate pruning at 600k — the indexed scale path.
     # Build once (amortized across the query stream), probe 4/64 cells:
     # ~1/16 of the corpus scanned per query, recall recorded alongside.
@@ -479,6 +516,7 @@ def main() -> None:
         )
     det_idx.assigned.unpersist()
 
+    _steal.mark("b5c")
     # ---- B5c: IVF on a CLUSTERED 600k corpus (mixture of 128
     # Gaussians) — the distribution IVF cells are built for, vs the
     # i.i.d. worst case above. Recall averaged over 8 queries drawn
@@ -544,6 +582,7 @@ def main() -> None:
         4,
     )
 
+    _steal.mark("b6")
     # ---- B6: IVF-PQ (memory-bounded ANN) on the clustered 600k
     # corpus — codes quantize the RESIDUAL x − cell centroid (flat PQ
     # measured recall 0 here: whole clusters tie), 8 bytes/vector
@@ -611,6 +650,7 @@ def main() -> None:
     timings["b6_pq_adc_recall_at_10"] = round(sum(adc_rec) / len(adc_rec), 4)
     timings["b6_pq_rerank_recall_at_10"] = round(sum(rr_rec) / len(rr_rec), 4)
 
+    _steal.mark("b6o_b6x")
     # ---- B6o/B6x: OPQ rotation (round 6) — codes-only ADC recall at
     # the SAME 16-byte budget, paired PQ-vs-OPQ with identical
     # training samples so the rotation is the only variable.
@@ -727,6 +767,7 @@ def main() -> None:
     )
     an_df.unpersist()
 
+    _steal.mark("b7")
     # ---- B7: SQ8 (int8 + per-vector scale, 4×, no training) on the
     # same 600k corpus — the middle rung of the storage ladder.
     from nebuia_vector_db_spark.operators.sq import sq8_encode, sq8_topk
@@ -761,6 +802,7 @@ def main() -> None:
     timings["b7_sq8_recall_at_10"] = round(sum(sq_rec) / len(sq_rec), 4)
     sq_codes.unpersist()
 
+    _steal.mark("b15")
     # ---- B15: BINARY QUANTIZATION (round 7, operators/bq.py) — the
     # 32× rung under SQ8: one int64 word per vector at d=64, scored
     # with XOR+POPCNT inside codegen. Encode cost is one projection;
@@ -851,6 +893,7 @@ def main() -> None:
     )
     bq_packed.unpersist()
 
+    _steal.mark("b12")
     # ---- B12: BATCH ANN (round 4, IVFIndex.search_batch) — 16 queries
     # through per-query probed cells in ONE masked-GEMM corpus pass,
     # vs the exact batch kNN full scan. On the clustered corpus the
@@ -952,6 +995,7 @@ def main() -> None:
         ),
         4,
     )
+    _steal.mark("b12_fine")
     # ---- B12-FINE (round 9, VERDICT r8 task #3): same diverse
     # 16-component batch, FINER geometry + two-level router. The
     # 64-cell union saturation above is pigeonhole (16 disjoint
@@ -1009,6 +1053,7 @@ def main() -> None:
     b12_qdf.unpersist()
     det_c_index.assigned.unpersist()
 
+    _steal.mark("b8")
     # ---- B8: scale-slope sweep — the 100 TB claim measured, not just
     # argued from plans. The batched-GEMM kNN (16 queries in one job)
     # runs at 600k / 2.4M / 9.6M vectors; with a fixed query set the
@@ -1106,6 +1151,7 @@ def main() -> None:
     )
     sweep_queries.unpersist()
 
+    _steal.mark("b15_scale_pair")
     # ---- B15 scale pair: the BQ scan-bytes story measured. Pack the
     # 600k and 9.6M sweep corpora ONCE each to a words-only parquet
     # (vec_id + one int64 word — what a 100 TB deployment stores
@@ -1152,6 +1198,7 @@ def main() -> None:
         (b15_scan_times[9_600_000] / b15_scan_times[600_000]) / 16.0, 4
     )
 
+    _steal.mark("b9")
     # ---- B9: the blocked (above-cap) exact-cosine scale path with a
     # measured number (VERDICT r2 #5): 240k vectors forced onto
     # _cosine_pairs_blocked (max_broadcast_rows below N, 6 blocks ->
@@ -1177,6 +1224,7 @@ def main() -> None:
     )
     sub.unpersist()
 
+    _steal.mark("b10")
     # ---- B10: SnapshotTable + Z-order planning-time data skipping
     # (round 3): lay lineitem out z-ordered on (l_orderkey,
     # l_partkey), snapshot it, and measure a box query on the SECOND
@@ -1231,6 +1279,7 @@ def main() -> None:
     )
     _sh.rmtree(zroot, ignore_errors=True)
 
+    _steal.mark("b10_xl")
     # ---- B10-XL (VERDICT r3 #6): the same read pair at the b8 9.6M-row
     # scale laid out as 512 files — the regime where planning-time file
     # skipping must win WALL CLOCK. At 100 TB the full-scan cost the
@@ -1308,6 +1357,7 @@ def main() -> None:
     )
     _sh.rmtree(zroot_xl, ignore_errors=True)
 
+    _steal.mark("b11")
     # ---- B11: dedup-pipeline scale sweep (round 3): MinHash-LSH
     # end-to-end (shingle -> 128-perm signatures -> 32-band self-join
     # -> exact-Jaccard verify) at 5k / 20k / 80k synthetic docs with
@@ -1365,6 +1415,7 @@ def main() -> None:
 
     _release()  # b11 registers one band cache per run
 
+    _steal.mark("b13")
     # ---- B13 (round 4): multimodal container/codec throughput on a
     # bounded 128-doc sample — AVI mux (sliding text windows -> exact
     # flat-block JPEG frames -> RIFF container) and demux+per-frame
@@ -1450,6 +1501,7 @@ def main() -> None:
         np.array_equal(a, b) for a, b in zip(_base13, _prog13)
     )  # progressive ≡ baseline, re-proved inside the bench
 
+    _steal.mark("b14")
     # ---- B14: MPEG-1 Layer II perceptual-codec throughput (round 7):
     # distributed bitstream encode+decode over the documents table
     # (the mm_mp2_audio code path), plus a driver-side full lossy
@@ -1512,6 +1564,7 @@ def main() -> None:
         (len(_x14) * 2) / len(_bytes14), 2
     )
 
+    _steal.mark("b16")
     # ---- B16: corpus LM tier (operators/lm.py) — count-only bigram
     # training on the lang='en' subset, broadcast-model perplexity
     # scoring of the whole corpus, DSIR top-N selection. Recorded, no
@@ -1584,6 +1637,7 @@ def main() -> None:
     b16_model.big.unpersist()
     b16_docs.unpersist()
 
+    _steal.mark("b17")
     # ---- B17: BM25 ranking + discriminative quality classifier
     # (round-9 tiers; recorded, no gate — plan shapes pytest-pinned)
     from nebuia_vector_db_spark.operators.textvec import bm25_topk
@@ -1621,6 +1675,7 @@ def main() -> None:
     timings["b17_clf_score_docs_per_sec"] = round(b17_n / max(dt, 1e-9), 1)
     b17_docs.unpersist()
 
+    _steal.mark("b18")
     # ---- B18 (round 10): perceptual image near-dup + SemDeDup.
     # dHash: real PNG encode + decode + hash over a bounded 1024-doc
     # sample (decode dominates — the b13/b14 codec discipline), then
@@ -1756,6 +1811,7 @@ def main() -> None:
     _release_bands()
     _release_scored()
 
+    _steal.mark("b19")
     # ---- B19 (round 10): change-data-feed — the churn-proportional
     # cost claim measured. Snapshot the sf lineitem slice range-
     # partitioned on orderkey, delete ONE order (COW rewrites one
@@ -1794,6 +1850,7 @@ def main() -> None:
     )
     _sh.rmtree(b19_root, ignore_errors=True)
 
+    _steal.mark("b20")
     # ---- B20 (round 12): incremental cross-snapshot dedup — the
     # daily-ingest operation: dedup a 1/16 delta against the PERSISTED
     # band index instead of re-fingerprinting the corpus. Same 80k
@@ -1864,6 +1921,7 @@ def main() -> None:
     b20_docs.unpersist()
     _sh.rmtree(b20_root, ignore_errors=True)
 
+    _steal.mark("b21")
     # ---- B21: late-round-12 tiers — iterative PageRank scaling,
     # hard-negative mining throughput, WebDataset shard interchange.
     # b21_pagerank: 5 power iterations over synthetic 3-out-degree
@@ -1970,6 +2028,7 @@ def main() -> None:
     b21_docs.unpersist()
     _sh.rmtree(b21_dir, ignore_errors=True)
 
+    _steal.mark("b22")
     # ---- B22 (round 13): incremental SUBSTRING dedup — the span-level
     # sibling of b20, same discipline: at this scale the wall ratio
     # measures the harness (the ingest is a multi-job CDC pipeline of
@@ -2062,6 +2121,7 @@ def main() -> None:
         b22_docs.unpersist()
         _sh.rmtree(b22_root, ignore_errors=True)
 
+    _steal.mark("b23")
     # ---- B23 (round 14): pretraining-export throughput — the
     # pipe_pretrain_export composition (encode → pack → WebDataset
     # shards) at 200k docs / ~6.4M tokens, 32 shards. Recorded, no
@@ -2108,6 +2168,7 @@ def main() -> None:
     b23_docs.unpersist()
     _sh.rmtree(b23_out, ignore_errors=True)
 
+    _steal.mark("b4")
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
     import shutil, tempfile
@@ -2164,6 +2225,10 @@ def main() -> None:
         d_steal = cpu_ticks_end[0] - cpu_ticks_start[0]
         d_total = cpu_ticks_end[1] - cpu_ticks_start[1]
         timings["steal_frac"] = round(d_steal / max(d_total, 1), 4)
+    # per-family attribution (VERDICT r14 task #5): one
+    # steal_frac_<family> per bench block, so a single moved row is
+    # adjudicable from this artifact without a cross-run re-time
+    _steal.emit(timings)
 
     payload = {
         "metric": "headline_queries_total_sec",

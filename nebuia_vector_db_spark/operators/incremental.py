@@ -72,6 +72,29 @@ from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
 
 _CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
+# churn size above which a delete-retraction stops collecting ids into
+# a literal isin() predicate (plan bloat + driver memory, ADVICE r14)
+# and goes down SnapshotTable.delete_matching's anti-join path instead
+_RETRACT_LIST_MAX = 10_000
+
+
+def _retract_matching(retract_fn, ids_df: DataFrame, list_max: int | None = None):
+    """Route a delete-retraction down the list or DataFrame path by
+    PROBING, not counting: ``limit(list_max+1).collect()`` ships at
+    most list_max+1 ids — small churn keeps the cheap literal-list
+    COW delete, anything larger passes the DataFrame through so the
+    ids stay distributed (round 15, VERDICT r14 task #6).
+    ``retract_fn`` must accept either a list or a DataFrame (the
+    :meth:`_SketchIndexBase.retract` convention)."""
+    if list_max is None:
+        list_max = _RETRACT_LIST_MAX
+    sample = ids_df.limit(list_max + 1).collect()
+    if not sample:
+        return 0
+    if len(sample) <= list_max:
+        return retract_fn([r[0] for r in sample])
+    return retract_fn(ids_df)
+
 
 def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(_id, _shingles) — the exact-Jaccard verify input, same
@@ -313,15 +336,12 @@ class _SketchIndexBase:
             )
         id_col = self._corpus_id_col()
         if retract_deletes:
-            dels = [
-                r[0]
-                for r in feed_slice.where(F.col("_change") == "delete")
-                .select(id_col)
-                .distinct()
-                .collect()
-            ]
-            if dels:
-                self.retract(dels)
+            _retract_matching(
+                self.retract,
+                feed_slice.where(F.col("_change") == "delete")
+                .select(F.col(id_col).alias("_id"))
+                .distinct(),
+            )
         delta = feed_slice.where(F.col("_change") == "insert").drop(
             "_change", "_commit_version"
         )
@@ -345,11 +365,18 @@ class _SketchIndexBase:
     def _corpus_id_col(self) -> str:  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def retract(self, ids: list) -> int:
+    def retract(self, ids) -> int:
         """COW-delete the sketch rows of removed docs (stale-row
         hygiene — optional when deletes aren't retracted at ingest:
         stale rows cost candidate noise, not correctness). ``ids`` is
-        driver-side and churn-bounded by contract."""
+        a driver-side churn-bounded list, or (round 15, VERDICT r14
+        task #6) a single-column DataFrame of ids — the large-churn
+        form, COW-retracted via :meth:`SnapshotTable.delete_matching`'s
+        anti-join so no id literal ever enters a plan."""
+        if isinstance(ids, DataFrame):
+            return self.tbl.delete_matching(
+                ids.select(F.col(ids.columns[0]).alias("_id"))
+            )
         return self.tbl.delete_where(F.col("_id").isin(list(ids)))
 
 
@@ -845,6 +872,18 @@ class SemDedupClusterIndex:
             ),
         )
 
+    def _retract_assign(self, ids) -> int:
+        """COW-retract assignment rows by id — list (literal-isin
+        predicate, small churn) or single-column DataFrame
+        (delete_matching anti-join, large churn); the ledger is NOT
+        touched here (deletion there is the separate negated-row
+        append, see ingest_feed)."""
+        if isinstance(ids, DataFrame):
+            return self.assign.delete_matching(
+                ids.select(F.col(ids.columns[0]).alias("_id"))
+            )
+        return self.assign.delete_where(F.col("_id").isin(list(ids)))
+
     def _cent_rows(self, df: DataFrame, sign: int = 1) -> DataFrame:
         from nebuia_vector_db_spark.operators.semdedup import (
             quantized_centroid_rows,
@@ -945,15 +984,14 @@ class SemDedupClusterIndex:
             self._cent_rows(dels, sign=-1)
         )
         # assignment advance: COW-retract deleted ids (churn-bounded
-        # by contract, same discipline as _SketchIndexBase.retract),
-        # then append the inserts
+        # by contract, same discipline as _SketchIndexBase.retract —
+        # incl. the r15 large-churn anti-join route), then append the
+        # inserts
         if not _replay_assign_done:
-            del_ids = [
-                r[0]
-                for r in del_assign.select("_id").distinct().collect()
-            ]
-            if del_ids:
-                self.assign.delete_where(F.col("_id").isin(del_ids))
+            _retract_matching(
+                self._retract_assign,
+                del_assign.select("_id").distinct(),
+            )
         if txn is None:
             self.assign.append(ins_assign)
             self.cent.append(cent_delta)

@@ -730,6 +730,73 @@ class SnapshotTable:
             expected_parent=parent,
         )
 
+    def delete_matching(self, keys: DataFrame) -> int:
+        """Copy-on-write delete of every row whose values on
+        ``keys``' columns match some row of ``keys`` — the
+        RELATIONAL form of :meth:`delete_where` (round 15, ADVICE/
+        VERDICT r14): a large-churn retraction as an ``isin`` literal
+        list inflates the plan (and the driver) with the id list,
+        while this form keeps the ids distributed end to end — the
+        hit-file probe is a LEFT SEMI join and the rewrite a LEFT
+        ANTI join, so no id literal ever enters a plan or crosses the
+        driver. Same three COW phases and commit shape as
+        delete_where; unaffected files move by reference.
+
+        ``keys``' column names must all exist in the table schema
+        (the join is on that column set). Join strategy is left to
+        Catalyst/AQE — a churn-sized key relation broadcasts itself
+        at runtime."""
+        cols = list(keys.columns)
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        missing = [
+            c for c in cols if c not in self.read(parent).columns
+        ]
+        if not cols or missing:
+            raise ValueError(
+                f"delete_matching: key columns {missing or cols} not "
+                "usable against the table schema"
+            )
+        keys = keys.select(*cols).distinct()
+        current = self.read(parent)
+        # capture the file name AT SCAN TIME: input_file_name() is
+        # empty for rows that crossed a shuffle, and the semi-join may
+        # shuffle — projecting it first pins it to the scan stage
+        hit = (
+            current.withColumn("_f", F.input_file_name())
+            .join(keys, cols, "left_semi")
+            .select(F.col("_f").alias("f"))
+            .distinct()
+            .collect()
+        )
+        hit_paths = {_strip_scheme(r["f"]) for r in hit}
+        kept, rewrite = [], []
+        for f in snap["files"]:
+            full = os.path.abspath(os.path.join(self.path, f["path"]))
+            (rewrite if full in hit_paths else kept).append(f)
+        new_files = list(kept)
+        if rewrite:
+            schema = self._schema(snap)
+            survivors = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f["path"]) for f in rewrite]
+            ).join(keys, cols, "left_anti")
+            new_files += self._write_files(
+                survivors, self._default_stats_cols(survivors)
+            )
+        return self._commit(
+            {
+                **self._app_meta(snap),
+                "op": "delete",
+                "schema": snap["schema"],
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+                "rewrote_files": len(rewrite),
+                "carried_files": len(kept),
+            },
+            expected_parent=parent,
+        )
+
     def upsert(
         self,
         updates: DataFrame,

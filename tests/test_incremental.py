@@ -870,3 +870,80 @@ def test_token_export_guards(spark, tmp_path):
     r = idx.ingest(mk([]).where(F.lit(False)))
     release_cached_relations()
     assert r["bins_written"] == 0 and r["shards_written"] == 0
+
+
+def test_retract_dataframe_path_equals_list_path(spark, tmp_path):
+    """list ≡ DataFrame retraction (round 15, VERDICT r14 task #6):
+    the two routes leave the persisted band index in the SAME state —
+    identical row sets — and the large-churn probe routes past the
+    literal-isin path without ever calling delete_where."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        _retract_matching,
+    )
+
+    rows = [(i, f"tok{i} " * 30) for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = MinhashBandIndex.create(spark, str(tmp_path / "a"), corpus=docs)
+    b = MinhashBandIndex.create(spark, str(tmp_path / "b"), corpus=docs)
+    dels = [i for i in range(24) if i % 3 == 0]
+    a.retract(dels)
+    b.retract(
+        spark.createDataFrame([(i,) for i in dels], "_id long")
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(a.tbl.read()) == key(b.tbl.read())
+    assert not {r["_id"] for r in a.tbl.read().collect()} & set(dels)
+
+    # large-churn route: with the probe threshold forced below the
+    # churn, the helper must take the DataFrame path — no literal
+    # id list is ever built (delete_where never called)
+    c = MinhashBandIndex.create(spark, str(tmp_path / "c"), corpus=docs)
+    calls = []
+    orig = c.tbl.delete_where
+    c.tbl.delete_where = lambda cond: calls.append("where") or orig(cond)
+    ids_df = spark.createDataFrame([(i,) for i in dels], "_id long")
+    _retract_matching(c.retract, ids_df, list_max=2)
+    assert calls == []  # anti-join route, not the isin literal
+    assert key(c.tbl.read()) == key(a.tbl.read())
+    # small churn keeps the cheap literal path
+    d = MinhashBandIndex.create(spark, str(tmp_path / "d"), corpus=docs)
+    calls_d = []
+    orig_d = d.tbl.delete_where
+    d.tbl.delete_where = (
+        lambda cond: calls_d.append("where") or orig_d(cond)
+    )
+    _retract_matching(d.retract, ids_df, list_max=100)
+    assert calls_d == ["where"]
+    assert key(d.tbl.read()) == key(a.tbl.read())
+
+
+def test_semdedup_retract_assign_dataframe_path(spark, tmp_path):
+    """The semantic index's delete lane accepts the DataFrame route
+    too: assignment rows COW-retract via the anti-join with state
+    identical to the list route."""
+    import numpy as np
+
+    from nebuia_vector_db_spark.operators.incremental import (
+        SemDedupClusterIndex,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(20)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    vecs = spark.createDataFrame(rows, schema)
+    a = SemDedupClusterIndex.create(
+        spark, str(tmp_path / "sa"), corpus=vecs, dim=8, n_planes=3
+    )
+    b = SemDedupClusterIndex.create(
+        spark, str(tmp_path / "sb"), corpus=vecs, dim=8, n_planes=3
+    )
+    dels = [0, 4, 8, 12]
+    a._retract_assign(dels)
+    b._retract_assign(
+        spark.createDataFrame([(i,) for i in dels], "_id long")
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(a.assign.read()) == key(b.assign.read())
+    assert not {r["_id"] for r in a.assign.read().collect()} & set(dels)

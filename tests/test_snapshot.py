@@ -312,3 +312,48 @@ def test_maintenance_commits_preserve_app_metadata(spark, base_df, tmp_path):
     )
     assert tbl.meta("stream_watermarks") == {"w1": 6}
     assert tbl.meta("centroids") == [[1.0, 2.0]]
+
+
+def test_cow_delete_matching_rewrites_only_hit_files(spark, tmp_path):
+    """delete_matching (round 15): the relational twin of
+    delete_where — same COW accounting (unaffected files carried by
+    reference), rows matched via the keys relation's anti-join, no
+    literal predicate; key columns absent from the table raise."""
+    import pytest as _pt
+
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("bucket"),
+            F.lit(1).cast("long").alias("ver"),
+        )
+        .repartitionByRange(4, "bucket")
+    )
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), df)
+    before = {f["path"] for f in tbl._snapshot()["files"]}
+    # delete 100 specific keys, all inside bucket 2's files
+    keys = spark.range(0, 2000).where(
+        (F.col("id") % 4 == 2) & (F.col("id") < 400)
+    ).select(F.col("id").alias("k"))
+    tbl.delete_matching(keys)
+    snap = tbl._snapshot()
+    after = {f["path"] for f in snap["files"]}
+    assert snap["carried_files"] >= 1
+    assert snap["rewrote_files"] >= 1
+    assert before & after, "carried files must keep their original paths"
+    got = tbl.read()
+    assert got.count() == 1900
+    assert got.join(keys, "k", "left_semi").count() == 0
+    # multi-column keys: (k, bucket) both must match
+    two = spark.createDataFrame(
+        [(402, 2), (403, 1)], "k long, bucket long"
+    )
+    tbl.delete_matching(two)
+    got2 = tbl.read()
+    assert got2.where(F.col("k") == 402).count() == 0
+    assert got2.where(F.col("k") == 403).count() == 1  # bucket is 3
+    with _pt.raises(ValueError, match="delete_matching"):
+        tbl.delete_matching(
+            spark.createDataFrame([(1,)], "nope long")
+        )
