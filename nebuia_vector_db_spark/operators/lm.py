@@ -400,6 +400,206 @@ def kn_perplexity(
     )
 
 
+@dataclass
+class KneserNey3LM:
+    """A trained interpolated TRIGRAM Kneser-Ney model (Chen &
+    Goodman 1999 §2.7's recursive form, fixed discount): the trigram
+    count relation plus the marginals the recursion needs — all from
+    ONE trigram groupBy + the bigram relations the order-2 model
+    already trains, so training stays two shuffle-bounded sweeps."""
+
+    tri: DataFrame  # (w1, w2, w3, c3) training trigram counts
+    ctx2: DataFrame  # (w1, w2, c2ctx, n1f2): Σc3 + distinct followers
+    mid: DataFrame  # (w2, w3, cm): N1+(·w2w3) distinct left-extensions
+    midctx: DataFrame  # (w2, nmid, n1f): Σcm + distinct followers of w2
+    cont: DataFrame  # (w3, n1b): distinct predecessors (unigram cont.)
+    total_bigrams: int  # B: distinct (w1, w2) pairs in training
+    vocab_size: int  # V: distinct training tokens
+
+
+def train_kn3_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> KneserNey3LM:
+    """Train the interpolated trigram KN model: trigram counts, the
+    (w1,w2) context marginals, the middle-order continuation counts
+    N1+(·w2w3) / N1+(·w2·) (count how many DISTINCT contexts extend a
+    bigram leftward — the recursive lower-order continuation Chen &
+    Goodman's interpolated KN prescribes, where the stupid-backoff
+    trigram just reuses raw frequency), and the unigram continuation
+    relation shared with the bigram model. ``min_count`` prunes the
+    trigram relation AFTER the marginals are taken (same discipline
+    as train_kn_lm)."""
+    toked = doc_tokens(docs, text_col, id_col)
+    tri = (
+        toked.select(F.explode(_triples(F.col("_toks"))).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    ctx2 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"), F.count("*").alias("n1f2")
+    )
+    mid = tri.groupBy("w2", "w3").agg(F.count("*").alias("cm"))
+    big = (
+        toked.select(F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    midctx = mid.groupBy(F.col("w2")).agg(
+        F.sum("cm").alias("nmid")
+    ).join(
+        big.groupBy(F.col("w1").alias("w2")).agg(
+            F.count("*").alias("n1f")
+        ),
+        "w2",
+    )
+    cont = big.groupBy(F.col("w2").alias("w3")).agg(
+        F.count("*").alias("n1b")
+    )
+    b_total = big.count()
+    v_total = (
+        toked.select(F.explode("_toks").alias("w")).distinct().count()
+    )
+    if min_count > 1:
+        tri = tri.where(F.col("c3") >= min_count)
+    return KneserNey3LM(
+        tri=tri,
+        ctx2=ctx2,
+        mid=mid,
+        midctx=midctx,
+        cont=cont,
+        total_bigrams=int(b_total),
+        vocab_size=int(v_total),
+    )
+
+
+def kn3_perplexity(
+    docs: DataFrame,
+    lm: KneserNey3LM,
+    discount: float = 0.75,
+    keep_avg_nll: float = 7.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document against the interpolated TRIGRAM KN model
+    — the full Chen & Goodman recursion with the same fixed-discount,
+    add-half-floored base the bigram variant pins. Per transition
+    (w1, w2, w3), with D = ``discount``:
+
+      Pcont(w3)      = (n1b(w3) + 0.5) / (B + 0.5·V)
+      P2(w3|w2)      = (max(cm(w2,w3) − D, 0) + (D·n1f(w2))·Pcont(w3))
+                       / nmid(w2)          if w2 was a middle context
+                     = Pcont(w3)           otherwise
+      p(w3|w1,w2)    = (max(c3 − D, 0) + (D·n1f2(w1,w2))·P2(w3|w2))
+                       / c2ctx(w1,w2)      if (w1,w2) was a context
+                     = P2(w3|w2)           otherwise
+
+    The middle level uses CONTINUATION counts (how many distinct
+    left-contexts extend (w2,w3)), not raw bigram frequency — the KN
+    recursion applied at order 3, which is what separates this from
+    the ``perplexity3`` stupid-backoff row. When (w1,w2) is a seen
+    context, nmid(w2) ≥ 1 by construction (any trigram with that
+    context puts w2 in a middle position), so the seen branch never
+    divides by zero. Exactness and output shape mirror
+    :func:`kn_perplexity` (LOG_MICRO quantization, BIGINT sums;
+    ``unseen_ctx_rate`` counts transitions whose (w1,w2) context was
+    unseen). The broadcast hint auto-disables past
+    ``_KN_BROADCAST_MAX_TYPES`` distinct bigram types (same coupling
+    note as the bigram scorer — the trigram relation is strictly
+    larger)."""
+    if lm.total_bigrams <= 0:
+        raise ValueError("cannot score against an empty training corpus")
+    keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    if broadcast_model and lm.total_bigrams > _KN_BROADCAST_MAX_TYPES:
+        broadcast_model = False
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    trans = (
+        doc_tokens(docs, text_col, id_col)
+        .select(id_col, F.explode(_triples(F.col("_toks"))).alias("t"))
+        .select(id_col, "t.w1", "t.w2", "t.w3")
+    )
+    tri = lm.tri.select("w1", "w2", "w3", F.col("c3").alias("_c3"))
+    ctx2 = lm.ctx2.select(
+        "w1", "w2",
+        F.col("c2ctx").alias("_c2ctx"), F.col("n1f2").alias("_n1f2"),
+    )
+    mid = lm.mid.select("w2", "w3", F.col("cm").alias("_cm"))
+    midctx = lm.midctx.select(
+        "w2", F.col("nmid").alias("_nmid"), F.col("n1f").alias("_n1f")
+    )
+    cont = lm.cont.select("w3", F.col("n1b").alias("_n1b"))
+    denom = F.lit(float(lm.total_bigrams + 0.5 * lm.vocab_size))
+    d = F.lit(float(discount))
+    # paren discipline: mirrored verbatim by the SQL oracle
+    pcont = (F.coalesce(F.col("_n1b"), F.lit(0)) + F.lit(0.5)) / denom
+    p2 = F.when(
+        F.col("_nmid").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("_cm"), F.lit(0)) - d, F.lit(0.0)
+            )
+            + (d * F.col("_n1f")) * pcont
+        )
+        / F.col("_nmid"),
+    ).otherwise(pcont)
+    p = F.when(
+        F.col("_c2ctx").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("_c3"), F.lit(0)) - d, F.lit(0.0)
+            )
+            + (d * F.col("_n1f2")) * p2
+        )
+        / F.col("_c2ctx"),
+    ).otherwise(p2)
+    scored = (
+        trans.join(hint(tri), ["w1", "w2", "w3"], "left")
+        .join(hint(ctx2), ["w1", "w2"], "left")
+        .join(hint(mid), ["w2", "w3"], "left")
+        .join(hint(midctx), ["w2"], "left")
+        .join(hint(cont), ["w3"], "left")
+        .select(
+            id_col,
+            F.floor(F.log(p) * F.lit(LOG_MICRO) + F.lit(0.5)).alias("_lp"),
+            F.when(F.col("_c2ctx").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_uc"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trans"),
+        (-F.sum("_lp")).alias("nll_micro"),
+        F.sum("_uc").alias("_n_uc"),
+    )
+    avg_nll = (F.col("nll_micro") / F.lit(float(LOG_MICRO))) / F.col(
+        "n_trans"
+    )
+    return agg.select(
+        id_col,
+        "n_trans",
+        "nll_micro",
+        (
+            F.floor(F.exp(avg_nll) * F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("ppl"),
+        (
+            F.floor(
+                (F.col("_n_uc") / F.col("n_trans")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("unseen_ctx_rate"),
+        (
+            F.col("nll_micro") <= F.col("n_trans") * F.lit(keep_micro)
+        ).alias("keep"),
+    )
+
+
 def ppl_buckets(
     scored: DataFrame,
     lang_col: str = "lang",

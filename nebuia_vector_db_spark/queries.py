@@ -2536,6 +2536,221 @@ ORDER BY split, lang
 """
 
 
+def q_pipe_curate_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATE → EXPORT composition (round 15, VERDICT r14 stretch #8
+    — the contract TokenExportIndex's docstring states: packing is
+    order-dependent, so mutation is never incremental — 'curate
+    upstream, export downstream'): the rank-blended keep decision
+    (pipe_curate_ranked's exact blend — integer PageRank prior,
+    quality micro-blend, lang allowlist, near-dup drop) SELECTS the
+    corpus, and only the survivors flow into the maintained export —
+    TokenExportIndex seeded on the curated docs below the 80% id
+    boundary, the curated remainder arriving as an append-only
+    ingest. The oracle replays the full decide-then-ship path —
+    unrolled PageRank, blend, dup closure, then the from-scratch
+    export of the CURATED corpus under the curated-base vocab — so
+    one value hash certifies that the decision stage and the shipping
+    stage compose exactly (a doc wrongly kept, dropped, or packed at
+    the wrong offset all break it)."""
+    from nebuia_vector_db_spark.operators.graph import pagerank_exact
+    from nebuia_vector_db_spark.operators.incremental import (
+        TokenExportIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.webdataset import (
+        read_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rank = pagerank_exact(
+        _doc_link_edges(docs.select("doc_id")), iters=5, damping_pct=85
+    ).select(F.col("node").alias("doc_id"), "rank_micro")
+    toked = text_fns.with_tokens(docs)
+    scored = toked.select(
+        "doc_id", "lang", text_fns.quality_score("text").alias("quality")
+    )
+    kept = (
+        scored.join(rank, "doc_id")
+        .withColumn("_qm", _q6("quality").cast("long"))
+        .where(
+            (
+                F.expr(
+                    "(7L * _qm + 3L * least(rank_micro, 2000000L)) div 10"
+                )
+                >= 500_000
+            )
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select("doc_id")
+    )
+    dups = (
+        _shared_dup_groups(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    curated = (
+        docs.select("doc_id", "text")
+        .join(kept, "doc_id", "left_semi")
+        .join(F.broadcast(dups), "doc_id", "left_anti")
+    )
+    k = (4 * docs.count()) // 5
+    base = curated.where(F.col("doc_id") < k)
+    delta = curated.where(F.col("doc_id") >= k)
+    root = posix_scratch_dir(spark, "ptxcur")
+    try:
+        idx = TokenExportIndex.create(
+            spark, root + "/state", root + "/out", corpus=base,
+            vocab_size=4096, capacity=512, bins_per_shard=8,
+        )
+        if delta.limit(1).count() > 0:
+            idx.ingest(delta)
+        per = (
+            read_webdataset(spark, root + "/out")
+            .where(F.col("ext") == "txt")
+            .select(
+                F.col("key").cast("long").alias("bin_id"),
+                F.col("shard").cast("int").alias("shard"),
+                F.col("content").cast("string").alias("_s"),
+            )
+            .select(
+                "bin_id",
+                "shard",
+                F.size(F.split("_s", " ")).cast("long").alias("n_tokens"),
+                F.md5("_s").alias("tokens_md5"),
+            )
+            .orderBy("bin_id")
+        )
+        out = spark.createDataFrame(per.collect(), per.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+ORACLE_PIPE_CURATE_EXPORT = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         (0.5 * least(len(toks) / 50.0, 1.0)
+          + 0.25 * (1.0 - len(list_filter(toks, s -> s IN ({_STOP_SQL})))
+                          * 1.0 / len(toks))
+          + 0.25 * len(regexp_replace(text, '[^a-z]', '', 'g'))
+                   * 1.0 / len(text)) AS quality
+  FROM t
+),
+n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 17 + 3) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 7) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 11) % n.n FROM documents, n
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+{{PAGERANK_CTES}},
+pr AS (SELECT node AS doc_id, rm FROM r5),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(len(toks) - 2),
+           i -> toks[i+1] || chr(31) || toks[i+2] || chr(31) || toks[i+3]
+         ))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.dst
+),
+grp AS (SELECT node AS doc_id, min(lbl) AS group_id FROM reach GROUP BY node),
+dups AS (SELECT doc_id FROM grp WHERE doc_id != group_id),
+curated AS (
+  SELECT q.doc_id FROM q
+  JOIN pr ON pr.doc_id = q.doc_id
+  LEFT JOIN dups ON q.doc_id = dups.doc_id
+  WHERE dups.doc_id IS NULL
+        AND q.lang IN ('en', 'de', 'fr')
+        AND (7 * CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT)
+             + 3 * least(pr.rm, 2000000)) // 10 >= 500000
+),
+k AS (SELECT (4 * count(*)) // 5 AS k FROM documents),
+ctoks AS (
+  SELECT d.doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS word
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM curated)) d
+),
+wc AS (
+  SELECT word, count(*) AS cnt FROM ctoks, k
+  WHERE ctoks.doc_id < k.k GROUP BY word
+),
+vocab AS (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word) + 3 AS tok_id
+  FROM wc QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= 4096
+),
+enc AS (
+  SELECT c.doc_id, c.idx, CAST(COALESCE(v.tok_id, 3) AS BIGINT) AS tok
+  FROM ctoks c LEFT JOIN vocab v USING (word)
+),
+cnts AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), ' ')) + 2 AS n
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM curated)
+),
+offs AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM cnts
+),
+stream AS (
+  SELECT o AS pos, CAST(1 AS BIGINT) AS tok FROM offs
+  UNION ALL
+  SELECT f.o + e.idx, e.tok FROM offs f JOIN enc e USING (doc_id)
+  UNION ALL
+  SELECT o + n - 1, CAST(2 AS BIGINT) FROM offs
+),
+bins AS (
+  SELECT CAST(pos // 512 AS BIGINT) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY pos) AS payload
+  FROM stream GROUP BY 1
+)
+SELECT bin_id,
+       CAST(bin_id // 8 AS INT) AS shard,
+       n_tokens,
+       md5(payload) AS tokens_md5
+FROM bins
+ORDER BY bin_id
+"""
+
+
 def q_pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (operators/pipeline.py::epoch_shard,
     epoch=3, 8 shards): the first 5 docs of each shard in epoch order —
@@ -4708,6 +4923,124 @@ SELECT doc_id, lang, avg_nll_micro,
             WHEN rk <= n * 66 // 100 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM r ORDER BY doc_id
+"""
+
+
+def q_text_lm_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney filter (round 15, VERDICT r14
+    stretch #7 — operators/lm.py::train_kn3_lm/kn3_perplexity): the
+    full Chen & Goodman recursion — the middle order backs off
+    through CONTINUATION counts N1+(·w2w3)/N1+(·w2·) (how many
+    distinct contexts extend the bigram leftward), not raw frequency,
+    which is exactly what distinguishes principled KN from the
+    recorded order-3 stupid-backoff row on the same trigram relation
+    scale. Trained on lang='en', scoring every document; all five
+    model relations are one-pass aggregates, the probability chain is
+    mirrored parenthesis-for-parenthesis by the oracle, and log-probs
+    quantize to LOG_MICRO — the train→recurse→score→keep pipeline
+    value-hashes end to end."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_kn3_lm(docs.where(F.col("lang") == "en"))
+    return lm.kn3_perplexity(docs, model, keep_avg_nll=3.4).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_TEXT_LM_KN3 = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+tri AS (
+  SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS c3
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 2),
+                  i -> [toks[i+1], toks[i+2], toks[i+3]])) AS t
+    FROM tok WHERE lang = 'en' AND len(toks) >= 3
+  ) GROUP BY 1, 2, 3
+),
+ctx2 AS (
+  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx, count(*) AS n1f2
+  FROM tri GROUP BY w1, w2
+),
+mid AS (SELECT w2, w3, count(*) AS cm FROM tri GROUP BY w2, w3),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE lang = 'en' AND len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+midctx AS (
+  SELECT m.w2, m.nmid, f.n1f
+  FROM (SELECT w2, CAST(sum(cm) AS BIGINT) AS nmid
+        FROM mid GROUP BY w2) m
+  JOIN (SELECT w1 AS w2, count(*) AS n1f FROM big GROUP BY w1) f
+    USING (w2)
+),
+cont AS (SELECT w2 AS w3, count(*) AS n1b FROM big GROUP BY w2),
+bv AS (
+  SELECT (SELECT count(*) FROM big) AS b,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')) AS v
+),
+trans AS (
+  SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+                   i -> [toks[i+1], toks[i+2], toks[i+3]])) AS t
+    FROM tok WHERE len(toks) >= 3
+  )
+),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN x.c2ctx IS NOT NULL THEN
+           (greatest(coalesce(g.c3, 0) - 0.75, 0.0)
+            + (0.75 * x.n1f2)
+              * (CASE WHEN mc.nmid IS NOT NULL THEN
+                   (greatest(coalesce(m.cm, 0) - 0.75, 0.0)
+                    + (0.75 * mc.n1f)
+                      * ((coalesce(k.n1b, 0) + 0.5)
+                         / (bv.b + 0.5 * bv.v)))
+                   / mc.nmid
+                 ELSE (coalesce(k.n1b, 0) + 0.5)
+                      / (bv.b + 0.5 * bv.v) END))
+           / x.c2ctx
+         ELSE
+           CASE WHEN mc.nmid IS NOT NULL THEN
+             (greatest(coalesce(m.cm, 0) - 0.75, 0.0)
+              + (0.75 * mc.n1f)
+                * ((coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v)))
+             / mc.nmid
+           ELSE (coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v) END
+         END AS p,
+         CASE WHEN x.c2ctx IS NULL THEN 1 ELSE 0 END AS uc
+  FROM trans t
+  LEFT JOIN tri g ON t.w1 = g.w1 AND t.w2 = g.w2 AND t.w3 = g.w3
+  LEFT JOIN ctx2 x ON t.w1 = x.w1 AND t.w2 = x.w2
+  LEFT JOIN mid m ON t.w2 = m.w2 AND t.w3 = m.w3
+  LEFT JOIN midctx mc ON t.w2 = mc.w2
+  LEFT JOIN cont k ON t.w3 = k.w3
+  CROSS JOIN bv
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro,
+         CAST(sum(uc) AS BIGINT) AS n_uc
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trans, nll_micro,
+       floor(exp((nll_micro / 10000.0) / n_trans) * 100 + 0.5) / 100.0
+         AS ppl,
+       floor((n_uc / n_trans) * 1000000.0 + 0.5) / 1000000.0
+         AS unseen_ctx_rate,
+       nll_micro <= n_trans * 34000 AS keep
+FROM agg ORDER BY doc_id
 """
 
 
@@ -9379,6 +9712,10 @@ SELECT node AS doc_id, rm AS rank_micro FROM r5 ORDER BY doc_id
 ORACLE_PIPE_CURATE_RANKED = ORACLE_PIPE_CURATE_RANKED.replace(
     "{PAGERANK_CTES}", _pagerank_iters_sql(5)
 )
+# the curate→export composition oracle reuses the same unrolled rank
+ORACLE_PIPE_CURATE_EXPORT = ORACLE_PIPE_CURATE_EXPORT.replace(
+    "{PAGERANK_CTES}", _pagerank_iters_sql(5)
+)
 
 
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11064,6 +11401,18 @@ REGISTRY: dict[
         q_text_lm_ppl_buckets,
         ORACLE_TEXT_LM_PPL_BUCKETS,
     ),
+    # text_lm_kn3_perplexity (round 15, VERDICT r14 stretch #7): the
+    #   full interpolated TRIGRAM KN recursion — middle-order backoff
+    #   through continuation counts, full parenthesis-mirrored
+    #   oracle + pure-Python reference equality (tests/test_lm.py);
+    #   the principled-smoothing pin is recorded via the in-window
+    #   bigram KN row and the trigram relation scale via
+    #   text_lm3_perplexity, so the recursive composition stays below
+    #   the window; locally green;
+    "text_lm_kn3_perplexity": (
+        q_text_lm_kn3_perplexity,
+        ORACLE_TEXT_LM_KN3,
+    ),
     # text_lm_perplexity: bigram stupid backoff (round 9) — the LM
     #   family's recorded rep is the order-3 row (strictly more
     #   machinery + real fixture separation, see the in-window
@@ -11398,6 +11747,18 @@ REGISTRY: dict[
     "pipe_pretrain_export_bin": (
         q_pipe_pretrain_export_bin,
         ORACLE_PIPE_PRETRAIN_EXPORT_BIN,
+    ),
+    # pipe_curate_export (round 15, VERDICT r14 stretch #8): the
+    #   decide-then-ship composition — rank-blended curation SELECTS
+    #   the corpus, the survivors flow into TokenExportIndex
+    #   create+ingest, and the oracle replays unrolled PageRank +
+    #   blend + dup closure + the curated-corpus export in one hash;
+    #   both stages are recorded separately in-window
+    #   (pipe_curate_ranked, pipe_pretrain_export[_incremental]), so
+    #   the composition row stays below the window; locally green;
+    "pipe_curate_export": (
+        q_pipe_curate_export,
+        ORACLE_PIPE_CURATE_EXPORT,
     ),
     # ---- Round-15 demotions (slots freed for the six VERDICT r14
     # task-#1 promotions plus the new pipe_decontaminate_eval

@@ -464,3 +464,111 @@ def test_ppl_buckets_unscorable_and_tiny_language_edges(spark):
     assert got[1] == "tail"
     assert got[2] == "middle" and got[3] == "tail"
     assert got[4] is None
+
+
+def _py_kn3(train_rows):
+    tri, big = Counter(), Counter()
+    uni = Counter()
+    for r in train_rows:
+        t = _toks(r["text"])
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+        tri.update(zip(t, t[1:], t[2:]))
+    ctx2, n1f2 = Counter(), Counter()
+    mid = Counter()
+    for (w1, w2, w3), c in tri.items():
+        ctx2[(w1, w2)] += c
+        n1f2[(w1, w2)] += 1
+        mid[(w2, w3)] += 1
+    nmid, n1f = Counter(), Counter()
+    for (w2, w3), c in mid.items():
+        nmid[w2] += c
+    n1b = Counter()
+    for (w1, w2) in big:
+        n1f[w1] += 1
+        n1b[w2] += 1
+    return tri, ctx2, n1f2, mid, nmid, n1f, n1b, len(big), len(uni)
+
+
+def _py_kn3_ppl(text, model, d=0.75):
+    tri, ctx2, n1f2, mid, nmid, n1f, n1b, b_total, v = model
+    denom = float(b_total + 0.5 * v)
+    toks = _toks(text)
+    nll_micro, n_uc = 0, 0
+    for w1, w2, w3 in zip(toks, toks[1:], toks[2:]):
+        pcont = (n1b.get(w3, 0) + 0.5) / denom
+        if w2 in nmid:
+            p2 = (
+                max(mid.get((w2, w3), 0) - d, 0.0)
+                + (d * n1f[w2]) * pcont
+            ) / nmid[w2]
+        else:
+            p2 = pcont
+        if (w1, w2) in ctx2:
+            p = (
+                max(tri.get((w1, w2, w3), 0) - d, 0.0)
+                + (d * n1f2[(w1, w2)]) * p2
+            ) / ctx2[(w1, w2)]
+        else:
+            p = p2
+            n_uc += 1
+        nll_micro -= math.floor(math.log(p) * MICRO + 0.5)
+    return len(toks) - 2, nll_micro, n_uc
+
+
+def test_kn3_perplexity_matches_python_recomputation(spark, docs):
+    """kn3_perplexity ≡ a from-scratch pure-Python interpolated
+    trigram KN pass — trigram counts, both context marginals, the
+    middle-order continuation recursion, the unigram continuation
+    base, and the micro-unit quantization."""
+    train_rows = docs.where(F.col("lang") == "en").select("text").collect()
+    model = _py_kn3(train_rows)
+    got = {
+        r["doc_id"]: r
+        for r in lm.kn3_perplexity(
+            docs, lm.train_kn3_lm(docs.where(F.col("lang") == "en")),
+            keep_avg_nll=3.4,
+        ).collect()
+    }
+    n_checked = 0
+    for r in docs.select("doc_id", "text").collect():
+        toks = _toks(r["text"])
+        if len(toks) < 3:
+            assert r["doc_id"] not in got
+            continue
+        n_trans, nll, n_uc = _py_kn3_ppl(r["text"], model)
+        g = got[r["doc_id"]]
+        assert (g["n_trans"], g["nll_micro"]) == (n_trans, nll)
+        assert g["unseen_ctx_rate"] == math.floor(
+            (n_uc / n_trans) * 1e6 + 0.5
+        ) / 1e6
+        assert g["keep"] == (nll <= n_trans * 34000)
+        n_checked += 1
+    assert n_checked > 100
+
+
+def test_kn3_middle_order_uses_continuation_not_frequency(spark):
+    """The recursion's distinguishing behavior at order 3: when the
+    (w1,w2) context is unseen, scoring falls to the MIDDLE order,
+    where a bigram that appears many times but only ever under ONE
+    left-context ('san francisco' inflates c(w2,w3) but not
+    N1+(·w2w3)) scores no higher than a rarer bigram with the same
+    continuation diversity."""
+    rows = [
+        # 'aa bb' occurs 5x but always left-extended by 'xx' only;
+        # 'cc dd' occurs once under each of 5 distinct left contexts
+        (0, "xx aa bb " * 5 + " ".join(f"l{i} cc dd" for i in range(5))),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    model = lm.train_kn3_lm(train)
+    score = spark.createDataFrame(
+        [(1, "zz1 aa bb"), (2, "zz1 cc dd")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["nll_micro"]
+        for r in lm.kn3_perplexity(score, model).collect()
+    }
+    # both transitions have unseen (w1,w2)=(zz1,·) top contexts; the
+    # continuation-diverse bigram must score BETTER (lower nll)
+    assert out[2] < out[1]
