@@ -1303,6 +1303,126 @@ def stream_semdedup_ingest(
     )
 
 
+def stream_decontaminate(
+    spark: SparkSession,
+    corpus_path: str,
+    eval_rel: DataFrame,
+    decisions_path: str,
+    checkpoint: str,
+    n: int = 13,
+    min_collide: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_version: int = 0,
+    app: str | None = None,
+):
+    """Continuous DECONTAMINATION-at-ingest (round 15): subscribe to
+    the corpus SnapshotTable's change feed and, per commit, scrub the
+    inserted documents against the static benchmark relation
+    (operators/pipeline.py::decontaminate_against — the GPT-3 §4
+    13-gram gate), maintaining a decisions SnapshotTable that always
+    mirrors ``decontaminate_against(live corpus, eval_rel)``. The
+    decision is PER-DOC (each train doc vs the frozen benchmark —
+    no cross-doc state), so stream ≡ batch holds by construction and
+    the ``stream_decontaminate_mirror`` registry row SHARES the batch
+    row's oracle: the standing crawl-ingest loop every production
+    pipeline runs between acquisition and export, now on the same
+    stream ≡ batch ≡ SQL discipline as the four incremental index
+    families.
+
+    Deletes RETRACT their decision rows (the corpus shrank, so must
+    the mirror) through the churn-probed list/anti-join route —
+    idempotent under replays (re-deleting absent ids is a no-op), and
+    a version at or below the decisions lane's watermark is skipped
+    whole. Appends ride the stream-watermark CAS keyed by commit
+    version, so at-least-once redelivery duplicates nothing.
+    ``start_version=0`` delivers the CREATE commit too (nothing is
+    pre-scrubbed at seed time, unlike the index families whose
+    ``create(corpus=...)`` seeds state)."""
+    from nebuia_vector_db_spark.operators.pipeline import (
+        decontaminate_against,
+    )
+    from nebuia_vector_db_spark.sources.changes_stream import (
+        SnapshotChangesDataSource,
+    )
+    from nebuia_vector_db_spark.streaming.sinks import (
+        transactional_append,
+    )
+
+    spark.dataSource.register(SnapshotChangesDataSource)
+    feed = (
+        spark.readStream.format("nebuia_snapshot_changes")
+        .option("path", corpus_path)
+        .option("startVersion", start_version)
+        .load()
+    )
+    lane = (app if app is not None else checkpoint) + ":decisions"
+
+    def _scrub(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                v = int(v)
+                tbl = SnapshotTable(spark, decisions_path)
+                if tbl.versions():
+                    last = (tbl.meta("stream_watermarks") or {}).get(
+                        lane
+                    )
+                    if last is not None and v <= last:
+                        continue
+                    # retract BEFORE the guarded append: idempotent
+                    # (absent ids no-op), and the version-skip above
+                    # keeps a fully-committed version untouched
+
+                    def _retract(ids):
+                        if isinstance(ids, DataFrame):
+                            return tbl.delete_matching(ids)
+                        return tbl.delete_where(
+                            F.col(id_col).isin(list(ids))
+                        )
+
+                    _retract_matching(
+                        _retract,
+                        batch.where(
+                            (F.col("_commit_version") == v)
+                            & (F.col("_change") == "delete")
+                        )
+                        .select(id_col)
+                        .distinct(),
+                    )
+                decisions = decontaminate_against(
+                    batch.where(
+                        (F.col("_commit_version") == v)
+                        & (F.col("_change") == "insert")
+                    ).select(id_col, text_col),
+                    eval_rel,
+                    n=n,
+                    min_collide=min_collide,
+                    text_col=text_col,
+                    id_col=id_col,
+                )
+                transactional_append(
+                    spark, decisions_path, decisions, v, lane
+                )
+        finally:
+            batch.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_scrub)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class TokenExportIndex:
     """Incrementally maintained pretraining EXPORT (round 14): the
     fifth incrementally maintained artifact — after the four dedup

@@ -3151,6 +3151,57 @@ ORDER BY t.doc_id
 """
 
 
+def q_stream_decontaminate_mirror(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of pipe_decontaminate_eval (round 15): the
+    corpus arrives as TWO snapshot commits delivered through the CDC
+    change feed, and the standing foreachBatch loop
+    (operators/incremental.py::stream_decontaminate) scrubs each
+    commit's inserts against the broadcast benchmark grams,
+    maintaining the decisions SnapshotTable. Decisions are per-doc
+    against a frozen benchmark, so stream ≡ batch holds exactly and
+    this row SHARES the batch oracle — the crawl-ingest
+    decontamination loop joins the four incremental index families
+    on the stream ≡ batch ≡ ANSI SQL discipline (appends ride the
+    stream-watermark CAS; delete retraction is pytest-pinned)."""
+    from nebuia_vector_db_spark.operators.incremental import (
+        stream_decontaminate,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 5).select(
+        "doc_id", "text"
+    )
+    eval_rel = docs.where(F.col("doc_id") % 10 == 5).select(
+        "doc_id", "text"
+    )
+    k = docs.count() // 2
+    root = posix_scratch_dir(spark, "deconstream")
+    try:
+        corpus = SnapshotTable.create(
+            spark, root + "/corpus", train.where(F.col("doc_id") < k)
+        )
+        corpus.append(train.where(F.col("doc_id") >= k))
+        q = stream_decontaminate(
+            spark, root + "/corpus", eval_rel,
+            root + "/dec", root + "/ck", n=13,
+        )
+        q.awaitTermination()
+        out = (
+            SnapshotTable(spark, root + "/dec").read().orderBy("doc_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        remove_scratch(spark, root)
+    return out
+
+
 def q_pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.pipeline import pack_sequences
 
@@ -11759,6 +11810,18 @@ REGISTRY: dict[
     "pipe_curate_export": (
         q_pipe_curate_export,
         ORACLE_PIPE_CURATE_EXPORT,
+    ),
+    # stream_decontaminate_mirror (round 15): the CDC-stream twin of
+    #   the recorded pipe_decontaminate_eval gate — per-commit scrub
+    #   through the foreachBatch loop, SHARING the batch oracle
+    #   (decisions are per-doc vs a frozen benchmark, so
+    #   stream ≡ batch ≡ SQL holds by construction); the foreachBatch
+    #   CAS discipline is recorded via
+    #   dedup_semdedup_incremental_stream, so the twin stays below
+    #   the window; locally green;
+    "stream_decontaminate_mirror": (
+        q_stream_decontaminate_mirror,
+        ORACLE_PIPE_DECON_EVAL,
     ),
     # ---- Round-15 demotions (slots freed for the six VERDICT r14
     # task-#1 promotions plus the new pipe_decontaminate_eval

@@ -947,3 +947,62 @@ def test_semdedup_retract_assign_dataframe_path(spark, tmp_path):
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(a.assign.read()) == key(b.assign.read())
     assert not {r["_id"] for r in a.assign.read().collect()} & set(dels)
+
+
+def test_stream_decontaminate_mirrors_batch_and_retracts_deletes(
+    spark, tmp_path
+):
+    """The decontamination stream loop (round 15): after draining the
+    feed, the decisions table equals the BATCH decontaminate_against
+    over the live corpus — including after a DELETE commit, whose
+    decision rows are retracted (the mirror shrinks with the corpus).
+    """
+    from nebuia_vector_db_spark.operators.incremental import (
+        stream_decontaminate,
+    )
+    from nebuia_vector_db_spark.operators.pipeline import (
+        decontaminate_against,
+    )
+
+    bench = " ".join(f"b{i}" for i in range(13))
+    eval_rel = spark.createDataFrame(
+        [(900, "x " + bench + " y")], "doc_id long, text string"
+    )
+    mk = lambda i, contaminated: (  # noqa: E731
+        i,
+        ("pre " + bench + " post")
+        if contaminated
+        else f"clean{i} words only here {i}",
+    )
+    base = spark.createDataFrame(
+        [mk(1, True), mk(2, False)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [mk(3, False), mk(4, True)], "doc_id long, text string"
+    )
+    corpus = SnapshotTable.create(spark, str(tmp_path / "c"), base)
+    corpus.append(delta)
+
+    def _drain():
+        q = stream_decontaminate(
+            spark, str(tmp_path / "c"), eval_rel,
+            str(tmp_path / "dec"), str(tmp_path / "ck"), n=13,
+        )
+        q.awaitTermination()
+
+    _drain()
+    dec = SnapshotTable(spark, str(tmp_path / "dec"))
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    want = decontaminate_against(corpus.read(), eval_rel, n=13)
+    assert key(dec.read()) == key(want)
+    assert {
+        r["doc_id"]: r["dropped"] for r in dec.read().collect()
+    } == {1: 1, 2: 0, 3: 0, 4: 1}
+
+    # delete a contaminated and a clean doc; the next drain retracts
+    corpus.delete_where(F.col("doc_id").isin(1, 3))
+    _drain()
+    assert key(dec.read()) == key(
+        decontaminate_against(corpus.read(), eval_rel, n=13)
+    )
+    assert {r["doc_id"] for r in dec.read().collect()} == {2, 4}
