@@ -1747,3 +1747,329 @@ class TokenExportIndex:
             "shards_written": len(manifest),
             "total_tokens": new_total,
         }
+
+
+class NgramCountIndex:
+    """Incremental Kneser-Ney TRAINING STATE (round 15, beyond plan —
+    the sixth incrementally-maintained artifact, after the four
+    dedup/index families and the token export): the bigram and
+    unigram COUNT relations an interpolated-KN perplexity filter
+    trains from (operators/lm.py::train_kn_lm — the CCNet/KenLM
+    production filter's model) maintained as append-only INTEGER
+    ledgers over the corpus change feed, so the filter's model
+    follows corpus churn at O(churn tokens) per commit instead of a
+    full-corpus re-count per refresh.
+
+    This closes the last batch-only stage of the continuous-ingest
+    story: dedup indexes, the decontamination gate and the token
+    export already follow the crawl commit-by-commit; the perplexity
+    filter's model was the remaining artifact that had to be
+    re-trained from scratch. At 100 TB a daily model refresh that
+    re-tokenizes the entire history is O(corpus) for a permille of
+    churn — this ledger is O(churn), and the folded model is
+    BIT-identical to the re-train, so nothing about filter quality is
+    traded away.
+
+    Persisted state (two SnapshotTables under ``path``):
+
+    - ``path/big`` — (w1, w2, c): per-commit BIGRAM count deltas.
+      An insert commit appends its docs' +counts, a delete commit the
+      exact negation of what those docs' insert once added (the CDF
+      delete rows replay the full OLD text, so the subtraction is
+      exact); the live relation folds the ledger with exact BIGINT
+      sums, types whose fold reaches 0 vanish.
+    - ``path/uni`` — (w, c): the same ledger for unigram counts (the
+      vocab-size scalar V of the smoothed mass).
+
+    PURE ledger — the simplest member of the incremental family: no
+    assignment table, no retraction lane, no replay back-channel.
+    Integer adds commute and every delete is the exact inverse of an
+    insert, so (a) :meth:`lm` ≡ ``train_kn_lm(corpus_now)``
+    relation-for-relation and scalar-for-scalar (pytest pins insert,
+    delete and update commits; the ``text_lm_kn_incremental``
+    registry row value-hash-certifies the full ingest→fold→score
+    pipeline against a from-scratch DuckDB replay), and (b) streaming
+    replays need only the per-lane watermark CAS — a half-committed
+    version (big landed, uni didn't) heals on redelivery because each
+    lane independently skips what it already wrote and the recomputed
+    delta rows are deterministic. ``min_count`` pruning is QUERY-time
+    semantics (applied at fold, like SemDedup's threshold), so one
+    ledger serves every pruning level.
+    """
+
+    _PARAMS_META_KEY = "ngram_index_params"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.big = SnapshotTable(spark, path + "/big")
+        self.uni = SnapshotTable(spark, path + "/uni")
+        stored = (
+            self.big.meta(self._PARAMS_META_KEY)
+            if self.big.versions()
+            else None
+        )
+        if stored is not None and stored != self._params():
+            raise ValueError(
+                f"index at {path} was built with {stored}, opened with "
+                f"{self._params()} — mismatched tokenization would mix "
+                "incompatible count relations; reopen with the stored "
+                "parameters or rebuild"
+            )
+
+    def _params(self) -> dict:
+        # the ledger rows are parameterized only by what produced the
+        # tokens; id_col never reaches disk (counts are corpus-level)
+        return {"order": 2, "text_col": self.text_col}
+
+    def _big_rows(self, df: DataFrame, sign: int = 1) -> DataFrame:
+        from nebuia_vector_db_spark.operators.lm import (
+            _pairs,
+            doc_tokens,
+        )
+
+        rows = (
+            doc_tokens(df, self.text_col)
+            .select(F.explode(_pairs(F.col("_toks"))).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg((F.count("*") * sign).alias("c"))
+        )
+        return rows
+
+    def _uni_rows(self, df: DataFrame, sign: int = 1) -> DataFrame:
+        from nebuia_vector_db_spark.operators.lm import doc_tokens
+
+        return (
+            doc_tokens(df, self.text_col)
+            .select(F.explode("_toks").alias("w"))
+            .groupBy("w")
+            .agg((F.count("*") * sign).alias("c"))
+        )
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame | None = None,
+        **kw,
+    ):
+        """Create the two ledger tables; with ``corpus``, seed them
+        with the existing corpus's counts (the one-time full pass —
+        every later ingest is O(churn))."""
+        probe = cls(spark, path + ".__param_probe__", **kw)
+        if corpus is not None:
+            big_seed = probe._big_rows(corpus)
+            uni_seed = probe._uni_rows(corpus)
+        else:
+            big_seed = spark.createDataFrame(
+                [], "w1 string, w2 string, c long"
+            )
+            uni_seed = spark.createDataFrame([], "w string, c long")
+        SnapshotTable.create(
+            spark, path + "/big", big_seed,
+            extra_meta={cls._PARAMS_META_KEY: probe._params()},
+        )
+        SnapshotTable.create(spark, path + "/uni", uni_seed)
+        return cls(spark, path, **kw)
+
+    def ingest_feed(
+        self,
+        feed_slice: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Advance both ledgers by ONE commit's change-feed slice:
+        +counts for its inserts, −counts for its deletes, one append
+        per ledger. Returns ingest stats ({"big_rows", "uni_rows"} —
+        the commit's count-delta type counts, churn-bounded scalars).
+
+        ``txn=(lane, version)`` routes both appends through the
+        stream-watermark CAS (lanes ``{lane}:big`` / ``{lane}:uni``)
+        for exactly-once under foreachBatch redelivery; because the
+        ledger is append-only and the delta rows are a deterministic
+        function of the slice, a replay after a partial commit
+        re-appends exactly the missing lane and skips the committed
+        one — no cross-lane coordination channel needed (contrast
+        SemDedupClusterIndex._replay_assign_done)."""
+        dels = feed_slice.where(F.col("_change") == "delete").drop(
+            "_change", "_commit_version"
+        )
+        ins = feed_slice.where(F.col("_change") == "insert").drop(
+            "_change", "_commit_version"
+        )
+        big_delta = self._big_rows(ins).unionByName(
+            self._big_rows(dels, sign=-1)
+        ).cache()
+        uni_delta = self._uni_rows(ins).unionByName(
+            self._uni_rows(dels, sign=-1)
+        ).cache()
+        _CACHED_RELATIONS.extend([big_delta, uni_delta])
+        if txn is None:
+            self.big.append(big_delta)
+            self.uni.append(uni_delta)
+        else:
+            from nebuia_vector_db_spark.streaming.sinks import (
+                transactional_append,
+            )
+
+            lane, version = txn
+            transactional_append(
+                self.spark, self.big.path, big_delta, version,
+                lane + ":big",
+            )
+            transactional_append(
+                self.spark, self.uni.path, uni_delta, version,
+                lane + ":uni",
+            )
+        return {
+            "big_rows": int(big_delta.count()),
+            "uni_rows": int(uni_delta.count()),
+        }
+
+    def ingest_commit(self, corpus_tbl: SnapshotTable,
+                      version: int | None = None) -> dict:
+        """:meth:`ingest_feed` over commit ``version``'s change-feed
+        slice of ``corpus_tbl``."""
+        v = corpus_tbl.current_version() if version is None else version
+        return self.ingest_feed(corpus_tbl.changes(v - 1, v))
+
+    def lm(self, min_count: int = 1):
+        """Fold both ledgers into the live count relations and return
+        the :class:`~nebuia_vector_db_spark.operators.lm.KneserNeyLM`
+        a from-scratch ``train_kn_lm(corpus_now, min_count)`` would
+        produce — bit-identical, because the fold is an exact BIGINT
+        sum of per-commit integer deltas and every marginal/scalar
+        derives from the folded relation exactly as the trainer
+        derives it from the one-pass counts. Fold cost is one
+        hash-agg over the ledger (ledger rows ≈ live types + churn
+        types since last compact; :meth:`compact` folds history
+        away). The folded bigram relation is cached — four consumers
+        (both marginals, the B scalar, the scoring join) would
+        otherwise re-fold per action."""
+        from nebuia_vector_db_spark.operators.lm import KneserNeyLM
+
+        big = (
+            self.big.read()
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").alias("c2"))
+            .where(F.col("c2") > 0)
+            .cache()
+        )
+        _CACHED_RELATIONS.append(big)
+        ctx = big.groupBy("w1").agg(
+            F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+        )
+        cont = big.groupBy("w2").agg(F.count("*").alias("n1b"))
+        b_total = big.count()
+        v_total = (
+            self.uni.read()
+            .groupBy("w")
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") > 0)
+            .count()
+        )
+        if min_count > 1:
+            big = big.where(F.col("c2") >= min_count)
+        return KneserNeyLM(
+            big=big,
+            ctx=ctx,
+            cont=cont,
+            total_bigrams=int(b_total),
+            vocab_size=int(v_total),
+        )
+
+    def compact(self) -> None:
+        """Fold each ledger's history into one materialized state
+        commit (drop zero-sum types, one row per live type) — the
+        ledger's answer to unbounded history growth; O(live types),
+        run at the cadence the deployment likes its fold cost. Each
+        ledger folds in ONE atomic :meth:`SnapshotTable.overwrite`
+        commit, so a concurrent :meth:`lm` fold pins either the
+        pre- or post-compact version — both fold to the same model."""
+        for tbl, cols in ((self.big, ["w1", "w2"]), (self.uni, ["w"])):
+            folded = (
+                tbl.read()
+                .groupBy(*cols)
+                .agg(F.sum("c").alias("c"))
+                .where(F.col("c") != 0)
+            )
+            tbl.overwrite(folded)
+
+
+def stream_kn_ingest(
+    spark: SparkSession,
+    corpus_path: str,
+    idx: NgramCountIndex,
+    checkpoint: str,
+    start_version: int = 0,
+    app: str | None = None,
+):
+    """Continuous KN-model maintenance (round 15): subscribe to the
+    corpus SnapshotTable's change feed and advance the
+    :class:`NgramCountIndex` ledgers per commit, so the perplexity
+    filter's model tracks the live corpus — the streaming deployment
+    of the sixth incremental artifact, completing the
+    continuous-ingest loop (dedup indexes, decontamination gate,
+    token export, now the filter model). ``start_version=0``
+    delivers the CREATE commit too, so an EMPTY-created index builds
+    its whole state from the feed — the
+    ``text_lm_kn_incremental_stream`` registry row does exactly that
+    and SHARES the batch row's oracle: stream ≡ batch ≡ SQL for the
+    model-maintenance modality.
+
+    Exactly-once: both ledger appends ride the stream-watermark CAS
+    (lanes ``{app}:big`` / ``{app}:uni`` keyed by commit version).
+    The ledgers being append-only pure functions of each slice, a
+    replayed micro-batch (at-least-once redelivery, or a crash
+    between the two lane commits) re-derives identical delta rows and
+    each lane independently declines what it already holds — no
+    version-skip pre-check or replay back-channel is needed, which is
+    why this driver is a plain per-version loop."""
+    from nebuia_vector_db_spark.sources.changes_stream import (
+        SnapshotChangesDataSource,
+    )
+
+    spark.dataSource.register(SnapshotChangesDataSource)
+    feed = (
+        spark.readStream.format("nebuia_snapshot_changes")
+        .option("path", corpus_path)
+        .option("startVersion", start_version)
+        .load()
+    )
+    lane = app if app is not None else checkpoint
+
+    def _advance(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch.select("_commit_version")
+                .distinct()
+                .collect()
+            )
+            for v in versions:
+                v = int(v)
+                idx.ingest_feed(
+                    batch.where(F.col("_commit_version") == v),
+                    txn=(lane, v),
+                )
+        finally:
+            batch.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_advance)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

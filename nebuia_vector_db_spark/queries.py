@@ -4977,6 +4977,210 @@ FROM r ORDER BY doc_id
 """
 
 
+def _kn_churned_corpus(spark: SparkSession, sf_dir: str):
+    """The shared commit script of the two incremental-KN rows: an
+    en-subset corpus SnapshotTable driven through insert, delete and
+    UPDATE (upsert = delete+insert at one version) commits whose final
+    state is expressible as pure SQL over ``documents`` —
+    v1 seed = odd doc_ids; v2 append = evens; v3 delete doc_id%8=1;
+    v4 upsert doc_id%8=2 with a suffixed text. Returns
+    (docs, base, corpus_script) where corpus_script(tbl) replays
+    commits v2..v4 against an existing table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    en = docs.where(F.col("lang") == "en").select(
+        "doc_id", "text", F.lit(1).cast("long").alias("ver")
+    )
+    base = en.where(F.col("doc_id") % 2 == 1)
+
+    def corpus_script(tbl) -> None:
+        tbl.append(en.where(F.col("doc_id") % 2 == 0))
+        tbl.delete_where(F.col("doc_id") % 8 == 1)
+        tbl.upsert(
+            en.where(F.col("doc_id") % 8 == 2).select(
+                "doc_id",
+                F.concat(
+                    F.col("text"), F.lit(" incremental update probe")
+                ).alias("text"),
+                F.lit(2).cast("long").alias("ver"),
+            ),
+            ["doc_id"],
+            "ver",
+        )
+
+    return docs, base, corpus_script
+
+
+def q_text_lm_kn_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained Kneser-Ney model (round 15, beyond
+    plan — operators/incremental.py::NgramCountIndex, the SIXTH
+    incremental artifact): the CCNet/KenLM production perplexity
+    filter's MODEL following corpus churn at O(churn tokens) per
+    commit. The corpus SnapshotTable runs insert, delete and UPDATE
+    commits; the index appends per-commit ±count ledger rows (the
+    CDF delete rows replay the full old text, so subtraction is
+    exact) and the fold is bit-identical to a from-scratch
+    ``train_kn_lm`` over the final corpus — which is exactly what the
+    oracle replays: train on the POST-CHURN en subset (final state
+    expressed as WHERE + CASE over ``documents``), score every
+    document with the same parenthesis-mirrored KN arithmetic as the
+    recorded text_lm_kn_perplexity row. The hash therefore certifies
+    ingest → ledger fold → score end to end."""
+    from nebuia_vector_db_spark.operators import lm
+    from nebuia_vector_db_spark.operators.incremental import (
+        NgramCountIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs, base, corpus_script = _kn_churned_corpus(spark, sf_dir)
+    root = posix_scratch_dir(spark, "inckn")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = NgramCountIndex.create(spark, root + "/index", corpus=base)
+        v0 = corpus_tbl.current_version()
+        corpus_script(corpus_tbl)
+        for v in range(v0 + 1, corpus_tbl.current_version() + 1):
+            idx.ingest_commit(corpus_tbl, v)
+        out = lm.kn_perplexity(
+            docs, idx.lm(), keep_avg_nll=3.4
+        ).orderBy("doc_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+def q_text_lm_kn_incremental_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of text_lm_kn_incremental (round 15): the SAME
+    commit script, but the index is created EMPTY and builds its
+    entire ledger state from the CDC change-feed stream
+    (operators/incremental.py::stream_kn_ingest, startVersion=0 so
+    even the CREATE commit arrives through the feed). Both ledger
+    appends ride the per-lane stream-watermark CAS; the ledgers being
+    pure deterministic functions of each slice, replay after a
+    half-committed version heals lane-by-lane with no coordination
+    channel. SHARES the batch row's oracle, so the hash certifies
+    stream ≡ batch ≡ ANSI SQL for the model-maintenance modality —
+    the continuous-ingest loop's last batch-only stage now streams."""
+    from nebuia_vector_db_spark.operators import lm
+    from nebuia_vector_db_spark.operators.incremental import (
+        NgramCountIndex,
+        release_cached_relations,
+        stream_kn_ingest,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs, base, corpus_script = _kn_churned_corpus(spark, sf_dir)
+    root = posix_scratch_dir(spark, "incknstream")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        corpus_script(corpus_tbl)
+        idx = NgramCountIndex.create(spark, root + "/index")
+        q = stream_kn_ingest(
+            spark, root + "/corpus", idx, root + "/ck"
+        )
+        q.awaitTermination()
+        out = lm.kn_perplexity(
+            docs, idx.lm(), keep_avg_nll=3.4
+        ).orderBy("doc_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+# from-scratch KN train/score over the POST-CHURN corpus (final state
+# of the commit script as WHERE + CASE over documents) — what the
+# folded ledger model must reproduce transition-for-transition
+ORACLE_TEXT_LM_KN_INCREMENTAL = """
+WITH tok_tr AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(
+           CASE WHEN doc_id % 8 = 2
+                THEN text || ' incremental update probe'
+                ELSE text END), ' '), x -> x != '') AS toks
+  FROM documents
+  WHERE lang = 'en' AND doc_id % 8 <> 1
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok_tr WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+  FROM big GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+bv AS (
+  SELECT (SELECT count(*) FROM big) AS b,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(toks) AS w FROM tok_tr)) AS v
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+trans AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           (greatest(coalesce(b.c2, 0) - 0.75, 0.0)
+            + (0.75 * x.n1f)
+              * ((coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v)))
+           / x.c1
+         ELSE (coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v) END AS p,
+         CASE WHEN x.c1 IS NULL THEN 1 ELSE 0 END AS uc
+  FROM trans t
+  LEFT JOIN big b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN ctx x ON t.w1 = x.w1
+  LEFT JOIN cont k ON t.w2 = k.w2
+  CROSS JOIN bv
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro,
+         CAST(sum(uc) AS BIGINT) AS n_uc
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_trans, nll_micro,
+       floor(exp((nll_micro / 10000.0) / n_trans) * 100 + 0.5) / 100.0
+         AS ppl,
+       floor((n_uc / n_trans) * 1000000.0 + 0.5) / 1000000.0
+         AS unseen_ctx_rate,
+       nll_micro <= n_trans * 34000 AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_text_lm_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated TRIGRAM Kneser-Ney filter (round 15, VERDICT r14
     stretch #7 — operators/lm.py::train_kn3_lm/kn3_perplexity): the
@@ -11822,6 +12026,27 @@ REGISTRY: dict[
     "stream_decontaminate_mirror": (
         q_stream_decontaminate_mirror,
         ORACLE_PIPE_DECON_EVAL,
+    ),
+    # text_lm_kn_incremental (round 15, beyond plan): the SIXTH
+    #   incremental artifact — the KN perplexity filter's MODEL
+    #   maintained as ±count ledgers over the change feed, folded
+    #   bit-identical to a from-scratch train_kn_lm; the oracle
+    #   replays train-on-post-churn-corpus → score end to end, so
+    #   the hash certifies ingest ≡ re-train; below the window this
+    #   round (the batch KN row text_lm_kn_perplexity is recorded;
+    #   r16 rotation candidate); locally green at sf0.01 + sf0.1;
+    "text_lm_kn_incremental": (
+        q_text_lm_kn_incremental,
+        ORACLE_TEXT_LM_KN_INCREMENTAL,
+    ),
+    # text_lm_kn_incremental_stream (round 15): CDC-stream twin of
+    #   the above — the index builds its ENTIRE ledger state from the
+    #   change-feed stream (startVersion=0), per-lane watermark CAS,
+    #   SHARING the batch oracle: stream ≡ batch ≡ SQL for the
+    #   model-maintenance modality; locally green;
+    "text_lm_kn_incremental_stream": (
+        q_text_lm_kn_incremental_stream,
+        ORACLE_TEXT_LM_KN_INCREMENTAL,
     ),
     # ---- Round-15 demotions (slots freed for the six VERDICT r14
     # task-#1 promotions plus the new pipe_decontaminate_eval

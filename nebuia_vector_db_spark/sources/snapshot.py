@@ -636,6 +636,35 @@ class SnapshotTable:
             expected_parent=parent,
         )
 
+    def overwrite(self, df: DataFrame) -> int:
+        """Atomic full replace (the Delta ``mode=overwrite`` shape):
+        ONE commit whose file set is entirely new — readers flip from
+        the old content to ``df`` at a single version boundary, never
+        observing an intermediate (the reason ledger fold-compaction
+        must not be delete-then-append: between those two commits the
+        table would read EMPTY). Old snapshots stay time-travelable
+        until vacuum. Change-feed note: ``changes()`` across an
+        overwrite version replays it as full-table delete+insert
+        multiset deltas — correct, but O(table); overwrite is for
+        derived/state tables (ledger folds, rebuilt artifacts), not
+        for corpora with incremental CDC subscribers."""
+        parent = self.current_version()
+        snap = self._snapshot(parent)
+        schema = self._schema(snap)
+        df = _align(df, schema)
+        new_files = self._write_files(df, self._default_stats_cols(df))
+        return self._commit(
+            {
+                **self._app_meta(snap),
+                "op": "overwrite",
+                "schema": snap["schema"],
+                "files": new_files,
+                "n_files": len(new_files),
+                "n_rows": sum(f["rows"] for f in new_files),
+            },
+            expected_parent=parent,
+        )
+
     def compact(
         self,
         small_file_bytes: int = 32 * 1024 * 1024,

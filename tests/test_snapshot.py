@@ -357,3 +357,33 @@ def test_cow_delete_matching_rewrites_only_hit_files(spark, tmp_path):
         tbl.delete_matching(
             spark.createDataFrame([(1,)], "nope long")
         )
+
+
+def test_overwrite_is_one_commit_full_replace(spark, base_df, tmp_path):
+    """overwrite(df) (round 15): ONE commit whose file set is
+    entirely new — readers flip atomically (version advances by
+    exactly 1, never an empty intermediate), old snapshots stay
+    time-travelable, and the change feed replays the version as
+    full-table delete+insert deltas."""
+    tbl = SnapshotTable.create(
+        spark, str(tmp_path / "t"), base_df.repartition(3)
+    )
+    v1 = tbl.current_version()
+    replacement = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("bucket"),
+        F.lit("NEW").alias("payload"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    v2 = tbl.overwrite(replacement)
+    assert v2 == v1 + 1
+    got = tbl.read()
+    assert got.count() == 5
+    assert got.where(F.col("payload") != "NEW").count() == 0
+    assert tbl.read(v1).count() == base_df.count()  # time travel
+    feed = tbl.changes(v1, v2)
+    assert (
+        feed.where(F.col("_change") == "delete").count()
+        == base_df.count()
+    )
+    assert feed.where(F.col("_change") == "insert").count() == 5
