@@ -847,9 +847,14 @@ class SnapshotTable:
         updates = _align(updates, schema)
         current = self.read(parent)
         keys = updates.select(*key_cols).distinct()
+        # input_file_name() must bind to the snapshot scan BEFORE the
+        # join: evaluated after a semi-join whose other side is itself
+        # a file source (updates derived from parquet), it is
+        # ambiguous and Spark rejects the plan (round 15)
         hit = (
-            current.join(F.broadcast(keys), key_cols, "left_semi")
-            .select(F.input_file_name().alias("f"))
+            current.withColumn("f", F.input_file_name())
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .select("f")
             .distinct()
             .collect()
         )
