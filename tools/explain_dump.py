@@ -135,6 +135,10 @@ HEADLINE = [
     # lifecycle + collected recreation, same class as
     # dedup_incremental; the live ingest plan's scale properties are
     # pinned in tests/test_incremental.py::test_substring_ingest_plan_shape)
+    # (text_lm_kn_incremental / text_lm_kn_incremental_stream
+    # excluded: same scratch-lifecycle class; the scoring plan is
+    # text_lm_kn_perplexity's — dumped above — and the ledger
+    # ingest/fold is pinned in tests/test_kn_incremental.py)
     # (pipe_webdataset_roundtrip excluded: the registry row returns a
     # collected recreation — the export lifecycle runs inside the
     # query fn over scratch — so its final plan is a LocalTableScan;
