@@ -401,6 +401,183 @@ def kn_perplexity(
 
 
 @dataclass
+class KneserNeyGroupedLM:
+    """A FAMILY of interpolated Kneser-Ney bigram models, one per
+    group, held as single grouped relations (round 15): CCNet trains
+    one LM per LANGUAGE and scores every document against its own
+    language's model (Wenzek et al. 2020 §4.2) — at 100 languages ×
+    100 TB the naive deployment is 100 driver loops over 100 filtered
+    corpora; here the group id simply joins every count relation's
+    key, so the whole family trains in the SAME three shuffles as one
+    model and scores in the same four joins. The per-model scalars
+    (B, V) become a per-group RELATION (``bv``) instead of Python
+    ints — nothing about the family ever passes through the driver."""
+
+    big: DataFrame  # (g, w1, w2, c2) per-group bigram counts
+    cont: DataFrame  # (g, w2, n1b): distinct predecessors within g
+    ctx: DataFrame  # (g, w1, c1, n1f)
+    bv: DataFrame  # (g, b, v): per-group distinct-bigram/vocab scalars
+    group_col: str  # the grouping column name (join key)
+    total_types: int  # Σ_g distinct (w1,w2) — the broadcastability bound
+
+
+def train_kn_lm_grouped(
+    train_docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> KneserNeyGroupedLM:
+    """Per-group KN training — :func:`train_kn_lm` with ``group_col``
+    prefixed onto every count relation's key: the bigram groupBy, the
+    two marginal groupBys and the per-group (B, V) scalars are each
+    ONE map-side-combinable aggregation, so a 100-language family
+    costs the same shuffle count as a single model. ``min_count``
+    prunes only the bigram relation (per group), marginals and
+    scalars stay unpruned — the same smoothing-mass discipline as the
+    ungrouped trainer. A group whose docs never produce a bigram
+    still gets a ``bv`` row (b=0) as long as it has tokens, so its
+    documents score on pure continuation mass rather than dropping."""
+    g = group_col
+    toked = doc_tokens(train_docs, text_col).select(g, "_toks")
+    big = (
+        toked.select(g, F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select(g, "p.w1", "p.w2")
+        .groupBy(g, "w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = big.groupBy(g, "w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = big.groupBy(g, "w2").agg(F.count("*").alias("n1b"))
+    b_rel = big.groupBy(g).agg(F.count("*").alias("b"))
+    v_rel = (
+        toked.select(g, F.explode("_toks").alias("w"))
+        .distinct()
+        .groupBy(g)
+        .agg(F.count("*").alias("v"))
+    )
+    # v-side defines the group set (bigrams imply tokens, never the
+    # reverse); a token-only group gets b=0 and scores on Pcont alone
+    bv = v_rel.join(b_rel, g, "left").select(
+        g, F.coalesce("b", F.lit(0)).alias("b"), "v"
+    )
+    total_types = big.count()
+    if min_count > 1:
+        big = big.where(F.col("c2") >= min_count)
+    return KneserNeyGroupedLM(
+        big=big,
+        cont=cont,
+        ctx=ctx,
+        bv=bv,
+        group_col=g,
+        total_types=int(total_types),
+    )
+
+
+def kn_perplexity_grouped(
+    docs: DataFrame,
+    lm: KneserNeyGroupedLM,
+    discount: float = 0.75,
+    keep_avg_nll: float = 7.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score every document against ITS OWN group's interpolated-KN
+    model — the CCNet deployment shape (one LM per language, each
+    document judged by its language's model), in one distributed
+    plan: the transition relation carries the doc's group id and the
+    four model joins simply include it in their keys; the per-group
+    (B, V) denominator arrives by joining the ``bv`` relation instead
+    of a Python-scalar literal. Arithmetic, quantization and output
+    schema mirror :func:`kn_perplexity` parenthesis-for-parenthesis
+    (plus the group column), so the grouped family value-hashes
+    against the same SQL with the group id added to every join key.
+
+    Documents whose group has NO trained model (no ``bv`` row) are
+    DROPPED — you only filter languages you trained a model for;
+    count them upstream if the gap matters. The broadcast auto-
+    disable uses ``lm.total_types`` (family-wide distinct bigrams,
+    the r14 ADVICE discipline)."""
+    g = lm.group_col
+    keep_micro = int(round(keep_avg_nll * LOG_MICRO))
+    if broadcast_model and lm.total_types > _KN_BROADCAST_MAX_TYPES:
+        broadcast_model = False
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    trans = (
+        doc_tokens(docs, text_col, id_col)
+        .select(id_col, g, F.explode(_pairs(F.col("_toks"))).alias("p"))
+        .select(id_col, g, "p.w1", "p.w2")
+    )
+    big = lm.big.select(g, "w1", "w2", F.col("c2").alias("_c2"))
+    ctx = lm.ctx.select(
+        g, "w1", F.col("c1").alias("_c1"), F.col("n1f").alias("_n1f")
+    )
+    cont = lm.cont.select(g, "w2", F.col("n1b").alias("_n1b"))
+    bv = lm.bv.select(
+        g, F.col("b").alias("_b"), F.col("v").alias("_v")
+    )
+    d = F.lit(float(discount))
+    # paren discipline: (bv.b + 0.5 * bv.v) and every other grouping
+    # mirrored verbatim in the SQL oracle (the kn_perplexity
+    # convention, group id added to each key)
+    denom = F.col("_b") + F.lit(0.5) * F.col("_v")
+    pcont = (F.coalesce(F.col("_n1b"), F.lit(0)) + F.lit(0.5)) / denom
+    p = F.when(
+        F.col("_c1").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("_c2"), F.lit(0)) - d, F.lit(0.0)
+            )
+            + (d * F.col("_n1f")) * pcont
+        )
+        / F.col("_c1"),
+    ).otherwise(pcont)
+    scored = (
+        trans.join(hint(bv), [g], "inner")
+        .join(hint(big), [g, "w1", "w2"], "left")
+        .join(hint(ctx), [g, "w1"], "left")
+        .join(hint(cont), [g, "w2"], "left")
+        .select(
+            id_col,
+            g,
+            F.floor(F.log(p) * F.lit(LOG_MICRO) + F.lit(0.5)).alias("_lp"),
+            F.when(F.col("_c1").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_uc"),
+        )
+    )
+    agg = scored.groupBy(id_col, g).agg(
+        F.count("*").alias("n_trans"),
+        (-F.sum("_lp")).alias("nll_micro"),
+        F.sum("_uc").alias("_n_uc"),
+    )
+    avg_nll = (F.col("nll_micro") / F.lit(float(LOG_MICRO))) / F.col(
+        "n_trans"
+    )
+    return agg.select(
+        id_col,
+        g,
+        "n_trans",
+        "nll_micro",
+        (
+            F.floor(F.exp(avg_nll) * F.lit(100.0) + F.lit(0.5))
+            / F.lit(100.0)
+        ).alias("ppl"),
+        (
+            F.floor(
+                (F.col("_n_uc") / F.col("n_trans")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("unseen_ctx_rate"),
+        (
+            F.col("nll_micro") <= F.col("n_trans") * F.lit(keep_micro)
+        ).alias("keep"),
+    )
+
+
+@dataclass
 class KneserNey3LM:
     """A trained interpolated TRIGRAM Kneser-Ney model (Chen &
     Goodman 1999 §2.7's recursive form, fixed discount): the trigram

@@ -4977,6 +4977,111 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_text_lm_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet end to end, multilingually honest (round 15 —
+    operators/lm.py::train_kn_lm_grouped / kn_perplexity_grouped +
+    ppl_buckets; Wenzek et al. 2020 §4.2-4.3): ONE job trains a
+    Kneser-Ney model PER LANGUAGE (the group id joins every count
+    relation's key, so a 100-language family costs the same shuffles
+    as one model and never loops the driver), scores every document
+    against its own language's model, calibrates head/middle/tail by
+    per-language perplexity percentile, and emits the keep decision
+    (CCNet keeps head+middle). This is the production filter chain
+    the recorded text_lm_kn_perplexity (one en model, global
+    threshold) and text_lm_ppl_buckets (en model, per-language cuts)
+    rows approximate — here both the MODEL and the CALIBRATION are
+    per-language. The oracle replays grouped train → per-group join
+    → LOG_MICRO quantization → row_number cuts in pure SQL."""
+    from nebuia_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    glm = lm.train_kn_lm_grouped(docs)
+    scored = lm.kn_perplexity_grouped(docs, glm)
+    return (
+        lm.ppl_buckets(scored)
+        .select(
+            "doc_id",
+            "lang",
+            "avg_nll_micro",
+            "bucket",
+            (F.col("bucket") != F.lit("tail")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_LM_CCNET = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+big AS (
+  SELECT lang, p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT lang, unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  ) GROUP BY 1, 2, 3
+),
+ctx AS (
+  SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+  FROM big GROUP BY lang, w1
+),
+cont AS (SELECT lang, w2, count(*) AS n1b FROM big GROUP BY lang, w2),
+bv AS (
+  SELECT v.lang, coalesce(bb.b, 0) AS b, v.v
+  FROM (SELECT lang, count(DISTINCT w) AS v
+        FROM (SELECT lang, unnest(toks) AS w FROM tok) GROUP BY lang) v
+  LEFT JOIN (SELECT lang, count(*) AS b FROM big GROUP BY lang) bb
+    USING (lang)
+),
+trans AS (
+  SELECT doc_id, lang, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, lang, unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           (greatest(coalesce(b.c2, 0) - 0.75, 0.0)
+            + (0.75 * x.n1f)
+              * ((coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v)))
+           / x.c1
+         ELSE (coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v) END AS p
+  FROM trans t
+  JOIN bv ON t.lang = bv.lang
+  LEFT JOIN big b ON t.lang = b.lang AND t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN ctx x ON t.lang = x.lang AND t.w1 = x.w1
+  LEFT JOIN cont k ON t.lang = k.lang AND t.w2 = k.w2
+),
+agg AS (
+  SELECT doc_id, lang, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro
+  FROM scored GROUP BY doc_id, lang
+),
+r AS (
+  SELECT doc_id, lang, nll_micro // n_trans AS avg_nll_micro,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY nll_micro // n_trans, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM agg
+)
+SELECT doc_id, lang, avg_nll_micro,
+       CASE WHEN rk <= n * 33 // 100 THEN 'head'
+            WHEN rk <= n * 66 // 100 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       (CASE WHEN rk <= n * 33 // 100 THEN 'head'
+             WHEN rk <= n * 66 // 100 THEN 'middle'
+             ELSE 'tail' END) <> 'tail' AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 def _kn_churned_corpus(spark: SparkSession, sf_dir: str):
     """The shared commit script of the two incremental-KN rows: an
     en-subset corpus SnapshotTable driven through insert, delete and
@@ -12048,6 +12153,15 @@ REGISTRY: dict[
         q_text_lm_kn_incremental_stream,
         ORACLE_TEXT_LM_KN_INCREMENTAL,
     ),
+    # text_lm_ccnet (round 15, beyond plan): CCNet end to end with
+    #   BOTH the model and the calibration per-language — grouped KN
+    #   family (one job, group id in every count-relation key; no
+    #   driver loop over languages) → own-language scoring →
+    #   per-language percentile buckets → keep; full grouped-SQL
+    #   replay oracle; below the window (the en-model KN row and the
+    #   per-language-cut row are recorded; r16 rotation candidate);
+    #   locally green at sf0.01 + sf0.1;
+    "text_lm_ccnet": (q_text_lm_ccnet, ORACLE_TEXT_LM_CCNET),
     # ---- Round-15 demotions (slots freed for the six VERDICT r14
     # task-#1 promotions plus the new pipe_decontaminate_eval
     # flagship). Each row's machinery retains a recorded pin, cited

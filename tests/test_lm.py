@@ -572,3 +572,83 @@ def test_kn3_middle_order_uses_continuation_not_frequency(spark):
     # both transitions have unseen (w1,w2)=(zz1,·) top contexts; the
     # continuation-diverse bigram must score BETTER (lower nll)
     assert out[2] < out[1]
+
+
+def test_grouped_kn_equals_per_group_ungrouped(spark, docs):
+    """The grouped family's defining contract: for every group g,
+    train_kn_lm_grouped + kn_perplexity_grouped restricted to g is
+    row-identical to training an UNGROUPED model on g's subset and
+    scoring g's docs with it — the group id in the join keys changes
+    the deployment shape (one job for all languages), never a
+    value."""
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    glm = lm.train_kn_lm_grouped(docs)
+    got = {
+        (r["doc_id"], r["lang"]): (
+            r["n_trans"], r["nll_micro"], r["ppl"],
+            r["unseen_ctx_rate"], r["keep"],
+        )
+        for r in lm.kn_perplexity_grouped(docs, glm).collect()
+    }
+    want = {}
+    for g in langs:
+        sub = docs.where(F.col("lang") == g)
+        one = lm.train_kn_lm(sub)
+        for r in lm.kn_perplexity(sub, one).collect():
+            want[(r["doc_id"], g)] = (
+                r["n_trans"], r["nll_micro"], r["ppl"],
+                r["unseen_ctx_rate"], r["keep"],
+            )
+    assert got == want
+    # per-group min_count pruning matches too (spot one group)
+    g0 = sorted(langs)[0]
+    glm2 = lm.train_kn_lm_grouped(docs, min_count=2)
+    got2 = {
+        r["doc_id"]: r["nll_micro"]
+        for r in lm.kn_perplexity_grouped(docs, glm2)
+        .where(F.col("lang") == g0)
+        .collect()
+    }
+    want2 = {
+        r["doc_id"]: r["nll_micro"]
+        for r in lm.kn_perplexity(
+            docs.where(F.col("lang") == g0),
+            lm.train_kn_lm(docs.where(F.col("lang") == g0), min_count=2),
+        ).collect()
+    }
+    assert got2 == want2
+
+
+def test_grouped_kn_drops_modelless_and_scores_bigramless_groups(spark):
+    """Two grouped-family edges: a doc whose group has NO bv row
+    (never trained) is dropped from the output, and a group whose
+    training docs have tokens but no bigram still scores on pure
+    continuation mass (b=0 path) instead of dividing by a missing
+    denominator."""
+    train = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the log"),
+            (3, "solo", "single"),  # tokens, no bigram: b=0, v=1
+        ],
+        "doc_id long, lang string, text string",
+    )
+    glm = lm.train_kn_lm_grouped(train)
+    assert {
+        (r["lang"], r["b"], r["v"]) for r in glm.bv.collect()
+    } == {("en", 8, 7), ("solo", 0, 1)}
+    score = spark.createDataFrame(
+        [
+            (10, "en", "the cat sat"),
+            (11, "solo", "single single"),
+            (12, "never", "unseen group text"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = lm.kn_perplexity_grouped(score, glm).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {10, 11}  # group 'never' dropped
+    # solo group: every transition scores Pcont = (0.5+0)/(0+0.5*1)=1
+    # wait: n1b('single')=0 (no bigrams trained) → (0+0.5)/(0.5)=1.0
+    assert by_id[11]["nll_micro"] == 0  # ln(1.0) == 0
+    assert by_id[11]["unseen_ctx_rate"] == 1.0
