@@ -2168,6 +2168,82 @@ def main() -> None:
     b23_docs.unpersist()
     _sh.rmtree(b23_out, ignore_errors=True)
 
+    _steal.mark("b24")
+    # ---- B24 (round 15): incremental KN-model maintenance — the
+    # NgramCountIndex ledger (sixth incremental artifact) vs a full
+    # re-train at 200k docs / ~6M tokens, churn fraction 0.0625
+    # (b22's convention). From-scratch training aggregates ALL corpus
+    # tokens per refresh (one bigram groupBy + the vocab distinct —
+    # O(corpus)); the ledger ingest counts only the commit's churn
+    # tokens and appends (O(churn)), so the ratio must fall as the
+    # corpus grows while churn is pinned. Model equality is
+    # hash-certified by the text_lm_kn_incremental oracle row; this
+    # block records what each path COSTS, plus the fold wall (ledger
+    # → live model — what a scoring deployment pays to refresh its
+    # joins). Recorded, no gate (the harness floor argument of b20/
+    # b22 applies at this scale: the CDC ingest is a multi-job
+    # pipeline of dispatch floors).
+    from nebuia_vector_db_spark.operators.incremental import (
+        NgramCountIndex as _NCI,
+    )
+    from nebuia_vector_db_spark.operators.lm import (
+        train_kn_lm as _tkn,
+    )
+
+    b24_root = _tf.mkdtemp(prefix="nvdb_bench_kninc_")
+    b24_docs = _synth_docs(200_000).cache()
+    b24_n = b24_docs.count()
+    b24_base = b24_docs.where(F.col("doc_id") % 16 != 0)
+    b24_delta = b24_docs.where(F.col("doc_id") % 16 == 0)
+    timings["b24_corpus_docs_total"] = int(b24_n)
+    timings["b24_churn_fraction"] = round(
+        b24_delta.count() / max(b24_n, 1), 4
+    )
+
+    def _b24_full():
+        # train_kn_lm's B/V scalars are eager actions over the full
+        # bigram aggregation + token distinct — the O(corpus) work a
+        # per-refresh re-train pays
+        _tkn(b24_docs)
+
+    timings["b24_kn_train_from_scratch_sec"] = round(
+        _median_time(_b24_full, runs=3), 4
+    )
+    t0 = time.perf_counter()
+    _NCI.create(spark, os.path.join(b24_root, "seed"), corpus=b24_base)
+    timings["b24_ledger_seed_build_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    b24_corpus = _ST.create(
+        spark, os.path.join(b24_root, "corpus"), b24_base
+    )
+    b24_corpus.append(b24_delta)
+    b24_times = []
+    for b24_i in range(3):
+        b24_dir = os.path.join(b24_root, f"i{b24_i}")
+        _sh.copytree(os.path.join(b24_root, "seed"), b24_dir)
+        b24_idx = _NCI(spark, b24_dir)
+        t0 = time.perf_counter()
+        b24_idx.ingest_commit(b24_corpus)
+        b24_times.append(time.perf_counter() - t0)
+        _release_inc()
+    timings["b24_ledger_ingest_sec"] = round(
+        statistics.median(b24_times), 4
+    )
+    timings["b24_ingest_vs_retrain"] = round(
+        timings["b24_ledger_ingest_sec"]
+        / max(timings["b24_kn_train_from_scratch_sec"], 1e-9),
+        4,
+    )
+    t0 = time.perf_counter()
+    _NCI(spark, os.path.join(b24_root, "i0")).lm()
+    timings["b24_ledger_fold_to_model_sec"] = round(
+        time.perf_counter() - t0, 4
+    )
+    _release_inc()
+    b24_docs.unpersist()
+    _sh.rmtree(b24_root, ignore_errors=True)
+
     _steal.mark("b4")
     # ---- B4: ingest 5000 documents (docs/sec, recorded, no gate)
     from nebuia_vector_db_spark.engine import VectorEngine
@@ -2312,6 +2388,20 @@ def main() -> None:
                     "deployment stores beside the floats) at 600k "
                     "and 9.6M with a fresh plan per run; the slope "
                     "row is t(9.6M)/(16*t(600k)), ~1.0 = linear",
+                    "b24": "incremental KN-model maintenance at 200k "
+                    "docs, churn 0.0625: from-scratch re-train "
+                    "(tokenize + bigram agg + vocab distinct over ALL "
+                    "corpus tokens) vs ledger ingest (churn tokens "
+                    "only); b24_ledger_fold_to_model_sec is the "
+                    "ledger → live-model fold a scoring refresh pays "
+                    "— type-bounded, no tokenization (the from-"
+                    "scratch relations re-pay the corpus agg in every "
+                    "scoring plan instead). 30-token synthetic docs "
+                    "UNDERSTATE the from-scratch side vs real text "
+                    "(tokens/type here ~1; web corpora are Zipfian "
+                    "with docs 10-30x longer). Recorded, no gate "
+                    "(b20/b22 harness-floor argument); model equality "
+                    "is the text_lm_kn_incremental oracle row",
                     "recall determinism": "ALL recall rows (b5/b5c/"
                     "b6/b12) run on the seeded deterministic index "
                     "(pinned sample + driver-side Lloyd's) with fixed "
