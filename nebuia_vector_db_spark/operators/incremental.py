@@ -1886,11 +1886,15 @@ class NgramCountIndex:
         self,
         feed_slice: DataFrame,
         txn: tuple[str, int] | None = None,
-    ) -> dict:
+        stats: bool = False,
+    ) -> dict | None:
         """Advance both ledgers by ONE commit's change-feed slice:
         +counts for its inserts, −counts for its deletes, one append
-        per ledger. Returns ingest stats ({"big_rows", "uni_rows"} —
-        the commit's count-delta type counts, churn-bounded scalars).
+        per ledger. ``stats=True`` additionally returns
+        ({"big_rows", "uni_rows"} — the commit's count-delta type
+        counts, churn-bounded scalars) at the cost of two extra count
+        jobs; the default keeps the hot streaming path at the two
+        append actions.
 
         ``txn=(lane, version)`` routes both appends through the
         stream-watermark CAS (lanes ``{lane}:big`` / ``{lane}:uni``)
@@ -1899,7 +1903,12 @@ class NgramCountIndex:
         function of the slice, a replay after a partial commit
         re-appends exactly the missing lane and skips the committed
         one — no cross-lane coordination channel needed (contrast
-        SemDedupClusterIndex._replay_assign_done)."""
+        SemDedupClusterIndex._replay_assign_done). The batch path
+        (``txn=None``) shares that recovery story only if a crashed
+        run is re-driven per-version WITH ``txn`` (or the index
+        rebuilt): a bare re-run of two plain appends would
+        double-count the slice — same two-table discipline as
+        SemDedupClusterIndex's assign/cent pair."""
         dels = feed_slice.where(F.col("_change") == "delete").drop(
             "_change", "_commit_version"
         )
@@ -1930,17 +1939,22 @@ class NgramCountIndex:
                 self.spark, self.uni.path, uni_delta, version,
                 lane + ":uni",
             )
+        if not stats:
+            return None
         return {
             "big_rows": int(big_delta.count()),
             "uni_rows": int(uni_delta.count()),
         }
 
     def ingest_commit(self, corpus_tbl: SnapshotTable,
-                      version: int | None = None) -> dict:
+                      version: int | None = None,
+                      stats: bool = False) -> dict | None:
         """:meth:`ingest_feed` over commit ``version``'s change-feed
         slice of ``corpus_tbl``."""
         v = corpus_tbl.current_version() if version is None else version
-        return self.ingest_feed(corpus_tbl.changes(v - 1, v))
+        return self.ingest_feed(
+            corpus_tbl.changes(v - 1, v), stats=stats
+        )
 
     def lm(self, min_count: int = 1):
         """Fold both ledgers into the live count relations and return
