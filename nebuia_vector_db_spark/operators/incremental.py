@@ -1781,6 +1781,18 @@ class NgramCountIndex:
     - ``path/uni`` — (w, c): the same ledger for unigram counts (the
       vocab-size scalar V of the smoothed mass).
 
+    With ``group_col`` (round 15, the multilingual capstone) the
+    group id joins both ledgers' keys — (g, w1, w2, c) / (g, w, c) —
+    and :meth:`lm` folds to the
+    :class:`~nebuia_vector_db_spark.operators.lm.KneserNeyGroupedLM`
+    FAMILY ``train_kn_lm_grouped(corpus_now)`` would train: the CCNet
+    per-language filter models (one per language, each scoring its
+    own documents) maintained continuously at O(churn) — per-commit
+    cost is unchanged (the group id rides the same two aggregations)
+    and a group vanishes from the family exactly when its last doc's
+    counts cancel. The group value must be STRING-typed (language
+    codes; the empty-create seed pins ``g string``).
+
     PURE ledger — the simplest member of the incremental family: no
     assignment table, no retraction lane, no replay back-channel.
     Integer adds commute and every delete is the exact inverse of an
@@ -1805,11 +1817,13 @@ class NgramCountIndex:
         path: str,
         text_col: str = "text",
         id_col: str = "doc_id",
+        group_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.text_col = text_col
         self.id_col = id_col
+        self.group_col = group_col
         self.big = SnapshotTable(spark, path + "/big")
         self.uni = SnapshotTable(spark, path + "/uni")
         stored = (
@@ -1827,8 +1841,17 @@ class NgramCountIndex:
 
     def _params(self) -> dict:
         # the ledger rows are parameterized only by what produced the
-        # tokens; id_col never reaches disk (counts are corpus-level)
-        return {"order": 2, "text_col": self.text_col}
+        # tokens (and, when grouped, the partitioning of models);
+        # id_col never reaches disk — counts are corpus-level
+        return {
+            "order": 2,
+            "text_col": self.text_col,
+            "group_col": self.group_col,
+        }
+
+    @property
+    def _gcols(self) -> list[str]:
+        return [self.group_col] if self.group_col else []
 
     def _big_rows(self, df: DataFrame, sign: int = 1) -> DataFrame:
         from nebuia_vector_db_spark.operators.lm import (
@@ -1836,11 +1859,12 @@ class NgramCountIndex:
             doc_tokens,
         )
 
+        g = self._gcols
         rows = (
             doc_tokens(df, self.text_col)
-            .select(F.explode(_pairs(F.col("_toks"))).alias("p"))
-            .select("p.w1", "p.w2")
-            .groupBy("w1", "w2")
+            .select(*g, F.explode(_pairs(F.col("_toks"))).alias("p"))
+            .select(*g, "p.w1", "p.w2")
+            .groupBy(*g, "w1", "w2")
             .agg((F.count("*") * sign).alias("c"))
         )
         return rows
@@ -1848,10 +1872,11 @@ class NgramCountIndex:
     def _uni_rows(self, df: DataFrame, sign: int = 1) -> DataFrame:
         from nebuia_vector_db_spark.operators.lm import doc_tokens
 
+        g = self._gcols
         return (
             doc_tokens(df, self.text_col)
-            .select(F.explode("_toks").alias("w"))
-            .groupBy("w")
+            .select(*g, F.explode("_toks").alias("w"))
+            .groupBy(*g, "w")
             .agg((F.count("*") * sign).alias("c"))
         )
 
@@ -1867,14 +1892,19 @@ class NgramCountIndex:
         with the existing corpus's counts (the one-time full pass —
         every later ingest is O(churn))."""
         probe = cls(spark, path + ".__param_probe__", **kw)
+        gp = (
+            f"{probe.group_col} string, " if probe.group_col else ""
+        )
         if corpus is not None:
             big_seed = probe._big_rows(corpus)
             uni_seed = probe._uni_rows(corpus)
         else:
             big_seed = spark.createDataFrame(
-                [], "w1 string, w2 string, c long"
+                [], gp + "w1 string, w2 string, c long"
             )
-            uni_seed = spark.createDataFrame([], "w string, c long")
+            uni_seed = spark.createDataFrame(
+                [], gp + "w string, c long"
+            )
         SnapshotTable.create(
             spark, path + "/big", big_seed,
             extra_meta={cls._PARAMS_META_KEY: probe._params()},
@@ -1968,37 +1998,68 @@ class NgramCountIndex:
         types since last compact; :meth:`compact` folds history
         away). The folded bigram relation is cached — four consumers
         (both marginals, the B scalar, the scoring join) would
-        otherwise re-fold per action."""
-        from nebuia_vector_db_spark.operators.lm import KneserNeyLM
+        otherwise re-fold per action.
 
+        With ``group_col`` the fold returns the
+        :class:`~...lm.KneserNeyGroupedLM` FAMILY
+        ``train_kn_lm_grouped(corpus_now, min_count)`` would produce
+        (per-group marginals, the (B, V) scalars as a per-group
+        relation) — same bit-identity argument, per group."""
+        from nebuia_vector_db_spark.operators.lm import (
+            KneserNeyGroupedLM,
+            KneserNeyLM,
+        )
+
+        g = self._gcols
         big = (
             self.big.read()
-            .groupBy("w1", "w2")
+            .groupBy(*g, "w1", "w2")
             .agg(F.sum("c").alias("c2"))
             .where(F.col("c2") > 0)
             .cache()
         )
         _CACHED_RELATIONS.append(big)
-        ctx = big.groupBy("w1").agg(
+        ctx = big.groupBy(*g, "w1").agg(
             F.sum("c2").alias("c1"), F.count("*").alias("n1f")
         )
-        cont = big.groupBy("w2").agg(F.count("*").alias("n1b"))
-        b_total = big.count()
-        v_total = (
+        cont = big.groupBy(*g, "w2").agg(F.count("*").alias("n1b"))
+        uni_live = (
             self.uni.read()
-            .groupBy("w")
+            .groupBy(*g, "w")
             .agg(F.sum("c").alias("c"))
             .where(F.col("c") > 0)
-            .count()
         )
+        if not g:
+            b_total = big.count()
+            v_total = uni_live.count()
+            if min_count > 1:
+                big = big.where(F.col("c2") >= min_count)
+            return KneserNeyLM(
+                big=big,
+                ctx=ctx,
+                cont=cont,
+                total_bigrams=int(b_total),
+                vocab_size=int(v_total),
+            )
+        gc = self.group_col
+        b_rel = big.groupBy(gc).agg(F.count("*").alias("b"))
+        v_rel = uni_live.groupBy(gc).agg(F.count("*").alias("v"))
+        # v-side defines the group set (train_kn_lm_grouped's rule):
+        # a token-only group gets b=0; a fully-cancelled group has no
+        # live uni rows and drops from the family entirely
+        bv = v_rel.join(b_rel, gc, "left").select(
+            gc, F.coalesce("b", F.lit(0)).alias("b"), "v"
+        )
+        total_types = big.count()
         if min_count > 1:
             big = big.where(F.col("c2") >= min_count)
-        return KneserNeyLM(
+        return KneserNeyGroupedLM(
             big=big,
-            ctx=ctx,
             cont=cont,
-            total_bigrams=int(b_total),
-            vocab_size=int(v_total),
+            ctx=ctx,
+            bv=bv,
+            group_col=gc,
+            total_types=int(total_types),
         )
 
     def compact(self) -> None:
@@ -2009,7 +2070,11 @@ class NgramCountIndex:
         ledger folds in ONE atomic :meth:`SnapshotTable.overwrite`
         commit, so a concurrent :meth:`lm` fold pins either the
         pre- or post-compact version — both fold to the same model."""
-        for tbl, cols in ((self.big, ["w1", "w2"]), (self.uni, ["w"])):
+        g = self._gcols
+        for tbl, cols in (
+            (self.big, g + ["w1", "w2"]),
+            (self.uni, g + ["w"]),
+        ):
             folded = (
                 tbl.read()
                 .groupBy(*cols)

@@ -5082,11 +5082,14 @@ FROM r ORDER BY doc_id
 """
 
 
-def _kn_churned_corpus(spark: SparkSession, sf_dir: str):
-    """The shared commit script of the two incremental-KN rows: an
-    en-subset corpus SnapshotTable driven through insert, delete and
-    UPDATE (upsert = delete+insert at one version) commits whose final
-    state is expressible as pure SQL over ``documents`` —
+def _kn_churned_corpus(
+    spark: SparkSession, sf_dir: str, lang: str | None = "en"
+):
+    """The shared commit script of the incremental-KN rows: a corpus
+    SnapshotTable (the ``lang`` subset, or ALL languages with
+    ``lang=None`` — the grouped-family rows) driven through insert,
+    delete and UPDATE (upsert = delete+insert at one version) commits
+    whose final state is expressible as pure SQL over ``documents`` —
     v1 seed = odd doc_ids; v2 append = evens; v3 delete doc_id%8=1;
     v4 upsert doc_id%8=2 with a suffixed text. Returns
     (docs, base, corpus_script) where corpus_script(tbl) replays
@@ -5094,8 +5097,10 @@ def _kn_churned_corpus(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    en = docs.where(F.col("lang") == "en").select(
-        "doc_id", "text", F.lit(1).cast("long").alias("ver")
+    en = (
+        docs.where(F.col("lang") == lang) if lang is not None else docs
+    ).select(
+        "doc_id", "text", "lang", F.lit(1).cast("long").alias("ver")
     )
     base = en.where(F.col("doc_id") % 2 == 1)
 
@@ -5108,6 +5113,7 @@ def _kn_churned_corpus(spark: SparkSession, sf_dir: str):
                 F.concat(
                     F.col("text"), F.lit(" incremental update probe")
                 ).alias("text"),
+                "lang",
                 F.lit(2).cast("long").alias("ver"),
             ),
             ["doc_id"],
@@ -5283,6 +5289,207 @@ SELECT doc_id, n_trans, nll_micro,
          AS unseen_ctx_rate,
        nll_micro <= n_trans * 34000 AS keep
 FROM agg ORDER BY doc_id
+"""
+
+
+def q_text_lm_ccnet_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multilingual CCNet filter MAINTAINED CONTINUOUSLY (round
+    15 capstone — NgramCountIndex with group_col='lang'): the
+    per-language KN model family follows corpus churn through the
+    same ±count ledgers as the single-model row, with the group id
+    riding both aggregation keys (per-commit cost unchanged), and the
+    fold returns the KneserNeyGroupedLM family a from-scratch
+    train_kn_lm_grouped over the post-churn corpus would produce —
+    which is what the oracle replays: grouped train on the final
+    state (WHERE + CASE over ``documents``), own-language scoring of
+    every original document, per-language percentile buckets, keep.
+    Insert, delete and UPDATE commits all cross language boundaries
+    (the churn script is language-blind), so the hash certifies that
+    each language's model moved by exactly its own share of the
+    churn."""
+    from nebuia_vector_db_spark.operators import lm
+    from nebuia_vector_db_spark.operators.incremental import (
+        NgramCountIndex,
+        release_cached_relations,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs, base, corpus_script = _kn_churned_corpus(
+        spark, sf_dir, lang=None
+    )
+    root = posix_scratch_dir(spark, "incccnet")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = NgramCountIndex.create(
+            spark, root + "/index", corpus=base, group_col="lang"
+        )
+        v0 = corpus_tbl.current_version()
+        corpus_script(corpus_tbl)
+        for v in range(v0 + 1, corpus_tbl.current_version() + 1):
+            idx.ingest_commit(corpus_tbl, v)
+        scored = lm.kn_perplexity_grouped(docs, idx.lm())
+        out = (
+            lm.ppl_buckets(scored)
+            .select(
+                "doc_id",
+                "lang",
+                "avg_nll_micro",
+                "bucket",
+                (F.col("bucket") != F.lit("tail")).alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+def q_text_lm_ccnet_incremental_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of text_lm_ccnet_incremental: the grouped
+    ledger builds its ENTIRE per-language state from the CDC change
+    feed (the group column rides the slice rows like any other), via
+    the SAME stream_kn_ingest driver as the single-model twin —
+    grouping changes the ledger key, not the streaming contract.
+    SHARES the batch oracle: stream ≡ batch ≡ SQL for continuous
+    multilingual model maintenance."""
+    from nebuia_vector_db_spark.operators import lm
+    from nebuia_vector_db_spark.operators.incremental import (
+        NgramCountIndex,
+        release_cached_relations,
+        stream_kn_ingest,
+    )
+    from nebuia_vector_db_spark.session import (
+        posix_scratch_dir,
+        remove_scratch,
+    )
+    from nebuia_vector_db_spark.sources.snapshot import SnapshotTable
+
+    docs, base, corpus_script = _kn_churned_corpus(
+        spark, sf_dir, lang=None
+    )
+    root = posix_scratch_dir(spark, "incccnetstream")
+    try:
+        corpus_tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        corpus_script(corpus_tbl)
+        idx = NgramCountIndex.create(
+            spark, root + "/index", group_col="lang"
+        )
+        q = stream_kn_ingest(
+            spark, root + "/corpus", idx, root + "/ck"
+        )
+        q.awaitTermination()
+        scored = lm.kn_perplexity_grouped(docs, idx.lm())
+        out = (
+            lm.ppl_buckets(scored)
+            .select(
+                "doc_id",
+                "lang",
+                "avg_nll_micro",
+                "bucket",
+                (F.col("bucket") != F.lit("tail")).alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        release_cached_relations()
+        remove_scratch(spark, root)
+    return out
+
+
+# grouped from-scratch KN train over the POST-CHURN corpus (all
+# languages; final state of the language-blind commit script) +
+# own-language scoring of the ORIGINAL documents + per-language
+# percentile buckets — what the grouped ledger fold must reproduce
+ORACLE_TEXT_LM_CCNET_INCREMENTAL = """
+WITH tok_tr AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(
+           CASE WHEN doc_id % 8 = 2
+                THEN text || ' incremental update probe'
+                ELSE text END), ' '), x -> x != '') AS toks
+  FROM documents
+  WHERE doc_id % 8 <> 1
+),
+big AS (
+  SELECT lang, p[1] AS w1, p[2] AS w2, count(*) AS c2
+  FROM (
+    SELECT lang, unnest(list_transform(range(len(toks) - 1),
+                  i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok_tr WHERE len(toks) >= 2
+  ) GROUP BY 1, 2, 3
+),
+ctx AS (
+  SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+  FROM big GROUP BY lang, w1
+),
+cont AS (SELECT lang, w2, count(*) AS n1b FROM big GROUP BY lang, w2),
+bv AS (
+  SELECT v.lang, coalesce(bb.b, 0) AS b, v.v
+  FROM (SELECT lang, count(DISTINCT w) AS v
+        FROM (SELECT lang, unnest(toks) AS w FROM tok_tr)
+        GROUP BY lang) v
+  LEFT JOIN (SELECT lang, count(*) AS b FROM big GROUP BY lang) bb
+    USING (lang)
+),
+tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+  FROM documents
+),
+trans AS (
+  SELECT doc_id, lang, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id, lang, unnest(list_transform(range(len(toks) - 1),
+                   i -> [toks[i+1], toks[i+2]])) AS p
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN x.c1 IS NOT NULL THEN
+           (greatest(coalesce(b.c2, 0) - 0.75, 0.0)
+            + (0.75 * x.n1f)
+              * ((coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v)))
+           / x.c1
+         ELSE (coalesce(k.n1b, 0) + 0.5) / (bv.b + 0.5 * bv.v) END AS p
+  FROM trans t
+  JOIN bv ON t.lang = bv.lang
+  LEFT JOIN big b ON t.lang = b.lang AND t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN ctx x ON t.lang = x.lang AND t.w1 = x.w1
+  LEFT JOIN cont k ON t.lang = k.lang AND t.w2 = k.w2
+),
+agg AS (
+  SELECT doc_id, lang, count(*) AS n_trans,
+         CAST(-sum(CAST(floor(ln(p) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nll_micro
+  FROM scored GROUP BY doc_id, lang
+),
+r AS (
+  SELECT doc_id, lang, nll_micro // n_trans AS avg_nll_micro,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY nll_micro // n_trans, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM agg
+)
+SELECT doc_id, lang, avg_nll_micro,
+       CASE WHEN rk <= n * 33 // 100 THEN 'head'
+            WHEN rk <= n * 66 // 100 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       (CASE WHEN rk <= n * 33 // 100 THEN 'head'
+             WHEN rk <= n * 66 // 100 THEN 'middle'
+             ELSE 'tail' END) <> 'tail' AS keep
+FROM r ORDER BY doc_id
 """
 
 
@@ -12162,6 +12369,26 @@ REGISTRY: dict[
     #   per-language-cut row are recorded; r16 rotation candidate);
     #   locally green at sf0.01 + sf0.1;
     "text_lm_ccnet": (q_text_lm_ccnet, ORACLE_TEXT_LM_CCNET),
+    # text_lm_ccnet_incremental (round 15 capstone): the grouped
+    #   ledger — the per-language model FAMILY maintained at O(churn)
+    #   through language-blind insert/delete/update commits, folded
+    #   bit-identical to train_kn_lm_grouped over the post-churn
+    #   corpus, then the full CCNet chain (own-language scoring →
+    #   per-language buckets → keep) replayed in SQL; below the
+    #   window this round; locally green at sf0.01 + sf0.1;
+    "text_lm_ccnet_incremental": (
+        q_text_lm_ccnet_incremental,
+        ORACLE_TEXT_LM_CCNET_INCREMENTAL,
+    ),
+    # text_lm_ccnet_incremental_stream: CDC twin — the grouped ledger
+    #   builds all per-language state from the change feed via the
+    #   UNCHANGED stream_kn_ingest driver (grouping changes the
+    #   ledger key, not the streaming contract); SHARES the batch
+    #   oracle; locally green;
+    "text_lm_ccnet_incremental_stream": (
+        q_text_lm_ccnet_incremental_stream,
+        ORACLE_TEXT_LM_CCNET_INCREMENTAL,
+    ),
     # ---- Round-15 demotions (slots freed for the six VERDICT r14
     # task-#1 promotions plus the new pipe_decontaminate_eval
     # flagship). Each row's machinery retains a recorded pin, cited

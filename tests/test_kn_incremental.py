@@ -192,3 +192,57 @@ def test_kn_param_guard(spark, tmp_path):
     NgramCountIndex.create(spark, root + "/index", corpus=docs)
     with pytest.raises(ValueError, match="mismatched tokenization"):
         NgramCountIndex(spark, root + "/index", text_col="body")
+
+
+def test_grouped_ledger_fold_equals_grouped_retrain(spark, tmp_path):
+    """group_col generalization (the multilingual capstone): after
+    language-blind insert/delete/update commits, lm() folds to the
+    KneserNeyGroupedLM family a from-scratch train_kn_lm_grouped over
+    the post-churn corpus would produce — relations, per-group bv
+    rows and the family-wide type count all equal."""
+    from nebuia_vector_db_spark.operators.lm import train_kn_lm_grouped
+
+    rows = [
+        (i, t, g)
+        for i, (i0, t) in enumerate(_ROWS, start=1)
+        for g in ([("en" if i0 % 3 else "de")])
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, g, 1) for (i, t, g) in rows],
+        "doc_id long, text string, lang string, ver long",
+    )
+    base = docs.where(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path)
+    try:
+        tbl = SnapshotTable.create(spark, root + "/corpus", base)
+        idx = NgramCountIndex.create(
+            spark, root + "/index", corpus=base, group_col="lang"
+        )
+        v0 = tbl.current_version()
+        tbl.append(docs.where(F.col("doc_id") % 2 == 0))
+        tbl.delete_where(F.col("doc_id").isin(1, 5))
+        tbl.upsert(
+            docs.where(F.col("doc_id") == 4).select(
+                "doc_id",
+                F.concat("text", F.lit(" fresh update")).alias("text"),
+                "lang",
+                F.lit(2).cast("long").alias("ver"),
+            ),
+            ["doc_id"],
+            "ver",
+        )
+        for v in range(v0 + 1, tbl.current_version() + 1):
+            idx.ingest_commit(tbl, v)
+        want = train_kn_lm_grouped(tbl.read())
+        got = idx.lm()
+        assert got.group_col == "lang"
+        assert got.total_types == want.total_types
+        for rel in ("big", "ctx", "cont", "bv"):
+            w = sorted(tuple(r) for r in getattr(want, rel).collect())
+            have = sorted(tuple(r) for r in getattr(got, rel).collect())
+            assert have == w, rel
+        # param guard covers the grouping too
+        with pytest.raises(ValueError, match="mismatched tokenization"):
+            NgramCountIndex(spark, root + "/index")
+    finally:
+        release_cached_relations()
