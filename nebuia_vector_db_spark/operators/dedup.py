@@ -286,6 +286,8 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     postings: DataFrame | None = None,
+    band_rows: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -299,15 +301,23 @@ def minhash_lsh_pairs(
     Scale: candidates come from one equi-join on (band_id, band_hash);
     signatures are map-side; verification joins only candidate pairs.
     """
-    band_rows = minhash_band_rows(
-        df, text_col, id_col, n, num_perm, bands, postings=postings
-    ).cache()
     # registered so long-lived sessions can release it (same contract
     # as the tf-idf weight relations — ADVICE r2: caches on query
-    # paths must have an unpersist handle)
+    # paths must have an unpersist handle).
+    # r15: callers serving a repeated query stream should pass a
+    # memoized ``band_rows`` HANDLE (queries.py::_shared_minhash_bands)
+    # — a fresh per-call ``.cache()`` never substitutes across calls
+    # because MapInArrow plans canonicalize by Python-function
+    # byte-array REFERENCE, so every call re-ran the signature kernel
+    # and wrote a duplicate cache (measured: 2.05 s/run vs 0.62 s with
+    # reused handles at sf0.1).
     from nebuia_vector_db_spark.operators.textvec import _CACHED_RELATIONS
 
-    _CACHED_RELATIONS.append(band_rows)
+    if band_rows is None:
+        band_rows = minhash_band_rows(
+            df, text_col, id_col, n, num_perm, bands, postings=postings
+        ).cache()
+        _CACHED_RELATIONS.append(band_rows)
     cand = (
         band_rows.alias("x")
         .join(
@@ -321,17 +331,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    if postings is not None:
+    if shingle_sets is None and postings is not None:
         # reuse the (cached) posting relation instead of re-tokenizing
         # the corpus: postings rows are already DISTINCT (id, shingle)
         # (shingles_from_tokens array_distincts), so collect_set
         # rebuilds exactly the shingle set the verify needs — one
         # aggregation over a cached relation vs a second full scan +
-        # tokenize pass
+        # tokenize pass.
+        # r15: cache the aggregated sets too — the verify joins this
+        # relation TWICE (doc_a and doc_b sides), and without the
+        # cache the plan ran the full ObjectHashAggregate + exchange
+        # once per side, per run (guide §2.4: duplicated subtrees).
+        # Registered for release like every query-path cache; repeat
+        # callers pass a memoized handle (see the band_rows note).
         shingle_sets = postings.groupBy("_id").agg(
             F.collect_set("shingle").alias("_shingles")
-        )
-    else:
+        ).cache()
+        _CACHED_RELATIONS.append(shingle_sets)
+    elif shingle_sets is None:
         shingle_sets = with_tokens(df, text_col).select(
             F.col(id_col).alias("_id"),
             shingles_from_tokens("_toks", n).alias("_shingles"),

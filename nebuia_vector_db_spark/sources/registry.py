@@ -25,7 +25,41 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _fan_out_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan whose FILE LAYOUT under-
+    parallelizes the cluster (optimization guide §2.5 "input skew":
+    one huge unsplittable file → repartition immediately after the
+    read). The fixture tables are single-row-group parquet, so every
+    scan is ONE task regardless of core count — heavy per-row work
+    (tokenize/shingle HOFs, Python codec kernels) then runs on 1 of N
+    cores.
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    cluster's ``defaultParallelism`` and the trigger is the ESTIMATED
+    scan-task count from input bytes (`maxPartitionBytes` splits) —
+    at production scale a table spans enough files/row groups that the
+    estimate exceeds the target and this is a no-op. Non-posix paths
+    (hdfs://, s3://) skip the sizing probe and are left untouched."""
+    try:
+        total = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    est_tasks = max(1, total // (128 << 20))
+    if est_tasks * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so filter
     pushdown / column pruning reach the scan untouched.
 
@@ -48,8 +82,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return _fan_out_scan(spark, df, path) if fan_out else df
     df = spark.read.parquet(path)
+    if fan_out:
+        df = _fan_out_scan(spark, df, path)
     if name in ("orders", "lineitem"):
         # same drift-insurance as events.ts: queries assume midnight
         # TIMESTAMP semantics for the TPC-H date columns; if a fixture
