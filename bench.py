@@ -354,6 +354,11 @@ def main() -> None:
     reg = Q.queries()
     for name in headline:
         fn = reg[name]
+        # r15: one steal mark per headline query (warmup + 3 timed
+        # runs fall in one interval) — the r14-driver adjudication
+        # showed single-QUERY 2-15× moves under block-level steal
+        # that the one headline-wide number couldn't localize
+        _steal.mark(f"hq_{name}")
         timings[name] = round(
             _median_time(lambda: fn(spark, SF_DIR).collect()), 4
         )

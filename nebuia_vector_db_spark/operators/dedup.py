@@ -510,6 +510,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     max_broadcast_rows: int = 1_000_000,
     block_rows: int = 250_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, GEMM-style, with two
     physical strategies picked by corpus size:
@@ -534,7 +535,10 @@ def exact_cosine_pairs(
     GEMMs so no task materializes more than ``_MAX_SCORE_CELLS``
     (256 MB) of scores regardless of block/broadcast sizes.
     """
-    n = df.count()
+    # r15: ``n_rows`` lets callers that already know the corpus size
+    # (parquet footer row counts, snapshot manifests) skip the eager
+    # count job this strategy pick otherwise launches per call
+    n = df.count() if n_rows is None else n_rows
     if n > max_broadcast_rows:
         return _cosine_pairs_blocked(
             df, threshold, vec_col, id_col, block_rows=block_rows, n_rows=n

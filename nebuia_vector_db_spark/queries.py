@@ -186,6 +186,32 @@ def _footer_ranges(
     return [mins[c] for c in cols], [maxs[c] for c in cols]
 
 
+def _footer_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet footer(s) — free planning
+    metadata (r15), so strategy picks that only need N skip a count
+    job. None for non-local paths (→ caller counts distributedly)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as papq
+
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return None
+        return sum(papq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 FIXED_Q = [0.125] * 64  # FIXTURES.md: fixed literal query vector
 
 # DuckDB SQL fragment: normalized query vector from vec_id=:id
@@ -639,7 +665,10 @@ def q_vs_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~50× slower: it allocates a zip_with array per pair.)"""
     emb = _emb(spark, sf_dir)
     return (
-        exact_cosine_pairs(emb, threshold=0.4)
+        exact_cosine_pairs(
+            emb, threshold=0.4,
+            n_rows=_footer_row_count(sf_dir, "embeddings"),
+        )
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
@@ -2255,13 +2284,28 @@ def q_pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute."""
     from nebuia_vector_db_spark.operators.pipeline import dataset_split
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r15: quality from the materialized token array (quality_score's
+    # expression form re-splits the text twice per row) — identical
+    # arithmetic shape, so values are bit-identical; fan the 1-row-
+    # group scan out before the per-row token work (guide §2.5)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toked = text_fns.with_tokens(docs)
+    _n = F.size("_toks").cast("double")
+    _sr = (
+        F.size(
+            F.filter(F.col("_toks"), lambda t: t.isin(*text_fns.STOPWORDS))
+        ).cast("double")
+        / F.size("_toks")
+    )
     scored = toked.select(
         "doc_id",
         "lang",
         F.size("_toks").cast("long").alias("n_tokens"),
-        text_fns.quality_score("text").alias("quality"),
+        (
+            F.lit(0.5) * F.least(_n / F.lit(50.0), F.lit(1.0))
+            + F.lit(0.25) * (F.lit(1.0) - _sr)
+            + F.lit(0.25) * text_fns.alpha_ratio("text")
+        ).alias("quality"),
     )
     kept = scored.where(
         (F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr")
@@ -2779,7 +2823,9 @@ def q_pipe_curate_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept, "doc_id", "left_semi")
         .join(F.broadcast(dups), "doc_id", "left_anti")
     )
-    k = (4 * docs.count()) // 5
+    k = (
+        4 * (_footer_row_count(sf_dir, "documents") or docs.count())
+    ) // 5
     base = curated.where(F.col("doc_id") < k)
     delta = curated.where(F.col("doc_id") >= k)
     root = posix_scratch_dir(spark, "ptxcur")
@@ -3363,7 +3409,7 @@ def q_stream_decontaminate_mirror(
     eval_rel = docs.where(F.col("doc_id") % 10 == 5).select(
         "doc_id", "text"
     )
-    k = docs.count() // 2
+    k = (_footer_row_count(sf_dir, "documents") or docs.count()) // 2
     root = posix_scratch_dir(spark, "deconstream")
     try:
         corpus = SnapshotTable.create(
@@ -3688,7 +3734,9 @@ def q_pipe_pretrain_export_incremental(
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    k = (4 * docs.count()) // 5
+    k = (
+        4 * (_footer_row_count(sf_dir, "documents") or docs.count())
+    ) // 5
     base = docs.where(F.col("doc_id") < k)
     delta = docs.where(F.col("doc_id") >= k)
     root = posix_scratch_dir(spark, "ptxinc")
