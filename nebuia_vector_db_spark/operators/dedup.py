@@ -49,7 +49,10 @@ _CACHED_RELATIONS, release_cached_relations = cached_relation_registry()
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ids_only: bool = False,
 ) -> DataFrame:
     """Keep the lowest-id document per exact (normalized) fingerprint
     (ids assumed unique — the corpus contract).
@@ -65,6 +68,12 @@ def exact_dedup(
     duplicate of a hot fingerprint in one window task."""
     with_fp = df.withColumn("fp", fingerprint(text_col))
     keep = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    if ids_only:
+        # r15 (guide §2.3 project early): the winner relation already
+        # IS the (id, fp) answer — callers that don't need the payload
+        # columns skip the semi-join that would drag them through a
+        # second shuffle just to be projected away
+        return keep.select(id_col, "fp")
     return with_fp.join(keep, on=["fp", id_col], how="leftsemi")
 
 

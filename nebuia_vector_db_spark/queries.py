@@ -698,7 +698,7 @@ _FP_SQL = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        exact_dedup(docs)
+        exact_dedup(docs, ids_only=True)
         .select("doc_id", "fp")
         .orderBy("doc_id")
     )
