@@ -496,17 +496,47 @@ def test_tpch_q21_single_fact_scan_window_reuses_partitioning(
 
 def test_exact_dedup_winner_is_partial_agg_not_window(spark, sf_oracle):
     """Round 9: exact dedup's keep-first winner must be a map-side
-    partial min aggregation + composite-key semi-join — not a
-    row_number window over fp, which shipped and sorted every
-    duplicate of a hot fingerprint in one task (the mass-duplicate
-    skew dedup exists to handle)."""
+    partial min aggregation — not a row_number window over fp, which
+    shipped and sorted every duplicate of a hot fingerprint in one
+    task (the mass-duplicate skew dedup exists to handle).
+
+    r15: the registry row uses the ids_only projection (no payload
+    columns → no semi-join back to the corpus — guide §2.3 project
+    early), so its plan is agg-only; the full-row operator path keeps
+    the composite-key LeftSemi and is pinned separately below."""
+    from nebuia_vector_db_spark.operators.dedup import exact_dedup
     from nebuia_vector_db_spark.plans.inspect import explain_str
+    from nebuia_vector_db_spark.sources.registry import load_table
 
     df = Q.q_dedup_exact(spark, sf_oracle)
     plan = explain_str(df)
     assert "Window" not in plan, "per-fp row_number window is back"
     assert "partial_min" in plan, "winner lost its map-side combine"
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan, "ids_only row re-grew the semi-join"
+
+    full = exact_dedup(load_table(spark, sf_oracle, "documents"))
+    full_plan = explain_str(full)
+    assert "Window" not in full_plan, "per-fp row_number window is back"
+    assert "partial_min" in full_plan, "winner lost its map-side combine"
+    assert "LeftSemi" in full_plan, "full-row path lost the semi-join"
+
+
+def test_exact_dedup_ids_only_equals_full_projection(spark, sf_oracle):
+    """r15: ids_only must return exactly the full path's (id, fp)
+    projection — the winner aggregation IS the survivor relation."""
+    from nebuia_vector_db_spark.operators.dedup import exact_dedup
+    from nebuia_vector_db_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    fast = {
+        (r["doc_id"], r["fp"])
+        for r in exact_dedup(docs, ids_only=True).collect()
+    }
+    full = {
+        (r["doc_id"], r["fp"])
+        for r in exact_dedup(docs).select("doc_id", "fp").collect()
+    }
+    assert fast == full and fast
 
 
 def test_tpch_q9_lineitem_only_large_input(spark, sf_oracle):
