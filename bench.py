@@ -363,9 +363,38 @@ def main() -> None:
             _median_time(lambda: fn(spark, SF_DIR).collect()), 4
         )
 
+    # ---- explicit warm/cold contract for the index-backed headline
+    # rows (VERDICT r15 task #1). The rows above run the bench's
+    # long-standing WARM protocol (1 warmup + median of 3, session-
+    # shared index relations built during warmup). These additive
+    # rows time the same queries FROM SCRATCH: release_query_caches()
+    # runs between every call — outside the timed interval
+    # (`between`, the b22 mechanism) — so each timed run rebuilds the
+    # postings/bands/sets/tf-idf index end to end. Both protocols are
+    # now recorded side by side; existing row names and methodology
+    # are untouched.
+    _steal.mark("hq_index_builds")
+    for name in (
+        "dedup_minhash_lsh",
+        "hybrid_search",
+        "dedup_ngram_jaccard",
+        "dedup_groups",
+    ):
+        fn = reg[name]
+        timings[f"{name}_index_build_sec"] = round(
+            _median_time(
+                lambda: fn(spark, SF_DIR).collect(),
+                between=Q.release_query_caches,
+            ),
+            4,
+        )
+
     # release every query-registered executor cache (tf-idf weights,
     # substring anchors, image bands, semdedup scored relations) —
-    # the B-series needs the storage memory
+    # the B-series needs the storage memory. release_query_caches
+    # drops the queries.py memo dicts TOGETHER with their persisted
+    # relations (ADVICE r15: releasing only the module registries
+    # left the memos serving cold handles that never re-cache).
     from nebuia_vector_db_spark.operators.dedup import (
         release_cached_relations as _release_anchors,
     )
@@ -379,6 +408,7 @@ def main() -> None:
         release_cached_relations,
     )
 
+    Q.release_query_caches()
     release_cached_relations()
     _release_anchors()
     _release_bands()

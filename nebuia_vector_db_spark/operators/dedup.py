@@ -309,6 +309,17 @@ def minhash_lsh_pairs(
 
     Scale: candidates come from one equi-join on (band_id, band_hash);
     signatures are map-side; verification joins only candidate pairs.
+
+    Handle invariants (ADVICE r15): a memoized ``band_rows`` handle
+    REPLACES the signature computation, so ``df``/``text_col``/``n``/
+    ``num_perm``/``bands``/``postings`` are ignored for candidate
+    generation — the caller must have built the handle with the same
+    shingle/band parameters it would pass here, or the pairs are
+    silently wrong. Likewise ``shingle_sets`` replaces the verify-side
+    set aggregation (``postings`` ignored when it is passed). The
+    memo tier (queries.py::_shared_minhash_bands/_shared_shingle_sets)
+    keys on (session, sf_dir) and always builds with this function's
+    defaults, which every registry caller also uses.
     """
     # registered so long-lived sessions can release it (same contract
     # as the tf-idf weight relations — ADVICE r2: caches on query

@@ -108,6 +108,7 @@ class PQIndex:
         cell_centroids: np.ndarray | None = None,  # (n_cells, d)
         cell_col: str = "ivf_cell",
         rotation: np.ndarray | None = None,  # (d, d) orthogonal (OPQ)
+        encode_src: DataFrame | None = None,
     ):
         self.codes = codes
         self.codebooks = codebooks
@@ -116,6 +117,10 @@ class PQIndex:
         self.cell_centroids = cell_centroids
         self.cell_col = cell_col
         self.rotation = rotation
+        # the projected raw-vector source when this index was built by
+        # encode_pq in THIS plan (vs loaded/stored codes) — lets
+        # search() fuse encode + ADC into ONE Arrow crossing (r16)
+        self._encode_src = encode_src
 
     @property
     def m(self) -> int:
@@ -161,15 +166,24 @@ class PQIndex:
 
         On an IVF-PQ index, ``nprobe`` additionally restricts the ADC
         scan to the best cells (centroid ranking driver-side, same as
-        operators/ann.py) — the composed prune-then-score stack."""
-        from pyspark.sql.functions import pandas_udf
+        operators/ann.py) — the composed prune-then-score stack.
 
+        One Arrow crossing (r16, guide §4): on an encode_pq-built
+        index whose codes are not persisted, the scan fuses encode +
+        ADC into a single mapInArrow kernel (the two-crossing plan
+        paid JVM→Python→JVM twice per run, and the second crossing
+        re-decoded the codes column from Arrow lists). Stored or
+        cached codes score through a single mapInArrow over the codes
+        table (same math, list-offset decode instead of the old
+        row-pickling pandas_udf). Scores are bit-identical across all
+        paths: same argmin, same per-subspace accumulation order."""
         table = self.adc_table(qvec)
         m = self.m
         cut = max(topk, rerank)
 
         codes_src = self.codes
         cell_term = None
+        probe = None
         if self.cell_centroids is not None:
             qn = np.asarray(normalize_query(qvec), dtype=np.float64)
             cell_dots = self.cell_centroids @ qn  # (n_cells,)
@@ -185,26 +199,7 @@ class PQIndex:
                 )
             cell_term = cell_dots
 
-        @pandas_udf("double")
-        def _adc(codes: pd.Series, cells: pd.Series) -> pd.Series:
-            c = np.array(list(codes), dtype=np.int64)  # (b, m)
-            if len(c) == 0:
-                return pd.Series([], dtype="float64")
-            s = np.zeros(len(c), dtype=np.float64)
-            for j in range(m):
-                s += table[j][c[:, j]]
-            if cell_term is not None:
-                s += cell_term[cells.to_numpy(dtype=np.int64)]
-            return pd.Series(s)
-
-        cell_arg = (
-            F.col(self.cell_col)
-            if self.cell_centroids is not None
-            else F.lit(0)
-        )
-        scored = codes_src.withColumn(
-            "adc_score", _adc(F.col("codes"), cell_arg)
-        )
+        scored = self._adc_scored(codes_src, table, cell_term, probe, tie_cols)
         short = scored.orderBy(
             F.desc("adc_score"), *[F.col(c) for c in tie_cols]
         ).limit(cut)
@@ -226,6 +221,162 @@ class PQIndex:
             .limit(topk)
             .select(self.id_col, "similarity")
         )
+
+    def _adc_scored(
+        self,
+        codes_src: DataFrame,
+        table: np.ndarray,
+        cell_term: np.ndarray | None,
+        probe: list[int] | None,
+        tie_cols: Sequence[str],
+    ) -> DataFrame:
+        """(id[, cell], adc_score) relation behind search()'s top-k
+        cut — one Python crossing on every path (see search's note).
+        The fused encode+ADC kernel fires only when the index was
+        built by encode_pq in this plan AND the codes were not
+        persisted by the caller (a cached/stored codes relation is
+        the cheaper scan — re-encoding raw vectors would bypass it)."""
+        from collections.abc import Iterator
+
+        import pyarrow as pa
+
+        m = self.m
+        id_col, cell_col = self.id_col, self.cell_col
+        has_cell = self.cell_centroids is not None
+        avail = {id_col, cell_col} if has_cell else {id_col}
+        if not set(tie_cols) <= avail:
+            # exotic tie columns: keep every codes_src column (the
+            # pre-r16 shape) and score via a vectorized UDF
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("double")
+            def _adc(codes: pd.Series, cells: pd.Series) -> pd.Series:
+                c = np.array(list(codes), dtype=np.int64)  # (b, m)
+                if len(c) == 0:
+                    return pd.Series([], dtype="float64")
+                s = np.zeros(len(c), dtype=np.float64)
+                for j in range(m):
+                    s += table[j][c[:, j]]
+                if cell_term is not None:
+                    s += cell_term[cells.to_numpy(dtype=np.int64)]
+                return pd.Series(s)
+
+            cell_arg = F.col(cell_col) if has_cell else F.lit(0)
+            return codes_src.withColumn(
+                "adc_score", _adc(F.col("codes"), cell_arg)
+            )
+
+        stored = (
+            self._encode_src is None
+            or self.codes.storageLevel.useMemory
+            or self.codes.storageLevel.useDisk
+        )
+        id_type = dict(
+            (codes_src if stored else self._encode_src).dtypes
+        )[id_col]
+        out_cols = [id_col] + ([cell_col] if has_cell else [])
+        out_schema = ", ".join(
+            [f"{id_col} {id_type}"]
+            + ([f"{cell_col} int"] if has_cell else [])
+            + ["adc_score double"]
+        )
+
+        if stored:
+
+            def _scan(
+                batches: Iterator[pa.RecordBatch],
+            ) -> Iterator[pa.RecordBatch]:
+                for rb in batches:
+                    n = rb.num_rows
+                    if n == 0:
+                        continue
+                    codes = (
+                        rb.column("codes")
+                        .flatten()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64, copy=False)
+                        .reshape(n, m)
+                    )
+                    s = np.zeros(n, dtype=np.float64)
+                    for j in range(m):
+                        s += table[j][codes[:, j]]
+                    arrays = [rb.column(id_col)]
+                    if has_cell:
+                        cells = (
+                            rb.column(cell_col)
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        )
+                        if cell_term is not None:
+                            s += cell_term[cells]
+                        arrays.append(rb.column(cell_col))
+                    arrays.append(pa.array(s))
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, names=out_cols + ["adc_score"]
+                    )
+
+            src = codes_src.select(*out_cols, "codes")
+            return src.mapInArrow(_scan, schema=out_schema)
+
+        # fused encode + ADC over the raw-vector source (one crossing)
+        codebooks = self.codebooks
+        dsub = codebooks.shape[2]
+        c_norm2 = np.einsum("skd,skd->sk", codebooks, codebooks)
+        cell_centroids = self.cell_centroids
+        rotation = self.rotation
+        vec_col = self.vec_col
+        src = self._encode_src
+        if probe is not None:
+            src = src.where(F.col(cell_col).isin(probe))
+
+        def _fused(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            from nebuia_vector_db_spark.functions.vector import (
+                arrow_list_to_matrix,
+            )
+
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                mat = arrow_list_to_matrix(rb.column(vec_col)).astype(
+                    np.float64, copy=False
+                )
+                cells = None
+                if has_cell:
+                    cells = (
+                        rb.column(cell_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    mat = mat - cell_centroids[cells]
+                if rotation is not None:
+                    mat = mat @ rotation
+                codes = np.empty((n, m), dtype=np.int64)
+                for sub in range(m):
+                    xs = mat[:, sub * dsub : (sub + 1) * dsub]
+                    codes[:, sub] = (
+                        c_norm2[sub][None, :]
+                        - 2.0 * (xs @ codebooks[sub].T)
+                    ).argmin(axis=1)
+                s = np.zeros(n, dtype=np.float64)
+                for j in range(m):
+                    s += table[j][codes[:, j]]
+                arrays = [rb.column(id_col)]
+                if has_cell:
+                    if cell_term is not None:
+                        s += cell_term[cells]
+                    arrays.append(rb.column(cell_col))
+                arrays.append(pa.array(s))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=out_cols + ["adc_score"]
+                )
+
+        src = src.select(
+            *out_cols, vec_col
+        )
+        return src.mapInArrow(_fused, schema=out_schema)
 
 
 def pq_search_batch(
@@ -647,7 +798,7 @@ def encode_pq(
     return PQIndex(
         codes_df, codebooks, vec_col, id_col,
         cell_centroids=cell_centroids, cell_col=cell_col,
-        rotation=rotation,
+        rotation=rotation, encode_src=src,
     )
 
 

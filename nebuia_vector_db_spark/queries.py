@@ -746,13 +746,58 @@ ORDER BY doc_a, doc_b
 # the jaccard and minhash tiers both consume it, so the corpus is
 # tokenized/shingled once instead of once per query (the two slowest
 # headline entries shared ~2s of identical shingle work at sf0.1).
-_POSTINGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable memo key for the session (ADVICE r15): ``id(spark)``
+    can be REUSED by a new session after the old one is stopped and
+    garbage-collected, serving DataFrames bound to a dead JVM;
+    ``applicationId`` is unique per SparkContext."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"id-{id(spark)}"  # stopped context mid-teardown
+
+
+def release_query_caches() -> int:
+    """Unpersist AND forget every query-level memoized relation
+    (postings, jaccard pairs, dup groups, minhash bands, shingle
+    sets, the tf-idf TextIndex). ADVICE r15 (medium): releasing the
+    operator-module registries (textvec/dedup/...) unpersists the
+    underlying relations but leaves these memo dicts returning the
+    now-cold handles, which are never re-cached — every later caller
+    then recomputes the shared subtree on EVERY consumer, strictly
+    worse than a per-call cache. Long-lived sessions and the bench
+    must release through THIS function so the memos drop with their
+    caches. Returns the number of relations unpersisted."""
+    n = 0
+    dfs: list[DataFrame] = []
+    for cache in (
+        _POSTINGS_CACHE,
+        _PAIRS_CACHE,
+        _GROUPS_CACHE,
+        _BANDS_CACHE,
+        _SETS_CACHE,
+    ):
+        dfs.extend(cache.values())
+        cache.clear()
+    for idx in _TEXT_INDEX_CACHE.values():
+        dfs.extend([idx.weights, idx.norms])
+    _TEXT_INDEX_CACHE.clear()
+    for df in dfs:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
 
 
 def _shared_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.dedup import shingle_postings
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _POSTINGS_CACHE.get(key)
     if cached is None:
         # r15: fan the single-row-group documents scan out BEFORE the
@@ -774,12 +819,12 @@ def _shared_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # localCheckpoint, so one handle per (session, sf_dir) makes curate
 # reuse the groups already computed by dedup_groups instead of
 # replaying the whole pointer-jumping iteration.
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
-_GROUPS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_GROUPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _PAIRS_CACHE.get(key)
     if cached is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -793,7 +838,7 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shared_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.components import dedup_groups
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _GROUPS_CACHE.get(key)
     if cached is None:
         cached = dedup_groups(_shared_jaccard_pairs(spark, sf_dir)).cache()
@@ -931,15 +976,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # calls (Python-function byte arrays canonicalize by reference), so
 # the signature kernel re-ran and re-cached EVERY timed run — reusing
 # the DataFrame object is what actually makes the cache warm.
-_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
-_SETS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.dedup import minhash_band_rows
     from nebuia_vector_db_spark.operators.textvec import _CACHED_RELATIONS
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _BANDS_CACHE.get(key)
     if cached is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -954,7 +999,7 @@ def _shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shared_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebuia_vector_db_spark.operators.textvec import _CACHED_RELATIONS
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _SETS_CACHE.get(key)
     if cached is None:
         cached = (
@@ -1202,7 +1247,7 @@ def q_vs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("vec_a", "vec_b")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -1353,7 +1398,7 @@ def q_dedup_semdedup_incremental(
             )
             .orderBy("vec_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         _sd.release_cached_relations()
@@ -1470,7 +1515,7 @@ def q_dedup_semdedup_incremental_stream(
             )
             .orderBy("vec_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         _sd.release_cached_relations()
@@ -2039,7 +2084,7 @@ ORDER BY doc_id
 _HYBRID_TERMS = ["vector", "join", "scan", "filter", "merge"]
 
 
-_TEXT_INDEX_CACHE: dict[tuple[int, str], object] = {}
+_TEXT_INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _shared_text_index(spark: SparkSession, sf_dir: str):
@@ -2056,7 +2101,7 @@ def _shared_text_index(spark: SparkSession, sf_dir: str):
         tfidf_weight_relation,
     )
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     idx = _TEXT_INDEX_CACHE.get(key)
     if idx is None:
         docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -2852,7 +2897,7 @@ def q_pipe_curate_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("bin_id")
         )
-        out = spark.createDataFrame(per.collect(), per.schema)
+        out = per.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -3424,7 +3469,7 @@ def q_stream_decontaminate_mirror(
         out = (
             SnapshotTable(spark, root + "/dec").read().orderBy("doc_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, root)
     return out
@@ -3523,7 +3568,7 @@ def q_pipe_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("bin_id")
         )
-        out = spark.createDataFrame(per.collect(), per.schema)
+        out = per.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, out_dir)
     return out
@@ -3646,7 +3691,7 @@ def q_pipe_pretrain_export_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("bin_id")
         )
-        out = spark.createDataFrame(per.collect(), per.schema)
+        out = per.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, out_dir)
     return out
@@ -3762,7 +3807,7 @@ def q_pipe_pretrain_export_incremental(
             )
             .orderBy("bin_id")
         )
-        out = spark.createDataFrame(per.collect(), per.schema)
+        out = per.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -4228,7 +4273,7 @@ def q_pipe_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_chars long"
         ).json(out_dir)
         out = _roundtrip_stats(back)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, out_dir)
     return out
@@ -4289,7 +4334,7 @@ def q_snap_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("lang")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, root)
     return out
@@ -5395,7 +5440,7 @@ def q_text_lm_kn_incremental(
         out = lm.kn_perplexity(
             docs, idx.lm(), keep_avg_nll=3.4
         ).orderBy("doc_id")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -5441,7 +5486,7 @@ def q_text_lm_kn_incremental_stream(
         out = lm.kn_perplexity(
             docs, idx.lm(), keep_avg_nll=3.4
         ).orderBy("doc_id")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -5577,7 +5622,7 @@ def q_text_lm_ccnet_incremental(
             )
             .orderBy("doc_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -5632,7 +5677,7 @@ def q_text_lm_ccnet_incremental_stream(
             )
             .orderBy("doc_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -6164,7 +6209,7 @@ def q_snap_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("_commit_version", "_change", "doc_id")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, root)
     return out
@@ -6219,7 +6264,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_a", "doc_b")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -6270,7 +6315,7 @@ def q_dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_a", "doc_b")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -6479,7 +6524,7 @@ def q_dedup_substring_incremental(
             .select("doc_a", "doc_b", "n_shared")
             .orderBy("doc_a", "doc_b")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -6578,7 +6623,7 @@ def q_dedup_substring_incremental_stream(
             .select("doc_a", "doc_b", "n_shared")
             .orderBy("doc_a", "doc_b")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         release_cached_relations()
         remove_scratch(spark, root)
@@ -10428,7 +10473,7 @@ def q_pipe_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_id")
         )
-        out = spark.createDataFrame(per.collect(), per.schema)
+        out = per.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, out_dir)
     return out
@@ -11271,7 +11316,7 @@ def q_pipe_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_chars long"
         ).orc(out_dir)
         out = _roundtrip_stats(back)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, out_dir)
     return out
@@ -11327,7 +11372,7 @@ def q_pipe_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL/'' conflation normalization — see the docstring
         back = back.withColumn("text", F.coalesce("text", F.lit("")))
         out = _roundtrip_stats(back)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = out.localCheckpoint(eager=True)
     finally:
         remove_scratch(spark, out_dir)
     return out

@@ -51,10 +51,31 @@ def _fan_out_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     except OSError:
         return df
     target = spark.sparkContext.defaultParallelism
-    est_tasks = max(1, total // (128 << 20))
+    est_tasks = max(1, total // _max_partition_bytes(spark))
     if est_tasks * 2 >= target:
         return df
     return df.repartition(target)
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """The session's actual scan split size (ADVICE r15: the 128 MB
+    literal misestimates the task count on clusters that tune
+    ``spark.sql.files.maxPartitionBytes``). Values arrive as ints or
+    as size strings ('128m', '1g')."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    ).strip().lower()
+    if raw.endswith("b"):
+        raw = raw[:-1]  # '128mb' → '128m' (JavaUtils suffix grammar)
+    scale = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(
+        raw[-1:], 1
+    )
+    if scale != 1:
+        raw = raw[:-1]
+    try:
+        return max(1, int(float(raw) * scale))
+    except ValueError:
+        return 128 << 20
 
 
 def load_table(

@@ -186,6 +186,43 @@ def test_pq_adc_scans_codes_only_and_rerank_broadcasts(spark, sf_oracle):
     assert shuffle_count(out) == 0, plan
 
 
+def test_pq_search_fuses_encode_and_adc_into_one_python_node(
+    spark, sf_oracle
+):
+    """r16 (VERDICT r15 task #2, guide §4): an encode_pq-built index
+    whose codes were not persisted must score through ONE Arrow
+    crossing (fused encode + ADC kernel), not encode-mapInArrow +
+    ADC-UDF. A cached codes relation keeps the codes-scan path — one
+    crossing over the cheaper table."""
+    import re
+
+    from nebuia_vector_db_spark.operators.pq import encode_pq, train_pq
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = train_pq(emb, m=16, k=16, sample=200)
+    pq = encode_pq(emb, books)
+    fused = pq.search(emb, [0.1] * 64, 5, rerank=32, tie_cols=["vec_id"])
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(
+        fused._jdf.queryExecution(), "formatted"
+    )
+    nodes = re.findall(
+        r"\(\d+\) (MapInArrow|ArrowEvalPython|BatchEvalPython|MapInPandas)",
+        plan,
+    )
+    assert nodes == ["MapInArrow"], plan
+    fused_rows = fused.collect()
+    # cached codes → the codes-scan path; results bit-identical
+    pq.codes = pq.codes.cache()
+    pq.codes.count()
+    try:
+        stored_rows = pq.search(
+            emb, [0.1] * 64, 5, rerank=32, tie_cols=["vec_id"]
+        ).collect()
+        assert fused_rows == stored_rows
+    finally:
+        pq.codes.unpersist()
+
+
 def test_boilerplate_two_shuffles(spark, sf_oracle):
     """df-count on shingle + final agg on doc_id; the join back to
     postings reuses the shingle partitioning (no third exchange for

@@ -5,7 +5,7 @@ $SPARK_GRAFT_SF_DIR (default sf0.1):
 - time `collect()` (the bench's timed action) — warmup 1, median of 3
 - time the noop sink (`write.format("noop")`) for comparison (§1.4)
 - count Spark jobs/stages launched per timed run (status tracker)
-- dump `.explain("formatted")` to plans/r15/<query>_<tag>.txt
+- dump `.explain("formatted")` to plans/$PROFILE_PLANS_ROUND/<query>_<tag>.txt
 - extract plan-shape stats: Exchange count, join strategies,
   BatchEvalPython/ArrowEvalPython/MapInArrow nodes, scans
 
@@ -76,7 +76,9 @@ def main() -> int:
     reg = Q.queries()
     st = spark.sparkContext.statusTracker()
 
-    plans_dir = os.path.join(REPO, "plans", "r15")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("PROFILE_PLANS_ROUND", "r16")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     out = {}
@@ -89,13 +91,25 @@ def main() -> int:
         fn(spark, SF_DIR).collect()
         warm = time.perf_counter() - t0
 
-        jobs0 = len(st.getJobIdsForGroup() or [])
+        # jobs-per-run (ADVICE r15: the r15 version computed jobs0 and
+        # never used it): run the timed calls under a job group and
+        # count the group's job ids — eager driver actions hidden in
+        # query CONSTRUCTION (parameter fetches, strategy-pick counts)
+        # show up here as extra jobs per run.
+        spark.sparkContext.setJobGroup(f"prof_{name}", f"profile:{name}")
+        jobs0 = len(st.getJobIdsForGroup(f"prof_{name}") or [])
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             times.append(time.perf_counter() - t0)
         med = statistics.median(times)
+        jobs_per_run = (
+            len(st.getJobIdsForGroup(f"prof_{name}") or []) - jobs0
+        ) / 3.0
+        spark.sparkContext.setJobGroup(
+            f"prof_{name}_done", f"profile:{name}:done"
+        )
 
         df = fn(spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -107,10 +121,12 @@ def main() -> int:
         out[name] = {
             "collect_med": round(med, 4),
             "collect_warm": round(warm, 4),
+            "jobs_per_run": round(jobs_per_run, 1),
             **stats,
         }
         print(
             f"{name:28s} {med:7.3f}s (warm {warm:6.3f})  "
+            f"jobs={jobs_per_run:.1f} "
             f"ex={stats['exchanges']} py={stats['py_eval']} "
             f"arrow={stats['map_arrow']} scans={stats['scans']}",
             flush=True,
