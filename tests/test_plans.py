@@ -287,15 +287,31 @@ def test_funnel_one_scan_one_shuffle_no_joins(spark, sf_oracle):
     assert shuffle_count(df) <= 1
 
 
-def test_retention_two_passes_bounded_shuffles(spark, sf_oracle):
-    """Cohort retention reads events twice (first-event agg; distinct
-    activity), both column-pruned — and pays a bounded shuffle budget
-    (stage aggs + cohort/offset cell agg), never a per-user sort."""
+def test_retention_one_pass_bounded_shuffles(spark, sf_oracle):
+    """Cohort retention is ONE grouped pass (r16): a single events
+    scan computes cohort week + distinct active weeks together, no
+    join, and the shuffle budget is user-agg + cell agg + output sort
+    (the r15 two-scan self-join form paid 2 scans and 5+ shuffles)."""
     df = Q.q_events_retention(spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") <= 2
+    assert plan.count("Scan parquet") <= 1
+    assert "Join" not in plan, plan
     assert "Window" not in plan
-    assert shuffle_count(df) <= 5
+    assert shuffle_count(df) <= 3
+
+
+def test_events_range_partitioning_single_exchange(spark, sf_oracle):
+    """events_sessions / events_user_gap (r16): the input
+    repartitionByRange(user_id) is the ONLY exchange — the session /
+    window aggregation clusters on it and the global orderBy reuses
+    it via the ordering-prefix rule, so no second (range) exchange
+    appears before the output sort."""
+    for fn in (Q.q_events_sessions, Q.q_events_user_gap):
+        df = fn(spark, sf_oracle)
+        assert shuffle_count(df) <= 1, (
+            fn.__name__,
+            df._jdf.queryExecution().executedPlan().toString(),
+        )
 
 
 def test_hybrid_search_topk_and_no_cartesian(spark, sf_oracle):
