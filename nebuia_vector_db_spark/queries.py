@@ -662,8 +662,14 @@ def q_vs_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::exact_cosine_pairs) — the quadratic work runs
     inside BLAS per Arrow batch; only matches materialize as rows.
     (A pair-join with per-pair HOF scoring computes the same thing
-    ~50× slower: it allocates a zip_with array per pair.)"""
-    emb = _emb(spark, sf_dir)
+    ~50× slower: it allocates a zip_with array per pair.)
+
+    r16: the embeddings fixture is a single small file → one scan
+    task → the whole O(N²) GEMM on one core; fan_out spreads the
+    probe side across the cluster (guide §2.5 — no-op at 100 TB where
+    the scan already splits). A/B at the 10× fixture: ~1.8× (7.12→
+    3.88 s same-session medians; rows identical across variants)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return (
         exact_cosine_pairs(
             emb, threshold=0.4,
