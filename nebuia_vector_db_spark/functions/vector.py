@@ -101,6 +101,51 @@ def similarity_to_query(vec: Column | str, q: Sequence[float]) -> Column:
     return dot(vec, normalize_query(q))
 
 
+_BLAS_THREADS_SET: int | None = None
+
+
+def limit_blas_threads(n: int = 1) -> None:
+    """Cap OpenBLAS's internal thread count in THIS process.
+
+    Data-parallel kernels (one GEMM task per core) oversubscribe when
+    every task's BLAS call also spawns threads: with 21-32 concurrent
+    block-GEMM tasks the extra threads only add contention (measured
+    on b9's 40k×40k blocks: 21-task wall 29.0 s → 20.6 s with BLAS
+    pinned to 1). Called at kernel entry in the Python worker, so it
+    caps workers without touching the driver process (whose numpy
+    baselines legitimately use the multithreaded path).
+
+    Best-effort: resolves ``openblas_set_num_threads`` from numpy's
+    bundled OpenBLAS via ctypes; silently a no-op on other BLAS
+    backends. Idempotent per process.
+    """
+    global _BLAS_THREADS_SET
+    if _BLAS_THREADS_SET == n:
+        return
+    import ctypes
+    import glob
+    import os
+
+    pkg_dir = os.path.dirname(os.path.dirname(np.__file__))
+    candidates = glob.glob(
+        os.path.join(pkg_dir, "numpy.libs", "libopenblas*.so*")
+    ) + glob.glob(
+        os.path.join(os.path.dirname(np.__file__), ".libs", "libopenblas*.so*")
+    )
+    for path in candidates:
+        try:
+            lib = ctypes.CDLL(path)  # already loaded: dlopen reuses it
+        except OSError:
+            continue
+        for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                fn(int(n))
+                _BLAS_THREADS_SET = n
+                return
+    _BLAS_THREADS_SET = n  # searched once; don't rescan every call
+
+
 def arrow_list_to_matrix(col) -> np.ndarray:
     """pyarrow List/FixedSizeList array of floats → (n, d) ndarray with
     zero copies where the layout allows (contiguous values buffer).

@@ -546,14 +546,19 @@ def exact_cosine_pairs(
       NO driver materialization anywhere on the path; shuffle volume is
       N·(B+1) rows for B blocks, the textbook all-pairs trade.
 
-    Both paths compute the same float64 arithmetic; results agree to
-    the last ULP whichever strategy runs (BLAS may pick a different
-    gemm micro-kernel per matrix shape, so bit-equality across the
-    two paths is NOT guaranteed — a pair whose cosine sits within one
-    ULP of ``threshold`` could in principle appear in one path only).
-    Both chunk their
-    GEMMs so no task materializes more than ``_MAX_SCORE_CELLS``
-    (256 MB) of scores regardless of block/broadcast sizes.
+    Both paths run the same two-phase kernel (r16): a dense float32
+    screening GEMM over pre-normalized rows finds candidate cells
+    (threshold − ``_SCREEN_MARGIN``, a ≥30× safety factor over the
+    worst-case f32 error — no true pair can be missed), then every
+    candidate is recomputed EXACTLY as float64 ``dot(raw)/(na·nb)``
+    (the SQL/oracle formula) and re-tested against the true
+    threshold. Emitted cosines are therefore float64 row-pair dots —
+    identical accumulation order on both paths, so blocked ≡
+    broadcast to within a ULP (a pair whose cosine sits within one
+    ULP of ``threshold`` could in principle appear in one path only,
+    as before). Both chunk the screen so no task materializes more
+    than ``_MAX_SCORE_CELLS`` (128 MB f32) regardless of
+    block/broadcast sizes.
     """
     # r15: ``n_rows`` lets callers that already know the corpus size
     # (parquet footer row counts, snapshot manifests) skip the eager
@@ -566,14 +571,57 @@ def exact_cosine_pairs(
     return _cosine_pairs_broadcast(df, threshold, vec_col, id_col)
 
 
-# Per-GEMM score-matrix budget: 32M f64 cells = 256 MB. Both cosine
-# kernels chunk their left operand so no task ever materializes more
-# than this, whatever the block/broadcast sizes are — the r3 bench
-# (b9, 240k rows in 40k blocks) OOM-killed the JVM without it.
+# Per-GEMM score-matrix budget: 32M cells (128 MB in the f32
+# screening buffer). Both cosine kernels chunk their left operand so
+# no task ever materializes more than this, whatever the
+# block/broadcast sizes are — the r3 bench (b9, 240k rows in 40k
+# blocks) OOM-killed the JVM without it.
 _MAX_SCORE_CELLS = 32_000_000
-# Cache-resident variant (16 MB) used when the whole right operand
-# fits in L3 — post-GEMM passes then run at cache bandwidth.
-_CACHE_SCORE_CELLS = 2_000_000
+# r16 screening margin (guide §2.3 "shuffle fewer bytes" applied to
+# MEMORY traffic): the dense O(N²) pass runs in float32 on
+# pre-normalized rows — 8 B/cell of RAM traffic (GEMM write + compare
+# read) instead of the f64 dot/den/divide pipeline's 48 B/cell — and
+# only cells with cos32 ≥ threshold − margin are recomputed EXACTLY
+# as float64 dot(raw)/(na·nb) (the SQL/oracle formula) and re-tested
+# against the true threshold. For unit-normalized f32 inputs the
+# worst-case |cos32 − cos64| is ≈ (d+4)·2⁻²⁴ ≈ 4e-6 at d=64 (≤ 3e-5
+# even at d=4096), so 1e-3 is a ≥30× safety factor: no true pair can
+# be screened out, and false candidates are removed by the exact
+# re-test. Final cosines come from one f64 row-pair einsum — the same
+# accumulation for both kernels, so blocked ≡ broadcast outputs stay
+# within the pinned 1e-12 (test_dedup.py::_assert_pairs_ulp_equal).
+# Measured (tools/exp_b9_kernel.py, 40k×40k blocks, 21 concurrent
+# tasks): 40.9 s → 20.6 s wall with the f32 screen + 1 BLAS thread.
+_SCREEN_MARGIN = 1e-3
+
+
+def _screened_pairs(
+    cos32,
+    l_mat,
+    l_norms,
+    r_mat,
+    r_norms,
+    l_off: int,
+    threshold: float,
+):
+    """Candidates of one screening chunk → exact f64 cosines.
+
+    Returns (ii, jj, cos64) with ii relative to the full left block
+    (``l_off`` = chunk start), already filtered by the TRUE threshold.
+    """
+    import numpy as np
+
+    ii, jj = np.nonzero(cos32 >= np.float32(threshold - _SCREEN_MARGIN))
+    if len(ii) == 0:
+        return ii, jj, np.empty(0)
+    ii = ii + l_off
+    # exact recompute, same formula as the SQL/oracle path:
+    # dot(raw) / (na*nb)
+    cos = np.einsum("ij,ij->i", l_mat[ii], r_mat[jj]) / (
+        l_norms[ii] * r_norms[jj]
+    )
+    ok = cos >= threshold
+    return ii[ok], jj[ok], cos[ok]
 
 
 def _cosine_pairs_broadcast(
@@ -607,16 +655,33 @@ def _cosine_pairs_broadcast(
         np.float64, copy=False
     )
     all_norms = np.sqrt(np.einsum("ij,ij->i", all_mat, all_mat))
-    bc = df.sparkSession.sparkContext.broadcast((all_ids, all_mat, all_norms))
+    # the f32 screening operand (normalized rows, transposed) is
+    # computed ONCE here and shipped in the broadcast (+50% bytes)
+    # instead of being rebuilt per task; zero-norm rows become
+    # non-finite and never pass the screen — same exclusion the f64
+    # divide produced (0/0 → NaN)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        all_n32_t = np.ascontiguousarray(
+            (all_mat / all_norms[:, None]).astype(np.float32).T
+        )
+    bc = df.sparkSession.sparkContext.broadcast(
+        (all_ids, all_mat, all_norms, all_n32_t)
+    )
 
     def _pairs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from nebuia_vector_db_spark.functions.vector import arrow_list_to_matrix
+        from nebuia_vector_db_spark.functions.vector import (
+            arrow_list_to_matrix,
+            limit_blas_threads,
+        )
 
-        ids_all, mat_all, norms_all = bc.value
-        # bound the (rows, N) score matrix to ~256 MB f64 per GEMM —
-        # an Arrow batch (10k rows) against a 1M-row broadcast side
-        # would otherwise materialize an 80 GB matrix per task
-        step = max(1, _MAX_SCORE_CELLS // max(1, len(ids_all)))
+        limit_blas_threads(1)  # one GEMM task per core already
+        ids_all, mat_all, norms_all, n32_t_all = bc.value
+        # bound the (rows, N) screening matrix to 32M cells (128 MB
+        # f32) per GEMM — an Arrow batch (10k rows) against a 1M-row
+        # broadcast side would otherwise materialize 40 GB per task
+        n_all = len(ids_all)
+        step = max(1, _MAX_SCORE_CELLS // max(1, n_all))
+        buf = None
         for rb in batches:
             bids_full = rb.column(id_col).to_numpy(zero_copy_only=False)
             bmat_full = arrow_list_to_matrix(rb.column(vec_col)).astype(
@@ -627,36 +692,35 @@ def _cosine_pairs_broadcast(
             bnorms_full = np.sqrt(
                 np.einsum("ij,ij->i", bmat_full, bmat_full)
             )
-            # reused buffers: fresh 256 MB allocations per chunk are
-            # page-fault-bound (~10x slower than the GEMM itself)
-            n_all = len(ids_all)
-            dot_buf = np.empty((min(step, bmat_full.shape[0]), n_all))
-            den_buf = np.empty_like(dot_buf)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                b32_full = (bmat_full / bnorms_full[:, None]).astype(
+                    np.float32
+                )
+            rows = min(step, bmat_full.shape[0])
+            if buf is None or buf.shape[0] < rows:
+                # reused across chunks and batches; regrown only if a
+                # later batch is taller than the first
+                buf = np.empty((rows, n_all), dtype=np.float32)
             for s in range(0, bmat_full.shape[0], step):
-                bids = bids_full[s : s + step]
-                m = len(bids)
-                # same formula as the SQL/oracle path: dot(raw)/(na*nb)
-                cos = np.matmul(
-                    bmat_full[s : s + m], mat_all.T, out=dot_buf[:m]
+                m = len(bids_full[s : s + step])
+                cos32 = np.matmul(
+                    b32_full[s : s + m], n32_t_all, out=buf[:m]
                 )
-                den = np.multiply(
-                    bnorms_full[s : s + m, None],
-                    norms_all[None, :],
-                    out=den_buf[:m],
+                ii, jj, cos = _screened_pairs(
+                    cos32, bmat_full, bnorms_full, mat_all, norms_all,
+                    s, threshold,
                 )
-                np.divide(cos, den, out=cos)
                 # sparse-first: threshold matches are rare, so filter
                 # ids on the match set, never a dense id-compare mask
-                ii, jj = np.nonzero(cos >= threshold)
-                keep = bids[ii] < ids_all[jj]
-                ii, jj = ii[keep], jj[keep]
+                keep = bids_full[ii] < ids_all[jj]
+                ii, jj, cos = ii[keep], jj[keep], cos[keep]
                 if len(ii) == 0:
                     continue
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(bids[ii]),
+                        pa.array(bids_full[ii]),
                         pa.array(ids_all[jj]),
-                        pa.array(cos[ii, jj]),
+                        pa.array(cos),
                     ],
                     names=["vec_a", "vec_b", "cosine"],
                 )
@@ -717,6 +781,11 @@ def _cosine_pairs_blocked(
     both = left.unionByName(right)
 
     def _gemm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from nebuia_vector_db_spark.functions.vector import (
+            limit_blas_threads,
+        )
+
+        limit_blas_threads(1)  # one block-pair task per core already
         lmask = pdf["_side"].to_numpy() == 0
         l_ids = pdf["_id"].to_numpy()[lmask]
         l_mat = np.array(list(pdf["_v"][lmask]), dtype=np.float64)
@@ -733,47 +802,41 @@ def _cosine_pairs_blocked(
         l_norms = np.sqrt(np.einsum("ij,ij->i", l_mat, l_mat))
         r_norms = np.sqrt(np.einsum("ij,ij->i", r_mat, r_mat))
         diagonal = lmask.all()
-        # chunk the left operand: a full |bi|x|bj| score matrix at the
-        # default 250k block size would be 500 GB — cap per-GEMM cells.
-        # Buffers are reused across chunks and the id comparison runs
-        # on the sparse >=threshold set (fresh 256 MB allocations per
-        # chunk are page-fault-bound, ~10x the GEMM cost). When the
-        # right block fits in L3 (~32 MB) a small cache-resident chunk
-        # wins (measured 9 s vs 14 s per 40k x 40k task); otherwise
-        # large chunks amortize streaming the right block.
+        # chunk the left operand: a full |bi|x|bj| screening matrix at
+        # the default 250k block size would be 250 GB — cap per-GEMM
+        # cells (32M f32 = 128 MB, buffer reused across chunks). The
+        # dense pass is the f32 screen; only screened candidates are
+        # recomputed exactly (see _SCREEN_MARGIN).
         n_r = len(r_ids)
-        cells = (
-            _CACHE_SCORE_CELLS
-            if n_r * r_mat.shape[1] * 8 <= (32 << 20)
-            else _MAX_SCORE_CELLS
-        )
-        step = max(1, cells // max(1, n_r))
-        r_mat_t = np.ascontiguousarray(r_mat.T)
-        dot_buf = np.empty((min(step, len(l_ids)), len(r_ids)))
-        den_buf = np.empty_like(dot_buf)
+        step = max(1, _MAX_SCORE_CELLS // max(1, n_r))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l32 = (l_mat / l_norms[:, None]).astype(np.float32)
+            if diagonal:
+                r32_t = np.ascontiguousarray(l32.T)
+            else:
+                r32_t = np.ascontiguousarray(
+                    ((r_mat / r_norms[:, None]).astype(np.float32)).T
+                )
+        buf = np.empty((min(step, len(l_ids)), n_r), dtype=np.float32)
         out_a, out_b, out_c = [], [], []
         for s in range(0, len(l_ids), step):
-            lid = l_ids[s : s + step]
-            m = len(lid)
-            # same formula as the SQL/oracle path: dot(raw)/(na*nb)
-            cos = np.matmul(l_mat[s : s + m], r_mat_t, out=dot_buf[:m])
-            den = np.multiply(
-                l_norms[s : s + m, None], r_norms[None, :], out=den_buf[:m]
+            m = len(l_ids[s : s + step])
+            cos32 = np.matmul(l32[s : s + m], r32_t, out=buf[:m])
+            ii, jj, cos = _screened_pairs(
+                cos32, l_mat, l_norms, r_mat, r_norms, s, threshold
             )
-            np.divide(cos, den, out=cos)
-            ii, jj = np.nonzero(cos >= threshold)
-            lo = lid[ii] < r_ids[jj]
-            out_a.append(lid[ii[lo]])
+            lo = l_ids[ii] < r_ids[jj]
+            out_a.append(l_ids[ii[lo]])
             out_b.append(r_ids[jj[lo]])
-            out_c.append(cos[ii[lo], jj[lo]])
+            out_c.append(cos[lo])
             if not diagonal:
                 # cross-block pairs where the right id is smaller still
                 # belong to this group (block order ≠ id order) —
                 # emit them id-sorted
-                hi = lid[ii] > r_ids[jj]
+                hi = l_ids[ii] > r_ids[jj]
                 out_a.append(r_ids[jj[hi]])
-                out_b.append(lid[ii[hi]])
-                out_c.append(cos[ii[hi], jj[hi]])
+                out_b.append(l_ids[ii[hi]])
+                out_c.append(cos[hi])
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
